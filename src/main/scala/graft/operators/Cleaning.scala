@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data cleaning, multi-source conforming, and validation gates —
+  * the reference's transform-layer hygiene
+  * (/root/reference/etl/transform.py:30-127) and the Airflow DAG's
+  * validate_extract / validate_transform quality gates
+  * (/root/reference/dags/retail_etl_dag.py:251-360).
+  *
+  * Scale: cleaning is a pure narrow projection (zero shuffle, full
+  * codegen); validation computes every check in one aggregation pass per
+  * table plus one anti-join for referential integrity.
+  */
+object Cleaning {
+
+  // ─── q15 clean lineitem (transform.py:30-96) ─────────────────────────
+  /** Filter invalid rows, clip out-of-range values, recompute the derived
+    * amount, standardize flags, and attach an MD5 row hash for
+    * change detection — the reference's clean_retail_sales semantics.
+    */
+  def cleanLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_quantity") > 0 && col("l_shipdate").isNotNull)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("line_number"),
+        col("l_quantity"),
+        col("l_extendedprice"),
+        least(greatest(col("l_discount"), lit(0.0)), lit(0.5)).as("discount_clipped"),
+        // raw IEEE product (NOT rounded): see Facts.factSales net_amount
+        (col("l_extendedprice") * (lit(1.0) - least(greatest(col("l_discount"), lit(0.0)), lit(0.5)))
+          * (lit(1.0) + col("l_tax"))).as("net_price"),
+        upper(trim(col("l_returnflag"))).as("return_flag"),
+        upper(trim(col("l_linestatus"))).as("line_status"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        md5(concat_ws("_",
+          col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd"))).as("row_hash"))
+  }
+
+  // ─── q19 multi-source conform (extract.py + transform.py:283-339) ────
+  /** Conform two differently-shaped product sources into one catalog:
+    * the part table (the reference's API catalog source) and a
+    * sales-derived product list (the reference's CSV retail source),
+    * unioned by name with source tagging and keyword-driven category
+    * grouping (transform.py:316-333).
+    */
+  def multiSourceConform(spark: SparkSession, dir: String): DataFrame = {
+    val catalog = Tables.part(spark, dir).select(
+      col("p_partkey").as("product_id"),
+      col("p_name").as("product_name"),
+      col("p_type").as("category_raw"),
+      col("p_retailprice").as("price"),
+      lit("catalog_parquet").as("_source"))
+    val salesSide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("product_id"))
+      .agg(round(avg(col("l_extendedprice") /
+        when(col("l_quantity") === 0.0, lit(null)).otherwise(col("l_quantity"))), 2).as("price"))
+      .select(
+        col("product_id"),
+        lit(null).cast("string").as("product_name"),
+        lit(null).cast("string").as("category_raw"),
+        col("price"),
+        lit("sales_derived").as("_source"))
+    catalog.unionByName(salesSide)
+      .withColumn("category_group",
+        when(col("category_raw").isin("STANDARD", "ECONOMY"), "Value")
+          .when(col("category_raw").isin("SMALL", "MEDIUM", "LARGE"), "General")
+          .when(col("category_raw") === "PROMO", "Promotional")
+          .otherwise("Unknown"))
+  }
+
+  // ─── q22 validation gates (retail_etl_dag.py:251-360) ────────────────
+  /** All pipeline quality gates in one row: row counts, null checks,
+    * duplicate-key checks, referential integrity, and value-range
+    * violations — the DAG's validate tasks as a single declarative plan.
+    */
+  def validationGates(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+
+    val liStats = li.agg(
+      count(lit(1)).as("lineitem_rows"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("lineitem_bad_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+        .as("lineitem_bad_discount"))
+    val oStats = o.agg(
+      count(lit(1)).as("orders_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("orders_null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_dup_keys"))
+    val cStats = c.agg(count(lit(1)).as("customer_rows"))
+    val orphans = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphans"))
+    val custOrphans = o.join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_orphan_cust"))
+
+    liStats.crossJoin(oStats).crossJoin(cStats).crossJoin(orphans).crossJoin(custOrphans)
+      .withColumn("lines_per_order",
+        round(col("lineitem_rows").cast("double") / col("orders_rows").cast("double"), 2))
+      .withColumn("all_gates_pass",
+        col("lineitem_bad_qty") === 0 && col("orders_null_custkey") === 0 &&
+          col("orders_dup_keys") === 0 && col("lineitem_orphans") === 0 &&
+          col("orders_orphan_cust") === 0)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_clean_lineitem" -> cleanLineitem,
+    "q19_multi_source_conform" -> multiSourceConform,
+    "q22_validation_gates" -> validationGates)
+
+  val oracle: Map[String, String] = Map(
+    "q15_clean_lineitem" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_number,
+        |       l_quantity, l_extendedprice,
+        |       least(greatest(l_discount, 0.0), 0.5) AS discount_clipped,
+        |       l_extendedprice * (1.0 - least(greatest(l_discount, 0.0), 0.5))
+        |             * (1.0 + l_tax) AS net_price,
+        |       upper(trim(l_returnflag)) AS return_flag,
+        |       upper(trim(l_linestatus)) AS line_status,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       md5(concat_ws('_', l_orderkey, l_linenumber,
+        |                     strftime(l_shipdate, '%Y-%m-%d'))) AS row_hash
+        |FROM lineitem
+        |WHERE l_quantity > 0 AND l_shipdate IS NOT NULL""".stripMargin,
+    "q19_multi_source_conform" ->
+      """WITH unioned AS (
+        |  SELECT p_partkey AS product_id, p_name AS product_name,
+        |         p_type AS category_raw, p_retailprice AS price,
+        |         'catalog_parquet' AS _source
+        |  FROM part
+        |  UNION ALL
+        |  SELECT l_partkey AS product_id, CAST(NULL AS VARCHAR) AS product_name,
+        |         CAST(NULL AS VARCHAR) AS category_raw,
+        |         round(avg(l_extendedprice / nullif(l_quantity, 0)), 2) AS price,
+        |         'sales_derived' AS _source
+        |  FROM lineitem GROUP BY 1)
+        |SELECT *,
+        |       CASE WHEN category_raw IN ('STANDARD', 'ECONOMY') THEN 'Value'
+        |            WHEN category_raw IN ('SMALL', 'MEDIUM', 'LARGE') THEN 'General'
+        |            WHEN category_raw = 'PROMO' THEN 'Promotional'
+        |            ELSE 'Unknown' END AS category_group
+        |FROM unioned""".stripMargin,
+    "q22_validation_gates" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem) AS lineitem_rows,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) AS lineitem_bad_qty,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) AS lineitem_bad_discount,
+        |  (SELECT count(*) FROM orders) AS orders_rows,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders) AS orders_null_custkey,
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS orders_dup_keys,
+        |  (SELECT count(*) FROM customer) AS customer_rows,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS lineitem_orphans,
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orders_orphan_cust,
+        |  round(CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+        |        / CAST((SELECT count(*) FROM orders) AS DOUBLE), 2) AS lines_per_order,
+        |  (SELECT CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) = 0
+        |    AND (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders) = 0
+        |    AND (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0
+        |    AND (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        |    AND (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        |    AS all_gates_pass""".stripMargin)
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dimension builders — the reference's dimensional-modeling layer
+  * (/root/reference/etl/transform.py:134-339) re-expressed as declarative
+  * Spark plans.
+  *
+  * Scale notes: dim_date is generated with `sequence()`+`explode` (a
+  * few-thousand-row plan, no driver loop — transform.py:148 used a pandas
+  * date_range on the driver). Customer-dim surrogate keys use an
+  * unpartitioned `row_number` for parity with the reference's positional
+  * index (transform.py:192); at true 100 TB dim cardinality swap for the
+  * natural key or a hash key — see Scaladoc on [[surrogateKey]].
+  */
+object Dimensions {
+
+  private def isoDow(c: Column): Column = ((dayofweek(c) + lit(5)) % lit(7)) + lit(1)
+
+  /** Sequential surrogate key. Deterministic (ordered by the natural key)
+    * but serializes post-agg rows through one partition — acceptable for
+    * dims up to ~10^7 rows; beyond that prefer the natural/hash key.
+    */
+  private def surrogateKey(orderCol: String): Column =
+    row_number().over(Window.orderBy(col(orderCol))).cast("long")
+
+  // ─── q09 date dimension (transform.py:134-172) ───────────────────────
+  def dimDate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(
+      min(to_date(col("o_orderdate"))).as("mn"),
+      max(to_date(col("o_orderdate"))).as("mx"))
+    val days = bounds.select(
+      explode(sequence(
+        make_date(year(col("mn")), lit(1), lit(1)),
+        make_date(year(col("mx")), lit(12), lit(31)),
+        expr("interval 1 day"))).as("full_date"))
+    days.select(
+      date_format(col("full_date"), "yyyyMMdd").cast("long").as("date_key"),
+      col("full_date"),
+      year(col("full_date")).cast("long").as("year"),
+      quarter(col("full_date")).cast("long").as("quarter"),
+      month(col("full_date")).cast("long").as("month"),
+      date_format(col("full_date"), "MMMM").as("month_name"),
+      weekofyear(col("full_date")).cast("long").as("week_of_year"),
+      dayofmonth(col("full_date")).cast("long").as("day_of_month"),
+      isoDow(col("full_date")).cast("long").as("day_of_week"),
+      date_format(col("full_date"), "EEEE").as("day_name"),
+      (isoDow(col("full_date")) >= 6).as("is_weekend"),
+      when(month(col("full_date")) >= 10, year(col("full_date")) + 1)
+        .otherwise(year(col("full_date"))).cast("long").as("fiscal_year"),
+      (((month(col("full_date")) + 2) % 12).cast("long").divide(3).cast("long") + 1)
+        .as("fiscal_quarter"))
+  }
+
+  /** Customer profile snapshot used by the dim build and the SCD2 merge:
+    * one row per customer with purchase stats (transform.py:183-189).
+    */
+  def customerSnapshot(spark: SparkSession, dir: String,
+                       ordersFilter: Column = lit(true)): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(ordersFilter)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      .agg(
+        min(col("o_orderdate")).as("first_purchase_date"),
+        max(col("o_orderdate")).as("last_purchase_date"),
+        count(col("o_orderkey")).as("total_transactions"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+  }
+
+  private def segmentOf(cnt: Column): Column =
+    when(cnt <= 1, "New").when(cnt <= 3, "Occasional")
+      .when(cnt <= 5, "Regular").otherwise("Loyal")
+
+  private def bandOf(bal: Column): Column =
+    when(bal < 0, "Debt").when(bal < 2500, "Low")
+      .when(bal < 5000, "Mid").when(bal < 7500, "High").otherwise("Premium")
+
+  // ─── q10 customer dimension w/ SCD2 columns (transform.py:175-223) ───
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+    customerSnapshot(spark, dir)
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("segment_attr"),
+        col("c_acctbal").as("acctbal"),
+        bandOf(col("c_acctbal")).as("balance_band"),
+        segmentOf(col("total_transactions")).as("customer_segment"),
+        col("first_purchase_date"), col("last_purchase_date"),
+        col("total_transactions"), col("total_spend"))
+      .withColumn("customer_key", surrogateKey("customer_id"))
+      .withColumn("effective_start_date",
+        coalesce(col("first_purchase_date"), lit("1990-01-01 00:00:00").cast("timestamp")))
+      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp"))
+      .withColumn("is_current", lit(true))
+      .withColumn("version", lit(1L))
+      .withColumn("row_hash",
+        md5(concat_ws("_", col("customer_id"), col("segment_attr"), col("customer_name"))))
+  }
+
+  // ─── q11 SCD Type 2 merge demo (load.py:246-319) ─────────────────────
+  /** Deterministic merge scenario: the "existing" dim is the customer
+    * activity snapshot as of 1999-01-01; the "incoming" batch is the
+    * snapshot over all orders. Customers whose tracked attribute (the
+    * activity segment) changed get their v1 row expired and a v2 row
+    * inserted; brand-new customers insert at v1 — exactly the reference's
+    * expire-changed + insert-new semantics keyed on row_hash.
+    */
+  def scd2MergeDemo(spark: SparkSession, dir: String): DataFrame = {
+    val splitTs = lit("1999-01-01 00:00:00").cast("timestamp")
+    def snap(f: Column): DataFrame =
+      customerSnapshot(spark, dir, f)
+        .select(
+          col("c_custkey").as("customer_id"),
+          segmentOf(col("total_transactions")).as("segment"))
+        .withColumn("row_hash", md5(concat_ws("_", col("customer_id"), col("segment"))))
+    // existing dim: v1/current rows as of the split date
+    val existing = snap(col("o_orderdate") < splitTs)
+      .withColumn("version", lit(1L))
+      .withColumn("is_current", lit(true))
+      .withColumn("effective_start_date", splitTs)
+      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp"))
+    val incoming = snap(lit(true))
+    Scd2.merge(
+      existing, incoming,
+      key = "customer_id",
+      mergeTs = lit("2000-01-01 00:00:00").cast("timestamp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_dim_date" -> dimDate,
+    "q10_dim_customer" -> dimCustomer,
+    "q11_scd2_merge" -> scd2MergeDemo)
+
+  val oracle: Map[String, String] = Map(
+    "q09_dim_date" ->
+      """WITH b AS (
+        |  SELECT make_date(CAST(year(min(o_orderdate)) AS INT), 1, 1) AS mn,
+        |         make_date(CAST(year(max(o_orderdate)) AS INT), 12, 31) AS mx
+        |  FROM orders),
+        |d AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS full_date FROM b)
+        |SELECT CAST(strftime(full_date, '%Y%m%d') AS BIGINT) AS date_key,
+        |       full_date,
+        |       CAST(year(full_date) AS BIGINT) AS year,
+        |       CAST(quarter(full_date) AS BIGINT) AS quarter,
+        |       CAST(month(full_date) AS BIGINT) AS month,
+        |       monthname(full_date) AS month_name,
+        |       CAST(weekofyear(full_date) AS BIGINT) AS week_of_year,
+        |       CAST(day(full_date) AS BIGINT) AS day_of_month,
+        |       CAST(isodow(full_date) AS BIGINT) AS day_of_week,
+        |       dayname(full_date) AS day_name,
+        |       isodow(full_date) >= 6 AS is_weekend,
+        |       CAST(CASE WHEN month(full_date) >= 10 THEN year(full_date) + 1
+        |                 ELSE year(full_date) END AS BIGINT) AS fiscal_year,
+        |       CAST(((month(full_date) + 2) % 12) // 3 + 1 AS BIGINT) AS fiscal_quarter
+        |FROM d""".stripMargin,
+    "q10_dim_customer" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |         min(o_orderdate) AS first_purchase_date,
+        |         max(o_orderdate) AS last_purchase_date,
+        |         count(o_orderkey) AS total_transactions,
+        |         round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_custkey AS customer_id, c_name AS customer_name,
+        |       c_mktsegment AS segment_attr, c_acctbal AS acctbal,
+        |       CASE WHEN c_acctbal < 0 THEN 'Debt' WHEN c_acctbal < 2500 THEN 'Low'
+        |            WHEN c_acctbal < 5000 THEN 'Mid' WHEN c_acctbal < 7500 THEN 'High'
+        |            ELSE 'Premium' END AS balance_band,
+        |       CASE WHEN total_transactions <= 1 THEN 'New'
+        |            WHEN total_transactions <= 3 THEN 'Occasional'
+        |            WHEN total_transactions <= 5 THEN 'Regular'
+        |            ELSE 'Loyal' END AS customer_segment,
+        |       first_purchase_date, last_purchase_date,
+        |       total_transactions, total_spend,
+        |       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key,
+        |       coalesce(first_purchase_date, TIMESTAMP '1990-01-01') AS effective_start_date,
+        |       TIMESTAMP '9999-12-31' AS effective_end_date,
+        |       TRUE AS is_current,
+        |       CAST(1 AS BIGINT) AS version,
+        |       md5(concat_ws('_', c_custkey, c_mktsegment, c_name)) AS row_hash
+        |FROM snap""".stripMargin,
+    "q11_scd2_merge" ->
+      """WITH snap_a AS (
+        |  SELECT c_custkey AS customer_id,
+        |         CASE WHEN count(o_orderkey) <= 1 THEN 'New'
+        |              WHEN count(o_orderkey) <= 3 THEN 'Occasional'
+        |              WHEN count(o_orderkey) <= 5 THEN 'Regular'
+        |              ELSE 'Loyal' END AS segment
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1),
+        |snap_b AS (
+        |  SELECT c_custkey AS customer_id,
+        |         CASE WHEN count(o_orderkey) <= 1 THEN 'New'
+        |              WHEN count(o_orderkey) <= 3 THEN 'Occasional'
+        |              WHEN count(o_orderkey) <= 5 THEN 'Regular'
+        |              ELSE 'Loyal' END AS segment
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |a AS (SELECT customer_id, segment, md5(concat_ws('_', customer_id, segment)) AS row_hash FROM snap_a),
+        |b AS (SELECT customer_id, segment, md5(concat_ws('_', customer_id, segment)) AS row_hash FROM snap_b),
+        |j AS (SELECT coalesce(a.customer_id, b.customer_id) AS customer_id,
+        |             a.segment AS seg_a, b.segment AS seg_b,
+        |             a.row_hash AS hash_a, b.row_hash AS hash_b
+        |      FROM a FULL OUTER JOIN b ON a.customer_id = b.customer_id)
+        |SELECT customer_id, seg_b AS segment, CAST(1 AS BIGINT) AS version, TRUE AS is_current,
+        |       TIMESTAMP '1999-01-01' AS effective_start_date,
+        |       TIMESTAMP '9999-12-31' AS effective_end_date,
+        |       'unchanged' AS change_type, hash_b AS row_hash
+        |FROM j WHERE hash_a IS NOT NULL AND hash_b IS NOT NULL AND hash_a = hash_b
+        |UNION ALL
+        |SELECT customer_id, seg_a, CAST(1 AS BIGINT), FALSE,
+        |       TIMESTAMP '1999-01-01', TIMESTAMP '2000-01-01', 'expired', hash_a
+        |FROM j WHERE hash_a IS NOT NULL AND hash_b IS NOT NULL AND hash_a <> hash_b
+        |UNION ALL
+        |SELECT customer_id, seg_b, CAST(2 AS BIGINT), TRUE,
+        |       TIMESTAMP '2000-01-01', TIMESTAMP '9999-12-31', 'changed', hash_b
+        |FROM j WHERE hash_a IS NOT NULL AND hash_b IS NOT NULL AND hash_a <> hash_b
+        |UNION ALL
+        |SELECT customer_id, seg_b, CAST(1 AS BIGINT), TRUE,
+        |       TIMESTAMP '2000-01-01', TIMESTAMP '9999-12-31', 'new', hash_b
+        |FROM j WHERE hash_a IS NULL""".stripMargin)
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Fact-table build (/root/reference/etl/transform.py:346-386): the
+  * cleaned transactional grain joined to dimension surrogate keys, with
+  * degenerate dimensions kept inline for query convenience.
+  *
+  * Scale notes:
+  *  - the reference's positional `sales_key = range(1..n)`
+  *    (transform.py:379) would force a global ordering; we derive a
+  *    deterministic key from the natural composite key instead
+  *    (orderkey*100 + linenumber) — embarrassingly parallel.
+  *  - dim joins: customer/category are broadcast; the lineitem⋈orders
+  *    fact-fact join shuffles once on orderkey (sort-merge at scale,
+  *    AQE-converted to broadcast at small SF).
+  */
+object Facts {
+
+  /** Category dimension: distinct p_type with a deterministic surrogate
+    * key (transform.py:283-306 analog — tiny dim, broadcast everywhere).
+    */
+  def dimCategory(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_type").as("category_name")).distinct()
+      .withColumn("category_key",
+        row_number().over(Window.orderBy(col("category_name"))).cast("long"))
+
+  // ─── q12 fact_sales ──────────────────────────────────────────────────
+  def factSales(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val custKeys = Dimensions.dimCustomer(spark, dir)
+      .select(col("customer_id"), col("customer_key"))
+    val cat = dimCategory(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(cat), col("p_type") === col("category_name"))
+      .join(broadcast(custKeys), col("o_custkey") === col("customer_id"))
+      .select(
+        (col("l_orderkey") * 100 + col("l_linenumber")).cast("long").as("sales_key"),
+        col("l_orderkey").as("transaction_id"),
+        col("l_linenumber").cast("long").as("line_number"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("long").as("date_key"),
+        col("customer_key"),
+        col("category_key"),
+        col("l_partkey").as("part_key"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("price"),
+        col("l_discount").as("discount"),
+        // raw IEEE product (NOT rounded): per-row rounding of 2-decimal
+        // inputs hits exact half-cent midpoints where engines disagree
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("net_amount"),
+        col("o_custkey").as("customer_id"),
+        col("p_type").as("product_category"),
+        lit("lineitem_parquet").as("_source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_fact_sales" -> factSales)
+
+  val oracle: Map[String, String] = Map(
+    "q12_fact_sales" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS customer_id,
+        |         CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key
+        |  FROM customer),
+        |cat AS (
+        |  SELECT category_name,
+        |         CAST(row_number() OVER (ORDER BY category_name) AS BIGINT) AS category_key
+        |  FROM (SELECT DISTINCT p_type AS category_name FROM part))
+        |SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS sales_key,
+        |       l_orderkey AS transaction_id,
+        |       CAST(l_linenumber AS BIGINT) AS line_number,
+        |       CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key,
+        |       cust.customer_key,
+        |       cat.category_key,
+        |       l_partkey AS part_key,
+        |       l_quantity AS quantity,
+        |       l_extendedprice AS price,
+        |       l_discount AS discount,
+        |       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net_amount,
+        |       o_custkey AS customer_id,
+        |       p_type AS product_category,
+        |       'lineitem_parquet' AS _source
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN cat ON p_type = cat.category_name
+        |JOIN cust ON o_custkey = cust.customer_id""".stripMargin)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scd2
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val far = "9999-12-31 00:00:00"
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  test("merge expires changed, inserts new, keeps history and unchanged") {
+    val existing = Seq(
+      // key, attr, version, is_current, start, end, hash
+      (1L, "A", 1L, true, "2020-01-01 00:00:00", far, "hA"),
+      (1L, "Z", 0L, false, "2019-01-01 00:00:00", "2020-01-01 00:00:00", "hZ"), // history
+      (2L, "B", 1L, true, "2020-01-01 00:00:00", far, "hB"),
+      (3L, "C", 1L, true, "2020-01-01 00:00:00", far, "hC"))
+      .toDF("id", "attr", "version", "is_current", "start_s", "end_s", "row_hash")
+      .withColumn("effective_start_date", col("start_s").cast("timestamp"))
+      .withColumn("effective_end_date", col("end_s").cast("timestamp"))
+      .drop("start_s", "end_s")
+    val incoming = Seq(
+      (1L, "A", "hA"),   // unchanged
+      (2L, "B2", "hB2"), // changed
+      (4L, "D", "hD"))   // new  (3 absent from batch)
+      .toDF("id", "attr", "row_hash")
+
+    val out = Scd2.merge(existing, incoming, "id", ts("2021-01-01 00:00:00"))
+    val byType = out.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("history" -> 1L, "unchanged" -> 2L, "expired" -> 1L,
+      "changed" -> 1L, "new" -> 1L))
+
+    val v2 = out.filter(col("id") === 2 && col("is_current")).collect()
+    assert(v2.length == 1)
+    val row = v2.head
+    assert(row.getAs[String]("attr") == "B2")
+    assert(row.getAs[Long]("version") == 2L)
+    val expired = out.filter(col("id") === 2 && !col("is_current")).collect().head
+    assert(expired.getAs[java.sql.Timestamp]("effective_end_date").toString.startsWith("2021-01-01"))
+
+    // exactly one current row per key
+    val dupCurrent = out.filter(col("is_current"))
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(dupCurrent == 0)
+  }
+}
