@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Dimensions.queries ++ Facts.queries ++
-      Marts.queries ++ Cleaning.queries
+      Marts.queries ++ Cleaning.queries ++ TextAnalysis.queries ++
+      Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ Dimensions.oracle ++ Facts.oracle ++
-      Marts.oracle ++ Cleaning.oracle
+      Marts.oracle ++ Cleaning.oracle ++ TextAnalysis.oracle ++
+      Events.oracle
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Batch event-stream operators: gap-based sessionization, tumbling
+  * windows, JSON prop extraction. These are the batch equivalents of the
+  * structured-streaming module (graft.streaming.EventsStream) so their
+  * semantics can be oracle-checked; the streaming variants share the
+  * same column logic.
+  *
+  * Scale: sessionization windows partition by user_id (bounded per-user
+  * history); tumbling windows are plain hash aggregations. Second-level
+  * epoch math (floor) keeps timestamp semantics engine-portable.
+  */
+object Events {
+
+  private def epochS(c: org.apache.spark.sql.Column) = unix_timestamp(c)
+
+  // ─── e01 gap-based sessionization (30-min inactivity gap) ────────────
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          epochS(col("ts")) - epochS(col("prev_ts")) > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        epochS(min(col("ts"))).as("session_start_epoch"),
+        epochS(max(col("ts"))).as("session_end_epoch"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        countDistinct(col("event_type")).as("distinct_event_types"))
+      .withColumn("duration_sec", col("session_end_epoch") - col("session_start_epoch"))
+  }
+
+  // ─── e02 tumbling-window aggregation (hourly) ────────────────────────
+  def tumblingWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        // rounded-sum / count, NOT round(avg): small groups hit exact
+        // half-cent midpoints where engine rounding modes disagree
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"),
+        countDistinct(col("user_id")).as("unique_users"))
+  }
+
+  // ─── e03 JSON prop extraction ────────────────────────────────────────
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_sessionize" -> sessionize,
+    "e02_event_tumbling" -> tumblingWindows,
+    "e03_json_props" -> jsonProps)
+
+  val oracle: Map[String, String] = Map(
+    "e01_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,  event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |seq AS (
+        |  SELECT *,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM s)
+        |SELECT user_id, session_seq,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value,
+        |       count(DISTINCT event_type) AS distinct_event_types,
+        |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        |FROM seq GROUP BY 1, 2""".stripMargin,
+    "e02_event_tumbling" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value,
+        |       round(sum(value), 2) / count(*) AS avg_value,
+        |       count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e03_json_props" ->
+      """WITH k AS (
+        |  SELECT event_type, value,
+        |         CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k % 10 AS k_bucket,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) / count(*) AS avg_value,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM k GROUP BY 1, 2""".stripMargin)
+}

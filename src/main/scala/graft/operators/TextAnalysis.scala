@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents corpus: language ID,
+  * quality scoring, token counting, fingerprinting. All narrow,
+  * codegen'd projections (the only shuffle is t04's dup-rank window,
+  * partitioned by fingerprint — bounded groups).
+  */
+object TextAnalysis {
+
+  // ─── t01 language ID (n-gram/stopword heuristic) ─────────────────────
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val lowered = lower(col("text"))
+    val hits = langMarkers.map { case (l, p) => patternCount(lowered, p).as(s"${l}_hits") }
+    val zh = patternCount(col("text"), cjkPattern).as("zh_hits")
+    d.select((col("doc_id") +: col("lang") +: hits) :+ zh: _*)
+      .withColumn("predicted_lang",
+        when(col("zh_hits") > 0, "zh")
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+            col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
+            col("de_hits") > 0, "de")
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("unknown"))
+      .withColumn("is_correct", col("predicted_lang") === col("lang"))
+  }
+
+  // ─── t02 document quality scoring ────────────────────────────────────
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", wsTokenCount(col("text")))
+      .withColumn("punct_count", patternCount(col("text"), "[^A-Za-z0-9\\s]"))
+      .withColumn("digit_count", patternCount(col("text"), "[0-9]"))
+      .withColumn("stopword_count", patternCount(lower(col("text")), langMarkers.head._2))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast("double") /
+          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 2)
+          .as("avg_token_len"),
+        round(col("punct_count").cast("double") /
+          when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars")), 4)
+          .as("punct_ratio"),
+        round(col("digit_count").cast("double") /
+          when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars")), 4)
+          .as("digit_ratio"),
+        round(col("stopword_count").cast("double") /
+          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 4)
+          .as("stopword_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+            (lit(1.0) - col("punct_count").cast("double") /
+              when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars"))) *
+            (lit(0.5) + lit(0.5) * least(lit(1.0),
+              col("stopword_count").cast("double") /
+                when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")) * 10.0)),
+          4).as("quality_score"))
+  }
+
+  // ─── t03 token counting (whitespace + BPE-ish) ───────────────────────
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeIshTokenCount(col("text")).as("bpe_ish_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") /
+          when(col("bpe_ish_tokens") === 0, lit(null)).otherwise(col("bpe_ish_tokens")), 2))
+  }
+
+  // ─── t04 content fingerprinting + exact-dup ranking ──────────────────
+  def fingerprintDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val fp = d.select(col("doc_id"), col("lang"), col("source"),
+      fingerprint(col("text")).as("fingerprint"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    fp.withColumn("dup_rank", row_number().over(w).cast("long"))
+      .withColumn("is_exact_dup", col("dup_rank") > 1)
+      .withColumn("fingerprint_prefix", substring(col("fingerprint"), 1, 8))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_id" -> langId,
+    "t02_quality_score" -> qualityScore,
+    "t03_token_count" -> tokenCount,
+    "t04_fingerprint" -> fingerprintDocs)
+
+  private val docQuality =
+    """  SELECT doc_id,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
+      |         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
+      |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stopword_count
+      |  FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t01_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS en_hits,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS de_hits,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(le|les|et|des|une)\b')) AS BIGINT) AS fr_hits,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|que|una)\b')) AS BIGINT) AS es_hits,
+        |         CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS zh_hits
+        |  FROM documents)
+        |SELECT *,
+        |       CASE WHEN zh_hits > 0 THEN 'zh'
+        |            WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |            WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |            WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |            WHEN es_hits > 0 THEN 'es'
+        |            ELSE 'unknown' END AS predicted_lang,
+        |       (CASE WHEN zh_hits > 0 THEN 'zh'
+        |            WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+        |            WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+        |            WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+        |            WHEN es_hits > 0 THEN 'es'
+        |            ELSE 'unknown' END) = lang AS is_correct
+        |FROM h""".stripMargin,
+    "t02_quality_score" ->
+      s"""WITH q AS (
+         |$docQuality)
+         |SELECT doc_id, n_chars, n_tokens,
+         |       round(CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0), 2) AS avg_token_len,
+         |       round(CAST(punct_count AS DOUBLE) / nullif(n_chars, 0), 4) AS punct_ratio,
+         |       round(CAST(digit_count AS DOUBLE) / nullif(n_chars, 0), 4) AS digit_ratio,
+         |       round(CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0), 4) AS stopword_ratio,
+         |       round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |             * (1.0 - CAST(punct_count AS DOUBLE) / nullif(n_chars, 0))
+         |             * (0.5 + 0.5 * least(1.0, CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0) * 10.0)),
+         |             4) AS quality_score
+         |FROM q""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+        |       round(CAST(length(text) AS DOUBLE)
+        |             / nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 0), 2) AS chars_per_token
+        |FROM documents""".stripMargin,
+    "t04_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, source,
+        |         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, lang, source, fingerprint,
+        |       CAST(row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS BIGINT) AS dup_rank,
+        |       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 AS is_exact_dup,
+        |       substr(fingerprint, 1, 8) AS fingerprint_prefix
+        |FROM fp""".stripMargin)
+}
