@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operator family over the documents corpus — the
+  * LLM-training-data cleaning stack:
+  *
+  *  - d01 exact dedup: content-hash groupBy, keep-first.
+  *  - d02 n-gram Jaccard: exact set similarity on char-4-gram shingles,
+  *    candidate pairs bounded by blocking keys (lang, source) — the
+  *    exact baseline the approximate methods are judged against.
+  *  - d03 MinHash+LSH: 12 min-wise signatures banded 3×4; candidate
+  *    pairs share at least one band bucket. The min-wise hash family is
+  *    `min(md5(k || '|' || shingle))` — portable across engines and
+  *    uniformly distributed per k.
+  *  - d04 SimHash: 16-bit weighted fingerprint from token-hash bits,
+  *    with two 8-bit bands for hamming-neighbor candidate grouping.
+  *
+  * Scale: nothing here is O(n²) in the corpus — d02 joins only within
+  * blocking keys on shared shingles; d03/d04 join on band buckets. All
+  * hashing is md5/regexp (codegen'd); signatures are plain aggregations
+  * that partial-aggregate map-side.
+  */
+object Dedup {
+
+  // ─── d01 exact dedup ─────────────────────────────────────────────────
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(md5(col("text")).as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
+  /** Distinct char-4-gram shingles per doc (with blocking attributes). */
+  private def charShingles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(length(col("text")) >= 4)
+    d.select(
+        col("doc_id"), col("lang"), col("source"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 3)).as("i"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("text").substr(col("i"), lit(4)).as("shingle"))
+      .distinct()
+  }
+
+  // ─── d02 blocked exact n-gram Jaccard ────────────────────────────────
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = charShingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(
+        col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_n"),
+        // raw double division — identical IEEE op both engines, no rounding
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.35)
+  }
+
+  /** Distinct word-3-gram shingles per doc (for MinHash). */
+  private def wordShingles(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1),
+          element_at(col("t"), col("i") + 2)).as("shingle"))
+      .distinct()
+  }
+
+  // ─── d03 MinHash + LSH banding ───────────────────────────────────────
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = wordShingles(spark, dir)
+    val withK = sh.select(col("doc_id"), col("shingle"),
+      explode(sequence(lit(0), lit(11))).as("k"))
+    val sig = withK
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("shingle")))).as("sig"))
+    val bands = sig
+      .groupBy(col("doc_id"), floor(col("k") / 4).as("band_j"))
+      .agg(md5(concat_ws("",
+        min(when(col("k") % 4 === 0, col("sig"))),
+        min(when(col("k") % 4 === 1, col("sig"))),
+        min(when(col("k") % 4 === 2, col("sig"))),
+        min(when(col("k") % 4 === 3, col("sig"))))).as("band_hash"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  // ─── d04 SimHash fingerprint + hamming bands ─────────────────────────
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tc = d.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val hexHigh: Column => Column = c => c.isin("8", "9", "a", "b", "c", "d", "e", "f")
+    val bits = tc.select(col("doc_id"), col("token"), col("cnt"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg((sum(col("cnt") *
+        when(hexHigh(md5(col("token")).substr(col("j") + 1, lit(1))), 1L)
+          .otherwise(-1L)) > 0).cast("long").as("bit"))
+    val sh = bits.groupBy(col("doc_id"))
+      .agg(sum(col("bit") * round(pow(lit(2.0), col("j")), 0).cast("long")).as("simhash"))
+    val hi = Window.partitionBy(floor(col("simhash") / 256))
+    val lo = Window.partitionBy(col("simhash") % 256)
+    sh.select(
+      col("doc_id"), col("simhash"),
+      floor(col("simhash") / 256).cast("long").as("band_hi"),
+      (col("simhash") % 256).as("band_lo"),
+      (count(lit(1)).over(hi) - 1).as("n_same_hi"),
+      (count(lit(1)).over(lo) - 1).as("n_same_lo"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> exactDedup,
+    "d02_ngram_jaccard" -> ngramJaccard,
+    "d03_minhash_lsh" -> minhashLsh,
+    "d04_simhash" -> simhash)
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS fingerprint,
+        |       min(doc_id) AS keep_doc_id,
+        |       count(*) AS dup_count,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_ngram_jaccard" ->
+      """WITH pos AS (
+        |  SELECT doc_id, lang, source, text, unnest(range(1, length(text) - 2)) AS i
+        |  FROM documents WHERE length(text) >= 4),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, source, substr(text, CAST(i AS INT), 4) AS shingle
+        |  FROM pos),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+        |       AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |       sa.n + sb.n - inter AS union_n,
+        |       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.35""".stripMargin,
+    "d03_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 12)) AS k),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(md5(k || '|' || shingle)) AS sig
+        |  FROM sh CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 4 AS band_j,
+        |         md5(concat_ws('', min(CASE WHEN k % 4 = 0 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 1 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 2 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 3 THEN sig END))) AS band_hash
+        |  FROM sig GROUP BY 1, 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        |FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |     AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    "d04_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |bits AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |         CAST(sum(cnt * (CASE WHEN substr(md5(token), CAST(j AS INT) + 1, 1)
+        |                              IN ('8','9','a','b','c','d','e','f')
+        |                         THEN 1 ELSE -1 END)) > 0 AS BIGINT) AS bit
+        |  FROM tc CROSS JOIN js GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(bit * CAST(round(power(2, j), 0) AS BIGINT)) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT doc_id, simhash,
+        |       simhash // 256 AS band_hi,
+        |       simhash % 256 AS band_lo,
+        |       count(*) OVER (PARTITION BY simhash // 256) - 1 AS n_same_hi,
+        |       count(*) OVER (PARTITION BY simhash % 256) - 1 AS n_same_lo
+        |FROM sh""".stripMargin)
+}
