@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column pipeline plumbing: opaque `binary` payloads with
+  * typed metadata, partition-wise feature extraction, and
+  * resize/frame-sample stages.
+  *
+  * The codec itself is STUBBED (this container has no image/audio
+  * libraries): [[FakeCodec.decode]] is a deterministic stand-in that
+  * derives a byte histogram from the payload. Everything AROUND the stub
+  * is real and scale-shaped: binary columns travel in parquet row
+  * groups, feature extraction is `mapPartitions` (one codec init per
+  * partition, the same batch shape a JNI/FFI decoder needs), and the
+  * output schema is fixed and columnar.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, format: String,
+                      payload: Array[Byte], meta_len: Long)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           mean_byte: Double, histogram: Array[Long],
+                           payload_hash: String)
+
+  /** Deterministic stand-in for a real image/audio decoder. A production
+    * build replaces this object with JNI/FFI bindings; the Spark-side
+    * contract (bytes in, fixed-width features out, initialized once per
+    * partition) is unchanged.
+    */
+  object FakeCodec {
+    val HIST_BUCKETS = 16
+    def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      val hist = new Array[Long](HIST_BUCKETS)
+      var sum = 0L
+      payload.foreach { b =>
+        val u = b & 0xff
+        hist(u / HIST_BUCKETS) += 1
+        sum += u
+      }
+      val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
+      (mean, hist)
+    }
+  }
+
+  /** Synthesize a media table from the documents corpus: payload =
+    * UTF-8 bytes of the text (a deterministic opaque binary stand-in
+    * for real image bytes).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        lit("fake/raw").as("format"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("n_chars").as("meta_len"))
+      .as[MediaRow]
+  }
+
+  /** Partition-wise feature extraction: one codec "initialization" per
+    * partition, then a streamed map over rows — the shape a real decoder
+    * (heavy init, cheap per-row call) requires. No collect, no UDF
+    * per-row closure capture.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // codec init would happen here, once per partition
+      val codec = FakeCodec
+      rows.map { r =>
+        val (mean, hist) = codec.decode(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean, hist,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** "Resize" stage stub: truncate payloads to `maxBytes` — stands in
+    * for image resize / audio clip; demonstrates a narrow binary-column
+    * transform that never leaves the executor.
+    */
+  def resize(media: Dataset[MediaRow], maxBytes: Int): DataFrame =
+    media.toDF()
+      .withColumn("payload", expr(s"substring(payload, 1, $maxBytes)"))
+      .withColumn("resized", length(col("payload")) <= maxBytes)
+
+  /** Frame-sampling stub: pick every `stride`-th byte — stands in for
+    * video frame sampling keeping the 1:N row explosion shape.
+    */
+  def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame =
+    media.toDF().select(
+      col("media_id"),
+      posexplode(expr(s"filter(transform(sequence(1, int(length(payload))), i -> " +
+        s"CASE WHEN (i - 1) % $stride = 0 THEN substring(payload, i, 1) END), x -> x IS NOT NULL)"))
+        .as(Seq("frame_idx", "frame")))
+}

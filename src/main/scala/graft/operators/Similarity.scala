@@ -31,9 +31,12 @@ object Similarity {
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    // fused single-pass scorer (custom codegen Expression); bit-identical
+    // to VectorFunctions.cosine (same index-ordered folds)
     val scored = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 4).as("cosine_sim"))
+        round(graft.plans.CosineSimilarity.cosineSim(col("q_emb"), col("c_emb")), 4)
+          .as("cosine_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine_sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface of the event pipeline — the streaming
+  * twins of the batch operators in graft.operators.Events (same column
+  * logic, verified against them in EventsStreamSpec).
+  *
+  * Scale notes: watermarks bound all window state; the stateful
+  * sessionizer keys state by user_id (bounded per-user footprint) and is
+  * the shape that runs continuously on a cluster — state lives in the
+  * state store, not the driver.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                       last_epoch: Long)
+
+  /** Hourly tumbling windowed aggregation with a 2-hour watermark —
+    * streaming twin of Events.tumblingWindows. `approx_count_distinct`
+    * replaces exact distinct (exact per-key distinct is unbounded state
+    * in a stream).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"), col("approx_users"))
+
+  /** Stateful per-user running stats via mapGroupsWithState (Update
+    * mode) — the custom-state building block the reference's pipeline
+    * monitor would use for live per-entity counters.
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, 0L))
+          val next = batch.foldLeft(prev) { (s, e) =>
+            UserStats(userId, s.n_events + 1,
+              s.total_value + e.value,
+              math.max(s.last_epoch, e.ts.getTime / 1000))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming query over `df` into an in-memory sink and block
+    * until the source drains — the local smoke harness.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

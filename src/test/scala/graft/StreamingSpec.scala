@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates per hour window and event type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    src.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:45:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "view", 5.0))
+    val out = EventsStream.runToMemory(
+      EventsStream.windowedCounts(src.toDF()), "wc", OutputMode.Complete())
+    val rows = out.collect().map(r =>
+      (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("runningUserStats keeps per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.runningUserStats(src.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("us").start()
+    src.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.5))
+    q.processAllAvailable()
+    src.addData(Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    // update mode emits one row per batch; the latest has the running totals
+    val last = spark.table("us").collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .maxBy(_._1)
+    assert(last == ((2L, 4.0)))
+  }
+}
