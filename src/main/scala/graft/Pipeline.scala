@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Sinks
+
+/** End-to-end warehouse build — the reference's orchestrator
+  * (/root/reference/etl/pipeline.py + dags/retail_etl_dag.py): run the
+  * full extract→transform→load flow (staging, dims, fact, marts) into a
+  * parquet warehouse directory, gate on validation, and return per-table
+  * row-count stats plus a run log (the reference's etl_run_log /
+  * pipeline-summary XCom payload).
+  *
+  * Every stage is a lazy plan until its single write action — no
+  * intermediate collects; stages share scan/aggregation work only
+  * through the declarative plans, letting Catalyst dedupe and AQE size
+  * each write's shuffles independently.
+  */
+object Pipeline {
+
+  case class LoadStat(table: String, rows: Long, seconds: Double)
+
+  /** Build the whole warehouse under `outDir`. Returns load stats in
+    * execution order (the reference's pipeline summary).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          validateFirst: Boolean = true): Seq[LoadStat] = {
+    if (validateFirst) {
+      val gates = Cleaning.validationGates(spark, sfDir)
+        .select(col("all_gates_pass")).collect().head.getBoolean(0)
+      require(gates, "validation gates failed — aborting load (dag: validate_extract)")
+    }
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "stg_lineitem_clean" -> Cleaning.cleanLineitem(spark, sfDir),
+      "dim_date" -> Dimensions.dimDate(spark, sfDir),
+      "dim_customer" -> Dimensions.dimCustomer(spark, sfDir),
+      "dim_category" -> Facts.dimCategory(spark, sfDir),
+      "fact_sales" -> Facts.factSales(spark, sfDir),
+      "mart_sales_performance" -> Marts.martSalesPerformance(spark, sfDir),
+      "mart_category_analysis" -> Marts.martCategoryAnalysis(spark, sfDir))
+    tables.map { case (name, df) =>
+      val t0 = System.nanoTime()
+      val rows = Sinks.stagePublish(df, s"$outDir/$name")
+      LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Run-log DataFrame from load stats (etl_run_log analog). */
+  def runLog(spark: SparkSession, stats: Seq[LoadStat], runId: String): DataFrame = {
+    import spark.implicits._
+    stats.toDF()
+      .withColumn("run_id", lit(runId))
+      .withColumn("status", lit("SUCCESS"))
+  }
+}
