@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Dimensions, Facts, Similarity}
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("revenue shares sum to 100") {
+    val total = Analytics.categoryPerformance(spark, TestSpark.sf)
+      .agg(round(sum("revenue_share_pct"), 0)).collect().head.getDouble(0)
+    assert(total == 100.0)
+  }
+
+  test("dim_date covers whole years with correct keys") {
+    val d = Dimensions.dimDate(spark, TestSpark.sf)
+    val n = d.count()
+    assert(n % 365 < 3) // whole years (+leap days)
+    assert(d.filter(col("date_key") =!=
+      date_format(col("full_date"), "yyyyMMdd").cast("long")).count() == 0)
+    assert(d.filter(col("is_weekend") =!= (col("day_of_week") >= 6)).count() == 0)
+  }
+
+  test("scd2 merge: one current row per customer, versions consistent") {
+    val m = Dimensions.scd2MergeDemo(spark, TestSpark.sf)
+    val dupCurrent = m.filter(col("is_current"))
+      .groupBy("customer_id").count().filter(col("count") > 1).count()
+    assert(dupCurrent == 0)
+    // changed rows are v2 and paired with an expired v1
+    val changed = m.filter(col("change_type") === "changed")
+    val expired = m.filter(col("change_type") === "expired")
+    assert(changed.count() == expired.count())
+    assert(changed.filter(col("version") =!= 2).count() == 0)
+  }
+
+  test("fact_sales keys resolve and amounts reconcile with lineitem") {
+    val fact = Facts.factSales(spark, TestSpark.sf)
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    assert(fact.count() == li.count())
+    assert(fact.filter(col("customer_key").isNull || col("category_key").isNull).count() == 0)
+  }
+
+  test("knn returns 10 ranked neighbors per query, cosine in [-1,1]") {
+    val knn = Similarity.embeddingKnn(spark, TestSpark.sf)
+    val perQ = knn.groupBy("q_id").count().filter(col("count") =!= 10).count()
+    assert(perQ == 0)
+    assert(knn.filter(col("cosine_sim") > 1.0001 || col("cosine_sim") < -1.0001).count() == 0)
+    // ranks are 1..10
+    assert(knn.groupBy("q_id").agg(min("rank").as("mn"), max("rank").as("mx"))
+      .filter(col("mn") =!= 1 || col("mx") =!= 10).count() == 0)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("exact dedup groups cover the corpus exactly once") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val groups = Dedup.exactDedup(spark, TestSpark.sf)
+    assert(groups.agg(sum("dup_count")).collect().head.getLong(0) == docs.count())
+    // keep ids are real doc ids
+    assert(groups.join(docs, col("keep_doc_id") === col("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("jaccard pairs are ordered, bounded, and above threshold") {
+    val pairs = Dedup.ngramJaccard(spark, TestSpark.sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.2 && j <= 1.0)
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("union_n"))
+    }
+  }
+
+  test("minhash candidates contain the high-jaccard pairs (LSH recall)") {
+    val exact = Dedup.ngramJaccard(spark, TestSpark.sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLsh(spark, TestSpark.sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every near-identical pair must be an LSH candidate
+    assert(exact.subsetOf(cand), s"missed: ${exact -- cand}")
+  }
+
+  test("simhash is a 16-bit value with consistent bands") {
+    Dedup.simhash(spark, TestSpark.sf).collect().foreach { r =>
+      val s = r.getAs[Long]("simhash")
+      assert(s >= 0 && s < 65536)
+      assert(r.getAs[Long]("band_hi") == s / 256)
+      assert(r.getAs[Long]("band_lo") == s % 256)
+    }
+  }
+}
