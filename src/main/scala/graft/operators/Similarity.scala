@@ -66,11 +66,55 @@ object Similarity {
       .withColumn("label", col("label").cast("long"))
   }
 
+  // ─── q24 IVF coarse quantization (the ANN index-build stage) ─────────
+  /** Inverted-file ANN, build stage: a deterministic coarse codebook
+    * (the first 16 corpus vectors — a stand-in for k-means centroids,
+    * which would be refined offline) and nearest-centroid assignment.
+    * Search then probes only the query's cell(s) — the d05 brute-force
+    * scorer applied within a cell — turning corpus-wide scans into
+    * 1/16th-sized bucket scans at 100 TB.
+    */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(graft.plans.CosineSimilarity.cosineSim(col("emb"), col("c_emb")), 4)
+          .as("cos_r"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_r").desc, col("centroid_id"))
+    val assigned = scored.withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos_r").as("cos_to_centroid"))
+    assigned.withColumn("cell_size",
+      count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
-    "d06_embedding_lsh" -> embeddingLsh)
+    "d06_embedding_lsh" -> embeddingLsh,
+    "q24_ivf_ann" -> ivfAssign)
 
   val oracle: Map[String, String] = Map(
+    "q24_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT e.vec_id, cent.centroid_id,
+        |         round(list_dot_product(e.emb, cent.c_emb)
+        |               / (sqrt(list_dot_product(e.emb, e.emb))
+        |                  * sqrt(list_dot_product(cent.c_emb, cent.c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN cent),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id, cos_r AS cos_to_centroid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY cos_r DESC, centroid_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, centroid_id, cos_to_centroid,
+        |       count(*) OVER (PARTITION BY centroid_id) AS cell_size
+        |FROM assigned WHERE rn = 1""".stripMargin,
     "d05_embedding_knn" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

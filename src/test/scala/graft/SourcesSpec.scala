@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Sinks, Tables}
+
+/** The multi-source extract layer: CSV file source, JSON (REST-payload)
+  * source with nested-object flattening, source tagging, column
+  * standardization — the reference's extract.py surface.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("csv source: explicit schema, header, source tag") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/sales.csv"),
+      "Transaction ID,Total Amount\n1,10.5\n2,20.25\n")
+    val schema = StructType(Seq(
+      StructField("Transaction ID", LongType), StructField("Total Amount", DoubleType)))
+    val df = Tables.standardizeColumns(
+      Tables.readCsv(spark, s"$dir/sales.csv", schema, "kaggle_csv"))
+    assert(df.columns.toSet == Set("transaction_id", "total_amount", "_source", "_extracted_at"))
+    assert(df.count() == 2)
+    assert(df.select("_source").distinct().collect().head.getString(0) == "kaggle_csv")
+  }
+
+  test("json source: nested struct flattens like the API rating object") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/products.json"),
+      """{"id":1,"title":"x","rating":{"rate":4.5,"count":120}}
+        |{"id":2,"title":"y","rating":{"rate":3.0,"count":7}}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("title", StringType),
+      StructField("rating", StructType(Seq(
+        StructField("rate", DoubleType), StructField("count", LongType))))))
+    val df = Tables.flattenStructs(
+      Tables.readJson(spark, s"$dir/products.json", schema, "fake_store_api"))
+    assert(df.columns.toSet ==
+      Set("id", "title", "rating_rate", "rating_count", "_source", "_extracted_at"))
+    assert(df.where("rating_count = 120").count() == 1)
+  }
+
+  test("stage-publish roundtrip preserves rows; csv export writes one file") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+    val n = Sinks.stagePublish(df, s"$dir/region")
+    assert(n == df.count())
+    assert(spark.read.parquet(s"$dir/region").count() == n)
+    Sinks.csvExport(df, s"$dir/region_csv")
+    val files = new java.io.File(s"$dir/region_csv").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+  }
+}
