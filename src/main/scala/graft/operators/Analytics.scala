@@ -21,6 +21,12 @@ import graft.sources.Tables
   *    coalesces post-shuffle partitions.
   *  - unpartitioned windows (share-of-total, MoM lag) run on POST-AGG
   *    rows only (dozens-to-hundreds of rows), never on the fact table.
+  *
+  * Determinism note: "average" columns are emitted as
+  * `round(sum, 2) / count`, never `round(avg, 2)` — a rounded division
+  * lands on exact decimal midpoints (x.xx5) where engines' rounding
+  * modes disagree; rounding only the sum (always a 2-decimal quantity)
+  * then dividing is bit-stable across engines and run orders.
   */
 object Analytics {
 
@@ -37,17 +43,16 @@ object Analytics {
       .agg(
         sum(col("o_totalprice")).as("rev_raw"),
         countDistinct(col("o_orderkey")).as("total_transactions"),
-        countDistinct(col("o_custkey")).as("unique_customers"),
-        avg(col("o_totalprice")).as("aov_raw"))
+        countDistinct(col("o_custkey")).as("unique_customers"))
     val w = Window.orderBy(col("year"), col("month"))
-    m.withColumn("prev_raw", lag(col("rev_raw"), 1).over(w))
+    m.withColumn("prev_r", round(lag(col("rev_raw"), 1).over(w), 2))
       .select(
         col("year"), col("month"), col("month_name"),
         round(col("rev_raw"), 2).as("total_revenue"),
         col("total_transactions"), col("unique_customers"),
-        round(col("aov_raw"), 2).as("avg_order_value"),
-        round(col("prev_raw"), 2).as("prev_month_revenue"),
-        round((col("rev_raw") - col("prev_raw")) / nz(col("prev_raw")) * 100, 2)
+        (round(col("rev_raw"), 2) / col("total_transactions")).as("avg_order_value"),
+        col("prev_r").as("prev_month_revenue"),
+        ((round(col("rev_raw"), 2) - col("prev_r")) / nz(col("prev_r")) * 100)
           .as("mom_growth_pct"))
   }
 
@@ -64,7 +69,8 @@ object Analytics {
         sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_raw"),
         countDistinct(col("l_orderkey")).as("total_transactions"),
         sum(col("l_quantity")).as("total_quantity"),
-        avg(col("l_extendedprice")).as("avg_price_raw"),
+        sum(col("l_extendedprice")).as("ep_sum"),
+        count(lit(1)).as("n_lines"),
         countDistinct(col("o_custkey")).as("unique_customers"),
         countDistinct(col("l_partkey")).as("unique_parts"))
     val wAll = Window.partitionBy() // post-agg: ≤ #categories rows
@@ -73,7 +79,7 @@ object Analytics {
       round(col("rev_raw"), 2).as("total_revenue"),
       round(col("rev_raw") / sum(col("rev_raw")).over(wAll) * 100, 2).as("revenue_share_pct"),
       col("total_transactions"), col("total_quantity"),
-      round(col("avg_price_raw"), 2).as("avg_unit_price"),
+      (round(col("ep_sum"), 2) / col("n_lines")).as("avg_unit_price"),
       col("unique_customers"), col("unique_parts"))
   }
 
@@ -101,9 +107,9 @@ object Analytics {
       .agg(
         count(lit(1)).as("customer_count"),
         round(sum(col("rev")), 2).as("total_revenue"),
-        round(sum(col("rev")) / nz(sum(col("cnt")).cast("double")), 2).as("avg_order_value"),
+        (round(sum(col("rev")), 2) / nz(sum(col("cnt")).cast("double"))).as("avg_order_value"),
         sum(col("cnt")).as("total_orders"),
-        round(avg(col("cnt")), 1).as("avg_orders_per_customer"))
+        (sum(col("cnt")).cast("double") / count(lit(1))).as("avg_orders_per_customer"))
   }
 
   // ─── q04 segment × priority (gender analog, sql:65-75) ───────────────
@@ -113,10 +119,16 @@ object Analytics {
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        sum(col("o_totalprice")).as("rev_sum"),
         countDistinct(col("o_orderkey")).as("total_transactions"),
-        round(avg(col("o_totalprice")), 2).as("avg_order_value"),
-        round(avg(col("c_acctbal")), 1).as("avg_acctbal"))
+        count(lit(1)).as("n"),
+        sum(col("c_acctbal")).as("bal_sum"))
+      .select(
+        col("segment"), col("priority"),
+        round(col("rev_sum"), 2).as("total_revenue"),
+        col("total_transactions"),
+        (round(col("rev_sum"), 2) / col("n")).as("avg_order_value"),
+        (round(col("bal_sum"), 2) / col("n")).as("avg_acctbal"))
   }
 
   // ─── q05 weekend vs weekday (sql:78-88) ──────────────────────────────
@@ -127,9 +139,13 @@ object Analytics {
         date_format(col("o_orderdate"), "EEEE").as("day_name"),
         iso_dow(col("o_orderdate")).cast("long").as("day_of_week"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("total_revenue"),
-        countDistinct(col("o_orderkey")).as("total_transactions"),
-        round(avg(col("o_totalprice")), 2).as("avg_order_value"))
+        sum(col("o_totalprice")).as("rev_sum"),
+        countDistinct(col("o_orderkey")).as("total_transactions"))
+      .select(
+        col("day_type"), col("day_name"), col("day_of_week"),
+        round(col("rev_sum"), 2).as("total_revenue"),
+        col("total_transactions"),
+        (round(col("rev_sum"), 2) / col("total_transactions")).as("avg_order_value"))
   }
 
   // ─── q06 top customers (sql:91-108) ──────────────────────────────────
@@ -140,8 +156,8 @@ object Analytics {
     o.groupBy(col("o_custkey"))
       .agg(
         round(sum(col("o_totalprice")), 2).as("total_revenue"),
-        count(col("o_orderkey")).as("total_orders"),
-        round(avg(col("o_totalprice")), 2).as("avg_order_value"))
+        count(col("o_orderkey")).as("total_orders"))
+      .withColumn("avg_order_value", col("total_revenue") / col("total_orders"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .select(
         col("c_custkey").as("customer_id"),
@@ -159,11 +175,17 @@ object Analytics {
     p.groupBy(col("p_type").as("product_category"))
       .agg(
         count(lit(1)).as("product_count"),
-        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        sum(col("p_retailprice")).as("price_sum"),
         round(min(col("p_retailprice")), 2).as("min_price"),
         round(max(col("p_retailprice")), 2).as("max_price"),
-        round(avg(col("p_size")), 1).as("avg_size"),
+        sum(col("p_size")).as("size_sum"),
         countDistinct(col("p_brand")).as("brand_count"))
+      .select(
+        col("product_category"), col("product_count"),
+        (round(col("price_sum"), 2) / col("product_count")).as("avg_price"),
+        col("min_price"), col("max_price"),
+        (col("size_sum").cast("double") / col("product_count")).as("avg_size"),
+        col("brand_count"))
   }
 
   // ─── q08 quarterly trend w/ YoY LAG(4) (sql:126-142) ─────────────────
@@ -177,13 +199,13 @@ object Analytics {
         countDistinct(col("o_orderkey")).as("quarterly_transactions"),
         countDistinct(col("o_custkey")).as("quarterly_customers"))
     val w = Window.orderBy(col("year"), col("quarter"))
-    q.withColumn("prev_raw", lag(col("rev_raw"), 4).over(w))
+    q.withColumn("prev_r", round(lag(col("rev_raw"), 4).over(w), 2))
       .select(
         col("year"), col("quarter"),
         round(col("rev_raw"), 2).as("quarterly_revenue"),
         col("quarterly_transactions"), col("quarterly_customers"),
-        round(col("prev_raw"), 2).as("same_quarter_prev_year"),
-        round((col("rev_raw") - col("prev_raw")) / nz(col("prev_raw")) * 100, 2)
+        col("prev_r").as("same_quarter_prev_year"),
+        ((round(col("rev_raw"), 2) - col("prev_r")) / nz(col("prev_r")) * 100)
           .as("yoy_growth_pct"))
   }
 
@@ -226,8 +248,9 @@ object Analytics {
         count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_revenue"))
     val wp = Window.partitionBy(col("priority"))
+    // raw integer-ratio percentage: exact in both engines, no rounding
     m.withColumn("pct_of_priority",
-      round(col("n_orders").cast("double") / sum(col("n_orders")).over(wp).cast("double") * 100, 2))
+      col("n_orders").cast("double") * 100 / sum(col("n_orders")).over(wp).cast("double"))
   }
 
   // ─── q20 pricing summary: full-scan aggregation baseline ─────────────
@@ -237,13 +260,20 @@ object Analytics {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        sum(col("l_extendedprice")).as("ep_sum"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
-        round(avg(col("l_discount")), 2).as("avg_disc"),
+        sum(col("l_discount")).as("disc_sum"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"),
+        round(col("ep_sum"), 2).as("sum_base_price"),
+        col("sum_disc_price"), col("sum_charge"),
+        (col("sum_qty") / col("count_order")).as("avg_qty"),
+        (round(col("ep_sum"), 2) / col("count_order")).as("avg_price"),
+        (round(col("disc_sum"), 2) / col("count_order")).as("avg_disc"),
+        col("count_order"))
   }
 
   // ─── q21 region/nation revenue rollup: broadcast join chain ──────────
@@ -284,24 +314,25 @@ object Analytics {
         |         monthname(o_orderdate) AS month_name,
         |         sum(o_totalprice) AS rev_raw,
         |         count(DISTINCT o_orderkey) AS total_transactions,
-        |         count(DISTINCT o_custkey) AS unique_customers,
-        |         avg(o_totalprice) AS aov_raw
-        |  FROM orders GROUP BY 1, 2, 3)
+        |         count(DISTINCT o_custkey) AS unique_customers
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *, round(lag(rev_raw) OVER (ORDER BY year, month), 2) AS prev_r FROM m)
         |SELECT year, month, month_name,
         |       round(rev_raw, 2) AS total_revenue,
         |       total_transactions, unique_customers,
-        |       round(aov_raw, 2) AS avg_order_value,
-        |       round(lag(rev_raw) OVER (ORDER BY year, month), 2) AS prev_month_revenue,
-        |       round((rev_raw - lag(rev_raw) OVER (ORDER BY year, month))
-        |             / nullif(lag(rev_raw) OVER (ORDER BY year, month), 0) * 100, 2) AS mom_growth_pct
-        |FROM m""".stripMargin,
+        |       round(rev_raw, 2) / total_transactions AS avg_order_value,
+        |       prev_r AS prev_month_revenue,
+        |       (round(rev_raw, 2) - prev_r) / nullif(prev_r, 0) * 100 AS mom_growth_pct
+        |FROM w""".stripMargin,
     "q02_category_performance" ->
       """WITH m AS (
         |  SELECT p_type AS product_category,
         |         sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw,
         |         count(DISTINCT l_orderkey) AS total_transactions,
         |         sum(l_quantity) AS total_quantity,
-        |         avg(l_extendedprice) AS avg_price_raw,
+        |         sum(l_extendedprice) AS ep_sum,
+        |         count(*) AS n_lines,
         |         count(DISTINCT o_custkey) AS unique_customers,
         |         count(DISTINCT l_partkey) AS unique_parts
         |  FROM lineitem
@@ -311,7 +342,7 @@ object Analytics {
         |SELECT product_category, round(rev_raw, 2) AS total_revenue,
         |       round(rev_raw / sum(rev_raw) OVER () * 100, 2) AS revenue_share_pct,
         |       total_transactions, total_quantity,
-        |       round(avg_price_raw, 2) AS avg_unit_price,
+        |       round(ep_sum, 2) / n_lines AS avg_unit_price,
         |       unique_customers, unique_parts
         |FROM m""".stripMargin,
     "q03_customer_segmentation" ->
@@ -332,62 +363,82 @@ object Analytics {
         |SELECT customer_segment, balance_band,
         |       count(*) AS customer_count,
         |       round(sum(rev), 2) AS total_revenue,
-        |       round(sum(rev) / nullif(CAST(sum(cnt) AS DOUBLE), 0), 2) AS avg_order_value,
+        |       round(sum(rev), 2) / nullif(CAST(sum(cnt) AS DOUBLE), 0) AS avg_order_value,
         |       CAST(sum(cnt) AS BIGINT) AS total_orders,
-        |       round(avg(cnt), 1) AS avg_orders_per_customer
+        |       CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_orders_per_customer
         |FROM seg GROUP BY 1, 2""".stripMargin,
     "q04_segment_category_analysis" ->
-      """SELECT c_mktsegment AS segment, o_orderpriority AS priority,
-        |       round(sum(o_totalprice), 2) AS total_revenue,
-        |       count(DISTINCT o_orderkey) AS total_transactions,
-        |       round(avg(o_totalprice), 2) AS avg_order_value,
-        |       round(avg(c_acctbal), 1) AS avg_acctbal
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1, 2""".stripMargin,
+      """WITH m AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |         sum(o_totalprice) AS rev_sum,
+        |         count(DISTINCT o_orderkey) AS total_transactions,
+        |         count(*) AS n,
+        |         sum(c_acctbal) AS bal_sum
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segment, priority,
+        |       round(rev_sum, 2) AS total_revenue,
+        |       total_transactions,
+        |       round(rev_sum, 2) / n AS avg_order_value,
+        |       round(bal_sum, 2) / n AS avg_acctbal
+        |FROM m""".stripMargin,
     "q05_weekend_weekday" ->
-      """SELECT CASE WHEN isodow(o_orderdate) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
-        |       dayname(o_orderdate) AS day_name,
-        |       CAST(isodow(o_orderdate) AS BIGINT) AS day_of_week,
-        |       round(sum(o_totalprice), 2) AS total_revenue,
-        |       count(DISTINCT o_orderkey) AS total_transactions,
-        |       round(avg(o_totalprice), 2) AS avg_order_value
-        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+      """WITH m AS (
+        |  SELECT CASE WHEN isodow(o_orderdate) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+        |         dayname(o_orderdate) AS day_name,
+        |         CAST(isodow(o_orderdate) AS BIGINT) AS day_of_week,
+        |         sum(o_totalprice) AS rev_sum,
+        |         count(DISTINCT o_orderkey) AS total_transactions
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT day_type, day_name, day_of_week,
+        |       round(rev_sum, 2) AS total_revenue,
+        |       total_transactions,
+        |       round(rev_sum, 2) / total_transactions AS avg_order_value
+        |FROM m""".stripMargin,
     "q06_top_customers" ->
       """WITH agg AS (
         |  SELECT o_custkey,
         |         round(sum(o_totalprice), 2) AS total_revenue,
-        |         count(o_orderkey) AS total_orders,
-        |         round(avg(o_totalprice), 2) AS avg_order_value
+        |         count(o_orderkey) AS total_orders
         |  FROM orders GROUP BY 1)
         |SELECT c_custkey AS customer_id, c_name AS customer_name,
         |       c_mktsegment AS segment, c_acctbal AS acctbal,
-        |       total_orders, total_revenue, avg_order_value
+        |       total_orders, total_revenue,
+        |       total_revenue / total_orders AS avg_order_value
         |FROM agg JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_revenue DESC, customer_id
         |LIMIT 20""".stripMargin,
     "q07_product_catalog" ->
-      """SELECT p_type AS product_category,
-        |       count(*) AS product_count,
-        |       round(avg(p_retailprice), 2) AS avg_price,
-        |       round(min(p_retailprice), 2) AS min_price,
-        |       round(max(p_retailprice), 2) AS max_price,
-        |       round(avg(p_size), 1) AS avg_size,
-        |       count(DISTINCT p_brand) AS brand_count
-        |FROM part GROUP BY 1""".stripMargin,
+      """WITH m AS (
+        |  SELECT p_type AS product_category,
+        |         count(*) AS product_count,
+        |         sum(p_retailprice) AS price_sum,
+        |         round(min(p_retailprice), 2) AS min_price,
+        |         round(max(p_retailprice), 2) AS max_price,
+        |         CAST(sum(p_size) AS BIGINT) AS size_sum,
+        |         count(DISTINCT p_brand) AS brand_count
+        |  FROM part GROUP BY 1)
+        |SELECT product_category, product_count,
+        |       round(price_sum, 2) / product_count AS avg_price,
+        |       min_price, max_price,
+        |       CAST(size_sum AS DOUBLE) / product_count AS avg_size,
+        |       brand_count
+        |FROM m""".stripMargin,
     "q08_quarterly_yoy" ->
       """WITH q AS (
         |  SELECT year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
         |         sum(o_totalprice) AS rev_raw,
         |         count(DISTINCT o_orderkey) AS quarterly_transactions,
         |         count(DISTINCT o_custkey) AS quarterly_customers
-        |  FROM orders GROUP BY 1, 2)
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, round(lag(rev_raw, 4) OVER (ORDER BY year, quarter), 2) AS prev_r FROM q)
         |SELECT year, quarter,
         |       round(rev_raw, 2) AS quarterly_revenue,
         |       quarterly_transactions, quarterly_customers,
-        |       round(lag(rev_raw, 4) OVER (ORDER BY year, quarter), 2) AS same_quarter_prev_year,
-        |       round((rev_raw - lag(rev_raw, 4) OVER (ORDER BY year, quarter))
-        |             / nullif(lag(rev_raw, 4) OVER (ORDER BY year, quarter), 0) * 100, 2) AS yoy_growth_pct
-        |FROM q""".stripMargin,
+        |       prev_r AS same_quarter_prev_year,
+        |       (round(rev_raw, 2) - prev_r) / nullif(prev_r, 0) * 100 AS yoy_growth_pct
+        |FROM w""".stripMargin,
     "q16_day_month_heatmap" ->
       """SELECT dayname(o_orderdate) AS day_name,
         |       CAST(isodow(o_orderdate) AS BIGINT) AS day_of_week,
@@ -415,22 +466,29 @@ object Analytics {
         |         round(sum(o_totalprice), 2) AS total_revenue
         |  FROM orders GROUP BY 1, 2)
         |SELECT priority, status, n_orders, total_revenue,
-        |       round(CAST(n_orders AS DOUBLE)
-        |             / CAST(sum(n_orders) OVER (PARTITION BY priority) AS DOUBLE) * 100, 2) AS pct_of_priority
+        |       CAST(n_orders AS DOUBLE) * 100
+        |         / CAST(sum(n_orders) OVER (PARTITION BY priority) AS DOUBLE) AS pct_of_priority
         |FROM m""".stripMargin,
     "q20_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 2) AS avg_qty,
-        |       round(avg(l_extendedprice), 2) AS avg_price,
-        |       round(avg(l_discount), 2) AS avg_disc,
-        |       count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
-        |GROUP BY 1, 2""".stripMargin,
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         sum(l_quantity) AS sum_qty,
+        |         sum(l_extendedprice) AS ep_sum,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |         round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |         sum(l_discount) AS disc_sum,
+        |         count(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty,
+        |       round(ep_sum, 2) AS sum_base_price,
+        |       sum_disc_price, sum_charge,
+        |       sum_qty / count_order AS avg_qty,
+        |       round(ep_sum, 2) / count_order AS avg_price,
+        |       round(disc_sum, 2) / count_order AS avg_disc,
+        |       count_order
+        |FROM m""".stripMargin,
     "q21_region_revenue" ->
       """SELECT r_name AS region, n_name AS nation,
         |       round(sum(o_totalprice), 2) AS total_revenue,

@@ -102,7 +102,7 @@ object Cleaning {
 
     liStats.crossJoin(oStats).crossJoin(cStats).crossJoin(orphans).crossJoin(custOrphans)
       .withColumn("lines_per_order",
-        round(col("lineitem_rows").cast("double") / col("orders_rows").cast("double"), 2))
+        col("lineitem_rows").cast("double") / col("orders_rows").cast("double"))
       .withColumn("all_gates_pass",
         col("lineitem_bad_qty") === 0 && col("orders_null_custkey") === 0 &&
           col("orders_dup_keys") === 0 && col("lineitem_orphans") === 0 &&
@@ -157,8 +157,8 @@ object Cleaning {
         |  (SELECT count(*) FROM customer) AS customer_rows,
         |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS lineitem_orphans,
         |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orders_orphan_cust,
-        |  round(CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
-        |        / CAST((SELECT count(*) FROM orders) AS DOUBLE), 2) AS lines_per_order,
+        |  CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+        |        / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS lines_per_order,
         |  (SELECT CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) = 0
         |    AND (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders) = 0
         |    AND (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0

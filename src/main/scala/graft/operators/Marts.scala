@@ -29,16 +29,17 @@ object Marts {
         sum(col("l_quantity")).as("total_quantity"),
         count(lit(1)).as("total_lines"),
         countDistinct(col("l_partkey")).as("unique_parts"),
-        avg(col("l_extendedprice")).as("alv_raw"))
+        sum(col("l_extendedprice")).as("ep_sum"))
     val w = Window.orderBy(col("year"), col("month"))
-    m.withColumn("prev_raw", lag(col("rev_raw"), 1).over(w))
+    m.withColumn("prev_r", round(lag(col("rev_raw"), 1).over(w), 2))
       .select(
         col("year"), col("month"), col("month_name"),
         round(col("rev_raw"), 2).as("total_revenue"),
         col("total_quantity"), col("total_lines"), col("unique_parts"),
-        round(col("alv_raw"), 2).as("avg_line_value"),
-        round(col("prev_raw"), 2).as("revenue_prev_month"),
-        round((col("rev_raw") - col("prev_raw")) / when(col("prev_raw") === 0.0, lit(null)).otherwise(col("prev_raw")) * 100, 2)
+        (round(col("ep_sum"), 2) / col("total_lines")).as("avg_line_value"),
+        col("prev_r").as("revenue_prev_month"),
+        ((round(col("rev_raw"), 2) - col("prev_r"))
+          / when(col("prev_r") === 0.0, lit(null)).otherwise(col("prev_r")) * 100)
           .as("revenue_growth_pct"))
   }
 
@@ -58,9 +59,10 @@ object Marts {
         sum(net).as("rev_raw"),
         countDistinct(col("l_orderkey")).as("total_transactions"),
         sum(col("l_quantity")).as("total_quantity"),
-        avg(col("l_extendedprice")).as("avg_price_raw"),
+        sum(col("l_extendedprice")).as("ep_sum"),
+        count(lit(1)).as("n_lines"),
         countDistinct(col("o_custkey")).as("unique_customers"),
-        avg(col("c_acctbal")).as("avg_bal_raw"),
+        sum(col("c_acctbal")).as("bal_sum"),
         // segment pivot — reference's gender-split percentages
         sum(when(col("c_mktsegment") === "AUTOMOBILE", net).otherwise(0.0)).as("auto_raw"),
         sum(when(col("c_mktsegment") === "BUILDING", net).otherwise(0.0)).as("bldg_raw"))
@@ -70,9 +72,9 @@ object Marts {
       round(col("rev_raw"), 2).as("total_revenue"),
       round(col("rev_raw") / sum(col("rev_raw")).over(all) * 100, 2).as("revenue_share_pct"),
       col("total_transactions"), col("total_quantity"),
-      round(col("avg_price_raw"), 2).as("avg_price"),
+      (round(col("ep_sum"), 2) / col("n_lines")).as("avg_price"),
       col("unique_customers"),
-      round(col("avg_bal_raw"), 1).as("avg_acctbal"),
+      (round(col("bal_sum"), 2) / col("n_lines")).as("avg_acctbal"),
       round(col("auto_raw") / col("rev_raw") * 100, 2).as("automobile_revenue_pct"),
       round(col("bldg_raw") / col("rev_raw") * 100, 2).as("building_revenue_pct"))
   }
@@ -90,25 +92,27 @@ object Marts {
         |         sum(l_quantity) AS total_quantity,
         |         count(*) AS total_lines,
         |         count(DISTINCT l_partkey) AS unique_parts,
-        |         avg(l_extendedprice) AS alv_raw
-        |  FROM lineitem GROUP BY 1, 2, 3)
+        |         sum(l_extendedprice) AS ep_sum
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT *, round(lag(rev_raw) OVER (ORDER BY year, month), 2) AS prev_r FROM m)
         |SELECT year, month, month_name,
         |       round(rev_raw, 2) AS total_revenue,
         |       total_quantity, total_lines, unique_parts,
-        |       round(alv_raw, 2) AS avg_line_value,
-        |       round(lag(rev_raw) OVER (ORDER BY year, month), 2) AS revenue_prev_month,
-        |       round((rev_raw - lag(rev_raw) OVER (ORDER BY year, month))
-        |             / nullif(lag(rev_raw) OVER (ORDER BY year, month), 0) * 100, 2) AS revenue_growth_pct
-        |FROM m""".stripMargin,
+        |       round(ep_sum, 2) / total_lines AS avg_line_value,
+        |       prev_r AS revenue_prev_month,
+        |       (round(rev_raw, 2) - prev_r) / nullif(prev_r, 0) * 100 AS revenue_growth_pct
+        |FROM w""".stripMargin,
     "q14_mart_category_analysis" ->
       """WITH m AS (
         |  SELECT p_type AS product_category,
         |         sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw,
         |         count(DISTINCT l_orderkey) AS total_transactions,
         |         sum(l_quantity) AS total_quantity,
-        |         avg(l_extendedprice) AS avg_price_raw,
+        |         sum(l_extendedprice) AS ep_sum,
+        |         count(*) AS n_lines,
         |         count(DISTINCT o_custkey) AS unique_customers,
-        |         avg(c_acctbal) AS avg_bal_raw,
+        |         sum(c_acctbal) AS bal_sum,
         |         sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
         |                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) AS auto_raw,
         |         sum(CASE WHEN c_mktsegment = 'BUILDING'
@@ -122,9 +126,9 @@ object Marts {
         |       round(rev_raw, 2) AS total_revenue,
         |       round(rev_raw / sum(rev_raw) OVER () * 100, 2) AS revenue_share_pct,
         |       total_transactions, total_quantity,
-        |       round(avg_price_raw, 2) AS avg_price,
+        |       round(ep_sum, 2) / n_lines AS avg_price,
         |       unique_customers,
-        |       round(avg_bal_raw, 1) AS avg_acctbal,
+        |       round(bal_sum, 2) / n_lines AS avg_acctbal,
         |       round(auto_raw / rev_raw * 100, 2) AS automobile_revenue_pct,
         |       round(bldg_raw / rev_raw * 100, 2) AS building_revenue_pct
         |FROM m""".stripMargin)

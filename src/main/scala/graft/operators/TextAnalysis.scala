@@ -43,27 +43,29 @@ object TextAnalysis {
       .withColumn("digit_count", patternCount(col("text"), "[0-9]"))
       .withColumn("stopword_count", patternCount(lower(col("text")), langMarkers.head._2))
       .select(
+        // ratios stay RAW doubles: integer/integer divisions are exact and
+        // bit-identical cross-engine; rounding them creates dyadic decimal
+        // midpoints (1/32 = .03125) where rounding modes disagree
         col("doc_id"), col("n_chars"), col("n_tokens"),
-        round(col("n_chars").cast("double") /
-          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 2)
+        (col("n_chars").cast("double") /
+          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")))
           .as("avg_token_len"),
-        round(col("punct_count").cast("double") /
-          when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars")), 4)
+        (col("punct_count").cast("double") /
+          when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars")))
           .as("punct_ratio"),
-        round(col("digit_count").cast("double") /
-          when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars")), 4)
+        (col("digit_count").cast("double") /
+          when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars")))
           .as("digit_ratio"),
-        round(col("stopword_count").cast("double") /
-          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 4)
+        (col("stopword_count").cast("double") /
+          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")))
           .as("stopword_ratio"),
-        round(
-          least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
-            (lit(1.0) - col("punct_count").cast("double") /
-              when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars"))) *
-            (lit(0.5) + lit(0.5) * least(lit(1.0),
-              col("stopword_count").cast("double") /
-                when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")) * 10.0)),
-          4).as("quality_score"))
+        (least(lit(1.0), col("n_tokens").cast("double") / 100.0) *
+          (lit(1.0) - col("punct_count").cast("double") /
+            when(col("n_chars") === 0, lit(null)).otherwise(col("n_chars"))) *
+          (lit(0.5) + lit(0.5) * least(lit(1.0),
+            col("stopword_count").cast("double") /
+              when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")) * 10.0)))
+          .as("quality_score"))
   }
 
   // ─── t03 token counting (whitespace + BPE-ish) ───────────────────────
@@ -75,8 +77,8 @@ object TextAnalysis {
         wsTokenCount(col("text")).as("ws_tokens"),
         bpeIshTokenCount(col("text")).as("bpe_ish_tokens"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") /
-          when(col("bpe_ish_tokens") === 0, lit(null)).otherwise(col("bpe_ish_tokens")), 2))
+        col("n_chars").cast("double") /
+          when(col("bpe_ish_tokens") === 0, lit(null)).otherwise(col("bpe_ish_tokens")))
   }
 
   // ─── t04 content fingerprinting + exact-dup ranking ──────────────────
@@ -133,22 +135,22 @@ object TextAnalysis {
       s"""WITH q AS (
          |$docQuality)
          |SELECT doc_id, n_chars, n_tokens,
-         |       round(CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0), 2) AS avg_token_len,
-         |       round(CAST(punct_count AS DOUBLE) / nullif(n_chars, 0), 4) AS punct_ratio,
-         |       round(CAST(digit_count AS DOUBLE) / nullif(n_chars, 0), 4) AS digit_ratio,
-         |       round(CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0), 4) AS stopword_ratio,
-         |       round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |       CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0) AS avg_token_len,
+         |       CAST(punct_count AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
+         |       CAST(digit_count AS DOUBLE) / nullif(n_chars, 0) AS digit_ratio,
+         |       CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0) AS stopword_ratio,
+         |       least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
          |             * (1.0 - CAST(punct_count AS DOUBLE) / nullif(n_chars, 0))
-         |             * (0.5 + 0.5 * least(1.0, CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0) * 10.0)),
-         |             4) AS quality_score
+         |             * (0.5 + 0.5 * least(1.0, CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0) * 10.0))
+         |         AS quality_score
          |FROM q""".stripMargin,
     "t03_token_count" ->
       """SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS n_chars,
         |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
-        |       round(CAST(length(text) AS DOUBLE)
-        |             / nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 0), 2) AS chars_per_token
+        |       CAST(length(text) AS DOUBLE)
+        |             / nullif(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 0) AS chars_per_token
         |FROM documents""".stripMargin,
     "t04_fingerprint" ->
       """WITH fp AS (
