@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import EventsStream.Event
+
+/** Event-time sessionization on a live stream — the streaming twin of
+  * the batch operator graft.operators.Events.sessionize (30-minute
+  * inactivity gap), built on flatMapGroupsWithState with event-time
+  * timeouts so sessions close when the WATERMARK passes the gap, not
+  * when a processing-time timer fires.
+  *
+  * State per user is one open session (bounded); closed sessions are
+  * emitted downstream and dropped from state — the shape that runs
+  * indefinitely on a cluster without state growth.
+  */
+object SessionStream {
+
+  case class OpenSession(start_epoch: Long, end_epoch: Long, n_events: Long,
+                         total_value: Double)
+
+  case class SessionOut(user_id: Long, session_start_epoch: Long,
+                        session_end_epoch: Long, n_events: Long,
+                        total_value: Double, duration_sec: Long)
+
+  val GapSeconds: Long = 1800L
+
+  /** Sessionize a watermarked event stream. Emits a session when a new
+    * event arrives more than [[GapSeconds]] after the open session's end
+    * (same rule as the batch operator), or when the event-time timeout
+    * fires after the watermark passes the gap.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed: close and emit the open session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start_epoch, s.end_epoch, s.n_events,
+              s.total_value, s.end_epoch - s.start_epoch))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val epoch = e.ts.getTime / 1000
+              open match {
+                case Some(s) if epoch - s.end_epoch <= GapSeconds =>
+                  open = Some(OpenSession(s.start_epoch, epoch,
+                    s.n_events + 1, s.total_value + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_epoch, s.end_epoch,
+                    s.n_events, s.total_value, s.end_epoch - s.start_epoch)
+                  open = Some(OpenSession(epoch, epoch, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(epoch, epoch, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close the session once the watermark passes end + gap
+              state.setTimeoutTimestamp((s.end_epoch + GapSeconds) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream.Event
+import graft.streaming.SessionStream
+
+class SessionStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream sessionization closes sessions on gap and emits on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = SessionStream.sessionize(src.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess").start()
+    // session 1: two events 10 min apart; then a 2h gap → session 2
+    src.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 42, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 42, "click", 2.0))
+    q.processAllAvailable()
+    src.addData(Event(3, ts("2024-01-01 12:30:00"), 42, "view", 5.0))
+    q.processAllAvailable()
+    // push the watermark far ahead so the open session times out
+    src.addData(Event(9, ts("2024-01-02 00:00:00"), 7, "click", 0.5))
+    q.processAllAvailable()
+    src.addData(Event(10, ts("2024-01-03 00:00:00"), 7, "click", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"), r.getAs[Long]("duration_sec")))
+    // user 42's first session: 2 events, 3.0 value, 600s
+    assert(out.contains((42L, 2L, 3.0, 600L)))
+    // user 42's second session eventually closed by the event-time timeout
+    assert(out.contains((42L, 1L, 5.0, 0L)))
+  }
+
+  test("streaming sessions match the batch operator on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch result on sf0.001
+    val batch = graft.operators.Events.sessionize(spark, TestSpark.sf)
+      .selectExpr("user_id", "n_events", "round(total_value, 2) AS tv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // stream the same events through, then flush with a far-future event
+    val events = graft.sources.Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val src = MemoryStream[Event]
+    val q = SessionStream.sessionize(src.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess2").start()
+    src.addData(events: _*)
+    q.processAllAvailable()
+    src.addData(Event(-1, ts("2100-01-01 00:00:00"), -1, "flush", 0.0))
+    q.processAllAvailable()
+    src.addData(Event(-2, ts("2101-01-01 00:00:00"), -1, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("sess2").where("user_id >= 0").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        BigDecimal(r.getAs[Double]("total_value")).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    assert(stream == batch, s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+  }
+}
