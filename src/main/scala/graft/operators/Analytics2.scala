@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Extended analytical surface: multi-grain rollups, exact percentiles,
+  * existence joins, and moving window frames — the remaining query
+  * shapes a warehouse user reaches for beyond the reference's 8 canned
+  * queries (its dashboard aggregates at several grains and over moving
+  * ranges: /root/reference/streamlit_app.py monthly trend + KPI tiles).
+  */
+object Analytics2 {
+
+  // ─── q25 multi-grain rollup (region → nation → total) ────────────────
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"),
+        grouping(col("r_name")).cast("long").as("gr_region"),
+        grouping(col("n_name")).cast("long").as("gr_nation"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("n_customers"), col("total_acctbal"), col("gr_region"), col("gr_nation"))
+  }
+
+  // ─── q26 exact percentiles per segment ───────────────────────────────
+  def segmentPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        round(min(col("o_totalprice")), 2).as("min_total"),
+        round(max(col("o_totalprice")), 2).as("max_total"))
+  }
+
+  // ─── q27 existence joins (semi / anti) per segment ───────────────────
+  def segmentExistence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderpriority"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val withUrgent = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_urgent"))
+    val noOrders = c.join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+    val base = c.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    base
+      .join(withUrgent, Seq("c_mktsegment"), "left")
+      .join(noOrders, Seq("c_mktsegment"), "left")
+      .select(
+        col("c_mktsegment").as("segment"),
+        col("n_customers"),
+        coalesce(col("n_with_urgent"), lit(0L)).as("n_with_urgent"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  // ─── q28 moving window frames (3-month trailing) ─────────────────────
+  def movingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val monthly = o.groupBy(
+        year(col("o_orderdate")).cast("long").as("year"),
+        month(col("o_orderdate")).cast("long").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val frame = Window.orderBy(col("year"), col("month")).rowsBetween(-2, 0)
+    monthly.select(
+      col("year"), col("month"), col("rev"), col("n_orders"),
+      round(sum(col("rev")).over(frame), 2).as("trailing3_rev"),
+      // raw division of safe operands: rounded frame sum / frame row count
+      (round(sum(col("rev")).over(frame), 2) / count(lit(1)).over(frame))
+        .as("trailing3_avg"),
+      min(col("rev")).over(frame).as("trailing3_min"),
+      max(col("rev")).over(frame).as("trailing3_max"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_region_rollup" -> regionRollup,
+    "q26_segment_percentiles" -> segmentPercentiles,
+    "q27_segment_existence" -> segmentExistence,
+    "q28_moving_window" -> movingWindow)
+
+  val oracle: Map[String, String] = Map(
+    "q25_region_rollup" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |       count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_acctbal,
+        |       CAST(grouping(r_name) AS BIGINT) AS gr_region,
+        |       CAST(grouping(n_name) AS BIGINT) AS gr_nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q26_segment_percentiles" ->
+      """SELECT c_mktsegment AS segment,
+        |       count(*) AS n_orders,
+        |       quantile_cont(o_totalprice, 0.25) AS p25,
+        |       quantile_cont(o_totalprice, 0.5) AS median,
+        |       quantile_cont(o_totalprice, 0.9) AS p90,
+        |       round(min(o_totalprice), 2) AS min_total,
+        |       round(max(o_totalprice), 2) AS max_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q27_segment_existence" ->
+      """SELECT c_mktsegment AS segment,
+        |       count(*) AS n_customers,
+        |       CAST(coalesce(sum(CASE WHEN EXISTS (
+        |           SELECT 1 FROM orders
+        |           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_urgent,
+        |       CAST(coalesce(sum(CASE WHEN NOT EXISTS (
+        |           SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_without_orders
+        |FROM customer
+        |GROUP BY 1""".stripMargin,
+    "q28_moving_window" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+        |         round(sum(o_totalprice), 2) AS rev,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT year, month, rev, n_orders,
+        |       round(sum(rev) OVER w, 2) AS trailing3_rev,
+        |       round(sum(rev) OVER w, 2) / count(*) OVER w AS trailing3_avg,
+        |       min(rev) OVER w AS trailing3_min,
+        |       max(rev) OVER w AS trailing3_max
+        |FROM monthly
+        |WINDOW w AS (ORDER BY year, month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)
+}
