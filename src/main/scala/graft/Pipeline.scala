@@ -22,24 +22,39 @@ object Pipeline {
 
   case class LoadStat(table: String, rows: Long, seconds: Double)
 
+  /** Stage selection — the reference CLI's `--extract-only` /
+    * `--skip-load` modes (pipeline.py argument surface).
+    */
+  sealed trait Mode
+  case object FullRun extends Mode
+  case object SkipMarts extends Mode   // dims + fact only (≈ --skip-load)
+  case object StagingOnly extends Mode // cleaned staging only (≈ --extract-only)
+
   /** Build the whole warehouse under `outDir`. Returns load stats in
     * execution order (the reference's pipeline summary).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          validateFirst: Boolean = true): Seq[LoadStat] = {
+          validateFirst: Boolean = true, mode: Mode = FullRun): Seq[LoadStat] = {
     if (validateFirst) {
       val gates = Cleaning.validationGates(spark, sfDir)
         .select(col("all_gates_pass")).collect().head.getBoolean(0)
       require(gates, "validation gates failed — aborting load (dag: validate_extract)")
     }
-    val tables: Seq[(String, DataFrame)] = Seq(
-      "stg_lineitem_clean" -> Cleaning.cleanLineitem(spark, sfDir),
+    val staging: Seq[(String, DataFrame)] = Seq(
+      "stg_lineitem_clean" -> Cleaning.cleanLineitem(spark, sfDir))
+    val core: Seq[(String, DataFrame)] = Seq(
       "dim_date" -> Dimensions.dimDate(spark, sfDir),
       "dim_customer" -> Dimensions.dimCustomer(spark, sfDir),
       "dim_category" -> Facts.dimCategory(spark, sfDir),
-      "fact_sales" -> Facts.factSales(spark, sfDir),
+      "fact_sales" -> Facts.factSales(spark, sfDir))
+    val marts: Seq[(String, DataFrame)] = Seq(
       "mart_sales_performance" -> Marts.martSalesPerformance(spark, sfDir),
       "mart_category_analysis" -> Marts.martCategoryAnalysis(spark, sfDir))
+    val tables = mode match {
+      case StagingOnly => staging
+      case SkipMarts => staging ++ core
+      case FullRun => staging ++ core ++ marts
+    }
     tables.map { case (name, df) =>
       val t0 = System.nanoTime()
       val rows = Sinks.stagePublish(df, s"$outDir/$name")

@@ -85,13 +85,56 @@ object Analytics2 {
       max(col("rev")).over(frame).as("trailing3_max"))
   }
 
+  // ─── q29 price/size correlation (dashboard scatter analog) ───────────
+  /** Pearson correlation computed via the explicit sum formula from
+    * ROUNDED component sums — unlike built-in `corr` (Welford-style
+    * accumulation whose float order differs per engine), this is
+    * bit-stable across engines while mathematically identical on exact
+    * inputs (streamlit_app.py:1853-1856 price-vs-rating scatter analog).
+    */
+  def priceSizeCorr(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val m = p.groupBy(col("p_type").as("product_category"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("p_retailprice")), 2).as("sx"),
+        sum(col("p_size").cast("long")).as("sy"),
+        round(sum(col("p_retailprice") * col("p_retailprice")), 2).as("sxx"),
+        sum((col("p_size") * col("p_size")).cast("long")).as("syy"),
+        round(sum(col("p_retailprice") * col("p_size")), 2).as("sxy"))
+    m.select(
+      col("product_category"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        when(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")) === 0.0, lit(null))
+          .otherwise(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("price_size_corr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_region_rollup" -> regionRollup,
     "q26_segment_percentiles" -> segmentPercentiles,
     "q27_segment_existence" -> segmentExistence,
-    "q28_moving_window" -> movingWindow)
+    "q28_moving_window" -> movingWindow,
+    "q29_price_size_corr" -> priceSizeCorr)
 
   val oracle: Map[String, String] = Map(
+    "q29_price_size_corr" ->
+      """WITH m AS (
+        |  SELECT p_type AS product_category,
+        |         count(*) AS n,
+        |         round(sum(p_retailprice), 2) AS sx,
+        |         CAST(sum(p_size) AS BIGINT) AS sy,
+        |         round(sum(p_retailprice * p_retailprice), 2) AS sxx,
+        |         CAST(sum(p_size * p_size) AS BIGINT) AS syy,
+        |         round(sum(p_retailprice * p_size), 2) AS sxy
+        |  FROM part GROUP BY 1)
+        |SELECT product_category, n,
+        |       (n * sxy - sx * sy)
+        |         / nullif(sqrt(n * sxx - sx * sx)
+        |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0) AS price_size_corr
+        |FROM m""".stripMargin,
     "q25_region_rollup" ->
       """SELECT r_name AS region, n_name AS nation,
         |       count(*) AS n_customers,

@@ -90,4 +90,19 @@ object Tables {
     */
   def standardizeColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.trim.toLowerCase.replace(" ", "_")).toIndexedSeq: _*)
+
+  /** Warehouse explorer (the reference dashboard's "Data Warehouse"
+    * page, streamlit_app.py table browser): one row per (table, column)
+    * with type and table row count. Metadata-only except the counts.
+    */
+  def catalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    names.flatMap { t =>
+      val df = if (t == "events") events(spark, dir) else apply(spark, dir, t)
+      val n = df.count()
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        (t, i + 1, f.name, f.dataType.simpleString, n)
+      }
+    }.toDF("table_name", "ordinal", "column_name", "data_type", "table_rows")
+  }
 }

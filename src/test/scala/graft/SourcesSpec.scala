@@ -56,4 +56,21 @@ class SourcesSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".csv"))
     assert(files.length == 1)
   }
+
+  test("catalog lists every table with columns and row counts") {
+    val cat = Tables.catalog(spark, TestSpark.sf)
+    assert(cat.select("table_name").distinct().count() == Tables.names.length)
+    val li = cat.where("table_name = 'lineitem'").collect()
+    assert(li.length == 11)
+    assert(li.forall(_.getAs[Long]("table_rows") == 6000L))
+  }
+
+  test("pipeline stage modes select the right table subsets") {
+    val out = java.nio.file.Files.createTempDirectory("graft_modes").toString
+    val stg = Pipeline.run(spark, TestSpark.sf, s"$out/a", mode = Pipeline.StagingOnly)
+    assert(stg.map(_.table) == Seq("stg_lineitem_clean"))
+    val core = Pipeline.run(spark, TestSpark.sf, s"$out/b", mode = Pipeline.SkipMarts)
+    assert(core.map(_.table).contains("fact_sales") &&
+      !core.map(_.table).exists(_.startsWith("mart_")))
+  }
 }
