@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Money._
 import graft.sources.Tables
 
 /** Analytical query surface of the reference warehouse re-expressed
@@ -22,11 +23,11 @@ import graft.sources.Tables
   *  - unpartitioned windows (share-of-total, MoM lag) run on POST-AGG
   *    rows only (dozens-to-hundreds of rows), never on the fact table.
   *
-  * Determinism note: "average" columns are emitted as
-  * `round(sum, 2) / count`, never `round(avg, 2)` — a rounded division
-  * lands on exact decimal midpoints (x.xx5) where engines' rounding
-  * modes disagree; rounding only the sum (always a 2-decimal quantity)
-  * then dividing is bit-stable across engines and run orders.
+  * Determinism: money aggregates run in exact DECIMAL (functions.Money)
+  * so results are identical under any partition count/order; averages
+  * are emitted as rounded-sum/count (never `round(avg)` — decimal
+  * midpoints round differently per engine); ranks order on rounded
+  * values with key tiebreaks.
   */
 object Analytics {
 
@@ -41,18 +42,18 @@ object Analytics {
         month(col("o_orderdate")).cast("long").as("month"),
         date_format(col("o_orderdate"), "MMMM").as("month_name"))
       .agg(
-        sum(col("o_totalprice")).as("rev_raw"),
+        out2(sum(m3(col("o_totalprice")))).as("total_revenue"),
         countDistinct(col("o_orderkey")).as("total_transactions"),
         countDistinct(col("o_custkey")).as("unique_customers"))
     val w = Window.orderBy(col("year"), col("month"))
-    m.withColumn("prev_r", round(lag(col("rev_raw"), 1).over(w), 2))
+    m.withColumn("prev_month_revenue", lag(col("total_revenue"), 1).over(w))
       .select(
         col("year"), col("month"), col("month_name"),
-        round(col("rev_raw"), 2).as("total_revenue"),
+        col("total_revenue"),
         col("total_transactions"), col("unique_customers"),
-        (round(col("rev_raw"), 2) / col("total_transactions")).as("avg_order_value"),
-        col("prev_r").as("prev_month_revenue"),
-        ((round(col("rev_raw"), 2) - col("prev_r")) / nz(col("prev_r")) * 100)
+        (col("total_revenue") / col("total_transactions")).as("avg_order_value"),
+        col("prev_month_revenue"),
+        ((col("total_revenue") - col("prev_month_revenue")) / nz(col("prev_month_revenue")) * 100)
           .as("mom_growth_pct"))
   }
 
@@ -66,20 +67,21 @@ object Analytics {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("p_type").as("product_category"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_raw"),
+        sum(net(col("l_extendedprice"), col("l_discount"))).as("rev_dec"),
         countDistinct(col("l_orderkey")).as("total_transactions"),
         sum(col("l_quantity")).as("total_quantity"),
-        sum(col("l_extendedprice")).as("ep_sum"),
+        sum(m2(col("l_extendedprice"))).as("ep_dec"),
         count(lit(1)).as("n_lines"),
         countDistinct(col("o_custkey")).as("unique_customers"),
         countDistinct(col("l_partkey")).as("unique_parts"))
     val wAll = Window.partitionBy() // post-agg: ≤ #categories rows
     m.select(
       col("product_category"),
-      round(col("rev_raw"), 2).as("total_revenue"),
-      round(col("rev_raw") / sum(col("rev_raw")).over(wAll) * 100, 2).as("revenue_share_pct"),
+      out2(col("rev_dec")).as("total_revenue"),
+      round(outRaw(col("rev_dec")) / sum(outRaw(col("rev_dec"))).over(wAll) * 100, 2)
+        .as("revenue_share_pct"),
       col("total_transactions"), col("total_quantity"),
-      (round(col("ep_sum"), 2) / col("n_lines")).as("avg_unit_price"),
+      (out2(col("ep_dec")) / col("n_lines")).as("avg_unit_price"),
       col("unique_customers"), col("unique_parts"))
   }
 
@@ -91,7 +93,7 @@ object Analytics {
       .groupBy(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       .agg(
         count(col("o_orderkey")).as("cnt"),
-        coalesce(sum(col("o_totalprice")), lit(0.0)).as("rev"))
+        coalesce(sum(m3(col("o_totalprice"))), lit(0).cast("decimal(14,3)")).as("rev"))
       .withColumn("customer_segment",
         when(col("cnt") <= 1, "New")
           .when(col("cnt") <= 3, "Occasional")
@@ -106,8 +108,8 @@ object Analytics {
     perCust.groupBy(col("customer_segment"), col("balance_band"))
       .agg(
         count(lit(1)).as("customer_count"),
-        round(sum(col("rev")), 2).as("total_revenue"),
-        (round(sum(col("rev")), 2) / nz(sum(col("cnt")).cast("double"))).as("avg_order_value"),
+        out2(sum(col("rev"))).as("total_revenue"),
+        (out2(sum(col("rev"))) / nz(sum(col("cnt")).cast("double"))).as("avg_order_value"),
         sum(col("cnt")).as("total_orders"),
         (sum(col("cnt")).cast("double") / count(lit(1))).as("avg_orders_per_customer"))
   }
@@ -119,16 +121,16 @@ object Analytics {
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), col("o_orderpriority").as("priority"))
       .agg(
-        sum(col("o_totalprice")).as("rev_sum"),
+        sum(m3(col("o_totalprice"))).as("rev_dec"),
         countDistinct(col("o_orderkey")).as("total_transactions"),
         count(lit(1)).as("n"),
-        sum(col("c_acctbal")).as("bal_sum"))
+        sum(m2(col("c_acctbal"))).as("bal_dec"))
       .select(
         col("segment"), col("priority"),
-        round(col("rev_sum"), 2).as("total_revenue"),
+        out2(col("rev_dec")).as("total_revenue"),
         col("total_transactions"),
-        (round(col("rev_sum"), 2) / col("n")).as("avg_order_value"),
-        (round(col("bal_sum"), 2) / col("n")).as("avg_acctbal"))
+        (out2(col("rev_dec")) / col("n")).as("avg_order_value"),
+        (out2(col("bal_dec")) / col("n")).as("avg_acctbal"))
   }
 
   // ─── q05 weekend vs weekday (sql:78-88) ──────────────────────────────
@@ -139,23 +141,23 @@ object Analytics {
         date_format(col("o_orderdate"), "EEEE").as("day_name"),
         iso_dow(col("o_orderdate")).cast("long").as("day_of_week"))
       .agg(
-        sum(col("o_totalprice")).as("rev_sum"),
+        sum(m3(col("o_totalprice"))).as("rev_dec"),
         countDistinct(col("o_orderkey")).as("total_transactions"))
       .select(
         col("day_type"), col("day_name"), col("day_of_week"),
-        round(col("rev_sum"), 2).as("total_revenue"),
+        out2(col("rev_dec")).as("total_revenue"),
         col("total_transactions"),
-        (round(col("rev_sum"), 2) / col("total_transactions")).as("avg_order_value"))
+        (out2(col("rev_dec")) / col("total_transactions")).as("avg_order_value"))
   }
 
   // ─── q06 top customers (sql:91-108) ──────────────────────────────────
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    // rank on the ROUNDED revenue + key tiebreak → deterministic top-N
+    // rank on the exact-decimal-rounded revenue + key tiebreak → deterministic
     o.groupBy(col("o_custkey"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        out2(sum(m3(col("o_totalprice")))).as("total_revenue"),
         count(col("o_orderkey")).as("total_orders"))
       .withColumn("avg_order_value", col("total_revenue") / col("total_orders"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -175,14 +177,14 @@ object Analytics {
     p.groupBy(col("p_type").as("product_category"))
       .agg(
         count(lit(1)).as("product_count"),
-        sum(col("p_retailprice")).as("price_sum"),
+        sum(m2(col("p_retailprice"))).as("price_dec"),
         round(min(col("p_retailprice")), 2).as("min_price"),
         round(max(col("p_retailprice")), 2).as("max_price"),
         sum(col("p_size")).as("size_sum"),
         countDistinct(col("p_brand")).as("brand_count"))
       .select(
         col("product_category"), col("product_count"),
-        (round(col("price_sum"), 2) / col("product_count")).as("avg_price"),
+        (out2(col("price_dec")) / col("product_count")).as("avg_price"),
         col("min_price"), col("max_price"),
         (col("size_sum").cast("double") / col("product_count")).as("avg_size"),
         col("brand_count"))
@@ -195,18 +197,18 @@ object Analytics {
         year(col("o_orderdate")).cast("long").as("year"),
         quarter(col("o_orderdate")).cast("long").as("quarter"))
       .agg(
-        sum(col("o_totalprice")).as("rev_raw"),
+        out2(sum(m3(col("o_totalprice")))).as("quarterly_revenue"),
         countDistinct(col("o_orderkey")).as("quarterly_transactions"),
         countDistinct(col("o_custkey")).as("quarterly_customers"))
     val w = Window.orderBy(col("year"), col("quarter"))
-    q.withColumn("prev_r", round(lag(col("rev_raw"), 4).over(w), 2))
+    q.withColumn("same_quarter_prev_year", lag(col("quarterly_revenue"), 4).over(w))
       .select(
         col("year"), col("quarter"),
-        round(col("rev_raw"), 2).as("quarterly_revenue"),
+        col("quarterly_revenue"),
         col("quarterly_transactions"), col("quarterly_customers"),
-        col("prev_r").as("same_quarter_prev_year"),
-        ((round(col("rev_raw"), 2) - col("prev_r")) / nz(col("prev_r")) * 100)
-          .as("yoy_growth_pct"))
+        col("same_quarter_prev_year"),
+        ((col("quarterly_revenue") - col("same_quarter_prev_year"))
+          / nz(col("same_quarter_prev_year")) * 100).as("yoy_growth_pct"))
   }
 
   // ─── q16 day × month heatmap pivot (streamlit_app.py:907-918) ────────
@@ -217,7 +219,7 @@ object Analytics {
         iso_dow(col("o_orderdate")).cast("long").as("day_of_week"),
         month(col("o_orderdate")).cast("long").as("month"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        out2(sum(m3(col("o_totalprice")))).as("total_revenue"),
         count(lit(1)).as("n_orders"))
   }
 
@@ -227,15 +229,16 @@ object Analytics {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
     val m = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_raw"))
-      .withColumn("rev_r", round(col("rev_raw"), 2))
+      .agg(sum(net(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      .withColumn("rev_r", out2(col("rev_dec")))
     val byRev = Window.orderBy(col("rev_r").desc, col("brand"))
     val all = Window.partitionBy()
     m.select(
       col("brand"),
       col("rev_r").as("total_revenue"),
       row_number().over(byRev).cast("long").as("revenue_rank"),
-      round(col("rev_raw") / sum(col("rev_raw")).over(all) * 100, 2).as("revenue_share_pct"),
+      round(outRaw(col("rev_dec")) / sum(outRaw(col("rev_dec"))).over(all) * 100, 2)
+        .as("revenue_share_pct"),
       round(sum(col("rev_r")).over(byRev.rowsBetween(Window.unboundedPreceding, 0)), 2)
         .as("cumulative_revenue"))
   }
@@ -246,7 +249,7 @@ object Analytics {
     val m = o.groupBy(col("o_orderpriority").as("priority"), col("o_orderstatus").as("status"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_revenue"))
+        out2(sum(m3(col("o_totalprice")))).as("total_revenue"))
     val wp = Window.partitionBy(col("priority"))
     // raw integer-ratio percentage: exact in both engines, no rounding
     m.withColumn("pct_of_priority",
@@ -259,20 +262,21 @@ object Analytics {
     li.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("ep_sum"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        sum(col("l_discount")).as("disc_sum"),
+        sum(col("l_quantity")).as("sum_qty"), // integer-valued: exact in double
+        sum(m2(col("l_extendedprice"))).as("ep_dec"),
+        sum(net(col("l_extendedprice"), col("l_discount"))).as("disc_dec"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("charge_dec"),
+        sum(r2(col("l_discount"))).as("d_dec"),
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"),
         col("sum_qty"),
-        round(col("ep_sum"), 2).as("sum_base_price"),
-        col("sum_disc_price"), col("sum_charge"),
+        out2(col("ep_dec")).as("sum_base_price"),
+        out2(col("disc_dec")).as("sum_disc_price"),
+        out2(col("charge_dec")).as("sum_charge"),
         (col("sum_qty") / col("count_order")).as("avg_qty"),
-        (round(col("ep_sum"), 2) / col("count_order")).as("avg_price"),
-        (round(col("disc_sum"), 2) / col("count_order")).as("avg_disc"),
+        (out2(col("ep_dec")) / col("count_order")).as("avg_price"),
+        (out2(col("d_dec")) / col("count_order")).as("avg_disc"),
         col("count_order"))
   }
 
@@ -287,7 +291,7 @@ object Analytics {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        out2(sum(m3(col("o_totalprice")))).as("total_revenue"),
         countDistinct(col("o_custkey")).as("n_customers"),
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
@@ -307,31 +311,38 @@ object Analytics {
     "q20_pricing_summary" -> pricingSummary,
     "q21_region_revenue" -> regionRevenue)
 
+  // oracle building blocks (DuckDB dialect, mirroring functions.Money)
+  private val TP = "sum(CAST(o_totalprice AS DECIMAL(14,3)))"
+  private val NET =
+    "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))"
+  private val EP = "sum(CAST(l_extendedprice AS DECIMAL(12,2)))"
+  private def o2(x: String) = s"CAST(round($x, 2) AS DOUBLE)"
+  private def oraw(x: String) = s"CAST($x AS DOUBLE)"
+
   val oracle: Map[String, String] = Map(
     "q01_monthly_sales_trend" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
         |         monthname(o_orderdate) AS month_name,
-        |         sum(o_totalprice) AS rev_raw,
+        |         ${o2(TP)} AS total_revenue,
         |         count(DISTINCT o_orderkey) AS total_transactions,
         |         count(DISTINCT o_custkey) AS unique_customers
         |  FROM orders GROUP BY 1, 2, 3),
         |w AS (
-        |  SELECT *, round(lag(rev_raw) OVER (ORDER BY year, month), 2) AS prev_r FROM m)
-        |SELECT year, month, month_name,
-        |       round(rev_raw, 2) AS total_revenue,
+        |  SELECT *, lag(total_revenue) OVER (ORDER BY year, month) AS prev_month_revenue FROM m)
+        |SELECT year, month, month_name, total_revenue,
         |       total_transactions, unique_customers,
-        |       round(rev_raw, 2) / total_transactions AS avg_order_value,
-        |       prev_r AS prev_month_revenue,
-        |       (round(rev_raw, 2) - prev_r) / nullif(prev_r, 0) * 100 AS mom_growth_pct
+        |       total_revenue / total_transactions AS avg_order_value,
+        |       prev_month_revenue,
+        |       (total_revenue - prev_month_revenue) / nullif(prev_month_revenue, 0) * 100 AS mom_growth_pct
         |FROM w""".stripMargin,
     "q02_category_performance" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT p_type AS product_category,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw,
+        |         $NET AS rev_dec,
         |         count(DISTINCT l_orderkey) AS total_transactions,
         |         sum(l_quantity) AS total_quantity,
-        |         sum(l_extendedprice) AS ep_sum,
+        |         $EP AS ep_dec,
         |         count(*) AS n_lines,
         |         count(DISTINCT o_custkey) AS unique_customers,
         |         count(DISTINCT l_partkey) AS unique_parts
@@ -339,17 +350,17 @@ object Analytics {
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN orders ON l_orderkey = o_orderkey
         |  GROUP BY 1)
-        |SELECT product_category, round(rev_raw, 2) AS total_revenue,
-        |       round(rev_raw / sum(rev_raw) OVER () * 100, 2) AS revenue_share_pct,
+        |SELECT product_category, ${o2("rev_dec")} AS total_revenue,
+        |       round(${oraw("rev_dec")} / sum(${oraw("rev_dec")}) OVER () * 100, 2) AS revenue_share_pct,
         |       total_transactions, total_quantity,
-        |       round(ep_sum, 2) / n_lines AS avg_unit_price,
+        |       ${o2("ep_dec")} / n_lines AS avg_unit_price,
         |       unique_customers, unique_parts
         |FROM m""".stripMargin,
     "q03_customer_segmentation" ->
-      """WITH pc AS (
+      s"""WITH pc AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal,
         |         count(o_orderkey) AS cnt,
-        |         coalesce(sum(o_totalprice), 0.0) AS rev
+        |         coalesce($TP, CAST(0 AS DECIMAL(14,3))) AS rev
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY 1, 2, 3),
         |seg AS (
@@ -362,43 +373,43 @@ object Analytics {
         |  FROM pc)
         |SELECT customer_segment, balance_band,
         |       count(*) AS customer_count,
-        |       round(sum(rev), 2) AS total_revenue,
-        |       round(sum(rev), 2) / nullif(CAST(sum(cnt) AS DOUBLE), 0) AS avg_order_value,
+        |       ${o2("sum(rev)")} AS total_revenue,
+        |       ${o2("sum(rev)")} / nullif(CAST(sum(cnt) AS DOUBLE), 0) AS avg_order_value,
         |       CAST(sum(cnt) AS BIGINT) AS total_orders,
         |       CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_orders_per_customer
         |FROM seg GROUP BY 1, 2""".stripMargin,
     "q04_segment_category_analysis" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
-        |         sum(o_totalprice) AS rev_sum,
+        |         $TP AS rev_dec,
         |         count(DISTINCT o_orderkey) AS total_transactions,
         |         count(*) AS n,
-        |         sum(c_acctbal) AS bal_sum
+        |         sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_dec
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2)
         |SELECT segment, priority,
-        |       round(rev_sum, 2) AS total_revenue,
+        |       ${o2("rev_dec")} AS total_revenue,
         |       total_transactions,
-        |       round(rev_sum, 2) / n AS avg_order_value,
-        |       round(bal_sum, 2) / n AS avg_acctbal
+        |       ${o2("rev_dec")} / n AS avg_order_value,
+        |       ${o2("bal_dec")} / n AS avg_acctbal
         |FROM m""".stripMargin,
     "q05_weekend_weekday" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT CASE WHEN isodow(o_orderdate) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
         |         dayname(o_orderdate) AS day_name,
         |         CAST(isodow(o_orderdate) AS BIGINT) AS day_of_week,
-        |         sum(o_totalprice) AS rev_sum,
+        |         $TP AS rev_dec,
         |         count(DISTINCT o_orderkey) AS total_transactions
         |  FROM orders GROUP BY 1, 2, 3)
         |SELECT day_type, day_name, day_of_week,
-        |       round(rev_sum, 2) AS total_revenue,
+        |       ${o2("rev_dec")} AS total_revenue,
         |       total_transactions,
-        |       round(rev_sum, 2) / total_transactions AS avg_order_value
+        |       ${o2("rev_dec")} / total_transactions AS avg_order_value
         |FROM m""".stripMargin,
     "q06_top_customers" ->
-      """WITH agg AS (
+      s"""WITH agg AS (
         |  SELECT o_custkey,
-        |         round(sum(o_totalprice), 2) AS total_revenue,
+        |         ${o2(TP)} AS total_revenue,
         |         count(o_orderkey) AS total_orders
         |  FROM orders GROUP BY 1)
         |SELECT c_custkey AS customer_id, c_name AS customer_name,
@@ -409,89 +420,92 @@ object Analytics {
         |ORDER BY total_revenue DESC, customer_id
         |LIMIT 20""".stripMargin,
     "q07_product_catalog" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT p_type AS product_category,
         |         count(*) AS product_count,
-        |         sum(p_retailprice) AS price_sum,
+        |         sum(CAST(p_retailprice AS DECIMAL(12,2))) AS price_dec,
         |         round(min(p_retailprice), 2) AS min_price,
         |         round(max(p_retailprice), 2) AS max_price,
         |         CAST(sum(p_size) AS BIGINT) AS size_sum,
         |         count(DISTINCT p_brand) AS brand_count
         |  FROM part GROUP BY 1)
         |SELECT product_category, product_count,
-        |       round(price_sum, 2) / product_count AS avg_price,
+        |       ${o2("price_dec")} / product_count AS avg_price,
         |       min_price, max_price,
         |       CAST(size_sum AS DOUBLE) / product_count AS avg_size,
         |       brand_count
         |FROM m""".stripMargin,
     "q08_quarterly_yoy" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT year(o_orderdate) AS year, quarter(o_orderdate) AS quarter,
-        |         sum(o_totalprice) AS rev_raw,
+        |         ${o2(TP)} AS quarterly_revenue,
         |         count(DISTINCT o_orderkey) AS quarterly_transactions,
         |         count(DISTINCT o_custkey) AS quarterly_customers
         |  FROM orders GROUP BY 1, 2),
         |w AS (
-        |  SELECT *, round(lag(rev_raw, 4) OVER (ORDER BY year, quarter), 2) AS prev_r FROM q)
-        |SELECT year, quarter,
-        |       round(rev_raw, 2) AS quarterly_revenue,
+        |  SELECT *, lag(quarterly_revenue, 4) OVER (ORDER BY year, quarter) AS same_quarter_prev_year FROM q)
+        |SELECT year, quarter, quarterly_revenue,
         |       quarterly_transactions, quarterly_customers,
-        |       prev_r AS same_quarter_prev_year,
-        |       (round(rev_raw, 2) - prev_r) / nullif(prev_r, 0) * 100 AS yoy_growth_pct
+        |       same_quarter_prev_year,
+        |       (quarterly_revenue - same_quarter_prev_year)
+        |         / nullif(same_quarter_prev_year, 0) * 100 AS yoy_growth_pct
         |FROM w""".stripMargin,
     "q16_day_month_heatmap" ->
-      """SELECT dayname(o_orderdate) AS day_name,
+      s"""SELECT dayname(o_orderdate) AS day_name,
         |       CAST(isodow(o_orderdate) AS BIGINT) AS day_of_week,
         |       CAST(month(o_orderdate) AS BIGINT) AS month,
-        |       round(sum(o_totalprice), 2) AS total_revenue,
+        |       ${o2(TP)} AS total_revenue,
         |       count(*) AS n_orders
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
     "q17_revenue_rank_window" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT p_brand AS brand,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw,
-        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS rev_r
+        |         $NET AS rev_dec,
+        |         ${o2(NET)} AS rev_r
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1)
         |SELECT brand, rev_r AS total_revenue,
         |       CAST(row_number() OVER (ORDER BY rev_r DESC, brand) AS BIGINT) AS revenue_rank,
-        |       round(rev_raw / sum(rev_raw) OVER () * 100, 2) AS revenue_share_pct,
+        |       round(${oraw("rev_dec")} / sum(${oraw("rev_dec")}) OVER () * 100, 2) AS revenue_share_pct,
         |       round(sum(rev_r) OVER (ORDER BY rev_r DESC, brand
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cumulative_revenue
         |FROM m""".stripMargin,
     "q18_priority_status_matrix" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
         |         count(*) AS n_orders,
-        |         round(sum(o_totalprice), 2) AS total_revenue
+        |         ${o2(TP)} AS total_revenue
         |  FROM orders GROUP BY 1, 2)
         |SELECT priority, status, n_orders, total_revenue,
         |       CAST(n_orders AS DOUBLE) * 100
         |         / CAST(sum(n_orders) OVER (PARTITION BY priority) AS DOUBLE) AS pct_of_priority
         |FROM m""".stripMargin,
     "q20_pricing_summary" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT l_returnflag, l_linestatus,
         |         sum(l_quantity) AS sum_qty,
-        |         sum(l_extendedprice) AS ep_sum,
-        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |         round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |         sum(l_discount) AS disc_sum,
+        |         $EP AS ep_dec,
+        |         $NET AS disc_dec,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS charge_dec,
+        |         sum(CAST(l_discount AS DECIMAL(3,2))) AS d_dec,
         |         count(*) AS count_order
         |  FROM lineitem
         |  WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
         |  GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, sum_qty,
-        |       round(ep_sum, 2) AS sum_base_price,
-        |       sum_disc_price, sum_charge,
+        |       ${o2("ep_dec")} AS sum_base_price,
+        |       ${o2("disc_dec")} AS sum_disc_price,
+        |       ${o2("charge_dec")} AS sum_charge,
         |       sum_qty / count_order AS avg_qty,
-        |       round(ep_sum, 2) / count_order AS avg_price,
-        |       round(disc_sum, 2) / count_order AS avg_disc,
+        |       ${o2("ep_dec")} / count_order AS avg_price,
+        |       ${o2("d_dec")} / count_order AS avg_disc,
         |       count_order
         |FROM m""".stripMargin,
     "q21_region_revenue" ->
-      """SELECT r_name AS region, n_name AS nation,
-        |       round(sum(o_totalprice), 2) AS total_revenue,
+      s"""SELECT r_name AS region, n_name AS nation,
+        |       ${o2(TP)} AS total_revenue,
         |       count(DISTINCT o_custkey) AS n_customers,
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM orders

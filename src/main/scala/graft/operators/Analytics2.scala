@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Money._
 import graft.sources.Tables
 
 /** Extended analytical surface: multi-grain rollups, exact percentiles,
@@ -24,7 +25,7 @@ object Analytics2 {
       .rollup(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 2).as("total_acctbal"),
+        out2(sum(m2(col("c_acctbal")))).as("total_acctbal"),
         grouping(col("r_name")).cast("long").as("gr_region"),
         grouping(col("n_name")).cast("long").as("gr_nation"))
       .select(col("r_name").as("region"), col("n_name").as("nation"),
@@ -72,7 +73,7 @@ object Analytics2 {
     val monthly = o.groupBy(
         year(col("o_orderdate")).cast("long").as("year"),
         month(col("o_orderdate")).cast("long").as("month"))
-      .agg(round(sum(col("o_totalprice")), 2).as("rev"),
+      .agg(out2(sum(m3(col("o_totalprice")))).as("rev"),
         count(lit(1)).as("n_orders"))
     val frame = Window.orderBy(col("year"), col("month")).rowsBetween(-2, 0)
     monthly.select(
@@ -97,11 +98,11 @@ object Analytics2 {
     val m = p.groupBy(col("p_type").as("product_category"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("p_retailprice")), 2).as("sx"),
+        outRaw(sum(m2(col("p_retailprice")))).as("sx"),
         sum(col("p_size").cast("long")).as("sy"),
-        round(sum(col("p_retailprice") * col("p_retailprice")), 2).as("sxx"),
+        outRaw(sum(m2(col("p_retailprice")) * m2(col("p_retailprice")))).as("sxx"),
         sum((col("p_size") * col("p_size")).cast("long")).as("syy"),
-        round(sum(col("p_retailprice") * col("p_size")), 2).as("sxy"))
+        outRaw(sum(m2(col("p_retailprice")) * col("p_size"))).as("sxy"))
     m.select(
       col("product_category"), col("n"),
       ((col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -124,11 +125,11 @@ object Analytics2 {
       """WITH m AS (
         |  SELECT p_type AS product_category,
         |         count(*) AS n,
-        |         round(sum(p_retailprice), 2) AS sx,
+        |         CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
         |         CAST(sum(p_size) AS BIGINT) AS sy,
-        |         round(sum(p_retailprice * p_retailprice), 2) AS sxx,
+        |         CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
         |         CAST(sum(p_size * p_size) AS BIGINT) AS syy,
-        |         round(sum(p_retailprice * p_size), 2) AS sxy
+        |         CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) * p_size) AS DOUBLE) AS sxy
         |  FROM part GROUP BY 1)
         |SELECT product_category, n,
         |       (n * sxy - sx * sy)
@@ -138,7 +139,7 @@ object Analytics2 {
     "q25_region_rollup" ->
       """SELECT r_name AS region, n_name AS nation,
         |       count(*) AS n_customers,
-        |       round(sum(c_acctbal), 2) AS total_acctbal,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_acctbal,
         |       CAST(grouping(r_name) AS BIGINT) AS gr_region,
         |       CAST(grouping(n_name) AS BIGINT) AS gr_nation
         |FROM customer
@@ -170,7 +171,7 @@ object Analytics2 {
     "q28_moving_window" ->
       """WITH monthly AS (
         |  SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
-        |         round(sum(o_totalprice), 2) AS rev,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,3))), 2) AS DOUBLE) AS rev,
         |         count(*) AS n_orders
         |  FROM orders GROUP BY 1, 2)
         |SELECT year, month, rev, n_orders,

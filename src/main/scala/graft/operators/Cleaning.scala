@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Money.{m2, outRaw}
 import graft.sources.Tables
 
 /** Data cleaning, multi-source conforming, and validation gates —
@@ -57,8 +58,10 @@ object Cleaning {
       lit("catalog_parquet").as("_source"))
     val salesSide = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey").as("product_id"))
-      .agg(round(avg(col("l_extendedprice") /
-        when(col("l_quantity") === 0.0, lit(null)).otherwise(col("l_quantity"))), 2).as("price"))
+      // quantity-weighted unit price from exact decimal sums (raw division
+      // — rounding a division creates engine-divergent midpoints)
+      .agg((outRaw(sum(m2(col("l_extendedprice")))) /
+        when(sum(col("l_quantity")) === 0.0, lit(null)).otherwise(sum(col("l_quantity")))).as("price"))
       .select(
         col("product_id"),
         lit(null).cast("string").as("product_name"),
@@ -137,7 +140,8 @@ object Cleaning {
         |  UNION ALL
         |  SELECT l_partkey AS product_id, CAST(NULL AS VARCHAR) AS product_name,
         |         CAST(NULL AS VARCHAR) AS category_raw,
-        |         round(avg(l_extendedprice / nullif(l_quantity, 0)), 2) AS price,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |           / nullif(sum(l_quantity), 0) AS price,
         |         'sales_derived' AS _source
         |  FROM lineitem GROUP BY 1)
         |SELECT *,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Money.{m3, out2}
 import graft.sources.Tables
 
 /** Dimension builders — the reference's dimensional-modeling layer
@@ -71,7 +72,7 @@ object Dimensions {
         min(col("o_orderdate")).as("first_purchase_date"),
         max(col("o_orderdate")).as("last_purchase_date"),
         count(col("o_orderkey")).as("total_transactions"),
-        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+        out2(coalesce(sum(m3(col("o_totalprice"))), lit(0).cast("decimal(14,3)"))).as("total_spend"))
   }
 
   private def segmentOf(cnt: Column): Column =
@@ -166,7 +167,7 @@ object Dimensions {
         |         min(o_orderdate) AS first_purchase_date,
         |         max(o_orderdate) AS last_purchase_date,
         |         count(o_orderkey) AS total_transactions,
-        |         round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+        |         CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(14,3))), CAST(0 AS DECIMAL(14,3))), 2) AS DOUBLE) AS total_spend
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY 1, 2, 3, 4)
         |SELECT c_custkey AS customer_id, c_name AS customer_name,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Money.{m2, out2}
 import graft.sources.Tables
 
 /** Batch event-stream operators: gap-based sessionization, tumbling
@@ -36,7 +37,7 @@ object Events {
         epochS(min(col("ts"))).as("session_start_epoch"),
         epochS(max(col("ts"))).as("session_end_epoch"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"),
+        out2(sum(m2(col("value")))).as("total_value"),
         countDistinct(col("event_type")).as("distinct_event_types"))
       .withColumn("duration_sec", col("session_end_epoch") - col("session_start_epoch"))
   }
@@ -49,10 +50,10 @@ object Events {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"),
+        out2(sum(m2(col("value")))).as("total_value"),
         // rounded-sum / count, NOT round(avg): small groups hit exact
         // half-cent midpoints where engine rounding modes disagree
-        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"),
+        (out2(sum(m2(col("value")))) / count(lit(1))).as("avg_value"),
         countDistinct(col("user_id")).as("unique_users"))
   }
 
@@ -63,7 +64,7 @@ object Events {
       .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
       .agg(
         count(lit(1)).as("n_events"),
-        (round(sum(col("value")), 2) / count(lit(1))).as("avg_value"),
+        (out2(sum(m2(col("value")))) / count(lit(1))).as("avg_value"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
   }
@@ -94,15 +95,15 @@ object Events {
         |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
         |       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch,
         |       count(*) AS n_events,
-        |       round(sum(value), 2) AS total_value,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
         |       count(DISTINCT event_type) AS distinct_event_types,
         |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
         |FROM seq GROUP BY 1, 2""".stripMargin,
     "e02_event_tumbling" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
         |       count(*) AS n_events,
-        |       round(sum(value), 2) AS total_value,
-        |       round(sum(value), 2) / count(*) AS avg_value,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*) AS avg_value,
         |       count(DISTINCT user_id) AS unique_users
         |FROM events GROUP BY 1, 2""".stripMargin,
     "e03_json_props" ->
@@ -112,7 +113,7 @@ object Events {
         |  FROM events)
         |SELECT event_type, k % 10 AS k_bucket,
         |       count(*) AS n_events,
-        |       round(sum(value), 2) / count(*) AS avg_value,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*) AS avg_value,
         |       min(k) AS min_k, max(k) AS max_k
         |FROM k GROUP BY 1, 2""".stripMargin)
 }

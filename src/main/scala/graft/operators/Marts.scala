@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Money._
 import graft.sources.Tables
 
 /** Data-mart builders (/root/reference/etl/transform.py:393-507):
@@ -25,20 +26,20 @@ object Marts {
         month(col("l_shipdate")).cast("long").as("month"),
         date_format(col("l_shipdate"), "MMMM").as("month_name"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_raw"),
+        out2(sum(net(col("l_extendedprice"), col("l_discount")))).as("total_revenue"),
         sum(col("l_quantity")).as("total_quantity"),
         count(lit(1)).as("total_lines"),
         countDistinct(col("l_partkey")).as("unique_parts"),
-        sum(col("l_extendedprice")).as("ep_sum"))
+        sum(m2(col("l_extendedprice"))).as("ep_dec"))
     val w = Window.orderBy(col("year"), col("month"))
-    m.withColumn("prev_r", round(lag(col("rev_raw"), 1).over(w), 2))
+    m.withColumn("prev_r", lag(col("total_revenue"), 1).over(w))
       .select(
         col("year"), col("month"), col("month_name"),
-        round(col("rev_raw"), 2).as("total_revenue"),
+        col("total_revenue"),
         col("total_quantity"), col("total_lines"), col("unique_parts"),
-        (round(col("ep_sum"), 2) / col("total_lines")).as("avg_line_value"),
+        (out2(col("ep_dec")) / col("total_lines")).as("avg_line_value"),
         col("prev_r").as("revenue_prev_month"),
-        ((round(col("rev_raw"), 2) - col("prev_r"))
+        ((col("total_revenue") - col("prev_r"))
           / when(col("prev_r") === 0.0, lit(null)).otherwise(col("prev_r")) * 100)
           .as("revenue_growth_pct"))
   }
@@ -49,34 +50,34 @@ object Marts {
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val netExpr = net(col("l_extendedprice"), col("l_discount"))
     val m = li
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("p_type").as("product_category"))
       .agg(
-        sum(net).as("rev_raw"),
+        sum(netExpr).as("rev_dec"),
         countDistinct(col("l_orderkey")).as("total_transactions"),
         sum(col("l_quantity")).as("total_quantity"),
-        sum(col("l_extendedprice")).as("ep_sum"),
+        sum(m2(col("l_extendedprice"))).as("ep_dec"),
         count(lit(1)).as("n_lines"),
         countDistinct(col("o_custkey")).as("unique_customers"),
-        sum(col("c_acctbal")).as("bal_sum"),
+        sum(m2(col("c_acctbal"))).as("bal_dec"),
         // segment pivot — reference's gender-split percentages
-        sum(when(col("c_mktsegment") === "AUTOMOBILE", net).otherwise(0.0)).as("auto_raw"),
-        sum(when(col("c_mktsegment") === "BUILDING", net).otherwise(0.0)).as("bldg_raw"))
+        sum(when(col("c_mktsegment") === "AUTOMOBILE", netExpr)).as("auto_dec"),
+        sum(when(col("c_mktsegment") === "BUILDING", netExpr)).as("bldg_dec"))
     val all = Window.partitionBy()
     m.select(
       col("product_category"),
-      round(col("rev_raw"), 2).as("total_revenue"),
-      round(col("rev_raw") / sum(col("rev_raw")).over(all) * 100, 2).as("revenue_share_pct"),
+      out2(col("rev_dec")).as("total_revenue"),
+      round(outRaw(col("rev_dec")) / sum(outRaw(col("rev_dec"))).over(all) * 100, 2).as("revenue_share_pct"),
       col("total_transactions"), col("total_quantity"),
-      (round(col("ep_sum"), 2) / col("n_lines")).as("avg_price"),
+      (out2(col("ep_dec")) / col("n_lines")).as("avg_price"),
       col("unique_customers"),
-      (round(col("bal_sum"), 2) / col("n_lines")).as("avg_acctbal"),
-      round(col("auto_raw") / col("rev_raw") * 100, 2).as("automobile_revenue_pct"),
-      round(col("bldg_raw") / col("rev_raw") * 100, 2).as("building_revenue_pct"))
+      (out2(col("bal_dec")) / col("n_lines")).as("avg_acctbal"),
+      round(coalesce(outRaw(col("auto_dec")), lit(0.0)) / outRaw(col("rev_dec")) * 100, 2).as("automobile_revenue_pct"),
+      round(coalesce(outRaw(col("bldg_dec")), lit(0.0)) / outRaw(col("rev_dec")) * 100, 2).as("building_revenue_pct"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -88,48 +89,47 @@ object Marts {
       """WITH m AS (
         |  SELECT year(l_shipdate) AS year, month(l_shipdate) AS month,
         |         monthname(l_shipdate) AS month_name,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS total_revenue,
         |         sum(l_quantity) AS total_quantity,
         |         count(*) AS total_lines,
         |         count(DISTINCT l_partkey) AS unique_parts,
-        |         sum(l_extendedprice) AS ep_sum
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS ep_dec
         |  FROM lineitem GROUP BY 1, 2, 3),
         |w AS (
-        |  SELECT *, round(lag(rev_raw) OVER (ORDER BY year, month), 2) AS prev_r FROM m)
-        |SELECT year, month, month_name,
-        |       round(rev_raw, 2) AS total_revenue,
+        |  SELECT *, lag(total_revenue) OVER (ORDER BY year, month) AS prev_r FROM m)
+        |SELECT year, month, month_name, total_revenue,
         |       total_quantity, total_lines, unique_parts,
-        |       round(ep_sum, 2) / total_lines AS avg_line_value,
+        |       CAST(round(ep_dec, 2) AS DOUBLE) / total_lines AS avg_line_value,
         |       prev_r AS revenue_prev_month,
-        |       (round(rev_raw, 2) - prev_r) / nullif(prev_r, 0) * 100 AS revenue_growth_pct
+        |       (total_revenue - prev_r) / nullif(prev_r, 0) * 100 AS revenue_growth_pct
         |FROM w""".stripMargin,
     "q14_mart_category_analysis" ->
       """WITH m AS (
         |  SELECT p_type AS product_category,
-        |         sum(l_extendedprice * (1.0 - l_discount)) AS rev_raw,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS rev_dec,
         |         count(DISTINCT l_orderkey) AS total_transactions,
         |         sum(l_quantity) AS total_quantity,
-        |         sum(l_extendedprice) AS ep_sum,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS ep_dec,
         |         count(*) AS n_lines,
         |         count(DISTINCT o_custkey) AS unique_customers,
-        |         sum(c_acctbal) AS bal_sum,
+        |         sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_dec,
         |         sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
-        |                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) AS auto_raw,
+        |                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END) AS auto_dec,
         |         sum(CASE WHEN c_mktsegment = 'BUILDING'
-        |                  THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) AS bldg_raw
+        |                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END) AS bldg_dec
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1)
         |SELECT product_category,
-        |       round(rev_raw, 2) AS total_revenue,
-        |       round(rev_raw / sum(rev_raw) OVER () * 100, 2) AS revenue_share_pct,
+        |       CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue,
+        |       round(CAST(rev_dec AS DOUBLE) / sum(CAST(rev_dec AS DOUBLE)) OVER () * 100, 2) AS revenue_share_pct,
         |       total_transactions, total_quantity,
-        |       round(ep_sum, 2) / n_lines AS avg_price,
+        |       CAST(round(ep_dec, 2) AS DOUBLE) / n_lines AS avg_price,
         |       unique_customers,
-        |       round(bal_sum, 2) / n_lines AS avg_acctbal,
-        |       round(auto_raw / rev_raw * 100, 2) AS automobile_revenue_pct,
-        |       round(bldg_raw / rev_raw * 100, 2) AS building_revenue_pct
+        |       CAST(round(bal_dec, 2) AS DOUBLE) / n_lines AS avg_acctbal,
+        |       round(coalesce(CAST(auto_dec AS DOUBLE), 0.0) / CAST(rev_dec AS DOUBLE) * 100, 2) AS automobile_revenue_pct,
+        |       round(coalesce(CAST(bldg_dec AS DOUBLE), 0.0) / CAST(rev_dec AS DOUBLE) * 100, 2) AS building_revenue_pct
         |FROM m""".stripMargin)
 }
