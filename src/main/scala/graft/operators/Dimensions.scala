@@ -115,19 +115,31 @@ object Dimensions {
     */
   def scd2MergeDemo(spark: SparkSession, dir: String): DataFrame = {
     val splitTs = lit("1999-01-01 00:00:00").cast("timestamp")
-    def snap(f: Column): DataFrame =
-      customerSnapshot(spark, dir, f)
-        .select(
+    // both snapshots come from ONE join+aggregate pass (conditional
+    // count for the pre-split state), cached because the merge reads the
+    // two projections in separate plan branches — tiny (|customers| rows)
+    val joint = {
+      val c = Tables.customer(spark, dir).select(col("c_custkey"))
+      val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(when(col("o_orderdate") < splitTs, col("o_orderkey"))).as("cnt_pre"),
+          count(col("o_orderkey")).as("cnt_all"))
+        .persist()
+    }
+    def snap(cnt: String): DataFrame =
+      joint.select(
           col("c_custkey").as("customer_id"),
-          segmentOf(col("total_transactions")).as("segment"))
+          segmentOf(col(cnt)).as("segment"))
         .withColumn("row_hash", md5(concat_ws("_", col("customer_id"), col("segment"))))
     // existing dim: v1/current rows as of the split date
-    val existing = snap(col("o_orderdate") < splitTs)
+    val existing = snap("cnt_pre")
       .withColumn("version", lit(1L))
       .withColumn("is_current", lit(true))
       .withColumn("effective_start_date", splitTs)
       .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp"))
-    val incoming = snap(lit(true))
+    val incoming = snap("cnt_all")
     Scd2.merge(
       existing, incoming,
       key = "customer_id",
