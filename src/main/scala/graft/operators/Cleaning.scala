@@ -112,12 +112,67 @@ object Cleaning {
           col("orders_orphan_cust") === 0)
   }
 
+  // ─── q30 order↔lineitem financial reconciliation ─────────────────────
+  /** Cross-table amount reconciliation — the reference's discrepancy
+    * check between recorded and computed amounts (transform.py:63-72
+    * "Found N rows with amount discrepancies") lifted to the
+    * order-vs-lineitem grain: per priority class, how many orders'
+    * recorded totals agree with the exact-decimal sum of their line
+    * charges, and how large the drift is.
+    */
+  def orderReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Money._
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).as("computed"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val j = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("abs_diff", abs(m3(col("o_totalprice")) - col("computed")))
+    j.groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(outRaw(col("abs_diff")) <= 0.011, 1L).otherwise(0L)).as("n_consistent"),
+        sum(when(outRaw(col("abs_diff")) > 0.011, 1L).otherwise(0L)).as("n_mismatch"),
+        out2(sum(m3(col("o_totalprice")))).as("total_recorded"),
+        out2(sum(col("computed"))).as("total_computed"),
+        out2(max(col("abs_diff"))).as("max_abs_diff"))
+      .withColumn("drift_pct",
+        (col("total_recorded") - col("total_computed")) / col("total_recorded") * 100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_clean_lineitem" -> cleanLineitem,
     "q19_multi_source_conform" -> multiSourceConform,
-    "q22_validation_gates" -> validationGates)
+    "q22_validation_gates" -> validationGates,
+    "q30_order_reconciliation" -> orderReconciliation)
 
   val oracle: Map[String, String] = Map(
+    "q30_order_reconciliation" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS computed
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(o_totalprice AS DECIMAL(14,3)) AS tp,
+        |         computed,
+        |         abs(CAST(o_totalprice AS DECIMAL(14,3)) - computed) AS abs_diff
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey),
+        |m AS (
+        |  SELECT priority,
+        |         count(*) AS n_orders,
+        |         CAST(coalesce(sum(CASE WHEN CAST(abs_diff AS DOUBLE) <= 0.011 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_consistent,
+        |         CAST(coalesce(sum(CASE WHEN CAST(abs_diff AS DOUBLE) > 0.011 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatch,
+        |         CAST(round(sum(tp), 2) AS DOUBLE) AS total_recorded,
+        |         CAST(round(sum(computed), 2) AS DOUBLE) AS total_computed,
+        |         CAST(round(max(abs_diff), 2) AS DOUBLE) AS max_abs_diff
+        |  FROM j GROUP BY 1)
+        |SELECT *,
+        |       (total_recorded - total_computed) / total_recorded * 100 AS drift_pct
+        |FROM m""".stripMargin,
     "q15_clean_lineitem" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_number,
         |       l_quantity, l_extendedprice,
