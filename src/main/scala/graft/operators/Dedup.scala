@@ -132,13 +132,94 @@ object Dedup {
       (count(lit(1)).over(lo) - 1).as("n_same_lo"))
   }
 
+  // ─── d07 end-to-end dedup pipeline: LSH → verify → removal list ──────
+  /** The production near-dup flow composed from the building blocks:
+    * MinHash+LSH candidate pairs (d03) → exact Jaccard verification
+    * computed ONLY on candidate docs (the whole point of LSH: the
+    * expensive exact measure runs on a tiny candidate set, never the
+    * corpus) → keep-min survivorship: for every verified pair
+    * (jaccard ≥ 0.5) the larger doc_id is marked for removal.
+    */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLsh(spark, dir)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // shingles restricted to candidate docs — bounded by LSH selectivity
+    val sh = wordShingles(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+    verified.groupBy(col("doc_b").as("removed_doc_id"))
+      .agg(
+        min(col("doc_a")).as("kept_partner"),
+        count(lit(1)).as("n_dup_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
-    "d04_simhash" -> simhash)
+    "d04_simhash" -> simhash,
+    "d07_dedup_pipeline" -> dedupPipeline)
 
   val oracle: Map[String, String] = Map(
+    "d07_dedup_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 12)) AS k),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(md5(k || '|' || shingle)) AS sig
+        |  FROM sh CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 4 AS band_j,
+        |         md5(concat_ws('', min(CASE WHEN k % 4 = 0 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 1 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 2 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 3 THEN sig END))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |         CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |           / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) AS jaccard
+        |  FROM cand
+        |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5)
+        |SELECT doc_b AS removed_doc_id,
+        |       min(doc_a) AS kept_partner,
+        |       count(*) AS n_dup_pairs,
+        |       max(jaccard) AS max_jaccard
+        |FROM verified GROUP BY 1""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS fingerprint,
         |       min(doc_id) AS keep_doc_id,
