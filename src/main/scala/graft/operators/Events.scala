@@ -69,12 +69,73 @@ object Events {
         max(col("k")).as("max_k"))
   }
 
+  // ─── e04 conversion funnel (signup → click → purchase) ───────────────
+  /** Ordered-sequence funnel: for each user the first signup, the first
+    * click at-or-after it, and the first purchase at-or-after that
+    * click; one row of funnel counts and raw conversion ratios. Each
+    * stage is a conditional-min aggregation — three passes over the
+    * (small) per-user stage table, never over raw events more than once.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"))
+    val s2 = e.join(broadcast(s1), Seq("user_id"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(when(col("event_type") === "click" &&
+        col("ts") >= col("signup_ts"), col("ts"))).as("click_ts"))
+    val s3 = e.join(broadcast(s2), Seq("user_id"))
+      .groupBy(col("user_id"), col("signup_ts"), col("click_ts"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("click_ts"), col("ts"))).as("purchase_ts"))
+    s3.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("signup_ts").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+        sum(when(col("click_ts").isNotNull, 1L).otherwise(0L)).as("n_clicked_after"),
+        sum(when(col("purchase_ts").isNotNull, 1L).otherwise(0L)).as("n_purchased_after"))
+      .withColumn("click_conversion",
+        col("n_clicked_after").cast("double") /
+          when(col("n_signed_up") === 0, lit(null)).otherwise(col("n_signed_up")))
+      .withColumn("purchase_conversion",
+        col("n_purchased_after").cast("double") /
+          when(col("n_clicked_after") === 0, lit(null)).otherwise(col("n_clicked_after")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> sessionize,
     "e02_event_tumbling" -> tumblingWindows,
-    "e03_json_props" -> jsonProps)
+    "e03_json_props" -> jsonProps,
+    "e04_funnel" -> funnel)
 
   val oracle: Map[String, String] = Map(
+    "e04_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, s1.signup_ts,
+        |         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.signup_ts
+        |                  THEN e.ts END) AS click_ts
+        |  FROM events e JOIN s1 USING (user_id)
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, s2.signup_ts, s2.click_ts,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.click_ts
+        |                  THEN e.ts END) AS purchase_ts
+        |  FROM events e JOIN s2 USING (user_id)
+        |  GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT count(*) AS n_users,
+        |         CAST(coalesce(sum(CASE WHEN signup_ts IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_signed_up,
+        |         CAST(coalesce(sum(CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clicked_after,
+        |         CAST(coalesce(sum(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purchased_after
+        |  FROM s3)
+        |SELECT *,
+        |       CAST(n_clicked_after AS DOUBLE) / nullif(n_signed_up, 0) AS click_conversion,
+        |       CAST(n_purchased_after AS DOUBLE) / nullif(n_clicked_after, 0) AS purchase_conversion
+        |FROM m""".stripMargin,
     "e01_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id, value,  event_type,
