@@ -82,8 +82,14 @@ object Dedup {
   }
 
   // ─── d03 MinHash + LSH banding ───────────────────────────────────────
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshFrom(wordShingles(spark, dir))
+
+  /** LSH candidate pairs from a prebuilt (doc_id, shingle) frame — lets
+    * d07 share one (possibly persisted) shingle computation between the
+    * signature build and the exact-Jaccard verification.
+    */
+  private def minhashLshFrom(sh: DataFrame): DataFrame = {
     // 12 min-wise signatures as STATIC aggregate columns over ONE pass —
     // no k-explosion: 12x fewer rows through the shuffle than the naive
     // (doc, shingle, k) layout, with identical semantics
@@ -139,14 +145,21 @@ object Dedup {
     * expensive exact measure runs on a tiny candidate set, never the
     * corpus) → keep-min survivorship: for every verified pair
     * (jaccard ≥ 0.5) the larger doc_id is marked for removal.
+    *
+    * The shingle explode — the dominant cost — is computed ONCE and
+    * persisted: it feeds both the MinHash signature build and the exact
+    * verification (round 1 paid the explode twice and it made d07 the
+    * slowest bench entry). The candidate-pair set (tiny: bounded by LSH
+    * selectivity) is persisted too since three plan branches read it.
+    * Long-lived sessions (Bench/Verify) clear the cache between queries.
     */
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashLsh(spark, dir)
+    val allSh = wordShingles(spark, dir).persist()
+    val cand = minhashLshFrom(allSh).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // shingles restricted to candidate docs — bounded by LSH selectivity
-    val sh = wordShingles(spark, dir)
-      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sh = allSh.join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

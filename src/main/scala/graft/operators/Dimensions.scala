@@ -97,8 +97,8 @@ object Dimensions {
         col("total_transactions"), col("total_spend"))
       .withColumn("customer_key", surrogateKey("customer_id"))
       .withColumn("effective_start_date",
-        coalesce(col("first_purchase_date"), lit("1990-01-01 00:00:00").cast("timestamp")))
-      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp"))
+        coalesce(col("first_purchase_date"), lit("1990-01-01 00:00:00").cast("timestamp_ntz")))
+      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
       .withColumn("is_current", lit(true))
       .withColumn("version", lit(1L))
       .withColumn("row_hash",
@@ -114,10 +114,16 @@ object Dimensions {
     * expire-changed + insert-new semantics keyed on row_hash.
     */
   def scd2MergeDemo(spark: SparkSession, dir: String): DataFrame = {
-    val splitTs = lit("1999-01-01 00:00:00").cast("timestamp")
+    // NTZ family throughout: the source parquet timestamps are NTZ, and a
+    // session-TZ (LTZ) literal would be written as parquet INT96 in the
+    // verify dump — DuckDB reads INT96 as int64 NANOS, which 9999-12-31
+    // overflows, silently corrupting the oracle hash (round-1 q10/q11).
+    val splitTs = lit("1999-01-01 00:00:00").cast("timestamp_ntz")
     // both snapshots come from ONE join+aggregate pass (conditional
-    // count for the pre-split state), cached because the merge reads the
-    // two projections in separate plan branches — tiny (|customers| rows)
+    // count for the pre-split state); the merge reads the two projections
+    // in separate plan branches, but the frame is tiny (|customers| rows)
+    // and rebuilt cheaply, so no persist — a persist here would leak cache
+    // into the long-lived shared sessions of Bench/Pipeline.
     val joint = {
       val c = Tables.customer(spark, dir).select(col("c_custkey"))
       val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
@@ -126,7 +132,6 @@ object Dimensions {
         .agg(
           count(when(col("o_orderdate") < splitTs, col("o_orderkey"))).as("cnt_pre"),
           count(col("o_orderkey")).as("cnt_all"))
-        .persist()
     }
     def snap(cnt: String): DataFrame =
       joint.select(
@@ -138,12 +143,12 @@ object Dimensions {
       .withColumn("version", lit(1L))
       .withColumn("is_current", lit(true))
       .withColumn("effective_start_date", splitTs)
-      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp"))
+      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
     val incoming = snap("cnt_all")
     Scd2.merge(
       existing, incoming,
       key = "customer_id",
-      mergeTs = lit("2000-01-01 00:00:00").cast("timestamp"))
+      mergeTs = lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

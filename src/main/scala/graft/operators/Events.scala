@@ -72,23 +72,36 @@ object Events {
   // ─── e04 conversion funnel (signup → click → purchase) ───────────────
   /** Ordered-sequence funnel: for each user the first signup, the first
     * click at-or-after it, and the first purchase at-or-after that
-    * click; one row of funnel counts and raw conversion ratios. Each
-    * stage is a conditional-min aggregation — three passes over the
-    * (small) per-user stage table, never over raw events more than once.
+    * click; one row of funnel counts and raw conversion ratios.
+    *
+    * ONE shuffle on user_id: the three dependent stage timestamps are
+    * chained partition-only window mins over the same hash distribution
+    * (Spark stacks the Window execs on one exchange), and the per-user
+    * collapse is a groupBy(user_id) that reuses that distribution — no
+    * further exchange. Round 1 instead joined the raw events back to
+    * per-user aggregates wrapped in broadcast(): an unbounded-cardinality
+    * broadcast that would OOM the driver at 100 TB user counts.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = e.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"))
-    val s2 = e.join(broadcast(s1), Seq("user_id"))
-      .groupBy(col("user_id"), col("signup_ts"))
-      .agg(min(when(col("event_type") === "click" &&
-        col("ts") >= col("signup_ts"), col("ts"))).as("click_ts"))
-    val s3 = e.join(broadcast(s2), Seq("user_id"))
-      .groupBy(col("user_id"), col("signup_ts"), col("click_ts"))
-      .agg(min(when(col("event_type") === "purchase" &&
-        col("ts") >= col("click_ts"), col("ts"))).as("purchase_ts"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = e
+      .withColumn("signup_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("signup_ts"), col("ts"))).over(byUser))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("click_ts"), col("ts"))).over(byUser))
+    // stage columns are constant per user; max() collapses to one row per
+    // user (and max over all-null stays null, preserving funnel dropout)
+    val s3 = staged.groupBy(col("user_id"))
+      .agg(
+        max(col("signup_ts")).as("signup_ts"),
+        max(col("click_ts")).as("click_ts"),
+        max(col("purchase_ts")).as("purchase_ts"))
     s3.agg(
         count(lit(1)).as("n_users"),
         sum(when(col("signup_ts").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),

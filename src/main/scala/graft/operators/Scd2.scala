@@ -29,7 +29,7 @@ object Scd2 {
   private val META = Seq("version", "is_current", "effective_start_date", "effective_end_date")
 
   def merge(existing: DataFrame, incoming: DataFrame, key: String, mergeTs: Column,
-            farFuture: Column = lit("9999-12-31 00:00:00").cast("timestamp")): DataFrame = {
+            farFuture: Column = lit("9999-12-31 00:00:00").cast("timestamp_ntz")): DataFrame = {
     val attrs = incoming.columns.filterNot(c => c == key || c == "row_hash").toSeq
     val outCols = (key +: attrs) ++ META ++ Seq("change_type", "row_hash")
 

@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Java so the whole ANN scoring stage stays inside WholeStageCodegen.
   * Accumulation is index-ordered (identical fold order to the
   * higher-order-function composition), so results are bit-identical to
-  * the declarative form.
+  * the declarative form for equal-length, non-null-element inputs.
+  *
+  * Degenerate inputs are NULL, never a plausible-looking score:
+  * length-mismatched vectors and vectors containing a null element both
+  * yield NULL (in interpreted and codegen paths alike) so a malformed
+  * embedding can't silently rank.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -34,17 +39,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL-on-degenerate-input means the result can be null even when both
+  // array columns are non-nullable
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i)
       val yv = y.getDouble(i)
       dot += xv * yv
@@ -65,18 +76,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val yv = ctx.freshName("yv")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0;
          |double $nx = 0.0;
          |double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv;
-         |  $nx += $xv * $xv;
-         |  $ny += $yv * $yv;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv;
+         |    $nx += $xv * $xv;
+         |    $ny += $yv * $yv;
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin)
   }
 

@@ -25,6 +25,23 @@ class CosineSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("length mismatch and null elements yield null, not a truncated score") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),          // length mismatch
+      (Array(1.0, 2.0), Array(1.0, 2.0)))                // clean
+      .toDF("a", "b")
+    val got = df.select(CosineSimilarity.cosineSim(col("a"), col("b")).as("c")).collect()
+    assert(got(0).isNullAt(0))
+    assert(math.abs(got(1).getDouble(0) - 1.0) < 1e-12)
+    // null element inside an array — interpreted and codegen paths agree
+    val withNullElem = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    assert(withNullElem.select(CosineSimilarity.cosineSim(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
   test("null inputs yield null; SQL registration works") {
     import spark.implicits._
     CosineSimilarity.register(spark)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Cleaning}
+import graft.operators.{Analytics, Cleaning, Events}
 import graft.plans.GraftExtensions
 
 /** Plan-shape guarantees that must survive refactors: pruned scans,
@@ -37,6 +37,17 @@ class PlanHygieneSpec extends AnyFunSuite {
   test("top customers plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Analytics.topCustomers(spark, TestSpark.sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("funnel shuffles events once and never broadcasts an unbounded aggregate") {
+    val p = plan(Events.funnel(spark, TestSpark.sf))
+    // a broadcast of a per-user aggregate (unbounded cardinality) is a
+    // driver OOM at 100 TB — the funnel must stay hint-free so the three
+    // stage windows + per-user collapse ride one hash exchange
+    assert(!p.contains("BroadcastExchange"),
+      s"funnel must not broadcast per-user aggregates:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"funnel should shuffle events once, saw $shuffles:\n$p")
   }
 
   test("extensions class injects cosine_similarity (builder-level wiring)") {
