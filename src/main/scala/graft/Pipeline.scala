@@ -44,7 +44,7 @@ object Pipeline {
       "stg_lineitem_clean" -> Cleaning.cleanLineitem(spark, sfDir))
     val core: Seq[(String, DataFrame)] = Seq(
       "dim_date" -> Dimensions.dimDate(spark, sfDir),
-      "dim_customer" -> Dimensions.dimCustomer(spark, sfDir),
+      "dim_customer" -> Dimensions.dimCustomerHashed(spark, sfDir),
       "dim_category" -> Facts.dimCategory(spark, sfDir),
       "fact_sales" -> Facts.factSales(spark, sfDir))
     val marts: Seq[(String, DataFrame)] = Seq(

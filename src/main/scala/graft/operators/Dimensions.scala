@@ -29,6 +29,18 @@ object Dimensions {
   private def surrogateKey(orderCol: String): Column =
     row_number().over(Window.orderBy(col(orderCol))).cast("long")
 
+  /** Hash surrogate key — the scale-path alternative to [[surrogateKey]]:
+    * a 60-bit key from the first 15 hex digits of md5(natural key).
+    * Embarrassingly parallel (no global row_number window serializing
+    * the dim through one partition) and derivable by ANY consumer from
+    * the natural key alone, so fact builds don't even need the dim join
+    * to stamp the FK. Engine-portable: DuckDB computes the identical key
+    * as CAST('0x' || substr(md5(k), 1, 15) AS BIGINT). Collision odds at
+    * a 10^7-row dim: ~n²/2^61 ≈ 4e-5 — acceptable for analytics keys.
+    */
+  def hashKey(natural: Column): Column =
+    conv(substring(md5(natural.cast("string")), 1, 15), 16, 10).cast("long")
+
   // ─── q09 date dimension (transform.py:134-172) ───────────────────────
   def dimDate(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -84,7 +96,8 @@ object Dimensions {
       .when(bal < 5000, "Mid").when(bal < 7500, "High").otherwise("Premium")
 
   // ─── q10 customer dimension w/ SCD2 columns (transform.py:175-223) ───
-  def dimCustomer(spark: SparkSession, dir: String): DataFrame = {
+  private def dimCustomerWithKey(spark: SparkSession, dir: String,
+                                 key: Column): DataFrame = {
     customerSnapshot(spark, dir)
       .select(
         col("c_custkey").as("customer_id"),
@@ -95,7 +108,7 @@ object Dimensions {
         segmentOf(col("total_transactions")).as("customer_segment"),
         col("first_purchase_date"), col("last_purchase_date"),
         col("total_transactions"), col("total_spend"))
-      .withColumn("customer_key", surrogateKey("customer_id"))
+      .withColumn("customer_key", key)
       .withColumn("effective_start_date",
         coalesce(col("first_purchase_date"), lit("1990-01-01 00:00:00").cast("timestamp_ntz")))
       .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
@@ -104,6 +117,21 @@ object Dimensions {
       .withColumn("row_hash",
         md5(concat_ws("_", col("customer_id"), col("segment_attr"), col("customer_name"))))
   }
+
+  /** Reference-parity form: positional surrogate key (transform.py:192's
+    * pandas index) — the unpartitioned row_number is acceptable only
+    * because dims stay ≤10^7 rows; the warehouse path uses
+    * [[dimCustomerHashed]] instead.
+    */
+  def dimCustomer(spark: SparkSession, dir: String): DataFrame =
+    dimCustomerWithKey(spark, dir, surrogateKey("customer_id"))
+
+  /** Scale form: hash surrogate key, matching the FK that
+    * [[Facts.factSales]] derives inline from the natural key — no global
+    * window anywhere in the warehouse build.
+    */
+  def dimCustomerHashed(spark: SparkSession, dir: String): DataFrame =
+    dimCustomerWithKey(spark, dir, hashKey(col("customer_id")))
 
   // ─── q11 SCD Type 2 merge demo (load.py:246-319) ─────────────────────
   /** Deterministic merge scenario: the "existing" dim is the customer
@@ -151,12 +179,118 @@ object Dimensions {
       mergeTs = lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
   }
 
+  // ─── q31 product dimension + SCD2 merge (transform.py:226-280) ───────
+  /** Product dim — SCD2 instance #2 with multi-source price conformance
+    * (/root/reference/etl/transform.py:226-280): the part catalog plays
+    * the API product snapshot (p_retailprice = api_price) and the sales
+    * ledger supplies an observed per-part unit price. The incoming batch
+    * conforms obviously-stale API prices (observed more than 1.5x away)
+    * to the observed price; the existing dim is the original API
+    * snapshot restricted to parts already sold before the split date.
+    * Conformed prices expire + re-version through the generic
+    * [[Scd2.merge]]; parts first sold later arrive as `new`.
+    *
+    * Scale: one shuffle for the per-part price aggregate, then
+    * part-sized joins (AQE broadcasts the smaller side); the merge
+    * itself is the single full-outer pass of Scd2.merge.
+    */
+  def dimProduct(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity"), col("l_shipdate"))
+    // observed unit price: exact-decimal revenue sum / exact unit count
+    // (quantities are integral doubles, so their float sum is exact),
+    // re-rounded in the decimal domain — parallelism-independent
+    val obs = li.groupBy(col("l_partkey")).agg(
+      round((out2(sum(m3(col("l_extendedprice")))) / sum(col("l_quantity")))
+        .cast("decimal(18,6)"), 2).cast("double").as("observed_price"))
+    def productHash(price: Column): Column =
+      md5(concat_ws("_", col("product_id"), col("product_name"),
+        price.cast("decimal(12,2)").cast("string")))
+    val incoming = p.join(obs, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_partkey").as("product_id"),
+        col("p_name").as("product_name"),
+        col("p_type").as("product_category"),
+        when(col("observed_price").isNotNull &&
+          abs(col("observed_price") - col("p_retailprice")) / col("p_retailprice") > 1.5,
+          col("observed_price")).otherwise(col("p_retailprice")).as("price"))
+      .withColumn("row_hash", productHash(col("price")))
+    val soldPre = li
+      .filter(col("l_shipdate") < lit("1995-03-01 00:00:00").cast("timestamp_ntz"))
+      .select(col("l_partkey").as("product_id")).distinct()
+    val existing = p
+      .select(
+        col("p_partkey").as("product_id"),
+        col("p_name").as("product_name"),
+        col("p_type").as("product_category"),
+        col("p_retailprice").as("price"))
+      .join(soldPre, Seq("product_id"), "left_semi")
+      .withColumn("row_hash", productHash(col("price")))
+      .withColumn("version", lit(1L))
+      .withColumn("is_current", lit(true))
+      .withColumn("effective_start_date", lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+    Scd2.merge(existing, incoming,
+      key = "product_id",
+      mergeTs = lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_dim_date" -> dimDate,
     "q10_dim_customer" -> dimCustomer,
-    "q11_scd2_merge" -> scd2MergeDemo)
+    "q11_scd2_merge" -> scd2MergeDemo,
+    "q31_dim_product" -> dimProduct)
 
   val oracle: Map[String, String] = Map(
+    "q31_dim_product" ->
+      """WITH obs AS (
+        |  SELECT l_partkey,
+        |         CAST(round(CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,3))), 2) AS DOUBLE)
+        |              / sum(l_quantity) AS DECIMAL(18,6)), 2) AS DOUBLE) AS observed_price
+        |  FROM lineitem GROUP BY 1),
+        |inc AS (
+        |  SELECT p_partkey AS product_id, p_name AS product_name, p_type AS product_category,
+        |         CASE WHEN observed_price IS NOT NULL
+        |                   AND abs(observed_price - p_retailprice) / p_retailprice > 1.5
+        |              THEN observed_price ELSE p_retailprice END AS price
+        |  FROM part LEFT JOIN obs ON p_partkey = obs.l_partkey),
+        |inch AS (
+        |  SELECT *, md5(concat_ws('_', product_id, product_name,
+        |              CAST(CAST(price AS DECIMAL(12,2)) AS VARCHAR))) AS row_hash
+        |  FROM inc),
+        |pre AS (SELECT DISTINCT l_partkey AS product_id FROM lineitem
+        |        WHERE l_shipdate < TIMESTAMP '1995-03-01'),
+        |ex AS (
+        |  SELECT p_partkey AS product_id, p_name AS product_name, p_type AS product_category,
+        |         p_retailprice AS price,
+        |         md5(concat_ws('_', p_partkey, p_name,
+        |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR))) AS row_hash
+        |  FROM part JOIN pre ON p_partkey = pre.product_id),
+        |j AS (SELECT ex.product_id AS eid, ex.product_name AS en, ex.product_category AS ec,
+        |             ex.price AS ep, ex.row_hash AS eh,
+        |             inch.product_id AS iid, inch.product_name AS inm,
+        |             inch.product_category AS ic, inch.price AS ip, inch.row_hash AS ih
+        |      FROM ex FULL OUTER JOIN inch ON ex.product_id = inch.product_id)
+        |SELECT eid AS product_id, en AS product_name, ec AS product_category, ep AS price,
+        |       CAST(1 AS BIGINT) AS version, TRUE AS is_current,
+        |       TIMESTAMP '1995-01-01' AS effective_start_date,
+        |       TIMESTAMP '9999-12-31' AS effective_end_date,
+        |       'unchanged' AS change_type, eh AS row_hash
+        |FROM j WHERE eid IS NOT NULL AND ih IS NOT NULL AND eh = ih
+        |UNION ALL
+        |SELECT eid, en, ec, ep, CAST(1 AS BIGINT), FALSE,
+        |       TIMESTAMP '1995-01-01', TIMESTAMP '2000-01-01', 'expired', eh
+        |FROM j WHERE eid IS NOT NULL AND iid IS NOT NULL AND eh <> ih
+        |UNION ALL
+        |SELECT iid, inm, ic, ip, CAST(2 AS BIGINT), TRUE,
+        |       TIMESTAMP '2000-01-01', TIMESTAMP '9999-12-31', 'changed', ih
+        |FROM j WHERE eid IS NOT NULL AND iid IS NOT NULL AND eh <> ih
+        |UNION ALL
+        |SELECT iid, inm, ic, ip, CAST(1 AS BIGINT), TRUE,
+        |       TIMESTAMP '2000-01-01', TIMESTAMP '9999-12-31', 'new', ih
+        |FROM j WHERE eid IS NULL""".stripMargin,
     "q09_dim_date" ->
       """WITH b AS (
         |  SELECT make_date(CAST(year(min(o_orderdate)) AS INT), 1, 1) AS mn,

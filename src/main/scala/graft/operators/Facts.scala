@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -15,35 +14,37 @@ import graft.sources.Tables
   *    (transform.py:379) would force a global ordering; we derive a
   *    deterministic key from the natural composite key instead
   *    (orderkey*100 + linenumber) — embarrassingly parallel.
-  *  - dim joins: customer/category are broadcast; the lineitem⋈orders
-  *    fact-fact join shuffles once on orderkey (sort-merge at scale,
-  *    AQE-converted to broadcast at small SF).
+  *  - customer_key is [[Dimensions.hashKey]] of the natural key: the
+  *    fact stamps the dim FK WITHOUT joining the dim at all (round 1
+  *    joined dimCustomer, dragging its global row_number window into
+  *    every fact build). The category dim still joins — its key is
+  *    positional — but it is 6 rows, broadcast.
+  *  - the lineitem⋈orders fact-fact join shuffles once on orderkey
+  *    (sort-merge at scale, AQE-converted to broadcast at small SF).
   */
 object Facts {
 
-  /** Category dimension: distinct p_type with a deterministic surrogate
-    * key (transform.py:283-306 analog — tiny dim, broadcast everywhere).
+  /** Category dimension: distinct p_type with a deterministic hash
+    * surrogate key (transform.py:283-306 analog — tiny dim, broadcast
+    * everywhere; hashKey keeps even this 6-row build window-free).
     */
   def dimCategory(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .select(col("p_type").as("category_name")).distinct()
-      .withColumn("category_key",
-        row_number().over(Window.orderBy(col("category_name"))).cast("long"))
+      .withColumn("category_key", Dimensions.hashKey(col("category_name")))
 
   // ─── q12 fact_sales ──────────────────────────────────────────────────
   def factSales(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val custKeys = Dimensions.dimCustomer(spark, dir)
-      .select(col("customer_id"), col("customer_key"))
     val cat = dimCategory(spark, dir)
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
 
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(cat), col("p_type") === col("category_name"))
-      .join(broadcast(custKeys), col("o_custkey") === col("customer_id"))
+      .withColumn("customer_key", Dimensions.hashKey(col("o_custkey")))
       .select(
         (col("l_orderkey") * 100 + col("l_linenumber")).cast("long").as("sales_key"),
         col("l_orderkey").as("transaction_id"),
@@ -69,19 +70,15 @@ object Facts {
 
   val oracle: Map[String, String] = Map(
     "q12_fact_sales" ->
-      """WITH cust AS (
-        |  SELECT c_custkey AS customer_id,
-        |         CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key
-        |  FROM customer),
-        |cat AS (
+      """WITH cat AS (
         |  SELECT category_name,
-        |         CAST(row_number() OVER (ORDER BY category_name) AS BIGINT) AS category_key
+        |         CAST(('0x' || substr(md5(category_name), 1, 15)) AS BIGINT) AS category_key
         |  FROM (SELECT DISTINCT p_type AS category_name FROM part))
         |SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS sales_key,
         |       l_orderkey AS transaction_id,
         |       CAST(l_linenumber AS BIGINT) AS line_number,
         |       CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key,
-        |       cust.customer_key,
+        |       CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS customer_key,
         |       cat.category_key,
         |       l_partkey AS part_key,
         |       l_quantity AS quantity,
@@ -94,6 +91,5 @@ object Facts {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN part ON l_partkey = p_partkey
-        |JOIN cat ON p_type = cat.category_name
-        |JOIN cust ON o_custkey = cust.customer_id""".stripMargin)
+        |JOIN cat ON p_type = cat.category_name""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Cleaning, Events}
+import graft.operators.{Analytics, Cleaning, Events, Facts}
 import graft.plans.GraftExtensions
 
 /** Plan-shape guarantees that must survive refactors: pruned scans,
@@ -48,6 +48,13 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"funnel must not broadcast per-user aggregates:\n$p")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles <= 1, s"funnel should shuffle events once, saw $shuffles:\n$p")
+  }
+
+  test("fact build has no unpartitioned window (hash surrogate keys)") {
+    val p = plan(Facts.factSales(spark, TestSpark.sf))
+    // a row_number over an empty partitionBy serializes the whole dim
+    // through one task; the fact path must derive FKs by hash instead
+    assert(!p.contains("Window"), s"fact build must not window:\n$p")
   }
 
   test("extensions class injects cosine_similarity (builder-level wiring)") {
