@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -66,30 +66,71 @@ object Similarity {
       .withColumn("label", col("label").cast("long"))
   }
 
-  // ─── q24 IVF coarse quantization (the ANN index-build stage) ─────────
-  /** Inverted-file ANN, build stage: a deterministic coarse codebook
-    * (the first 16 corpus vectors — a stand-in for k-means centroids,
-    * which would be refined offline) and nearest-centroid assignment.
-    * Search then probes only the query's cell(s) — the d05 brute-force
-    * scorer applied within a cell — turning corpus-wide scans into
-    * 1/16th-sized bucket scans at 100 TB.
+  // ─── q24 IVF coarse quantization with k-means codebook (index build) ─
+  /** Inverted-file ANN, build stage: a 16-cell coarse codebook seeded
+    * from the first 16 corpus vectors and refined with TWO deterministic
+    * Lloyd iterations, then nearest-centroid cell assignment. Search
+    * probes only the query's cell(s) — 1/16th-sized scans at 100 TB.
+    *
+    * Determinism at any parallelism (the property that lets DuckDB
+    * replay the identical k-means): centroid means accumulate in exact
+    * DECIMAL(27,10) — float sums are partition-order-sensitive, decimal
+    * sums are not — and only the final exact sum is cast back to double
+    * before the (exact-operand, hence deterministic) division by the
+    * cell count. Assignments order on ROUND(cos, 4) with centroid_id
+    * tiebreak.
+    *
+    * Scale shape per Lloyd pass: broadcast the 16-row codebook, score
+    * with the fused codegen cosine, pick the arg-max via a map-side-
+    * combining max(struct) aggregation (NO per-vector window shuffle),
+    * then one (centroid, dim) mean reduction — 16×dims grid, trivially
+    * small. Cell sizes come from a broadcast-joined count, not a window
+    * partitioned by 16 keys (which would funnel the whole corpus into 16
+    * tasks).
     */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val cents = e.filter(col("vec_id") < 16)
+    val c0 = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
-    val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        round(graft.plans.CosineSimilarity.cosineSim(col("emb"), col("c_emb")), 4)
-          .as("cos_r"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_r").desc, col("centroid_id"))
-    val assigned = scored.withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
+
+    def cosR(a: Column, b: Column): Column =
+      round(graft.plans.CosineSimilarity.cosineSim(a, b), 4)
+
+    // nearest centroid per vector; (cos_r, -centroid_id) max ⇒ highest
+    // cosine, smallest centroid_id on ties — identical to the oracle's
+    // ORDER BY cos_r DESC, centroid_id
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("emb")).as("emb"), // constant per vec_id
+          max(struct(cosR(col("emb"), col("c_emb")).as("cos_r"),
+            (-col("centroid_id")).as("neg_id"))).as("best"))
+        .select(col("vec_id"), col("emb"),
+          (-col("best.neg_id")).as("centroid_id"), col("best.cos_r").as("cos_r"))
+
+    // one Lloyd step: element-wise decimal-exact mean per (cell, dim),
+    // rebuilt into an array ordered by dim; empty cells keep their
+    // previous centroid
+    def refine(cents: DataFrame): DataFrame = {
+      val means = assign(cents)
+        .select(col("centroid_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(col("v").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_emb_new"))
+      cents.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("c_emb_new"), col("c_emb")).as("c_emb"))
+    }
+
+    val fin = assign(refine(refine(c0)))
       .select(col("vec_id"), col("centroid_id"), col("cos_r").as("cos_to_centroid"))
-    assigned.withColumn("cell_size",
-      count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
+    val sizes = fin.groupBy(col("centroid_id")).agg(count(lit(1)).as("cell_size"))
+    fin.join(broadcast(sizes), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"), col("cell_size"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,21 +141,42 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q24_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
-        |scored AS (
-        |  SELECT e.vec_id, cent.centroid_id,
-        |         round(list_dot_product(e.emb, cent.c_emb)
-        |               / (sqrt(list_dot_product(e.emb, e.emb))
-        |                  * sqrt(list_dot_product(cent.c_emb, cent.c_emb))), 4) AS cos_r
-        |  FROM e CROSS JOIN cent),
-        |assigned AS (
-        |  SELECT vec_id, centroid_id, cos_r AS cos_to_centroid,
-        |         row_number() OVER (PARTITION BY vec_id
-        |                            ORDER BY cos_r DESC, centroid_id) AS rn
-        |  FROM scored)
-        |SELECT vec_id, centroid_id, cos_to_centroid,
-        |       count(*) OVER (PARTITION BY centroid_id) AS cell_size
-        |FROM assigned WHERE rn = 1""".stripMargin,
+        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |a2 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a2),
+        |m2 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x2 GROUP BY 1, 2),
+        |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
+        |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_to_centroid
+        |  FROM e CROSS JOIN c2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, centroid_id) = 1),
+        |sizes AS (SELECT centroid_id, count(*) AS cell_size FROM fin GROUP BY 1)
+        |SELECT vec_id, fin.centroid_id, cos_to_centroid, cell_size
+        |FROM fin JOIN sizes ON fin.centroid_id = sizes.centroid_id""".stripMargin,
     "d05_embedding_knn" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
