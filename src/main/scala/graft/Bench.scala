@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,7 +23,10 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     graft.sources.Tables.events(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev switch: iterate on the skew A/B without re-timing all queries
+    val skewOnly = sys.env.contains("SPARK_GRAFT_SKEW_ONLY")
+    val results = if (skewOnly) Seq.empty[(String, Double)]
+    else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -31,7 +35,48 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ─── skew A/B: plain vs salted sort-merge join on a hot key ────────
+    // 90% of lineitem lands on one join key; AQE skew-split and
+    // broadcast are disabled so the two entries isolate what manual
+    // salting (operators.Skew) buys when neither rescue applies.
+    val skewResults = {
+      // ×5 row amplification so the hot key's single join task is the
+      // measured cost (at sf0.1 the raw table's hot slice is small
+      // enough that fixed per-query overhead would drown the signal)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val large = li.select(col("l_orderkey"), col("l_extendedprice"))
+        .withColumn("rep", explode(sequence(lit(1), lit(5))))
+        .select(
+          when(col("l_orderkey") % 100 < 90, 0L)
+            .otherwise(col("l_orderkey") % 1000L).as("k"),
+          (col("l_orderkey") * 5 + col("rep")).as("row_id"),
+          col("l_extendedprice"))
+      val small = spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") * 7).as("attr"))
+      def run(joined: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        // per-row digest in the join stage: the hot task pays it 10×over
+        // under skew, which is exactly what salting redistributes
+        joined.agg(sum(length(sha2(
+          concat_ws("_", col("row_id"), col("attr"), col("l_extendedprice")),
+          512)))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val saved = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      try Seq(
+        "x01_skew_plain_join" -> run(large.join(small, Seq("k"))),
+        "x02_skew_salted_join" -> run(graft.operators.Skew.saltedJoin(
+          large, small, "k", col("row_id"), saltBuckets = cpus.toInt)))
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved._2)
+      }
+    }
+    val all = results ++ skewResults
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Warehouse write surface — the reference's load layer
   * (/root/reference/etl/load.py): truncate loads, append loads, and a
@@ -40,6 +42,39 @@ object Sinks {
     staged.write.mode(SaveMode.Overwrite).parquet(path)
     n
   }
+
+  /** JDBC staging store — the reference's optional MySQL staging layer
+    * (/root/reference/etl/mysql_staging.py:28-199: create staging table,
+    * bulk-load the batch, read it back for transform). Overwrite gives
+    * the reference's drop-and-recreate staging semantics. Executors
+    * write partitions concurrently over their own connections; cap
+    * `numPartitions` so a 1000-executor write doesn't open 1000
+    * connections against one RDBMS.
+    */
+  def jdbcStage(df: DataFrame, url: String, table: String,
+                props: Properties = new Properties(),
+                numPartitions: Int = 8): Unit = {
+    val sized =
+      if (numPartitions > 0 && df.rdd.getNumPartitions > numPartitions)
+        df.coalesce(numPartitions)
+      else df
+    sized.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+  }
+
+  /** Read a staged table back (mysql_staging.py:150-199's
+    * read_staging_table). With a `partitionColumn` + bounds the read
+    * fans out across executors as range-partitioned queries — the only
+    * way a JDBC scan parallelizes; without it the whole table streams
+    * through one task (fine for dims, wrong for facts).
+    */
+  def readStaging(spark: SparkSession, url: String, table: String,
+                  props: Properties = new Properties(),
+                  partitionColumn: String = null,
+                  lowerBound: Long = 0L, upperBound: Long = 0L,
+                  numPartitions: Int = 8): DataFrame =
+    if (partitionColumn == null) spark.read.jdbc(url, table, props)
+    else spark.read.jdbc(url, table, partitionColumn,
+      lowerBound, upperBound, numPartitions, props)
 
   /** CSV export (dashboard-download analog). */
   def csvExport(df: DataFrame, path: String): Unit =

@@ -57,6 +57,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(files.length == 1)
   }
 
+  test("jdbc staging roundtrip against embedded Derby, plain and range-partitioned") {
+    val url = "jdbc:derby:memory:graft_stage;create=true"
+    val df = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+    Sinks.jdbcStage(df, url, "stg_nation")
+    val back = Sinks.readStaging(spark, url, "stg_nation")
+    assert(back.count() == df.count())
+    assert(back.selectExpr("cast(n_nationkey as long)").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      df.selectExpr("cast(n_nationkey as long)").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    // range-partitioned read-back: same rows, parallel scan
+    val part = Sinks.readStaging(spark, url, "stg_nation",
+      partitionColumn = "n_nationkey", lowerBound = 0L, upperBound = 25L,
+      numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == df.count())
+  }
+
   test("catalog lists every table with columns and row counts") {
     val cat = Tables.catalog(spark, TestSpark.sf)
     assert(cat.select("table_name").distinct().count() == Tables.names.length)
