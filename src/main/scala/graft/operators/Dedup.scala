@@ -64,12 +64,19 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
   }
 
-  /** Distinct word-3-gram shingles per doc. */
+  /** Word-3-gram shingles per doc. `dedup=true` gives SET semantics
+    * (one row per distinct (doc, shingle) — required for Jaccard
+    * counting) at the cost of a full dedup shuffle; min-wise signature
+    * aggregation is insensitive to duplicate shingles, so the MinHash
+    * path reads the raw explode and skips that shuffle entirely.
+    */
   private def wordShingles(spark: SparkSession, dir: String,
-                           withLang: Boolean = false): DataFrame = {
+                           withLang: Boolean = false,
+                           dedup: Boolean = true): DataFrame = {
     val d = Tables.documents(spark, dir)
     val keep = if (withLang) Seq(col("doc_id"), col("lang")) else Seq(col("doc_id"))
-    d.select(keep :+ regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"): _*)
+    val raw = d
+      .select(keep :+ regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"): _*)
       .filter(size(col("t")) >= 3)
       .select(keep ++ Seq(col("t"),
         explode(sequence(lit(1), size(col("t")) - 2)).as("i")): _*)
@@ -78,12 +85,12 @@ object Dedup {
           element_at(col("t"), col("i")),
           element_at(col("t"), col("i") + 1),
           element_at(col("t"), col("i") + 2)).as("shingle"): _*)
-      .distinct()
+    if (dedup) raw.distinct() else raw
   }
 
   // ─── d03 MinHash + LSH banding ───────────────────────────────────────
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshFrom(wordShingles(spark, dir))
+    minhashLshFrom(wordShingles(spark, dir, dedup = false))
 
   /** LSH candidate pairs from a prebuilt (doc_id, shingle) frame — lets
     * d07 share one (possibly persisted) shingle computation between the
@@ -154,12 +161,14 @@ object Dedup {
     * Long-lived sessions (Bench/Verify) clear the cache between queries.
     */
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val allSh = wordShingles(spark, dir).persist()
+    val allSh = wordShingles(spark, dir, dedup = false).persist()
     val cand = minhashLshFrom(allSh).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // shingles restricted to candidate docs — bounded by LSH selectivity
-    val sh = allSh.join(candDocs, Seq("doc_id"), "left_semi")
+    // shingles restricted to candidate docs (bounded by LSH selectivity),
+    // deduped to SET semantics only now — on the small candidate slice,
+    // never as a full-corpus shuffle
+    val sh = allSh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

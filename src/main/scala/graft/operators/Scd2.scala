@@ -69,4 +69,21 @@ object Scd2 {
 
     history.union(unchanged).union(expired).union(changed).union(fresh)
   }
+
+  /** MERGE-shaped write: read the dimension at `path`, [[merge]] the
+    * incoming batch into it, and publish the result back to the same
+    * path. The staging-then-swap write (Sinks.stagePublish) fully
+    * materializes the merged plan BEFORE the target is overwritten —
+    * Spark cannot safely overwrite a path a lazy plan is still reading.
+    * Returns the merged row count. This is the reference's
+    * UPDATE-then-INSERT SCD2 load (load.py:246-319) as one set-based
+    * merge + atomic-ish swap, re-runnable per batch.
+    */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession, path: String,
+                incoming: DataFrame, key: String, mergeTs: Column,
+                farFuture: Column = lit("9999-12-31 00:00:00").cast("timestamp_ntz")): Long = {
+    val existing = spark.read.parquet(path)
+    val merged = merge(existing, incoming, key, mergeTs, farFuture)
+    graft.sources.Sinks.stagePublish(merged, path)
+  }
 }

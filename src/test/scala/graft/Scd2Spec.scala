@@ -48,4 +48,30 @@ class Scd2Spec extends AnyFunSuite {
       .groupBy("id").count().filter(col("count") > 1).count()
     assert(dupCurrent == 0)
   }
+
+  test("mergeInto re-runs batch merges against a parquet dim path") {
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
+    Seq((1L, "A", 1L, true, "hA"), (2L, "B", 1L, true, "hB"))
+      .toDF("id", "attr", "version", "is_current", "row_hash")
+      .withColumn("effective_start_date", ts("2020-01-01 00:00:00"))
+      .withColumn("effective_end_date", ts(far))
+      .withColumn("change_type", lit("new"))
+      .write.parquet(path)
+    // batch 1: id=2 changes
+    val n1 = Scd2.mergeInto(spark, path,
+      Seq((1L, "A", "hA"), (2L, "B2", "hB2")).toDF("id", "attr", "row_hash"),
+      "id", ts("2021-01-01 00:00:00"))
+    assert(n1 == 3) // 1 unchanged + expired + changed
+    // batch 2 on the PUBLISHED result: id=1 changes, id=3 arrives
+    val n2 = Scd2.mergeInto(spark, path,
+      Seq((1L, "A9", "hA9"), (2L, "B2", "hB2"), (3L, "C", "hC")).toDF("id", "attr", "row_hash"),
+      "id", ts("2022-01-01 00:00:00"))
+    assert(n2 == 5) // id2's history row + id1 expired + id1 changed + id2 unchanged + id3 new
+    val dim = spark.read.parquet(path)
+    assert(dim.filter(col("is_current")).count() == 3)
+    val cur1 = dim.filter(col("id") === 1 && col("is_current")).collect().head
+    assert(cur1.getAs[String]("attr") == "A9" && cur1.getAs[Long]("version") == 2L)
+    // full lineage for id=1: expired v1 + current v2
+    assert(dim.filter(col("id") === 1).count() == 2)
+  }
 }
