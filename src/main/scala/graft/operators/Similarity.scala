@@ -133,10 +133,44 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"), col("cell_size"))
   }
 
+  // ─── q32 IVF search stage (probe the query's cell only) ──────────────
+  /** ANN search over the q24 index: each query probes ONLY its own
+    * coarse cell (nprobe=1) and ranks the cell's members with the fused
+    * cosine — the 1/16th-scan payoff of building the IVF index. Recall
+    * is traded for probe locality exactly as in a production IVF index;
+    * d05 stays the exact brute-force baseline to measure that trade
+    * against.
+    *
+    * Scale: the bounded query set broadcasts; the corpus joins on
+    * centroid_id, so only members of probed cells flow into scoring;
+    * the top-k window partitions by the bounded q_id set.
+    */
+  def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val member = ivfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(e, Seq("vec_id"))
+    val qs = member.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("centroid_id"), col("emb").as("q_emb"))
+    val scored = member
+      .select(col("vec_id").as("c_id"), col("centroid_id"), col("emb").as("c_emb"))
+      .join(broadcast(qs), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(graft.plans.CosineSimilarity.cosineSim(col("q_emb"), col("c_emb")), 4)
+          .as("cosine_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
     "d06_embedding_lsh" -> embeddingLsh,
-    "q24_ivf_ann" -> ivfAssign)
+    "q24_ivf_ann" -> ivfAssign,
+    "q32_ivf_search" -> ivfSearch)
 
   val oracle: Map[String, String] = Map(
     "q24_ivf_ann" ->
@@ -177,6 +211,50 @@ object Similarity {
         |sizes AS (SELECT centroid_id, count(*) AS cell_size FROM fin GROUP BY 1)
         |SELECT vec_id, fin.centroid_id, cos_to_centroid, cell_size
         |FROM fin JOIN sizes ON fin.centroid_id = sizes.centroid_id""".stripMargin,
+    "q32_ivf_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |a2 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a2),
+        |m2 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x2 GROUP BY 1, 2),
+        |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
+        |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, centroid_id, emb,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |q AS (SELECT vec_id AS q_id, centroid_id, emb AS q_emb FROM fin WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, f.vec_id AS c_id,
+        |         round(list_dot_product(q.q_emb, f.emb)
+        |               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(f.emb, f.emb))), 4) AS cosine_sim
+        |  FROM fin f JOIN q USING (centroid_id) WHERE f.vec_id <> q.q_id)
+        |SELECT q_id, c_id, cosine_sim,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
     "d05_embedding_knn" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
