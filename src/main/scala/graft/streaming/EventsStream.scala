@@ -57,6 +57,30 @@ object EventsStream {
       }
   }
 
+  /** Watermarked stream-stream inner join — purchase→click attribution
+    * (the streaming counterpart of the q23 as-of attribution): each
+    * purchase joins the same user's clicks from the hour before it.
+    * Both sides carry event-time watermarks and the join condition
+    * bounds event-time distance, so the state store can expire buffered
+    * rows — the only shape in which a stream-stream join survives an
+    * unbounded stream. On static frames the watermarks are no-ops and
+    * the function is its own batch twin (asserted in StreamingSpec).
+    */
+  def purchaseClickJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and block
     * until the source drains — the local smoke harness.
     */

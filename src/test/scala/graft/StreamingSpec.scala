@@ -32,6 +32,34 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("purchaseClickJoin attributes in-window clicks; stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clickData = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:30:00"), 1, "click", 0.0),
+      Event(3, ts("2024-01-01 08:00:00"), 1, "click", 0.0), // > 1h before
+      Event(4, ts("2024-01-01 10:40:00"), 2, "click", 0.0)) // never buys
+    val purchaseData = Seq(
+      Event(10, ts("2024-01-01 10:50:00"), 1, "purchase", 9.99),
+      Event(11, ts("2024-01-01 11:00:00"), 3, "purchase", 5.0)) // no clicks
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(clickData: _*)
+    purchases.addData(purchaseData: _*)
+    val out = EventsStream.runToMemory(
+      EventsStream.purchaseClickJoin(clicks.toDF(), purchases.toDF()),
+      "pcj", OutputMode.Append())
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(got == Set((10L, 1L), (10L, 2L)))
+    // the same function on static frames is the batch twin — identical rows
+    val batch = EventsStream.purchaseClickJoin(
+      clickData.toDF(), purchaseData.toDF()).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(batch == got)
+  }
+
   test("runningUserStats keeps per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
