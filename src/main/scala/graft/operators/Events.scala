@@ -58,9 +58,16 @@ object Events {
   }
 
   // ─── e03 JSON prop extraction ────────────────────────────────────────
+  /** from_json with an explicit schema parses each props blob ONCE;
+    * per-path get_json_object would re-parse the JSON for every field
+    * extracted (the round-1 form — fine for one field, wrong shape the
+    * moment a second property is read).
+    */
   def jsonProps(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    e.withColumn("k",
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
       .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
       .agg(
         count(lit(1)).as("n_events"),

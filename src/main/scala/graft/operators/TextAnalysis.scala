@@ -92,11 +92,33 @@ object TextAnalysis {
       .withColumn("fingerprint_prefix", substring(col("fingerprint"), 1, 8))
   }
 
+  // ─── t05 deterministic language-rebalancing hash sampler ─────────────
+  /** Corpus quota sampling without an RNG: the keep/drop decision is a
+    * pure function of (doc_id, lang) — a 16-bit md5-prefix bucket — so
+    * the sample is reproducible on any engine, any partitioning, and
+    * any re-run (what a 100 TB curation run needs: re-executing a
+    * failed stage must not change the sample). Dominant-language docs
+    * (en) downsample to 300‰ while low-resource languages keep 800‰ —
+    * the usual rebalancing shape of LLM corpus curation. Zero shuffle:
+    * a narrow filter the scan absorbs; at scale prefer this rate form
+    * over exact per-stratum quotas (rank-by-hash + window per lang).
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket =
+      (conv(substring(md5(concat_ws("_", col("doc_id"), col("lang"))), 1, 4), 16, 10)
+        .cast("long") % 1000).as("bucket")
+    val rate = when(col("lang") === "en", 300L).otherwise(800L).as("rate_permille")
+    d.select(col("doc_id"), col("lang"), col("source"), bucket, rate)
+      .filter(col("bucket") < col("rate_permille"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> langId,
     "t02_quality_score" -> qualityScore,
     "t03_token_count" -> tokenCount,
-    "t04_fingerprint" -> fingerprintDocs)
+    "t04_fingerprint" -> fingerprintDocs,
+    "t05_hash_sample" -> hashSample)
 
   private val docQuality =
     """  SELECT doc_id,
@@ -108,6 +130,13 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t05_hash_sample" ->
+      """SELECT doc_id, lang, source,
+        |       CAST(('0x' || substr(md5(concat_ws('_', doc_id, lang)), 1, 4)) AS BIGINT) % 1000 AS bucket,
+        |       CAST(CASE WHEN lang = 'en' THEN 300 ELSE 800 END AS BIGINT) AS rate_permille
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(concat_ws('_', doc_id, lang)), 1, 4)) AS BIGINT) % 1000
+        |      < CASE WHEN lang = 'en' THEN 300 ELSE 800 END""".stripMargin,
     "t01_lang_id" ->
       """WITH h AS (
         |  SELECT doc_id, lang,
