@@ -188,14 +188,129 @@ object Dedup {
         max(col("jaccard")).as("max_jaccard"))
   }
 
+  // ─── d08 benchmark decontamination report ────────────────────────────
+  /** Train/test contamination check — the decontamination pass every
+    * LLM data pipeline runs before training: treat two sources as the
+    * held-out benchmark suite, find corpus docs that near-duplicate a
+    * benchmark doc (LSH candidates → exact Jaccard ≥ 0.5 on the
+    * candidate slice, the d07 machinery restricted to boundary-crossing
+    * pairs), and emit ONE ROW PER BENCHMARK DOC — zero-match rows
+    * included, because "nothing leaked" is the result the report
+    * exists to prove.
+    *
+    * Scale: identical candidate-generation shape to d07 (nothing
+    * O(n²)); the crossing filter drops same-side pairs before any
+    * exact measure runs.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val benchSources = Seq("src0", "src1")
+    val flags = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source").isin(benchSources: _*).as("is_bench"))
+    val allSh = wordShingles(spark, dir, dedup = false).persist()
+    val crossing = minhashLshFrom(allSh)
+      .join(flags.select(col("doc_id").as("doc_a"), col("is_bench").as("bench_a")), Seq("doc_a"))
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_bench").as("bench_b")), Seq("doc_b"))
+      .filter(col("bench_a") =!= col("bench_b"))
+      .select(
+        when(col("bench_a"), col("doc_a")).otherwise(col("doc_b")).as("bench_doc_id"),
+        when(col("bench_a"), col("doc_b")).otherwise(col("doc_a")).as("corpus_doc_id"))
+      .persist()
+    val candDocs = crossing.select(col("bench_doc_id").as("doc_id"))
+      .union(crossing.select(col("corpus_doc_id").as("doc_id"))).distinct()
+    val sh = allSh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = crossing
+      .withColumn("ia", least(col("bench_doc_id"), col("corpus_doc_id")))
+      .withColumn("ib", greatest(col("bench_doc_id"), col("corpus_doc_id")))
+      .join(inter, Seq("ia", "ib"), "left")
+      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("ia") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("ib") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+    val summary = verified.groupBy(col("bench_doc_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(col("corpus_doc_id")).as("nearest_corpus_doc"))
+    flags.filter(col("is_bench")).select(col("doc_id").as("bench_doc_id"))
+      .join(summary, Seq("bench_doc_id"), "left")
+      .select(col("bench_doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+        col("nearest_corpus_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
     "d04_simhash" -> simhash,
-    "d07_dedup_pipeline" -> dedupPipeline)
+    "d07_dedup_pipeline" -> dedupPipeline,
+    "d08_contamination" -> contamination)
 
   val oracle: Map[String, String] = Map(
+    "d08_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 12)) AS k),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(md5(k || '|' || shingle)) AS sig
+        |  FROM sh CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 4 AS band_j,
+        |         md5(concat_ws('', min(CASE WHEN k % 4 = 0 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 1 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 2 THEN sig END),
+        |                           min(CASE WHEN k % 4 = 3 THEN sig END))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |fl AS (SELECT doc_id, source IN ('src0','src1') AS is_bench FROM documents),
+        |crossing AS (
+        |  SELECT CASE WHEN fa.is_bench THEN cand.doc_a ELSE cand.doc_b END AS bench_doc_id,
+        |         CASE WHEN fa.is_bench THEN cand.doc_b ELSE cand.doc_a END AS corpus_doc_id
+        |  FROM cand JOIN fl fa ON cand.doc_a = fa.doc_id
+        |            JOIN fl fb ON cand.doc_b = fb.doc_id
+        |  WHERE fa.is_bench <> fb.is_bench),
+        |cdocs AS (SELECT bench_doc_id AS doc_id FROM crossing UNION SELECT corpus_doc_id FROM crossing),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT crossing.bench_doc_id, crossing.corpus_doc_id,
+        |         CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |           / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) AS jaccard
+        |  FROM crossing
+        |  LEFT JOIN inter ON least(bench_doc_id, corpus_doc_id) = inter.ia
+        |                 AND greatest(bench_doc_id, corpus_doc_id) = inter.ib
+        |  JOIN sizes sa ON least(bench_doc_id, corpus_doc_id) = sa.doc_id
+        |  JOIN sizes sb ON greatest(bench_doc_id, corpus_doc_id) = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5),
+        |bdocs AS (SELECT doc_id AS bench_doc_id FROM fl WHERE is_bench)
+        |SELECT b.bench_doc_id,
+        |       CAST(count(v.corpus_doc_id) AS BIGINT) AS n_matches,
+        |       coalesce(max(v.jaccard), 0.0) AS max_jaccard,
+        |       min(v.corpus_doc_id) AS nearest_corpus_doc
+        |FROM bdocs b LEFT JOIN verified v USING (bench_doc_id)
+        |GROUP BY 1""".stripMargin,
     "d07_dedup_pipeline" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

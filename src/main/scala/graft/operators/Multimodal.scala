@@ -70,13 +70,15 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // codec init would happen here, once per partition
+      // per-partition init: the codec AND the digest instance (a
+      // MessageDigest resets on digest(), so one instance serves the
+      // whole partition — no per-row allocation)
       val codec = FakeCodec
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (mean, hist) = codec.decode(r.payload)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean, hist,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(r.payload).map("%02x".format(_)).mkString)
+          md5.digest(r.payload).map("%02x".format(_)).mkString)
       }
     }
   }
