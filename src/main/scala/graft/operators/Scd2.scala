@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *    changed | new.
   *
   * Scale: one full-outer shuffle join on the natural key between the
-  * CURRENT slice and the batch (history rows never join), then a
-  * zero-shuffle union of projections. The reference's row-by-row
-  * UPDATE+INSERT (load.py:277-299) becomes a single set-based pass —
-  * the shape that survives a 10^9-row dimension.
+  * CURRENT slice and the batch (history rows never join), and the join
+  * output is scanned ONCE — every joined row explodes into its one or
+  * two (expired + re-versioned) output rows, instead of the classic
+  * union-of-four-filters that re-executes the join per change type.
+  * The reference's row-by-row UPDATE+INSERT (load.py:277-299) becomes
+  * a single set-based pass — the shape that survives a 10^9-row
+  * dimension.
   */
 object Scd2 {
 
@@ -41,33 +44,33 @@ object Scd2 {
     val inc = incoming.as("inc")
     val joined = cur.join(inc, col(s"cur.$key") === col(s"inc.$key"), "full_outer")
 
-    def fromSide(side: String, version: Column, isCurrent: Column,
-                 start: Column, end: Column, changeType: String): Seq[Column] =
-      (col(s"$side.$key").as(key) +: attrs.map(a => col(s"$side.$a").as(a))) ++
-        Seq(version.as("version"), isCurrent.as("is_current"),
-          start.as("effective_start_date"), end.as("effective_end_date"),
-          lit(changeType).as("change_type"), col(s"$side.row_hash").as("row_hash"))
+    def rowOf(side: String, version: Column, isCurrent: Column,
+              start: Column, end: Column, changeType: String): Column =
+      struct(
+        (col(s"$side.$key").as(key) +: attrs.map(a => col(s"$side.$a").as(a))) ++
+          Seq(version.as("version"), isCurrent.as("is_current"),
+            start.as("effective_start_date"), end.as("effective_end_date"),
+            lit(changeType).as("change_type"), col(s"$side.row_hash").as("row_hash")): _*)
 
     val sameHash = col("cur.row_hash") === col("inc.row_hash")
     val bothMatched = col(s"cur.$key").isNotNull && col(s"inc.$key").isNotNull
 
-    val unchanged = joined
-      .filter(col(s"cur.$key").isNotNull && (col(s"inc.$key").isNull || sameHash))
-      .select(fromSide("cur", col("cur.version"), col("cur.is_current"),
-        col("cur.effective_start_date"), col("cur.effective_end_date"), "unchanged"): _*)
+    val expanded = joined.select(explode(
+      when(col(s"cur.$key").isNotNull && (col(s"inc.$key").isNull || sameHash),
+        array(rowOf("cur", col("cur.version"), col("cur.is_current"),
+          col("cur.effective_start_date"), col("cur.effective_end_date"), "unchanged")))
+      .when(bothMatched && !sameHash,
+        array(
+          rowOf("cur", col("cur.version"), lit(false),
+            col("cur.effective_start_date"), mergeTs, "expired"),
+          rowOf("inc", col("cur.version") + 1, lit(true),
+            mergeTs, farFuture, "changed")))
+      .otherwise(
+        array(rowOf("inc", lit(1L), lit(true), mergeTs, farFuture, "new"))))
+      .as("r"))
+      .select(outCols.map(c => col(s"r.$c")): _*)
 
-    val expired = joined.filter(bothMatched && !sameHash)
-      .select(fromSide("cur", col("cur.version"), lit(false),
-        col("cur.effective_start_date"), mergeTs, "expired"): _*)
-
-    val changed = joined.filter(bothMatched && !sameHash)
-      .select(fromSide("inc", col("cur.version") + 1, lit(true),
-        mergeTs, farFuture, "changed"): _*)
-
-    val fresh = joined.filter(col(s"cur.$key").isNull)
-      .select(fromSide("inc", lit(1L), lit(true), mergeTs, farFuture, "new"): _*)
-
-    history.union(unchanged).union(expired).union(changed).union(fresh)
+    history.union(expanded)
   }
 
   /** MERGE-shaped write: read the dimension at `path`, [[merge]] the
