@@ -113,12 +113,35 @@ object TextAnalysis {
       .filter(col("bucket") < col("rate_permille"))
   }
 
+  // ─── q33 per-language corpus statistics ──────────────────────────────
+  /** The corpus report a curation run ends with: per-language doc
+    * counts, token volume, and the exact token-count distribution
+    * (p25/p50/p90). One map-side-combined aggregation over a narrow
+    * projection; exact percentiles use the engine-parity-safe
+    * `percentile` (bit-matches DuckDB's quantile_cont, established by
+    * q26).
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+    d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      expr("percentile(n_tokens, 0.25)").as("p25_tokens"),
+      expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+      expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_id" -> langId,
     "t02_quality_score" -> qualityScore,
     "t03_token_count" -> tokenCount,
     "t04_fingerprint" -> fingerprintDocs,
-    "t05_hash_sample" -> hashSample)
+    "t05_hash_sample" -> hashSample,
+    "q33_corpus_stats" -> corpusStats)
 
   private val docQuality =
     """  SELECT doc_id,
@@ -130,6 +153,18 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q33_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       quantile_cont(n_tokens, 0.25) AS p25_tokens,
+        |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1""".stripMargin,
     "t05_hash_sample" ->
       """SELECT doc_id, lang, source,
         |       CAST(('0x' || substr(md5(concat_ws('_', doc_id, lang)), 1, 4)) AS BIGINT) % 1000 AS bucket,
