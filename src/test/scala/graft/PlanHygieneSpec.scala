@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Cleaning, Events, Facts}
+import graft.operators.{Analytics, Cleaning, Events, Facts, TextAnalysis}
 import graft.plans.GraftExtensions
 
 /** Plan-shape guarantees that must survive refactors: pruned scans,
@@ -55,6 +55,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     // a row_number over an empty partitionBy serializes the whole dim
     // through one task; the fact path must derive FKs by hash instead
     assert(!p.contains("Window"), s"fact build must not window:\n$p")
+  }
+
+  test("hash sampler is a pure narrow filter: no shuffle, no window") {
+    val p = plan(TextAnalysis.hashSample(spark, TestSpark.sf))
+    assert(!p.contains("Exchange"), s"sampler must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"sampler must not window:\n$p")
   }
 
   test("extensions class injects cosine_similarity (builder-level wiring)") {
