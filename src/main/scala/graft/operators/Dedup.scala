@@ -153,22 +153,28 @@ object Dedup {
     * corpus) → keep-min survivorship: for every verified pair
     * (jaccard ≥ 0.5) the larger doc_id is marked for removal.
     *
-    * The shingle explode — the dominant cost — is computed ONCE and
-    * persisted: it feeds both the MinHash signature build and the exact
-    * verification (round 1 paid the explode twice and it made d07 the
-    * slowest bench entry). The candidate-pair set (tiny: bounded by LSH
-    * selectivity) is persisted too since three plan branches read it.
-    * Long-lived sessions (Bench/Verify) clear the cache between queries.
+    * Cache strategy (round-3 rework — the round-2 form persisted the
+    * FULL shingle explode, the largest intermediate in the engine, and
+    * regressed the in-harness bench 8.8s→15.1s under memory pressure):
+    * only the two TINY frames are persisted — the candidate-pair set
+    * (bounded by LSH selectivity; read by three plan branches) and the
+    * candidate-doc shingle slice (read by sizes + both self-join sides).
+    * The raw explode is recomputed on its second read: it is a narrow
+    * codegen'd projection off the parquet scan, and recompute measures
+    * cheaper than caching a duplicate-heavy corpus-sized blob. The
+    * result (tiny) is materialized eagerly so both persists can be
+    * released before returning — nothing leaks into the caller's
+    * session.
     */
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val allSh = wordShingles(spark, dir, dedup = false).persist()
-    val cand = minhashLshFrom(allSh).persist()
+    val cand = minhashLshFrom(wordShingles(spark, dir, dedup = false)).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // shingles restricted to candidate docs (bounded by LSH selectivity),
     // deduped to SET semantics only now — on the small candidate slice,
     // never as a full-corpus shuffle
-    val sh = allSh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+    val sh = wordShingles(spark, dir, dedup = false)
+      .join(candDocs, Seq("doc_id"), "left_semi").distinct().persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -181,11 +187,25 @@ object Dedup {
         coalesce(col("inter"), lit(0L)).cast("double") /
           (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
       .filter(col("jaccard") >= 0.5)
-    verified.groupBy(col("doc_b").as("removed_doc_id"))
+    val result = verified.groupBy(col("doc_b").as("removed_doc_id"))
       .agg(
         min(col("doc_a")).as("kept_partner"),
         count(lit(1)).as("n_dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
+    releasing(result, cand, sh)
+  }
+
+  /** Materialize `result` (bounded small: a removal/report list) via an
+    * eager localCheckpoint, then unpersist the listed intermediates —
+    * the pipeline operators own their cache lifecycle instead of leaking
+    * persisted blocks into long-lived caller sessions (Pipeline, a user
+    * REPL). The checkpointed result re-reads from its own tiny blocks;
+    * the big intermediates are freed deterministically here.
+    */
+  private def releasing(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
   }
 
   // ─── d08 benchmark decontamination report ────────────────────────────
@@ -206,8 +226,10 @@ object Dedup {
     val benchSources = Seq("src0", "src1")
     val flags = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source").isin(benchSources: _*).as("is_bench"))
-    val allSh = wordShingles(spark, dir, dedup = false).persist()
-    val crossing = minhashLshFrom(allSh)
+    // same cache strategy as d07: persist only the tiny frames (the
+    // boundary-crossing pair set + candidate shingle slice), recompute
+    // the narrow corpus explode, release everything before returning
+    val crossing = minhashLshFrom(wordShingles(spark, dir, dedup = false))
       .join(flags.select(col("doc_id").as("doc_a"), col("is_bench").as("bench_a")), Seq("doc_a"))
       .join(flags.select(col("doc_id").as("doc_b"), col("is_bench").as("bench_b")), Seq("doc_b"))
       .filter(col("bench_a") =!= col("bench_b"))
@@ -217,7 +239,8 @@ object Dedup {
       .persist()
     val candDocs = crossing.select(col("bench_doc_id").as("doc_id"))
       .union(crossing.select(col("corpus_doc_id").as("doc_id"))).distinct()
-    val sh = allSh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+    val sh = wordShingles(spark, dir, dedup = false)
+      .join(candDocs, Seq("doc_id"), "left_semi").distinct().persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -238,12 +261,13 @@ object Dedup {
         count(lit(1)).as("n_matches"),
         max(col("jaccard")).as("max_jaccard"),
         min(col("corpus_doc_id")).as("nearest_corpus_doc"))
-    flags.filter(col("is_bench")).select(col("doc_id").as("bench_doc_id"))
+    val result = flags.filter(col("is_bench")).select(col("doc_id").as("bench_doc_id"))
       .join(summary, Seq("bench_doc_id"), "left")
       .select(col("bench_doc_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
         col("nearest_corpus_doc"))
+    releasing(result, crossing, sh)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -52,7 +52,11 @@ object Scd2 {
             start.as("effective_start_date"), end.as("effective_end_date"),
             lit(changeType).as("change_type"), col(s"$side.row_hash").as("row_hash")): _*)
 
-    val sameHash = col("cur.row_hash") === col("inc.row_hash")
+    // null-safe compare: with plain ===, a matched pair whose row_hash is
+    // NULL on either side makes both when-branches NULL and the row falls
+    // through to 'new' (version reset, current row silently dropped).
+    // <=> keeps matched keys on the unchanged/changed branches always.
+    val sameHash = col("cur.row_hash") <=> col("inc.row_hash")
     val bothMatched = col(s"cur.$key").isNotNull && col(s"inc.$key").isNotNull
 
     val expanded = joined.select(explode(

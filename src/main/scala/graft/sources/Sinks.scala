@@ -54,10 +54,10 @@ object Sinks {
   def jdbcStage(df: DataFrame, url: String, table: String,
                 props: Properties = new Properties(),
                 numPartitions: Int = 8): Unit = {
-    val sized =
-      if (numPartitions > 0 && df.rdd.getNumPartitions > numPartitions)
-        df.coalesce(numPartitions)
-      else df
+    // unconditional: coalesce to >= current partition count is a no-op,
+    // and probing df.rdd.getNumPartitions would materialize the RDD
+    // lineage and report the pre-AQE count anyway
+    val sized = if (numPartitions > 0) df.coalesce(numPartitions) else df
     sized.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Cleaning, Events, Facts, TextAnalysis}
+import graft.operators.{Analytics, Cleaning, Events, Facts, Similarity, TextAnalysis}
 import graft.plans.GraftExtensions
 
 /** Plan-shape guarantees that must survive refactors: pruned scans,
@@ -61,6 +61,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     val p = plan(TextAnalysis.hashSample(spark, TestSpark.sf))
     assert(!p.contains("Exchange"), s"sampler must not shuffle:\n$p")
     assert(!p.contains("Window"), s"sampler must not window:\n$p")
+  }
+
+  test("embedding LSH: no explode, no window, one shuffle + broadcast join-back") {
+    val p = plan(Similarity.embeddingLsh(spark, TestSpark.sf))
+    // the round-2 form posexploded corpus × dims × 8 planes through two
+    // shuffled aggregations — a scale-killer at real embedding volume
+    assert(!p.contains("Generate"), s"LSH must not explode:\n$p")
+    assert(!p.contains("Window"), s"bucket_size must not window:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected ≤1 shuffle (bucket count), saw $shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket sizes must broadcast back:\n$p")
   }
 
   test("extensions class injects cosine_similarity (builder-level wiring)") {

@@ -49,6 +49,27 @@ class Scd2Spec extends AnyFunSuite {
     assert(dupCurrent == 0)
   }
 
+  test("null row_hash on a matched key stays on the unchanged/changed branches") {
+    val existing = Seq(
+      (1L, "A", 1L, true, Option.empty[String]), // cur hash NULL
+      (2L, "B", 1L, true, Option("hB")))
+      .toDF("id", "attr", "version", "is_current", "row_hash")
+      .withColumn("effective_start_date", ts("2020-01-01 00:00:00"))
+      .withColumn("effective_end_date", ts(far))
+    val incoming = Seq(
+      (1L, "A", Option.empty[String]), // both NULL → unchanged, not 'new'
+      (2L, "B2", Option.empty[String]))// hB vs NULL → a real change
+      .toDF("id", "attr", "row_hash")
+    val out = Scd2.merge(existing, incoming, "id", ts("2021-01-01 00:00:00"))
+    val byType = out.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("unchanged" -> 1L, "expired" -> 1L, "changed" -> 1L))
+    // no key ever loses its current row or resets to version 1
+    assert(out.filter(col("is_current")).count() == 2)
+    assert(out.filter(col("id") === 2 && col("is_current"))
+      .collect().head.getAs[Long]("version") == 2L)
+  }
+
   test("mergeInto re-runs batch merges against a parquet dim path") {
     val path = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
     Seq((1L, "A", 1L, true, "hA"), (2L, "B", 1L, true, "hB"))
