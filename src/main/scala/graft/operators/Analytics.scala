@@ -58,10 +58,18 @@ object Analytics {
   }
 
   // ─── q02 category performance w/ share-of-total (sql:29-45) ──────────
+  /** Includes the reference's LEFT JOIN through dim_product_category for
+    * `category_group` (analytical_queries.sql:34,40-41): the conformed
+    * category dim is a ≤#categories-row frame (distinct p_type +
+    * keyword classification, Cleaning.categoryGroup), broadcast onto
+    * the post-aggregation result — dim join cost is zero at any scale.
+    */
   def categoryPerformance(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val catDim = p.select(col("p_type").as("product_category")).distinct()
+      .withColumn("category_group", Cleaning.categoryGroup(col("product_category")))
     val m = li
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -83,6 +91,7 @@ object Analytics {
       col("total_transactions"), col("total_quantity"),
       (out2(col("ep_dec")) / col("n_lines")).as("avg_unit_price"),
       col("unique_customers"), col("unique_parts"))
+      .join(broadcast(catDim), Seq("product_category"), "left")
   }
 
   // ─── q03 customer segmentation (sql:48-62; transform.py:207-218) ─────
@@ -349,13 +358,20 @@ object Analytics {
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1)
-        |SELECT product_category, ${o2("rev_dec")} AS total_revenue,
+        |  GROUP BY 1),
+        |cd AS (
+        |  SELECT DISTINCT p_type AS product_category,
+        |         CASE WHEN p_type IN ('STANDARD', 'ECONOMY') THEN 'Value'
+        |              WHEN p_type IN ('SMALL', 'MEDIUM', 'LARGE') THEN 'General'
+        |              WHEN p_type = 'PROMO' THEN 'Promotional'
+        |              ELSE 'Unknown' END AS category_group
+        |  FROM part)
+        |SELECT m.product_category, ${o2("rev_dec")} AS total_revenue,
         |       round(${oraw("rev_dec")} / sum(${oraw("rev_dec")}) OVER () * 100, 2) AS revenue_share_pct,
         |       total_transactions, total_quantity,
         |       ${o2("ep_dec")} / n_lines AS avg_unit_price,
-        |       unique_customers, unique_parts
-        |FROM m""".stripMargin,
+        |       unique_customers, unique_parts, cd.category_group
+        |FROM m LEFT JOIN cd USING (product_category)""".stripMargin,
     "q03_customer_segmentation" ->
       s"""WITH pc AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-import graft.functions.Money.{m2, outRaw}
+import graft.functions.Money.{m2, out2, outRaw}
 import graft.sources.Tables
 
 /** Data cleaning, multi-source conforming, and validation gates —
@@ -42,6 +43,16 @@ object Cleaning {
           date_format(col("l_shipdate"), "yyyy-MM-dd"))).as("row_hash"))
   }
 
+  /** Keyword-driven category grouping (transform.py:316-333) — the
+    * conformed category dim's classification, shared by q19's conform
+    * and q02's category_group join.
+    */
+  def categoryGroup(categoryRaw: Column): Column =
+    when(categoryRaw.isin("STANDARD", "ECONOMY"), "Value")
+      .when(categoryRaw.isin("SMALL", "MEDIUM", "LARGE"), "General")
+      .when(categoryRaw === "PROMO", "Promotional")
+      .otherwise("Unknown")
+
   // ─── q19 multi-source conform (extract.py + transform.py:283-339) ────
   /** Conform two differently-shaped product sources into one catalog:
     * the part table (the reference's API catalog source) and a
@@ -69,11 +80,47 @@ object Cleaning {
         col("price"),
         lit("sales_derived").as("_source"))
     catalog.unionByName(salesSide)
-      .withColumn("category_group",
-        when(col("category_raw").isin("STANDARD", "ECONOMY"), "Value")
-          .when(col("category_raw").isin("SMALL", "MEDIUM", "LARGE"), "General")
-          .when(col("category_raw") === "PROMO", "Promotional")
-          .otherwise("Unknown"))
+      .withColumn("category_group", categoryGroup(col("category_raw")))
+  }
+
+  // ─── q34 API catalog with nested ratings (extract.py:62-100, sql:111-123) ─
+  /** The reference's REST-API feed end-to-end: a JSON-lines product
+    * source whose nested `rating {rate, count}` object is flattened
+    * (extract.py:79-84) and joined into per-category catalog stats with
+    * avg_rating / total_reviews — reference q7's full column surface
+    * (analytical_queries.sql:111-123).
+    *
+    * The JSON side-file is synthesized deterministically from part
+    * (rate = 1.0 + (key%40)/10, count = key*7%500+1) so the DuckDB
+    * oracle can replay the identical values from part while the Spark
+    * side genuinely exercises readJson + flattenStructs — schema-first
+    * read (never infer on a lake), nested-struct projection, then one
+    * map-side-combining aggregation. avg_rating accumulates in exact
+    * DECIMAL so the result is parallelism-independent.
+    */
+  def catalogRatings(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/api_products/$key"
+    val p = Tables.part(spark, dir)
+    p.select(col("p_partkey").as("product_id"),
+        struct(
+          (lit(1.0) + (col("p_partkey") % 40).cast("double") / 10.0).as("rate"),
+          ((col("p_partkey") * 7) % 500 + 1).as("count")).as("rating"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType.fromDDL(
+      "product_id BIGINT, rating STRUCT<rate: DOUBLE, count: BIGINT>")
+    val api = Tables.flattenStructs(Tables.readJson(spark, path, schema, "api_rest"))
+      .select(col("product_id"), col("rating_rate"), col("rating_count"))
+    p.join(api, col("p_partkey") === col("product_id"))
+      .groupBy(col("p_type").as("product_category"))
+      .agg(
+        count(lit(1)).as("product_count"),
+        (out2(sum(m2(col("p_retailprice")))) / count(lit(1))).as("avg_price"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        (sum(col("rating_rate").cast("decimal(4,1)")).cast("double") / count(lit(1)))
+          .as("avg_rating"),
+        sum(col("rating_count")).as("total_reviews"))
   }
 
   // ─── q22 validation gates (retail_etl_dag.py:251-360) ────────────────
@@ -144,10 +191,29 @@ object Cleaning {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_clean_lineitem" -> cleanLineitem,
     "q19_multi_source_conform" -> multiSourceConform,
+    "q34_api_catalog_ratings" -> catalogRatings,
     "q22_validation_gates" -> validationGates,
     "q30_order_reconciliation" -> orderReconciliation)
 
   val oracle: Map[String, String] = Map(
+    "q34_api_catalog_ratings" ->
+      """WITH api AS (
+        |  SELECT p_partkey AS product_id,
+        |         1.0 + (p_partkey % 40) / 10.0 AS rating_rate,
+        |         (p_partkey * 7) % 500 + 1 AS rating_count
+        |  FROM part),
+        |j AS (
+        |  SELECT p_type, p_retailprice, rating_rate, rating_count
+        |  FROM part JOIN api ON p_partkey = product_id)
+        |SELECT p_type AS product_category,
+        |       count(*) AS product_count,
+        |       CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |         / count(*) AS avg_price,
+        |       min(p_retailprice) AS min_price,
+        |       max(p_retailprice) AS max_price,
+        |       CAST(sum(CAST(rating_rate AS DECIMAL(4,1))) AS DOUBLE) / count(*) AS avg_rating,
+        |       CAST(sum(rating_count) AS BIGINT) AS total_reviews
+        |FROM j GROUP BY 1""".stripMargin,
     "q30_order_reconciliation" ->
       """WITH li AS (
         |  SELECT l_orderkey,
