@@ -30,6 +30,28 @@ object Pipeline {
   case object SkipMarts extends Mode   // dims + fact only (≈ --skip-load)
   case object StagingOnly extends Mode // cleaned staging only (≈ --extract-only)
 
+  // thunks, not DataFrames: plan construction itself can throw (missing
+  // source path resolves at read time), and the failure log must
+  // attribute that to the STAGE, not to whatever ran before it
+  private def stageList(spark: SparkSession, sfDir: String,
+                        mode: Mode): Seq[(String, () => DataFrame)] = {
+    val staging: Seq[(String, () => DataFrame)] = Seq(
+      "stg_lineitem_clean" -> (() => Cleaning.cleanLineitem(spark, sfDir)))
+    val core: Seq[(String, () => DataFrame)] = Seq(
+      "dim_date" -> (() => Dimensions.dimDate(spark, sfDir)),
+      "dim_customer" -> (() => Dimensions.dimCustomerHashed(spark, sfDir)),
+      "dim_category" -> (() => Facts.dimCategory(spark, sfDir)),
+      "fact_sales" -> (() => Facts.factSales(spark, sfDir)))
+    val marts: Seq[(String, () => DataFrame)] = Seq(
+      "mart_sales_performance" -> (() => Marts.martSalesPerformance(spark, sfDir)),
+      "mart_category_analysis" -> (() => Marts.martCategoryAnalysis(spark, sfDir)))
+    mode match {
+      case StagingOnly => staging
+      case SkipMarts => staging ++ core
+      case FullRun => staging ++ core ++ marts
+    }
+  }
+
   /** Build the whole warehouse under `outDir`. Returns load stats in
     * execution order (the reference's pipeline summary).
     */
@@ -40,25 +62,54 @@ object Pipeline {
         .select(col("all_gates_pass")).collect().head.getBoolean(0)
       require(gates, "validation gates failed — aborting load (dag: validate_extract)")
     }
-    val staging: Seq[(String, DataFrame)] = Seq(
-      "stg_lineitem_clean" -> Cleaning.cleanLineitem(spark, sfDir))
-    val core: Seq[(String, DataFrame)] = Seq(
-      "dim_date" -> Dimensions.dimDate(spark, sfDir),
-      "dim_customer" -> Dimensions.dimCustomerHashed(spark, sfDir),
-      "dim_category" -> Facts.dimCategory(spark, sfDir),
-      "fact_sales" -> Facts.factSales(spark, sfDir))
-    val marts: Seq[(String, DataFrame)] = Seq(
-      "mart_sales_performance" -> Marts.martSalesPerformance(spark, sfDir),
-      "mart_category_analysis" -> Marts.martCategoryAnalysis(spark, sfDir))
-    val tables = mode match {
-      case StagingOnly => staging
-      case SkipMarts => staging ++ core
-      case FullRun => staging ++ core ++ marts
-    }
-    tables.map { case (name, df) =>
+    stageList(spark, sfDir, mode).map { case (name, mkDf) =>
       val t0 = System.nanoTime()
-      val rows = Sinks.stagePublish(df, s"$outDir/$name")
+      val rows = Sinks.stagePublish(mkDf(), s"$outDir/$name")
       LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Failure-notification analog of the reference DAG's
+    * `notify_on_failure` callback (dags/retail_etl_dag.py:494-521):
+    * run the pipeline, and if any stage throws, record WHICH stage
+    * failed, the error, and how far the run got as a queryable parquet
+    * artifact at `outDir/_failure_log` (the record a scheduler's
+    * alerting tails), then rethrow so the caller still observes the
+    * failure. On success the artifact is removed — its presence IS the
+    * alert condition.
+    */
+  def runNotified(spark: SparkSession, sfDir: String, outDir: String,
+                  validateFirst: Boolean = true, mode: Mode = FullRun,
+                  runId: String = "run"): Seq[LoadStat] = {
+    import spark.implicits._
+    val failurePath = s"$outDir/_failure_log"
+    var currentStage = "validate_extract"
+    val done = scala.collection.mutable.ArrayBuffer.empty[LoadStat]
+    try {
+      if (validateFirst) {
+        val gates = Cleaning.validationGates(spark, sfDir)
+          .select(col("all_gates_pass")).collect().head.getBoolean(0)
+        require(gates, "validation gates failed — aborting load (dag: validate_extract)")
+      }
+      stageList(spark, sfDir, mode).foreach { case (name, mkDf) =>
+        currentStage = name
+        val t0 = System.nanoTime()
+        val rows = Sinks.stagePublish(mkDf(), s"$outDir/$name")
+        done += LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
+      }
+      val p = new org.apache.hadoop.fs.Path(failurePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      done.toSeq
+    } catch {
+      case e: Throwable =>
+        Seq((runId, currentStage, e.getClass.getSimpleName,
+            Option(e.getMessage).getOrElse("").take(500), done.size.toLong))
+          .toDF("run_id", "failed_stage", "error_class", "error", "n_completed_stages")
+          .withColumn("status", lit("FAILED"))
+          .withColumn("failed_at", current_timestamp())
+          .write.mode("overwrite").parquet(failurePath)
+        throw e
     }
   }
 

@@ -13,10 +13,11 @@ import graft.sources.Tables
   *  - d02 n-gram Jaccard: exact set similarity on word-3-gram shingles,
   *    candidate pairs bounded by a language blocking key — the exact
   *    baseline the approximate methods are judged against.
-  *  - d03 MinHash+LSH: 12 min-wise signatures banded 3×4; candidate
+  *  - d03 MinHash+LSH: 18 min-wise signatures banded 6×3; candidate
   *    pairs share at least one band bucket. The min-wise hash family is
-  *    `min(md5(k || '|' || shingle))` — portable across engines and
-  *    uniformly distributed per k.
+  *    Kirsch–Mitzenmacher double hashing over the two md5 halves of the
+  *    shingle (`min(h1 + k·h2)`) — ONE digest per shingle, portable
+  *    across engines, uniformly distributed per k.
   *  - d04 SimHash: 16-bit weighted fingerprint from token-hash bits,
   *    with two 8-bit bands for hamming-neighbor candidate grouping.
   *
@@ -72,8 +73,18 @@ object Dedup {
     */
   private def wordShingles(spark: SparkSession, dir: String,
                            withLang: Boolean = false,
-                           dedup: Boolean = true): DataFrame = {
-    val d = Tables.documents(spark, dir)
+                           dedup: Boolean = true): DataFrame =
+    wordShinglesOf(Tables.documents(spark, dir), withLang, dedup)
+
+  /** Shingles of a pre-filtered documents frame — lets the d07/d08
+    * verification slice push its candidate-doc restriction BELOW the
+    * explode (shingle only the ~dozens of candidate docs instead of
+    * re-exploding the whole corpus and semi-joining after; at 100 TB
+    * the post-explode filter would re-pay the full corpus scan).
+    */
+  private def wordShinglesOf(d: DataFrame,
+                             withLang: Boolean = false,
+                             dedup: Boolean = true): DataFrame = {
     val keep = if (withLang) Seq(col("doc_id"), col("lang")) else Seq(col("doc_id"))
     val raw = d
       .select(keep :+ regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"): _*)
@@ -93,22 +104,34 @@ object Dedup {
     minhashLshFrom(wordShingles(spark, dir, dedup = false))
 
   /** LSH candidate pairs from a prebuilt (doc_id, shingle) frame — lets
-    * d07 share one (possibly persisted) shingle computation between the
-    * signature build and the exact-Jaccard verification.
+    * d07 share one shingle computation between the signature build and
+    * the exact-Jaccard verification.
     */
   private def minhashLshFrom(sh: DataFrame): DataFrame = {
-    // 12 min-wise signatures as STATIC aggregate columns over ONE pass —
-    // no k-explosion: 12x fewer rows through the shuffle than the naive
-    // (doc, shingle, k) layout, with identical semantics
-    val ks = 0 until 12
-    val sigCols = ks.map(k =>
-      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"sig_$k"))
+    // 18 min-wise signatures as STATIC aggregate columns over ONE pass —
+    // no k-explosion (one row per doc through the shuffle, not
+    // (doc, shingle, k)) and ONE md5 per shingle: the hash family is
+    // Kirsch–Mitzenmacher double hashing h_k = h1 + k·h2 over the two
+    // md5 halves (h1 = 60 bits, h2 = 56 bits, so h1 + 17·h2 < 2^62 —
+    // no signed-long overflow). The round-2 family hashed md5(k|shingle)
+    // per (k, shingle) and the 12 digests were ~2.8s of d03's 3.1s at
+    // sf0.1; arithmetic signatures are nearly free, which is why this
+    // uses MORE of them banded NARROWER (6 bands × 3 rows): recall at
+    // J=0.8 rises from ~80% (3×4) to ~99.9%, the property DedupSpec's
+    // LSH-recall test pins.
+    val m = md5(col("shingle"))
+    val h1 = conv(substring(m, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(m, 17, 14), 16, 10).cast("long")
+    val ks = 0 until 18
+    val sigCols = ks.map(k => min(h1 + lit(k.toLong) * h2).as(s"sig_$k"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bands = sig.select(col("doc_id"),
-      explode(array((0 until 3).map(j => struct(
+      explode(array((0 until 6).map(j => struct(
         lit(j.toLong).as("band_j"),
-        md5(concat(col(s"sig_${4 * j}"), col(s"sig_${4 * j + 1}"),
-          col(s"sig_${4 * j + 2}"), col(s"sig_${4 * j + 3}"))).as("band_hash"))): _*))
+        md5(concat_ws("",
+          col(s"sig_${3 * j}").cast("string"), col(s"sig_${3 * j + 1}").cast("string"),
+          col(s"sig_${3 * j + 2}").cast("string")))
+          .as("band_hash"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_j").as("band_j"), col("b.band_hash").as("band_hash"))
     bands.as("a").join(bands.as("b"),
@@ -172,13 +195,22 @@ object Dedup {
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // shingles restricted to candidate docs (bounded by LSH selectivity),
     // deduped to SET semantics only now — on the small candidate slice,
-    // never as a full-corpus shuffle
-    val sh = wordShingles(spark, dir, dedup = false)
-      .join(candDocs, Seq("doc_id"), "left_semi").distinct().persist()
+    // never as a full-corpus shuffle; the doc filter sits BELOW the
+    // explode, so this pass scans the corpus but explodes almost nothing
+    val sh = wordShinglesOf(
+        Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
+        dedup = false).distinct().persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // intersection driven THROUGH the candidate pair list — a shared-
+    // shingle self-join would compute intersections for every co-shingled
+    // doc pair (quadratic in hot shingles: measured 1.06M pairs at sf0.1
+    // for 15.7k candidates, 98.5% discarded); routing through cand keeps
+    // it linear in |cand| × shingles-per-doc
+    val inter = cand.select(col("doc_a"), col("doc_b"))
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val verified = cand.join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
@@ -239,12 +271,19 @@ object Dedup {
       .persist()
     val candDocs = crossing.select(col("bench_doc_id").as("doc_id"))
       .union(crossing.select(col("corpus_doc_id").as("doc_id"))).distinct()
-    val sh = wordShingles(spark, dir, dedup = false)
-      .join(candDocs, Seq("doc_id"), "left_semi").distinct().persist()
+    val sh = wordShinglesOf(
+        Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
+        dedup = false).distinct().persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    // pair-driven intersection, same rationale as d07: never measure
+    // co-shingled pairs that aren't boundary-crossing candidates
+    val inter = crossing
+      .select(least(col("bench_doc_id"), col("corpus_doc_id")).as("ia"),
+        greatest(col("bench_doc_id"), col("corpus_doc_id")).as("ib"))
+      .join(sh.as("a"), col("ia") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("ib") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("inter"))
     val verified = crossing
       .withColumn("ia", least(col("bench_doc_id"), col("corpus_doc_id")))
@@ -288,16 +327,20 @@ object Dedup {
         |  SELECT DISTINCT doc_id,
         |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
         |  FROM pos),
-        |ks AS (SELECT unnest(range(0, 12)) AS k),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
         |sig AS (
-        |  SELECT doc_id, CAST(k AS INT) AS k, min(md5(k || '|' || shingle)) AS sig
-        |  FROM sh CROSS JOIN ks GROUP BY 1, 2),
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
         |bands AS (
-        |  SELECT doc_id, k // 4 AS band_j,
-        |         md5(concat_ws('', min(CASE WHEN k % 4 = 0 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 1 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 2 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 3 THEN sig END))) AS band_hash
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
         |  FROM sig GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -314,8 +357,13 @@ object Dedup {
         |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
-        |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  SELECT least(crossing.bench_doc_id, crossing.corpus_doc_id) AS ia,
+        |         greatest(crossing.bench_doc_id, crossing.corpus_doc_id) AS ib,
+        |         count(*) AS inter
+        |  FROM crossing
+        |  JOIN csh a ON least(crossing.bench_doc_id, crossing.corpus_doc_id) = a.doc_id
+        |  JOIN csh b ON greatest(crossing.bench_doc_id, crossing.corpus_doc_id) = b.doc_id
+        |            AND a.shingle = b.shingle
         |  GROUP BY 1, 2),
         |verified AS (
         |  SELECT crossing.bench_doc_id, crossing.corpus_doc_id,
@@ -344,16 +392,20 @@ object Dedup {
         |  SELECT DISTINCT doc_id,
         |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
         |  FROM pos),
-        |ks AS (SELECT unnest(range(0, 12)) AS k),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
         |sig AS (
-        |  SELECT doc_id, CAST(k AS INT) AS k, min(md5(k || '|' || shingle)) AS sig
-        |  FROM sh CROSS JOIN ks GROUP BY 1, 2),
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
         |bands AS (
-        |  SELECT doc_id, k // 4 AS band_j,
-        |         md5(concat_ws('', min(CASE WHEN k % 4 = 0 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 1 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 2 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 3 THEN sig END))) AS band_hash
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
         |  FROM sig GROUP BY 1, 2),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -363,8 +415,10 @@ object Dedup {
         |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN csh a ON cand.doc_a = a.doc_id
+        |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
         |  GROUP BY 1, 2),
         |verified AS (
         |  SELECT cand.doc_a, cand.doc_b,
@@ -418,16 +472,20 @@ object Dedup {
         |  SELECT DISTINCT doc_id,
         |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
         |  FROM pos),
-        |ks AS (SELECT unnest(range(0, 12)) AS k),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
         |sig AS (
-        |  SELECT doc_id, CAST(k AS INT) AS k, min(md5(k || '|' || shingle)) AS sig
-        |  FROM sh CROSS JOIN ks GROUP BY 1, 2),
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
         |bands AS (
-        |  SELECT doc_id, k // 4 AS band_j,
-        |         md5(concat_ws('', min(CASE WHEN k % 4 = 0 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 1 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 2 THEN sig END),
-        |                           min(CASE WHEN k % 4 = 3 THEN sig END))) AS band_hash
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
         |  FROM sig GROUP BY 1, 2)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
         |FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash

@@ -44,30 +44,43 @@ object Similarity {
   }
 
   // ─── d06 random-hyperplane LSH bucketing ─────────────────────────────
-  /** All 8 hyperplane sign-bits in ONE narrow projection — no explode.
-    * The round-2 form posexploded corpus × dims × 8 planes through two
-    * shuffled aggregations; at real embedding volume that row blowup is
-    * the dominant cost of the whole query. Here the projection folds the
-    * signed components per plane with higher-order functions (index
-    * order — deterministic at any parallelism), so the only shuffle in
-    * the plan is the bucket-size count, broadcast-joined back (a window
-    * partitioned by the 256 bucket keys would funnel the corpus into
-    * ≤256 tasks). Hyperplane sign for (plane j, dim d) is the high hex
-    * bit of md5("hp_j_d") — reproducible by any engine; for very large
-    * dims the signs could be precomputed driver-side into an 8×dims
-    * literal lookup, but the inline md5 keeps the operator correct for
-    * mixed-length vectors.
+  private val lshPlanes = 8
+  private val lshMaxDims = 256
+
+  /** Hyperplane sign matrix, precomputed DRIVER-SIDE: sign for (plane j,
+    * dim d) is the high bit of md5("hp_j_d") — the same family any
+    * engine can reproduce (first hex char in 8..f ⇔ 0x80 set on byte 0).
+    * Materializing it as an 8×256 literal keeps ALL hashing out of the
+    * per-row path: the round-3 inline-md5 form evaluated ~dims×8 md5 +
+    * string concats per vector inside an interpreted lambda and
+    * measured 4–16s at sf0.1; a literal lookup is pure arithmetic.
+    */
+  private lazy val lshSigns: Array[Array[Double]] =
+    Array.tabulate(lshPlanes, lshMaxDims) { (j, d0) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp_${j}_${d0 + 1}".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0
+    }
+
+  /** All 8 hyperplane sign-bits in ONE narrow projection — no explode,
+    * no per-row hashing. Per plane, the signed components fold via
+    * zip_with against the plane's literal sign row (sliced to the
+    * vector's length; index order — deterministic at any parallelism),
+    * so the only shuffle in the plan is the bucket-size count,
+    * broadcast-joined back (a window partitioned by the 256 bucket keys
+    * would funnel the corpus into ≤256 tasks). Supports dims ≤ 256;
+    * wider embeddings would grow the literal, still O(planes×dims)
+    * driver-side constants.
     */
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    def sign(j: Column, d: Column): Column = when(
-      md5(concat(lit("hp_"), j.cast("string"), lit("_"), d.cast("string")))
-        .substr(1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), lit(1.0)).otherwise(lit(-1.0))
+    val signLit = array(lshSigns.map(row => array(row.map(lit(_)): _*)): _*)
     val emb = asDouble(col("embedding"))
     val bucketOf = aggregate(
       transform(sequence(lit(0), lit(7)), j =>
         when(
           aggregate(
-            zip_with(emb, sequence(lit(1), size(emb)), (v, d) => v * sign(j, d)),
+            zip_with(emb, slice(element_at(signLit, (j + 1).cast("int")), lit(1), size(emb)),
+              (v, s) => v * s),
             lit(0.0), (acc, x) => acc + x) > 0,
           round(pow(lit(2.0), j), 0).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc + b)
@@ -103,44 +116,60 @@ object Similarity {
     * tasks).
     */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = corpusEmb(spark, dir)
+    assignmentOf(e, codebookOf(e))
+  }
+
+  private def corpusEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+
+  private def cosR(a: Column, b: Column): Column =
+    round(graft.plans.CosineSimilarity.cosineSim(a, b), 4)
+
+  // nearest centroid per vector; (cos_r, -centroid_id) max ⇒ highest
+  // cosine, smallest centroid_id on ties — identical to the oracle's
+  // ORDER BY cos_r DESC, centroid_id
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("emb")).as("emb"), // constant per vec_id
+        max(struct(cosR(col("emb"), col("c_emb")).as("cos_r"),
+          (-col("centroid_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("emb"),
+        (-col("best.neg_id")).as("centroid_id"), col("best.cos_r").as("cos_r"))
+
+  // one Lloyd step: element-wise decimal-exact mean per (cell, dim),
+  // rebuilt into an array ordered by dim; empty cells keep their
+  // previous centroid
+  private def refineOnce(e: DataFrame, cents: DataFrame): DataFrame = {
+    val means = assignTo(e, cents)
+      .select(col("centroid_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c_emb_new"))
+    cents.join(means, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("c_emb_new"), col("c_emb")).as("c_emb"))
+  }
+
+  /** Refined 16-cell codebook: seed cells + two deterministic Lloyd
+    * iterations over the corpus.
+    */
+  private def codebookOf(e: DataFrame): DataFrame = {
     val c0 = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    refineOnce(e, refineOnce(e, c0))
+  }
 
-    def cosR(a: Column, b: Column): Column =
-      round(graft.plans.CosineSimilarity.cosineSim(a, b), 4)
-
-    // nearest centroid per vector; (cos_r, -centroid_id) max ⇒ highest
-    // cosine, smallest centroid_id on ties — identical to the oracle's
-    // ORDER BY cos_r DESC, centroid_id
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .groupBy(col("vec_id"))
-        .agg(
-          first(col("emb")).as("emb"), // constant per vec_id
-          max(struct(cosR(col("emb"), col("c_emb")).as("cos_r"),
-            (-col("centroid_id")).as("neg_id"))).as("best"))
-        .select(col("vec_id"), col("emb"),
-          (-col("best.neg_id")).as("centroid_id"), col("best.cos_r").as("cos_r"))
-
-    // one Lloyd step: element-wise decimal-exact mean per (cell, dim),
-    // rebuilt into an array ordered by dim; empty cells keep their
-    // previous centroid
-    def refine(cents: DataFrame): DataFrame = {
-      val means = assign(cents)
-        .select(col("centroid_id"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg((sum(col("v").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("c_emb_new"))
-      cents.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("c_emb_new"), col("c_emb")).as("c_emb"))
-    }
-
-    val fin = assign(refine(refine(c0)))
+  /** Inverted-file assignment for a (possibly already materialized)
+    * codebook: nearest cell per vector + broadcast-joined cell sizes.
+    */
+  private def assignmentOf(e: DataFrame, codebook: DataFrame): DataFrame = {
+    val fin = assignTo(e, codebook)
       .select(col("vec_id"), col("centroid_id"), col("cos_r").as("cos_to_centroid"))
     val sizes = fin.groupBy(col("centroid_id")).agg(count(lit(1)).as("cell_size"))
     fin.join(broadcast(sizes), Seq("centroid_id"))
@@ -160,6 +189,16 @@ object Similarity {
     s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_index/$key"
   }
 
+  /** Codebook sibling of [[indexPath]]: the 16 centroid embeddings.
+    * Search stages with nprobe > 1 rank cells by cosine to these —
+    * the assignment table alone can't say which OTHER cells are near a
+    * query.
+    */
+  private def codebookPath(spark: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_codebook/$key"
+  }
+
   private def indexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
@@ -167,14 +206,30 @@ object Similarity {
 
   /** q24 entry: run the k-means build ([[ivfAssign]]) and PERSIST the
     * result as the IVF index (stage-then-swap, same pattern as
-    * Scd2.mergeInto), returning the published index. Build cost lives
-    * here; q32 reads the artifact.
+    * Scd2.mergeInto) — assignment AND codebook — returning the published
+    * assignment. Build cost lives here; the search stages read the
+    * artifacts.
     */
   def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusEmb(spark, dir)
+    // codebook first (the k-means corpus passes run exactly once), then
+    // the assignment derives from the PUBLISHED codebook — one more
+    // broadcast pass, not a re-run of the Lloyd chain (doubles were
+    // written exactly, so the parquet round-trip changes nothing)
+    graft.sources.Sinks.stagePublish(codebookOf(e), codebookPath(spark, dir))
+    val cb = spark.read.parquet(codebookPath(spark, dir))
     val path = indexPath(spark, dir)
-    graft.sources.Sinks.stagePublish(ivfAssign(spark, dir), path)
+    graft.sources.Sinks.stagePublish(assignmentOf(e, cb), path)
     spark.read.parquet(path)
   }
+
+  /** Build the index iff either artifact is missing (e.g. a fresh
+    * session running a search stage standalone).
+    */
+  private def ensureIndex(spark: SparkSession, dir: String): Unit =
+    if (!indexExists(spark, indexPath(spark, dir)) ||
+        !indexExists(spark, codebookPath(spark, dir)))
+      ivfBuild(spark, dir)
 
   // ─── q32 IVF search stage (probe the query's cell only) ──────────────
   /** ANN search over the q24 index: each query probes ONLY its own
@@ -193,7 +248,7 @@ object Similarity {
     */
   def ivfSearch(spark: SparkSession, dir: String): DataFrame = {
     val path = indexPath(spark, dir)
-    if (!indexExists(spark, path)) ivfBuild(spark, dir)
+    ensureIndex(spark, dir)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val member = spark.read.parquet(path)
@@ -214,11 +269,88 @@ object Similarity {
       .filter(col("rank") <= 5)
   }
 
+  // ─── q35 multi-probe IVF search + recall@5 report ────────────────────
+  /** The recall/latency curve a production ANN deployment tunes: each
+    * query probes its `nprobe` nearest coarse cells (nprobe ∈ {1,2,4},
+    * ranked by cosine to the persisted codebook), takes the in-probe
+    * top-5, and the report scores recall@5 against the exact brute-force
+    * top-5 on the same bounded query set, alongside the average number
+    * of scored candidates (the scan-cost axis of the trade).
+    *
+    * Scale shape: the corpus-sized side (index ⋈ embeddings) streams
+    * through ONE broadcast-hash join against the ≤80-row (query ×
+    * probed-cell) set — members of unprobed cells never reach scoring.
+    * Probing all three nprobe levels reuses that single candidate pass:
+    * a candidate found in cell-rank r belongs to every level ≥ r, so one
+    * rank window per (level, query) and ONE aggregation produce the
+    * whole curve — the corpus is not rescanned per level. The exact
+    * baseline is one more streamed pass (it is the yardstick the report
+    * exists to compare against; a production recall eval does exactly
+    * this on a sampled query set). Counts aggregate as integers and the
+    * ratios divide at the 3-row stage, so the report is bit-stable at
+    * any parallelism.
+    */
+  def ivfSearchRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensureIndex(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val member = spark.read.parquet(indexPath(spark, dir))
+      .select(col("vec_id"), col("centroid_id"))
+      .join(e, Seq("vec_id"))
+    val codebook = spark.read.parquet(codebookPath(spark, dir))
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+
+    def cosR(a: Column, b: Column): Column =
+      round(graft.plans.CosineSimilarity.cosineSim(a, b), 4)
+
+    // per-query ranking of all 16 cells; rank 1 == the assigned cell
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("centroid_id"))
+    val probes = qs.crossJoin(broadcast(codebook))
+      .select(col("q_id"), col("q_emb"), col("centroid_id"),
+        cosR(col("q_emb"), col("c_emb")).as("cell_cos"))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= 4)
+      .select(col("q_id"), col("q_emb"), col("centroid_id"), col("cell_rank"))
+    val cand = member
+      .select(col("vec_id").as("c_id"), col("centroid_id"), col("emb").as("c_emb"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("cell_rank"),
+        cosR(col("q_emb"), col("c_emb")).as("cosine_sim"))
+    // exact top-5 per query — the brute-force yardstick (d05's ranking)
+    val exact = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      .join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosR(col("q_emb"), col("c_emb")).as("ex_cos"))
+      .withColumn("ex_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ex_cos").desc, col("c_id"))))
+      .filter(col("ex_rk") <= 5)
+      .select(col("q_id"), col("c_id"), lit(1L).as("is_exact"))
+    val levels = Seq(1L, 2L, 4L).toDF("nprobe")
+    val probed = cand.join(broadcast(levels), col("cell_rank") <= col("nprobe"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("q_id"))
+          .orderBy(col("cosine_sim").desc, col("c_id"))))
+      .join(broadcast(exact), Seq("q_id", "c_id"), "left")
+    probed.groupBy(col("nprobe"))
+      .agg(
+        sum(when(col("rk") <= 5 && col("is_exact") === 1L, 1L).otherwise(0L))
+          .as("total_hits"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("nprobe"), col("total_hits"),
+        // 20 queries × exact top-5 = denominator 100
+        round(col("total_hits").cast("double") / 100.0, 4).as("recall_at5"),
+        round(col("n_candidates").cast("double") / 20.0, 2).as("avg_candidates"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
     "d06_embedding_lsh" -> embeddingLsh,
     "q24_ivf_ann" -> ivfBuild,
-    "q32_ivf_search" -> ivfSearch)
+    "q32_ivf_search" -> ivfSearch,
+    "q35_ivf_recall" -> ivfSearchRecall)
 
   val oracle: Map[String, String] = Map(
     "q24_ivf_ann" ->
@@ -303,6 +435,75 @@ object Similarity {
         |SELECT q_id, c_id, cosine_sim,
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q35_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |a2 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a2),
+        |m2 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x2 GROUP BY 1, 2),
+        |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
+        |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, centroid_id, emb,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 20),
+        |cr AS (
+        |  SELECT q_id, q_emb, centroid_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY
+        |           round(list_dot_product(q_emb, c_emb)
+        |                 / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) DESC,
+        |           centroid_id) AS cell_rank
+        |  FROM q CROSS JOIN c2
+        |  QUALIFY cell_rank <= 4),
+        |cand AS (
+        |  SELECT cr.q_id, f.vec_id AS c_id, cr.cell_rank,
+        |         round(list_dot_product(cr.q_emb, f.emb)
+        |               / (sqrt(list_dot_product(cr.q_emb, cr.q_emb)) * sqrt(list_dot_product(f.emb, f.emb))), 4) AS cosine_sim
+        |  FROM fin f JOIN cr ON f.centroid_id = cr.centroid_id
+        |  WHERE f.vec_id <> cr.q_id),
+        |exact AS (
+        |  SELECT q.q_id, c.vec_id AS c_id
+        |  FROM q JOIN e c ON q.q_id <> c.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |    round(list_dot_product(q.q_emb, c.emb)
+        |          / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) DESC,
+        |    c.vec_id) <= 5),
+        |levels AS (SELECT * FROM (VALUES (1), (2), (4)) t(nprobe)),
+        |probed AS (
+        |  SELECT l.nprobe, c.q_id, c.c_id,
+        |         row_number() OVER (PARTITION BY l.nprobe, c.q_id
+        |                            ORDER BY c.cosine_sim DESC, c.c_id) AS rk
+        |  FROM cand c JOIN levels l ON c.cell_rank <= l.nprobe)
+        |SELECT CAST(p.nprobe AS BIGINT) AS nprobe,
+        |       CAST(sum(CASE WHEN p.rk <= 5 AND ex.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_hits,
+        |       round(CAST(sum(CASE WHEN p.rk <= 5 AND ex.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 100.0, 4) AS recall_at5,
+        |       round(CAST(count(*) AS DOUBLE) / 20.0, 2) AS avg_candidates
+        |FROM probed p LEFT JOIN exact ex ON p.q_id = ex.q_id AND p.c_id = ex.c_id
+        |GROUP BY 1""".stripMargin,
     "d05_embedding_knn" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -24,4 +24,35 @@ class PipelineSpec extends AnyFunSuite {
     val log = Pipeline.runLog(spark, stats, "test_run")
     assert(log.where("status = 'SUCCESS'").count() == stats.length)
   }
+
+  test("failed stage writes the failure-log artifact (notify_on_failure)") {
+    val out = Files.createTempDirectory("graft_wh_fail").toString
+    val bad = Files.createTempDirectory("graft_no_tables").toString
+    val err = intercept[Exception] {
+      Pipeline.runNotified(spark, bad, out, validateFirst = false, runId = "fail_run")
+    }
+    val fl = spark.read.parquet(s"$out/_failure_log").collect()
+    assert(fl.length == 1)
+    val r = fl.head
+    assert(r.getAs[String]("run_id") == "fail_run")
+    assert(r.getAs[String]("failed_stage") == "stg_lineitem_clean")
+    assert(r.getAs[String]("status") == "FAILED")
+    assert(r.getAs[Long]("n_completed_stages") == 0L)
+    assert(r.getAs[String]("error_class") == err.getClass.getSimpleName)
+  }
+
+  test("successful notified run clears the failure artifact") {
+    val out = Files.createTempDirectory("graft_wh_ok").toString
+    // seed a stale failure artifact, then a clean StagingOnly run removes it
+    val bad = Files.createTempDirectory("graft_no_tables2").toString
+    intercept[Exception] {
+      Pipeline.runNotified(spark, bad, out, validateFirst = false, runId = "stale")
+    }
+    val stats = Pipeline.runNotified(spark, TestSpark.sf, out,
+      mode = Pipeline.StagingOnly, runId = "ok_run")
+    assert(stats.map(_.table) == Seq("stg_lineitem_clean"))
+    val fs = new org.apache.hadoop.fs.Path(s"$out/_failure_log")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_failure_log")))
+  }
 }
