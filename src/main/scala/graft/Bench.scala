@@ -83,7 +83,45 @@ object Bench {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved._2)
       }
     }
-    val all = results ++ skewResults
+    // ─── bucket A/B: shuffled vs co-located bucketed sort-merge join ───
+    // The payoff of pre-bucketing fact tables on their join key: the
+    // bucketed pair joins with ZERO Exchange and ZERO Sort (SkewBucketSpec
+    // asserts the plan); x03 is the same join + per-row digest work from
+    // plain parquet, paying shuffle + sort on both sides. The one-time
+    // bucketed write is untimed setup — it amortizes across every
+    // downstream co-located join, the same build-once-use-many contract
+    // as the IVF index.
+    val bucketResults = {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_bucket").toString
+      spark.sql("DROP TABLE IF EXISTS bench_b_orders")
+      spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+      o.write.option("path", s"$wh/o")
+        .bucketBy(cpus.toInt, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bench_b_orders")
+      li.write.option("path", s"$wh/li")
+        .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bench_b_lineitem")
+      def run(l: DataFrame, r: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        l.join(r, col("l_orderkey") === col("o_orderkey"))
+          .agg(sum(length(sha2(
+            concat_ws("_", col("l_linenumber"), col("o_totalprice"), col("l_extendedprice")),
+            512)))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try Seq(
+        "x03_shuffle_smj" -> run(li, o),
+        "x04_bucketed_smj" -> run(
+          spark.table("bench_b_lineitem"), spark.table("bench_b_orders")))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+    val all = results ++ skewResults ++ bucketResults
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

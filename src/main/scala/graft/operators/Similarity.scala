@@ -184,20 +184,29 @@ object Similarity {
     * (the round-2 q32 shape) made the "scan-reduction payoff" cost more
     * than the brute-force baseline.
     */
-  private def indexPath(spark: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_index/$key"
+  /** Index cache key: sanitized source dir + size/mtime fingerprint of
+    * the embeddings file, so a REGENERATED source invalidates the
+    * persisted index automatically (a stale index would silently serve
+    * assignments for data that no longer exists).
+    */
+  private def indexKey(spark: SparkSession, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st = src.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(src)
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${dirKey}_${st.getLen}_${st.getModificationTime}"
   }
+
+  private def indexPath(spark: SparkSession, dir: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_index/${indexKey(spark, dir)}"
 
   /** Codebook sibling of [[indexPath]]: the 16 centroid embeddings.
     * Search stages with nprobe > 1 rank cells by cosine to these —
     * the assignment table alone can't say which OTHER cells are near a
     * query.
     */
-  private def codebookPath(spark: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_codebook/$key"
-  }
+  private def codebookPath(spark: SparkSession, dir: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_codebook/${indexKey(spark, dir)}"
 
   private def indexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
