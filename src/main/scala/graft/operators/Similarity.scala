@@ -190,11 +190,8 @@ object Similarity {
     * assignments for data that no longer exists).
     */
   private def indexKey(spark: SparkSession, dir: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val st = src.getFileSystem(spark.sessionState.newHadoopConf())
-      .getFileStatus(src)
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${dirKey}_${st.getLen}_${st.getModificationTime}"
+    s"${dirKey}_${Tables.sourceKey(spark, s"$dir/embeddings.parquet")}"
   }
 
   private def indexPath(spark: SparkSession, dir: String): String =

@@ -105,4 +105,15 @@ object Tables {
       }
     }.toDF("table_name", "ordinal", "column_name", "data_type", "table_rows")
   }
+
+  /** Size+mtime fingerprint of a source file — cache key fragment for
+    * warehouse artifacts derived from it (IVF index, LSH candidates):
+    * regenerating the source invalidates the artifact automatically
+    * instead of silently serving results for data that no longer exists.
+    */
+  def sourceKey(spark: SparkSession, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+    s"${st.getLen}_${st.getModificationTime}"
+  }
 }

@@ -37,6 +37,17 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(cand), s"missed: ${exact -- cand}")
   }
 
+  test("published candidate artifact is deterministic across rebuild and reuse") {
+    // first call may build, second publishes again over it; the artifact
+    // is a pure function of the source so both reads must be identical
+    // (materialize the first read before the re-publish replaces files)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands"))
+    val first = Dedup.minhashLsh(spark, TestSpark.sf).collect().map(key).sorted
+    val again = Dedup.minhashLsh(spark, TestSpark.sf).collect().map(key).sorted
+    assert(first.nonEmpty && first.sameElements(again))
+  }
+
   test("simhash is a 16-bit value with consistent bands") {
     Dedup.simhash(spark, TestSpark.sf).collect().foreach { r =>
       val s = r.getAs[Long]("simhash")

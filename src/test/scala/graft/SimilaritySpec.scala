@@ -39,4 +39,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refined >= init - 1e-9,
       s"refined codebook ($refined) worse than seed codebook ($init)")
   }
+
+  test("multi-probe recall report: recall and scan cost are monotone in nprobe") {
+    val rows = Similarity.ivfSearchRecall(spark, TestSpark.sf)
+      .orderBy("nprobe").collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getAs[Double]("recall_at5"))
+    val cands = rows.map(_.getAs[Double]("avg_candidates"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      s"scan cost not increasing: ${cands.toSeq}")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+  }
 }
