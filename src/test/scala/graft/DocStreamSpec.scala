@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{DocStream, EventsStream}
+import graft.streaming.DocStream.Doc
+
+class DocStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val docs = Seq(
+    Doc(1, "src0", "en", "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:00:00")),
+    Doc(2, "src1", "en", "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:05:00")), // dup of 1
+    Doc(3, "src0", "de", "ein ganz anderer text mit anderen worten hier", ts("2024-01-01 10:10:00")),
+    Doc(4, "src2", "en", "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:20:00")), // dup of 1
+    Doc(5, "src1", "de", "noch ein dritter eindeutiger inhalt im strom", ts("2024-01-01 10:30:00")))
+
+  test("streaming dedup ingest keeps the first arrival per fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    // two micro-batches, arrival order follows doc_id
+    src.addData(docs.take(3): _*)
+    src.addData(docs.drop(3): _*)
+    val out = EventsStream.runToMemory(
+      DocStream.dedupIngest(src.toDF()), "dedup_ingest", OutputMode.Append())
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // agrees with the batch keep-first (min doc_id) on the same frame
+    val batchKept = docs.toDF().groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("keep")).collect().map(_.getAs[Long]("keep")).toSet
+    assert(kept == batchKept)
+  }
+
+  test("static frame through the same operator is its own batch twin") {
+    import spark.implicits._
+    val kept = DocStream.dedupIngest(docs.toDF())
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size == 3)
+    // one survivor per distinct content, every survivor a real doc id
+    assert(kept.subsetOf(docs.map(_.doc_id).toSet))
+  }
+
+  test("quality gate screens junk before dedup state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val junk = Seq(
+      Doc(10, "src0", "xx", "1234567890 9876543210 0000000", ts("2024-01-01 11:00:00")), // numeric
+      Doc(11, "src0", "xx", "tiny", ts("2024-01-01 11:01:00"))) // too short
+    val src = MemoryStream[Doc]
+    src.addData(docs ++ junk: _*)
+    val out = EventsStream.runToMemory(
+      DocStream.gatedIngest(src.toDF()), "gated_ingest", OutputMode.Append())
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+}
