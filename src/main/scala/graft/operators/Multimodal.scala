@@ -83,6 +83,41 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction CO-PARTITIONED BY IVF CELL (`cells` is the q24
+    * assignment, vec_id → centroid_id): media whose embeddings share a
+    * coarse cell are overwhelmingly near-identical payloads, so
+    * shuffling them into the same partition makes the per-partition
+    * decode memo-cache actually hit — each distinct payload decodes
+    * ONCE per partition instead of once per row. That
+    * shuffle-cheap-rows-before-expensive-per-row-work trade is the real
+    * 100 TB pattern (decode dominates by orders of magnitude; the
+    * shuffle moves only bytes). Media without a vector fall into a
+    * catch-all cell. Output rows are identical to [[extractFeatures]]
+    * (asserted in MultimodalSpec) — only the physical grouping differs.
+    */
+  def extractFeaturesByCell(media: Dataset[MediaRow], cells: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val withCell = media.toDF()
+      .join(cells.select(col("vec_id").as("media_id"), col("centroid_id")),
+        Seq("media_id"), "left")
+      .withColumn("cell", coalesce(col("centroid_id"), lit(-1L)))
+    withCell
+      .repartition(col("cell"))
+      .select(col("media_id"), col("kind"), col("format"), col("payload"), col("meta_len"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val codec = FakeCodec
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        // memo keyed by payload digest: near-dup cells make this hit
+        val memo = scala.collection.mutable.HashMap.empty[String, (Double, Array[Long])]
+        rows.map { r =>
+          val hash = md5.digest(r.payload).map("%02x".format(_)).mkString
+          val (mean, hist) = memo.getOrElseUpdate(hash, codec.decode(r.payload))
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean, hist, hash)
+        }
+      }
+  }
+
   /** "Resize" stage stub: truncate payloads to `maxBytes` — stands in
     * for image resize / audio clip; demonstrates a narrow binary-column
     * transform that never leaves the executor.
