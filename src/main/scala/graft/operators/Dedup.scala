@@ -119,8 +119,10 @@ object Dedup {
 
   private def candidatesPath(spark: SparkSession, dir: String): String = {
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // "src" prefix: see Similarity.indexKey — underscore-prefixed dirs
+    // are "hidden" to Spark's file listing
     s"${spark.conf.get("spark.sql.warehouse.dir")}/lsh_candidates/" +
-      s"${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
   }
 
   /** Published candidate pairs, building the artifact iff missing (a

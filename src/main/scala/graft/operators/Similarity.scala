@@ -191,7 +191,10 @@ object Similarity {
     */
   private def indexKey(spark: SparkSession, dir: String): String = {
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${dirKey}_${Tables.sourceKey(spark, s"$dir/embeddings.parquet")}"
+    // "src" prefix: a sanitized absolute path starts with "_", and
+    // underscore-prefixed paths are "hidden" to Spark's file listing
+    // (directly-addressed reads still work, but only via an exemption)
+    s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/embeddings.parquet")}"
   }
 
   private def indexPath(spark: SparkSession, dir: String): String =
