@@ -99,14 +99,19 @@ object Cleaning {
     * DECIMAL so the result is parallelism-independent.
     */
   def catalogRatings(spark: SparkSession, dir: String): DataFrame = {
+    // fingerprint-keyed like the other warehouse artifacts: the JSON
+    // feed synthesizes once per source generation, not once per query
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/api_products/$key"
+    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/api_products/" +
+      s"src${key}_${Tables.sourceKey(spark, s"$dir/part.parquet")}"
     val p = Tables.part(spark, dir)
-    p.select(col("p_partkey").as("product_id"),
-        struct(
-          (lit(1.0) + (col("p_partkey") % 40).cast("double") / 10.0).as("rate"),
-          ((col("p_partkey") * 7) % 500 + 1).as("count")).as("rating"))
-      .write.mode("overwrite").json(path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (!hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp))
+      p.select(col("p_partkey").as("product_id"),
+          struct(
+            (lit(1.0) + (col("p_partkey") % 40).cast("double") / 10.0).as("rate"),
+            ((col("p_partkey") * 7) % 500 + 1).as("count")).as("rating"))
+        .write.mode("overwrite").json(path)
     val schema = StructType.fromDDL(
       "product_id BIGINT, rating STRUCT<rate: DOUBLE, count: BIGINT>")
     val api = Tables.flattenStructs(Tables.readJson(spark, path, schema, "api_rest"))
