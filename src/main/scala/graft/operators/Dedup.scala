@@ -208,55 +208,48 @@ object Dedup {
     * corpus) → keep-min survivorship: for every verified pair
     * (jaccard ≥ 0.5) the larger doc_id is marked for removal.
     *
-    * Cache strategy (round-3 rework — the round-2 form persisted the
-    * FULL shingle explode, the largest intermediate in the engine, and
-    * regressed the in-harness bench 8.8s→15.1s under memory pressure):
-    * only the two TINY frames are persisted — the candidate-pair set
-    * (bounded by LSH selectivity; read by three plan branches) and the
-    * candidate-doc shingle slice (read by sizes + both self-join sides).
-    * The raw explode is recomputed on its second read: it is a narrow
-    * codegen'd projection off the parquet scan, and recompute measures
-    * cheaper than caching a duplicate-heavy corpus-sized blob. The
-    * result (tiny) is materialized eagerly so both persists can be
-    * released before returning — nothing leaks into the caller's
-    * session.
+    * Verification shape: candidate-doc shingles collect into ONE sorted
+    * set-array per doc (the only shuffle in the verify stage — rows are
+    * per-DOC from here on, never per-shingle), then the candidate pair
+    * list joins the arrays for both sides and `array_intersect` scores
+    * each pair in a codegen'd projection. Earlier shapes measured worse:
+    * a shared-shingle self-join computes intersections for every
+    * co-shingled doc pair (1.06M pairs for 15.7k candidates at sf0.1,
+    * 98.5% discarded), and even the pair-driven per-shingle join pushes
+    * |cand| × shingles-per-doc (~850k) rows through a shuffle that the
+    * per-doc arrays avoid entirely. Only the tiny frames persist
+    * (candidate pairs + per-doc arrays), and the result is materialized
+    * eagerly so both persists release before returning — nothing leaks
+    * into the caller's session.
     */
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val cand = candidates(spark, dir).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // shingles restricted to candidate docs (bounded by LSH selectivity),
-    // deduped to SET semantics only now — on the small candidate slice,
-    // never as a full-corpus shuffle; the doc filter sits BELOW the
-    // explode, so this pass scans the corpus but explodes almost nothing
-    val sh = wordShinglesOf(
+    // per-doc shingle SET arrays, restricted to candidate docs (bounded
+    // by LSH selectivity); the doc filter sits BELOW the explode, so
+    // this pass scans the corpus but explodes almost nothing
+    val shSets = wordShinglesOf(
         Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
-        dedup = false).distinct().persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // intersection driven THROUGH the candidate pair list — a shared-
-    // shingle self-join would compute intersections for every co-shingled
-    // doc pair (quadratic in hot shingles: measured 1.06M pairs at sf0.1
-    // for 15.7k candidates, 98.5% discarded); routing through cand keeps
-    // it linear in |cand| × shingles-per-doc
-    val inter = cand.select(col("doc_a"), col("doc_b"))
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val verified = cand.join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+        dedup = false)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh_set"))
+      .select(col("doc_id"), col("sh_set"), size(col("sh_set")).cast("long").as("n"))
+      .persist()
+    val verified = cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(shSets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
-        coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
     val result = verified.groupBy(col("doc_b").as("removed_doc_id"))
       .agg(
         min(col("doc_a")).as("kept_partner"),
         count(lit(1)).as("n_dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
-    releasing(result, cand, sh)
+    releasing(result, cand, shSets)
   }
 
   /** Materialize `result` (bounded small: a removal/report list) via an
@@ -291,7 +284,7 @@ object Dedup {
     val flags = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source").isin(benchSources: _*).as("is_bench"))
     // same cache strategy as d07: persist only the tiny frames (the
-    // boundary-crossing pair set + candidate shingle slice), recompute
+    // boundary-crossing pair set + per-doc shingle sets), recompute
     // the narrow corpus explode, release everything before returning
     val crossing = candidates(spark, dir)
       .join(flags.select(col("doc_id").as("doc_a"), col("is_bench").as("bench_a")), Seq("doc_a"))
@@ -303,29 +296,25 @@ object Dedup {
       .persist()
     val candDocs = crossing.select(col("bench_doc_id").as("doc_id"))
       .union(crossing.select(col("corpus_doc_id").as("doc_id"))).distinct()
-    val sh = wordShinglesOf(
+    // per-doc shingle SET arrays + array_intersect scoring, same shape
+    // (and same rationale) as d07: per-doc rows through the one verify
+    // shuffle, never per-shingle, never non-candidate pairs
+    val shSets = wordShinglesOf(
         Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
-        dedup = false).distinct().persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // pair-driven intersection, same rationale as d07: never measure
-    // co-shingled pairs that aren't boundary-crossing candidates
-    val inter = crossing
-      .select(least(col("bench_doc_id"), col("corpus_doc_id")).as("ia"),
-        greatest(col("bench_doc_id"), col("corpus_doc_id")).as("ib"))
-      .join(sh.as("a"), col("ia") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("ib") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("ia"), col("ib"))
-      .agg(count(lit(1)).as("inter"))
+        dedup = false)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh_set"))
+      .select(col("doc_id"), col("sh_set"), size(col("sh_set")).cast("long").as("n"))
+      .persist()
     val verified = crossing
-      .withColumn("ia", least(col("bench_doc_id"), col("corpus_doc_id")))
-      .withColumn("ib", greatest(col("bench_doc_id"), col("corpus_doc_id")))
-      .join(inter, Seq("ia", "ib"), "left")
-      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("ia") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("ib") === col("doc_id")).drop("doc_id")
+      .join(shSets.select(col("doc_id").as("bench_doc_id"),
+        col("sh_set").as("set_a"), col("n").as("n_a")), Seq("bench_doc_id"))
+      .join(shSets.select(col("doc_id").as("corpus_doc_id"),
+        col("sh_set").as("set_b"), col("n").as("n_b")), Seq("corpus_doc_id"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
-        coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))).cast("double"))
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= 0.5)
     val summary = verified.groupBy(col("bench_doc_id"))
       .agg(
@@ -338,7 +327,7 @@ object Dedup {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
         col("nearest_corpus_doc"))
-    releasing(result, crossing, sh)
+    releasing(result, crossing, shSets)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
