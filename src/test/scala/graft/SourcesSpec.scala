@@ -91,4 +91,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(core.map(_.table).contains("fact_sales") &&
       !core.map(_.table).exists(_.startsWith("mart_")))
   }
+
+  test("sourceKey fingerprint changes when the source file is regenerated") {
+    val f = java.nio.file.Files.createTempFile("graft_srckey", ".parquet")
+    java.nio.file.Files.writeString(f, "first generation")
+    val k1 = graft.sources.Tables.sourceKey(spark, f.toString)
+    java.nio.file.Files.writeString(f, "second generation, different size")
+    val k2 = graft.sources.Tables.sourceKey(spark, f.toString)
+    assert(k1 != k2, "regenerated source must produce a new artifact key")
+    // stable when nothing changed
+    assert(k2 == graft.sources.Tables.sourceKey(spark, f.toString))
+  }
 }
