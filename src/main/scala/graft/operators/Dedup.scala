@@ -222,13 +222,16 @@ object Dedup {
     * eagerly so both persists release before returning — nothing leaks
     * into the caller's session.
     */
-  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val cand = candidates(spark, dir).persist()
+  /** Exact-verified candidate pairs: per-doc shingle SET arrays for the
+    * candidate docs (doc filter BELOW the explode — the corpus is
+    * scanned but barely exploded), `array_intersect` scoring, jaccard ≥
+    * `minJaccard`. Returns the verified frame plus the persisted
+    * intermediate the caller must hand to [[releasing]].
+    */
+  private def verifyPairs(spark: SparkSession, dir: String, cand: DataFrame,
+                          minJaccard: Double): (DataFrame, DataFrame) = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // per-doc shingle SET arrays, restricted to candidate docs (bounded
-    // by LSH selectivity); the doc filter sits BELOW the explode, so
-    // this pass scans the corpus but explodes almost nothing
     val shSets = wordShinglesOf(
         Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
         dedup = false)
@@ -243,7 +246,13 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
+    (verified, shSets)
+  }
+
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val cand = candidates(spark, dir).persist()
+    val (verified, shSets) = verifyPairs(spark, dir, cand, minJaccard = 0.5)
     val result = verified.groupBy(col("doc_b").as("removed_doc_id"))
       .agg(
         min(col("doc_a")).as("kept_partner"),
@@ -330,15 +339,104 @@ object Dedup {
     releasing(result, crossing, shSets)
   }
 
+  // ─── d09 cross-source overlap matrix ─────────────────────────────────
+  /** Which sources duplicate which — the dataset-mixing report a
+    * curation run reads before weighting sources: verified near-dup
+    * pairs (the d07 machinery) rolled up to unordered (source, source)
+    * cells with pair counts, exact-dup counts, and the strongest
+    * overlap. Diagonal cells (within-source duplication) included —
+    * they are usually the largest and drive per-source dedup budgets.
+    *
+    * Determinism: count / max aggregations only (no float summation
+    * whose order could vary with partitioning).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val cand = candidates(spark, dir).persist()
+    val (verified, shSets) = verifyPairs(spark, dir, cand, minJaccard = 0.5)
+    val withSrc = verified
+      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("source").as("sa"))), Seq("doc_a"))
+      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("source").as("sb"))), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+    val result = withSrc.groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_dup_pairs"),
+        sum(when(col("jaccard") === 1.0, 1L).otherwise(0L)).as("n_identical"),
+        max(col("jaccard")).as("max_jaccard"))
+    releasing(result, cand, shSets)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
     "d04_simhash" -> simhash,
     "d07_dedup_pipeline" -> dedupPipeline,
-    "d08_contamination" -> contamination)
+    "d08_contamination" -> contamination,
+    "d09_source_overlap" -> sourceOverlap)
 
   val oracle: Map[String, String] = Map(
+    "d09_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN csh a ON cand.doc_a = a.doc_id
+        |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |         CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |           / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) AS jaccard
+        |  FROM cand
+        |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5),
+        |ws AS (
+        |  SELECT least(d1.source, d2.source) AS source_a,
+        |         greatest(d1.source, d2.source) AS source_b,
+        |         v.jaccard
+        |  FROM verified v
+        |  JOIN documents d1 ON v.doc_a = d1.doc_id
+        |  JOIN documents d2 ON v.doc_b = d2.doc_id)
+        |SELECT source_a, source_b,
+        |       count(*) AS n_dup_pairs,
+        |       CAST(sum(CASE WHEN jaccard = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_identical,
+        |       max(jaccard) AS max_jaccard
+        |FROM ws GROUP BY 1, 2""".stripMargin,
     "d08_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
