@@ -4,9 +4,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** One query's repeated timings: successful wall times + error
+    * messages from failed reps. A failed rep NEVER contributes a
+    * normal-looking number — the silent `catch → -1` of earlier rounds
+    * let a broken query hide as a fast time.
+    */
+  private case class Timing(ok: Seq[Double], errors: Seq[String]) {
+    def median: Double =
+      if (ok.isEmpty) -1.0
+      else ok.sorted.apply((ok.size - 1) / 2)
+    def max: Double = if (ok.isEmpty) -1.0 else ok.max
+  }
+
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,6 +34,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val load0 = loadAvg()
     // JIT / codegen warm-up + FULL-COLUMN first-touch of every table: a
     // parquet count() is metadata-only, so the round-2 warm-up left the
     // big string/array columns (events.props, documents.text,
@@ -33,21 +52,45 @@ object Bench {
     }
     // dev switch: iterate on the skew A/B without re-timing all queries
     val skewOnly = sys.env.contains("SPARK_GRAFT_SKEW_ONLY")
-    val results = if (skewOnly) Seq.empty[(String, Double)]
-    else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timed(body: => Unit): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may persist() intermediates (d07); unpersist before the
-      // next timed query so no entry benefits from or pays for another's cache
-      spark.catalog.clearCache()
-      name -> dt
+      try { body; Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
     }
+
+    // ─── headline queries: `reps` INTERLEAVED full passes ──────────────
+    // Per-query median over interleaved passes, so a transient machine-
+    // load spike inflates ONE rep of many queries (medians unaffected)
+    // instead of every rep of a few — one contended window can no longer
+    // set the official number, which is how BENCH_r03 read 3× baseline
+    // on untouched queries.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results: Map[String, Timing] = if (skewOnly) Map.empty
+    else {
+      val runs = (1 to reps).flatMap { _ =>
+        names.map { name =>
+          val r = timed(SparkEntry.queries(name)(spark, sfDir).count())
+          // operators may persist() intermediates; unpersist before the
+          // next timed query so no entry benefits from or pays for
+          // another's cache
+          spark.catalog.clearCache()
+          name -> r
+        }
+      }
+      runs.groupBy(_._1).map { case (name, rs) =>
+        name -> Timing(rs.collect { case (_, Right(t)) => t },
+                       rs.collect { case (_, Left(e)) => e })
+      }
+    }
+
     // ─── skew A/B: plain vs salted sort-merge join on a hot key ────────
     // 90% of lineitem lands on one join key; AQE skew-split and
     // broadcast are disabled so the two entries isolate what manual
     // salting (operators.Skew) buys when neither rescue applies.
-    val skewResults = {
+    val skewResults: Seq[(String, Timing)] = {
       // ×5 row amplification so the hot key's single join task is the
       // measured cost (at sf0.1 the raw table's hot slice is small
       // enough that fixed per-query overhead would drown the signal)
@@ -61,24 +104,28 @@ object Bench {
           col("l_extendedprice"))
       val small = spark.range(0, 1000)
         .select(col("id").as("k"), (col("id") * 7).as("attr"))
-      def run(joined: DataFrame): Double = {
-        val t0 = System.nanoTime()
+      def run(joined: => DataFrame): Either[String, Double] = timed {
         // per-row digest in the join stage: the hot task pays it 10×over
         // under skew, which is exactly what salting redistributes
         joined.agg(sum(length(sha2(
           concat_ws("_", col("row_id"), col("attr"), col("l_extendedprice")),
           512)))).collect()
-        (System.nanoTime() - t0) / 1e9
       }
       val saved = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
         spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true"))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      try Seq(
-        "x01_skew_plain_join" -> run(large.join(small, Seq("k"))),
-        "x02_skew_salted_join" -> run(graft.operators.Skew.saltedJoin(
-          large, small, "k", col("row_id"), saltBuckets = cpus.toInt)))
-      finally {
+      try {
+        val runs = (1 to reps).flatMap { _ => Seq(
+          "x01_skew_plain_join" -> run(large.join(small, Seq("k"))),
+          "x02_skew_salted_join" -> run(graft.operators.Skew.saltedJoin(
+            large, small, "k", col("row_id"), saltBuckets = cpus.toInt)))
+        }
+        runs.groupBy(_._1).toSeq.map { case (name, rs) =>
+          name -> Timing(rs.collect { case (_, Right(t)) => t },
+                         rs.collect { case (_, Left(e)) => e })
+        }
+      } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved._1)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved._2)
       }
@@ -91,7 +138,7 @@ object Bench {
     // bucketed write is untimed setup — it amortizes across every
     // downstream co-located join, the same build-once-use-many contract
     // as the IVF index.
-    val bucketResults = {
+    val bucketResults: Seq[(String, Timing)] = {
       val wh = java.nio.file.Files.createTempDirectory("graft_bench_bucket").toString
       spark.sql("DROP TABLE IF EXISTS bench_b_orders")
       spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
@@ -105,27 +152,53 @@ object Bench {
       li.write.option("path", s"$wh/li")
         .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("bench_b_lineitem")
-      def run(l: DataFrame, r: DataFrame): Double = {
-        val t0 = System.nanoTime()
+      def run(l: DataFrame, r: DataFrame): Either[String, Double] = timed {
         l.join(r, col("l_orderkey") === col("o_orderkey"))
           .agg(sum(length(sha2(
             concat_ws("_", col("l_linenumber"), col("o_totalprice"), col("l_extendedprice")),
             512)))).collect()
-        (System.nanoTime() - t0) / 1e9
       }
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try Seq(
-        "x03_shuffle_smj" -> run(li, o),
-        "x04_bucketed_smj" -> run(
-          spark.table("bench_b_lineitem"), spark.table("bench_b_orders")))
-      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      try {
+        val runs = (1 to reps).flatMap { _ => Seq(
+          "x03_shuffle_smj" -> run(li, o),
+          "x04_bucketed_smj" -> run(
+            spark.table("bench_b_lineitem"), spark.table("bench_b_orders")))
+        }
+        runs.groupBy(_._1).toSeq.map { case (name, rs) =>
+          name -> Timing(rs.collect { case (_, Right(t)) => t },
+                         rs.collect { case (_, Left(e)) => e })
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
-    val all = results ++ skewResults ++ bucketResults
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ─── x05: IVF index build WITHOUT artifact writes ──────────────────
+    // q24's timed entry publishes codebook + assignment (its contract);
+    // this entry times the pure k-means computation so the index-BUILD
+    // number is comparable round-over-round independent of write cost.
+    val ivfCompute: Seq[(String, Timing)] = if (skewOnly) Seq.empty else {
+      val runs = (1 to reps).map { _ =>
+        val r = timed(graft.operators.Similarity.ivfAssign(spark, sfDir).count())
+        spark.catalog.clearCache()
+        r
+      }
+      Seq("x05_ivf_compute" -> Timing(runs.collect { case Right(t) => t },
+                                      runs.collect { case Left(e) => e }))
+    }
+
+    val load1 = loadAvg()
+    val all = results.toSeq ++ skewResults ++ bucketResults ++ ivfCompute
+    def jmap(f: Timing => Double): String =
+      all.sortBy(_._1).map { case (k, t) => s"\"" + k + "\":" + f(t) }
+        .mkString("{", ",", "}")
+    def jesc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
+    val errs = all.filter(_._2.errors.nonEmpty).sortBy(_._1)
+      .map { case (k, t) => s"\"" + k + "\":\"" + jesc(t.errors.head) + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.map(_.median).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_.median)},"query_max":${jmap(_.max)},"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

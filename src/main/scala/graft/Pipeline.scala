@@ -52,21 +52,54 @@ object Pipeline {
     }
   }
 
+  case class LoadCheck(table: String, expected_rows: Long, actual_rows: Long, ok: Boolean)
+
+  /** Post-load validation — the reference DAG's `validate_load` task
+    * (dags/retail_etl_dag.py:394-441), which re-reads the LOADED tables
+    * and compares their row counts against what transform produced:
+    * re-read each PUBLISHED artifact and compare against the write-time
+    * counts. The pre-write gate proves the INPUT was sound; this proves
+    * the warehouse actually serves what the run claims it wrote (a
+    * partial or clobbered publish passes every pre-write check).
+    */
+  def validateLoad(spark: SparkSession, outDir: String,
+                   stats: Seq[LoadStat]): Seq[LoadCheck] =
+    stats.map { s =>
+      val actual =
+        try spark.read.parquet(s"$outDir/${s.table}").count()
+        catch { case _: Throwable => -1L }
+      LoadCheck(s.table, s.rows, actual, actual == s.rows)
+    }
+
+  private def requireLoadsValid(spark: SparkSession, outDir: String,
+                                stats: Seq[LoadStat]): Unit = {
+    val bad = validateLoad(spark, outDir, stats).filterNot(_.ok)
+    require(bad.isEmpty,
+      "post-load validation failed (dag: validate_load): " +
+        bad.map(c => s"${c.table} expected=${c.expected_rows} actual=${c.actual_rows}")
+          .mkString("; "))
+  }
+
   /** Build the whole warehouse under `outDir`. Returns load stats in
-    * execution order (the reference's pipeline summary).
+    * execution order (the reference's pipeline summary). With
+    * `validateLoadAfter` the run re-reads every published artifact and
+    * fails on any row-count mismatch (validate_load).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          validateFirst: Boolean = true, mode: Mode = FullRun): Seq[LoadStat] = {
+          validateFirst: Boolean = true, mode: Mode = FullRun,
+          validateLoadAfter: Boolean = true): Seq[LoadStat] = {
     if (validateFirst) {
       val gates = Cleaning.validationGates(spark, sfDir)
         .select(col("all_gates_pass")).collect().head.getBoolean(0)
       require(gates, "validation gates failed — aborting load (dag: validate_extract)")
     }
-    stageList(spark, sfDir, mode).map { case (name, mkDf) =>
+    val stats = stageList(spark, sfDir, mode).map { case (name, mkDf) =>
       val t0 = System.nanoTime()
       val rows = Sinks.stagePublish(mkDf(), s"$outDir/$name")
       LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
     }
+    if (validateLoadAfter) requireLoadsValid(spark, outDir, stats)
+    stats
   }
 
   /** Failure-notification analog of the reference DAG's
@@ -97,6 +130,10 @@ object Pipeline {
         val rows = Sinks.stagePublish(mkDf(), s"$outDir/$name")
         done += LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
       }
+      // validate_load: a mismatch here attributes the failure to the
+      // post-load gate, with every completed stage counted
+      currentStage = "validate_load"
+      requireLoadsValid(spark, outDir, done.toSeq)
       val p = new org.apache.hadoop.fs.Path(failurePath)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(p)) fs.delete(p, true)

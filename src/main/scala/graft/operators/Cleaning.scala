@@ -98,24 +98,34 @@ object Cleaning {
     * map-side-combining aggregation. avg_rating accumulates in exact
     * DECIMAL so the result is parallelism-independent.
     */
-  def catalogRatings(spark: SparkSession, dir: String): DataFrame = {
+  /** The flattened REST-API rating feed (product_id, rating_rate,
+    * rating_count) — the JSON-lines side-file synthesized once per
+    * source generation, read schema-first and struct-flattened. Shared
+    * by q34 (catalog stats) and q36 (price↔rating correlation).
+    */
+  private def apiRatingsFeed(spark: SparkSession, dir: String): DataFrame = {
     // fingerprint-keyed like the other warehouse artifacts: the JSON
     // feed synthesizes once per source generation, not once per query
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/api_products/" +
       s"src${key}_${Tables.sourceKey(spark, s"$dir/part.parquet")}"
-    val p = Tables.part(spark, dir)
     val hp = new org.apache.hadoop.fs.Path(path)
     if (!hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp))
-      p.select(col("p_partkey").as("product_id"),
+      Tables.part(spark, dir)
+        .select(col("p_partkey").as("product_id"),
           struct(
             (lit(1.0) + (col("p_partkey") % 40).cast("double") / 10.0).as("rate"),
             ((col("p_partkey") * 7) % 500 + 1).as("count")).as("rating"))
         .write.mode("overwrite").json(path)
     val schema = StructType.fromDDL(
       "product_id BIGINT, rating STRUCT<rate: DOUBLE, count: BIGINT>")
-    val api = Tables.flattenStructs(Tables.readJson(spark, path, schema, "api_rest"))
+    Tables.flattenStructs(Tables.readJson(spark, path, schema, "api_rest"))
       .select(col("product_id"), col("rating_rate"), col("rating_count"))
+  }
+
+  def catalogRatings(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val api = apiRatingsFeed(spark, dir)
     p.join(api, col("p_partkey") === col("product_id"))
       .groupBy(col("p_type").as("product_category"))
       .agg(
@@ -126,6 +136,39 @@ object Cleaning {
         (sum(col("rating_rate").cast("decimal(4,1)")).cast("double") / count(lit(1)))
           .as("avg_rating"),
         sum(col("rating_count")).as("total_reviews"))
+  }
+
+  // ─── q36 price↔rating correlation per category ───────────────────────
+  /** The reference dashboard's price-vs-rating scatter
+    * (streamlit_app.py:364-380; the rating object flattened at
+    * etl/extract.py:79-84): Pearson correlation of catalog price against
+    * API rating per category, over the q34 JSON rating feed. Uses the
+    * q29 engine-stable explicit-sum formula — every component sum
+    * accumulates in exact DECIMAL (partition-order-independent), and the
+    * final float arithmetic is the identical expression both engines
+    * evaluate on identical operands.
+    */
+  def priceRatingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val api = apiRatingsFeed(spark, dir)
+    val rate = col("rating_rate").cast("decimal(4,1)")
+    val m = p.join(api, col("p_partkey") === col("product_id"))
+      .groupBy(col("p_type").as("product_category"))
+      .agg(
+        count(lit(1)).as("n"),
+        outRaw(sum(m2(col("p_retailprice")))).as("sx"),
+        outRaw(sum(rate)).as("sy"),
+        outRaw(sum(m2(col("p_retailprice")) * m2(col("p_retailprice")))).as("sxx"),
+        outRaw(sum(rate * rate)).as("syy"),
+        outRaw(sum(m2(col("p_retailprice")) * rate)).as("sxy"))
+    m.select(
+      col("product_category"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        when(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")) === 0.0, lit(null))
+          .otherwise(sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .as("price_rating_corr"))
   }
 
   // ─── q22 validation gates (retail_etl_dag.py:251-360) ────────────────
@@ -197,6 +240,7 @@ object Cleaning {
     "q15_clean_lineitem" -> cleanLineitem,
     "q19_multi_source_conform" -> multiSourceConform,
     "q34_api_catalog_ratings" -> catalogRatings,
+    "q36_price_rating_corr" -> priceRatingCorr,
     "q22_validation_gates" -> validationGates,
     "q30_order_reconciliation" -> orderReconciliation)
 
@@ -219,6 +263,25 @@ object Cleaning {
         |       CAST(sum(CAST(rating_rate AS DECIMAL(4,1))) AS DOUBLE) / count(*) AS avg_rating,
         |       CAST(sum(rating_count) AS BIGINT) AS total_reviews
         |FROM j GROUP BY 1""".stripMargin,
+    "q36_price_rating_corr" ->
+      """WITH api AS (
+        |  SELECT p_partkey AS product_id,
+        |         1.0 + (p_partkey % 40) / 10.0 AS rating_rate
+        |  FROM part),
+        |m AS (
+        |  SELECT p_type AS product_category,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(rating_rate AS DECIMAL(4,1))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(rating_rate AS DECIMAL(4,1)) * CAST(rating_rate AS DECIMAL(4,1))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(rating_rate AS DECIMAL(4,1))) AS DOUBLE) AS sxy
+        |  FROM part JOIN api ON p_partkey = product_id
+        |  GROUP BY 1)
+        |SELECT product_category, n,
+        |       (n * sxy - sx * sy)
+        |         / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0) AS price_rating_corr
+        |FROM m""".stripMargin,
     "q30_order_reconciliation" ->
       """WITH li AS (
         |  SELECT l_orderkey,

@@ -175,29 +175,43 @@ object Dedup {
   }
 
   // ─── d04 SimHash fingerprint + hamming bands ─────────────────────────
+  /** 16-bit weighted SimHash in ONE corpus aggregation: each token
+    * occurrence contributes ±1 per bit position (summing the sign per
+    * OCCURRENCE is identical to the classic per-distinct-token
+    * count-weighted sum, without the (doc, token) pre-aggregation), and
+    * all 16 bit-sums are STATIC aggregate columns over one
+    * groupBy(doc_id) — no explode(0..15) row blowup, one md5 per token.
+    * Hamming-band neighbor counts come from two tiny groupBy counts
+    * broadcast-joined back; a window partitioned by the ≤256-value band
+    * keys would funnel the whole corpus into ≤256 tasks (the d06
+    * scale-killer shape, same fix).
+    */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val tc = d.select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
     val hexHigh: Column => Column = c => c.isin("8", "9", "a", "b", "c", "d", "e", "f")
-    val bits = tc.select(col("doc_id"), col("token"), col("cnt"),
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg((sum(col("cnt") *
-        when(hexHigh(md5(col("token")).substr(col("j") + 1, lit(1))), 1L)
-          .otherwise(-1L)) > 0).cast("long").as("bit"))
-    val sh = bits.groupBy(col("doc_id"))
-      .agg(sum(col("bit") * round(pow(lit(2.0), col("j")), 0).cast("long")).as("simhash"))
-    val hi = Window.partitionBy(floor(col("simhash") / 256))
-    val lo = Window.partitionBy(col("simhash") % 256)
+    val toks = d.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("token"))
+      .select(col("doc_id"), md5(col("token")).as("m"))
+    val bitSums = (0 until 16).map(j =>
+      sum(when(hexHigh(substring(col("m"), j + 1, 1)), 1L).otherwise(-1L)).as(s"s_$j"))
+    val sh = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val hiCounts = sh.groupBy(floor(col("simhash") / 256).cast("long").as("band_hi"))
+      .agg(count(lit(1)).as("c_hi"))
+    val loCounts = sh.groupBy((col("simhash") % 256).as("band_lo"))
+      .agg(count(lit(1)).as("c_lo"))
     sh.select(
-      col("doc_id"), col("simhash"),
-      floor(col("simhash") / 256).cast("long").as("band_hi"),
-      (col("simhash") % 256).as("band_lo"),
-      (count(lit(1)).over(hi) - 1).as("n_same_hi"),
-      (count(lit(1)).over(lo) - 1).as("n_same_lo"))
+        col("doc_id"), col("simhash"),
+        floor(col("simhash") / 256).cast("long").as("band_hi"),
+        (col("simhash") % 256).as("band_lo"))
+      .join(broadcast(hiCounts), Seq("band_hi"))
+      .join(broadcast(loCounts), Seq("band_lo"))
+      .select(col("doc_id"), col("simhash"), col("band_hi"), col("band_lo"),
+        (col("c_hi") - 1).as("n_same_hi"),
+        (col("c_lo") - 1).as("n_same_lo"))
   }
 
   // ─── d07 end-to-end dedup pipeline: LSH → verify → removal list ──────
@@ -218,15 +232,14 @@ object Dedup {
     * 98.5% discarded), and even the pair-driven per-shingle join pushes
     * |cand| × shingles-per-doc (~850k) rows through a shuffle that the
     * per-doc arrays avoid entirely. Only the tiny frames persist
-    * (candidate pairs + per-doc arrays), and the result is materialized
-    * eagerly so both persists release before returning — nothing leaks
-    * into the caller's session.
+    * (candidate pairs + per-doc arrays), released deterministically
+    * after the artifact write — nothing leaks into the caller's session.
     */
   /** Exact-verified candidate pairs: per-doc shingle SET arrays for the
     * candidate docs (doc filter BELOW the explode — the corpus is
     * scanned but barely exploded), `array_intersect` scoring, jaccard ≥
     * `minJaccard`. Returns the verified frame plus the persisted
-    * intermediate the caller must hand to [[releasing]].
+    * intermediate the caller must unpersist after materializing.
     */
   private def verifyPairs(spark: SparkSession, dir: String, cand: DataFrame,
                           minJaccard: Double): (DataFrame, DataFrame) = {
@@ -250,28 +263,57 @@ object Dedup {
     (verified, shSets)
   }
 
-  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** Warehouse path for the VERIFIED pair artifact (jaccard ≥ 0.5) —
+    * the tier above the candidate artifact: candidates answer "which
+    * pairs might be near-dups", verified pairs answer "which pairs ARE".
+    * Every downstream consumer (dedup survivorship d07, decontamination
+    * d08, source-overlap d09) reads the same exact-measure result
+    * instead of re-running the array_intersect verification per query —
+    * the round-3 shape, where d08/d09 each re-paid the verify pass d07
+    * had just run. Fingerprint-keyed to the source like the candidates.
+    */
+  private def verifiedPath(spark: SparkSession, dir: String): String = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/verified_pairs/" +
+      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+  }
+
+  /** Build + publish the verified-pair artifact: candidate pairs (their
+    * artifact, build-if-missing) → exact Jaccard on the candidate slice
+    * → pairs with jaccard ≥ 0.5, stage-published. Carries the whole
+    * verification cost; returns the published frame.
+    */
+  private def buildVerified(spark: SparkSession, dir: String): DataFrame = {
     val cand = candidates(spark, dir).persist()
     val (verified, shSets) = verifyPairs(spark, dir, cand, minJaccard = 0.5)
-    val result = verified.groupBy(col("doc_b").as("removed_doc_id"))
+    val path = verifiedPath(spark, dir)
+    graft.sources.Sinks.stagePublish(
+      verified.select(col("doc_a"), col("doc_b"), col("jaccard")), path)
+    cand.unpersist(false)
+    shSets.unpersist(false)
+    spark.read.parquet(path)
+  }
+
+  /** Published verified pairs, building the artifact iff missing (a
+    * fresh session running d08/d09 standalone).
+    */
+  private def verifiedPairsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(verifiedPath(spark, dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) buildVerified(spark, dir)
+    else spark.read.parquet(verifiedPath(spark, dir))
+  }
+
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // d07 CARRIES the verification build (always re-verifies and
+    // republishes, like d03 for candidates and q24 for the IVF index);
+    // the survivorship rollup is then a pure aggregation of the artifact
+    val verified = buildVerified(spark, dir)
+    verified.groupBy(col("doc_b").as("removed_doc_id"))
       .agg(
         min(col("doc_a")).as("kept_partner"),
         count(lit(1)).as("n_dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
-    releasing(result, cand, shSets)
-  }
-
-  /** Materialize `result` (bounded small: a removal/report list) via an
-    * eager localCheckpoint, then unpersist the listed intermediates —
-    * the pipeline operators own their cache lifecycle instead of leaking
-    * persisted blocks into long-lived caller sessions (Pipeline, a user
-    * REPL). The checkpointed result re-reads from its own tiny blocks;
-    * the big intermediates are freed deterministically here.
-    */
-  private def releasing(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    cached.foreach(_.unpersist(false))
-    out
   }
 
   // ─── d08 benchmark decontamination report ────────────────────────────
@@ -284,59 +326,36 @@ object Dedup {
     * included, because "nothing leaked" is the result the report
     * exists to prove.
     *
-    * Scale: identical candidate-generation shape to d07 (nothing
-    * O(n²)); the crossing filter drops same-side pairs before any
-    * exact measure runs.
+    * Scale: a pure aggregation over the VERIFIED-pair artifact (the
+    * boundary-crossing subset of verified pairs == the verified subset
+    * of boundary-crossing candidates — the crossing filter commutes with
+    * the exact measure at the same threshold). No shingle work, no
+    * persists: the only corpus-sized frames are two narrow flag
+    * projections the tiny pair set joins against.
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val benchSources = Seq("src0", "src1")
     val flags = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source").isin(benchSources: _*).as("is_bench"))
-    // same cache strategy as d07: persist only the tiny frames (the
-    // boundary-crossing pair set + per-doc shingle sets), recompute
-    // the narrow corpus explode, release everything before returning
-    val crossing = candidates(spark, dir)
+    val crossing = verifiedPairsArtifact(spark, dir)
       .join(flags.select(col("doc_id").as("doc_a"), col("is_bench").as("bench_a")), Seq("doc_a"))
       .join(flags.select(col("doc_id").as("doc_b"), col("is_bench").as("bench_b")), Seq("doc_b"))
       .filter(col("bench_a") =!= col("bench_b"))
       .select(
         when(col("bench_a"), col("doc_a")).otherwise(col("doc_b")).as("bench_doc_id"),
-        when(col("bench_a"), col("doc_b")).otherwise(col("doc_a")).as("corpus_doc_id"))
-      .persist()
-    val candDocs = crossing.select(col("bench_doc_id").as("doc_id"))
-      .union(crossing.select(col("corpus_doc_id").as("doc_id"))).distinct()
-    // per-doc shingle SET arrays + array_intersect scoring, same shape
-    // (and same rationale) as d07: per-doc rows through the one verify
-    // shuffle, never per-shingle, never non-candidate pairs
-    val shSets = wordShinglesOf(
-        Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
-        dedup = false)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("sh_set"))
-      .select(col("doc_id"), col("sh_set"), size(col("sh_set")).cast("long").as("n"))
-      .persist()
-    val verified = crossing
-      .join(shSets.select(col("doc_id").as("bench_doc_id"),
-        col("sh_set").as("set_a"), col("n").as("n_a")), Seq("bench_doc_id"))
-      .join(shSets.select(col("doc_id").as("corpus_doc_id"),
-        col("sh_set").as("set_b"), col("n").as("n_b")), Seq("corpus_doc_id"))
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= 0.5)
-    val summary = verified.groupBy(col("bench_doc_id"))
+        when(col("bench_a"), col("doc_b")).otherwise(col("doc_a")).as("corpus_doc_id"),
+        col("jaccard"))
+    val summary = crossing.groupBy(col("bench_doc_id"))
       .agg(
         count(lit(1)).as("n_matches"),
         max(col("jaccard")).as("max_jaccard"),
         min(col("corpus_doc_id")).as("nearest_corpus_doc"))
-    val result = flags.filter(col("is_bench")).select(col("doc_id").as("bench_doc_id"))
-      .join(summary, Seq("bench_doc_id"), "left")
+    flags.filter(col("is_bench")).select(col("doc_id").as("bench_doc_id"))
+      .join(broadcast(summary), Seq("bench_doc_id"), "left")
       .select(col("bench_doc_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
         col("nearest_corpus_doc"))
-    releasing(result, crossing, shSets)
   }
 
   // ─── d09 cross-source overlap matrix ─────────────────────────────────
@@ -349,23 +368,27 @@ object Dedup {
     *
     * Determinism: count / max aggregations only (no float summation
     * whose order could vary with partitioning).
+    *
+    * Scale: a pure aggregation over the VERIFIED-pair artifact — the
+    * TINY pair set is broadcast against the streamed corpus source
+    * column (never the corpus broadcast against the pairs), so the plan
+    * is two broadcast joins + one small groupBy at any corpus size.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val cand = candidates(spark, dir).persist()
-    val (verified, shSets) = verifyPairs(spark, dir, cand, minJaccard = 0.5)
-    val withSrc = verified
-      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("source").as("sa"))), Seq("doc_a"))
-      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("source").as("sb"))), Seq("doc_b"))
+    val verified = verifiedPairsArtifact(spark, dir)
+    val withA = docs.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+      .join(broadcast(verified), Seq("doc_a"))
+    val withSrc = docs.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+      .join(broadcast(withA), Seq("doc_b"))
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"),
         col("jaccard"))
-    val result = withSrc.groupBy(col("source_a"), col("source_b"))
+    withSrc.groupBy(col("source_a"), col("source_b"))
       .agg(
         count(lit(1)).as("n_dup_pairs"),
         sum(when(col("jaccard") === 1.0, 1L).otherwise(0L)).as("n_identical"),
         max(col("jaccard")).as("max_jaccard"))
-    releasing(result, cand, shSets)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

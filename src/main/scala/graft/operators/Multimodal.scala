@@ -83,26 +83,42 @@ object Multimodal {
     }
   }
 
-  /** Feature extraction CO-PARTITIONED BY IVF CELL (`cells` is the q24
-    * assignment, vec_id → centroid_id): media whose embeddings share a
-    * coarse cell are overwhelmingly near-identical payloads, so
-    * shuffling them into the same partition makes the per-partition
-    * decode memo-cache actually hit — each distinct payload decodes
-    * ONCE per partition instead of once per row. That
+  /** Feature extraction CO-PARTITIONED BY (IVF cell, payload salt)
+    * (`cells` is the q24 assignment, vec_id → centroid_id): media whose
+    * embeddings share a coarse cell are overwhelmingly near-identical
+    * payloads, so shuffling them together makes the per-partition decode
+    * memo-cache actually hit — each distinct payload decodes ONCE per
+    * partition instead of once per row. That
     * shuffle-cheap-rows-before-expensive-per-row-work trade is the real
     * 100 TB pattern (decode dominates by orders of magnitude; the
-    * shuffle moves only bytes). Media without a vector fall into a
-    * catch-all cell. Output rows are identical to [[extractFeatures]]
-    * (asserted in MultimodalSpec) — only the physical grouping differs.
+    * shuffle moves only bytes).
+    *
+    * The partition key is (cell, salt) — NOT cell alone, which would cap
+    * decode parallelism at the number of cells (≤17 active partitions at
+    * ANY corpus size, a scale-killer for the one operator whose whole
+    * point is decode throughput). The salt derives from the payload
+    * itself (`hash(payload) mod saltBuckets`), so IDENTICAL payloads
+    * still land in one partition and every memo hit is preserved — the
+    * memo is keyed by payload digest and can only ever hit on exact
+    * equality. Media without a vector fall into a catch-all cell.
+    * Output rows are identical to [[extractFeatures]] (asserted in
+    * MultimodalSpec) — only the physical grouping differs.
+    *
+    * `numPartitions` pins the shuffle's partition count (defaults to
+    * `spark.sql.shuffle.partitions`) — at cluster scale set it to a
+    * multiple of the executor-core count.
     */
-  def extractFeaturesByCell(media: Dataset[MediaRow], cells: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeaturesByCell(media: Dataset[MediaRow], cells: DataFrame,
+                            saltBuckets: Int = 64,
+                            numPartitions: Option[Int] = None): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     val withCell = media.toDF()
       .join(cells.select(col("vec_id").as("media_id"), col("centroid_id")),
         Seq("media_id"), "left")
       .withColumn("cell", coalesce(col("centroid_id"), lit(-1L)))
-    withCell
-      .repartition(col("cell"))
+    val keys = Seq(col("cell"), pmod(hash(col("payload")), lit(saltBuckets)))
+    numPartitions.map(n => withCell.repartition(n, keys: _*))
+      .getOrElse(withCell.repartition(keys: _*))
       .select(col("media_id"), col("kind"), col("format"), col("payload"), col("meta_len"))
       .as[MediaRow]
       .mapPartitions { rows =>

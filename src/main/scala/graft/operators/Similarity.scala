@@ -114,11 +114,16 @@ object Similarity {
     * small. Cell sizes come from a broadcast-joined count, not a window
     * partitioned by 16 keys (which would funnel the whole corpus into 16
     * tasks).
+    *
+    * The corpus is scored exactly TWICE (one E-step per Lloyd
+    * iteration): the published assignment IS the final iteration's
+    * E-step — the assignment that produced the final centroids — not a
+    * third re-scoring pass against the finished codebook (the round-3
+    * shape, which paid one full corpus × 16-centroid pass for
+    * assignments the last iteration had already computed).
     */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpusEmb(spark, dir)
-    assignmentOf(e, codebookOf(e))
-  }
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    assignmentFrom(ivfModel(corpusEmb(spark, dir))._2)
 
   private def corpusEmb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -140,11 +145,11 @@ object Similarity {
       .select(col("vec_id"), col("emb"),
         (-col("best.neg_id")).as("centroid_id"), col("best.cos_r").as("cos_r"))
 
-  // one Lloyd step: element-wise decimal-exact mean per (cell, dim),
-  // rebuilt into an array ordered by dim; empty cells keep their
-  // previous centroid
-  private def refineOnce(e: DataFrame, cents: DataFrame): DataFrame = {
-    val means = assignTo(e, cents)
+  // one Lloyd M-step over an E-step's assignment: element-wise
+  // decimal-exact mean per (cell, dim), rebuilt into an array ordered by
+  // dim; empty cells keep their previous centroid
+  private def meansFrom(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val means = assigned
       .select(col("centroid_id"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg((sum(col("v").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
@@ -156,21 +161,28 @@ object Similarity {
         coalesce(col("c_emb_new"), col("c_emb")).as("c_emb"))
   }
 
-  /** Refined 16-cell codebook: seed cells + two deterministic Lloyd
-    * iterations over the corpus.
+  /** The whole k-means model in TWO corpus E-steps: seed c0 →
+    * assign(c0) → means c1 → assign(c1) → means c2. Returns (final
+    * codebook c2, final E-step assignment a2). a2 is BOTH the input to
+    * the final M-step and the published assignment — the two consumers
+    * share one plan, so callers that materialize both should persist a2
+    * (its identical Exchange subtree is also reused within a single
+    * action by Spark's ReuseExchange rule).
     */
-  private def codebookOf(e: DataFrame): DataFrame = {
+  private def ivfModel(e: DataFrame): (DataFrame, DataFrame) = {
     val c0 = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
-    refineOnce(e, refineOnce(e, c0))
+    val c1 = meansFrom(assignTo(e, c0), c0)
+    val a2 = assignTo(e, c1)
+    (meansFrom(a2, c1), a2)
   }
 
-  /** Inverted-file assignment for a (possibly already materialized)
-    * codebook: nearest cell per vector + broadcast-joined cell sizes.
+  /** Published-assignment projection of a final E-step: per-vector cell
+    * + cell sizes via broadcast-joined count (never a window partitioned
+    * by the 16 cell keys).
     */
-  private def assignmentOf(e: DataFrame, codebook: DataFrame): DataFrame = {
-    val fin = assignTo(e, codebook)
-      .select(col("vec_id"), col("centroid_id"), col("cos_r").as("cos_to_centroid"))
+  private def assignmentFrom(a2: DataFrame): DataFrame = {
+    val fin = a2.select(col("vec_id"), col("centroid_id"), col("cos_r").as("cos_to_centroid"))
     val sizes = fin.groupBy(col("centroid_id")).agg(count(lit(1)).as("cell_size"))
     fin.join(broadcast(sizes), Seq("centroid_id"))
       .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"), col("cell_size"))
@@ -193,8 +205,12 @@ object Similarity {
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     // "src" prefix: a sanitized absolute path starts with "_", and
     // underscore-prefixed paths are "hidden" to Spark's file listing
-    // (directly-addressed reads still work, but only via an exemption)
-    s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/embeddings.parquet")}"
+    // (directly-addressed reads still work, but only via an exemption).
+    // "v2": index FORMAT version — v2 publishes the final Lloyd E-step
+    // as the assignment (2-pass build); the version bump invalidates any
+    // v1 index (3-pass semantics) the source fingerprint alone would
+    // wrongly accept as fresh.
+    s"v2src${dirKey}_${Tables.sourceKey(spark, s"$dir/embeddings.parquet")}"
   }
 
   private def indexPath(spark: SparkSession, dir: String): String =
@@ -220,16 +236,20 @@ object Similarity {
     * artifacts.
     */
   def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpusEmb(spark, dir)
-    // codebook first (the k-means corpus passes run exactly once), then
-    // the assignment derives from the PUBLISHED codebook — one more
-    // broadcast pass, not a re-run of the Lloyd chain (doubles were
-    // written exactly, so the parquet round-trip changes nothing)
-    graft.sources.Sinks.stagePublish(codebookOf(e), codebookPath(spark, dir))
-    val cb = spark.read.parquet(codebookPath(spark, dir))
-    val path = indexPath(spark, dir)
-    graft.sources.Sinks.stagePublish(assignmentOf(e, cb), path)
-    spark.read.parquet(path)
+    val (c2, a2) = ivfModel(corpusEmb(spark, dir))
+    // the final E-step feeds BOTH artifact writes (codebook = its means,
+    // assignment = its projection); persist it across the two actions so
+    // the corpus is scored exactly twice total (MEMORY_AND_DISK default —
+    // at cluster scale the E-step frame spills rather than recomputes).
+    // Released deterministically before returning: nothing leaks into
+    // the caller's session.
+    a2.persist()
+    try {
+      graft.sources.Sinks.stagePublish(c2, codebookPath(spark, dir))
+      val path = indexPath(spark, dir)
+      graft.sources.Sinks.stagePublish(assignmentFrom(a2), path)
+      spark.read.parquet(path)
+    } finally a2.unpersist(false)
   }
 
   /** Build the index iff either artifact is missing (e.g. a fresh
@@ -378,24 +398,11 @@ object Similarity {
         |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
         |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
         |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
-        |a2 AS (
-        |  SELECT vec_id, emb, centroid_id,
-        |         round(list_dot_product(emb, c_emb)
-        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
-        |  FROM e CROSS JOIN c1
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
-        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a2),
-        |m2 AS (SELECT centroid_id, pos,
-        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
-        |       FROM x2 GROUP BY 1, 2),
-        |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
-        |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
-        |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
         |fin AS (
         |  SELECT vec_id, centroid_id,
         |         round(list_dot_product(emb, c_emb)
         |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_to_centroid
-        |  FROM e CROSS JOIN c2
+        |  FROM e CROSS JOIN c1
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, centroid_id) = 1),
         |sizes AS (SELECT centroid_id, count(*) AS cell_size FROM fin GROUP BY 1)
         |SELECT vec_id, fin.centroid_id, cos_to_centroid, cell_size
@@ -416,24 +423,11 @@ object Similarity {
         |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
         |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
         |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
-        |a2 AS (
-        |  SELECT vec_id, emb, centroid_id,
-        |         round(list_dot_product(emb, c_emb)
-        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
-        |  FROM e CROSS JOIN c1
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
-        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a2),
-        |m2 AS (SELECT centroid_id, pos,
-        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
-        |       FROM x2 GROUP BY 1, 2),
-        |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
-        |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
-        |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
         |fin AS (
         |  SELECT vec_id, centroid_id, emb,
         |         round(list_dot_product(emb, c_emb)
         |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
-        |  FROM e CROSS JOIN c2
+        |  FROM e CROSS JOIN c1
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
         |q AS (SELECT vec_id AS q_id, centroid_id, emb AS q_emb FROM fin WHERE vec_id < 20),
         |scored AS (
@@ -460,25 +454,19 @@ object Similarity {
         |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
         |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
         |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
-        |a2 AS (
+        |fin AS (
         |  SELECT vec_id, emb, centroid_id,
         |         round(list_dot_product(emb, c_emb)
         |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
         |  FROM e CROSS JOIN c1
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
-        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a2),
+        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM fin),
         |m2 AS (SELECT centroid_id, pos,
         |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
         |       FROM x2 GROUP BY 1, 2),
         |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
         |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
         |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
-        |fin AS (
-        |  SELECT vec_id, centroid_id, emb,
-        |         round(list_dot_product(emb, c_emb)
-        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
-        |  FROM e CROSS JOIN c2
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 20),
         |cr AS (
         |  SELECT q_id, q_emb, centroid_id,

@@ -26,26 +26,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.payload_hash == f2.payload_hash)
   }
 
-  test("cell-batched extraction matches the plain path and co-locates cells") {
+  test("cell-batched extraction matches the plain path, co-locates identical payloads, and scales past the cell count") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.mediaTable(spark, TestSpark.sf)
     val cells = graft.operators.Similarity.ivfAssign(spark, TestSpark.sf)
       .select(col("vec_id"), col("centroid_id"))
     val plain = Multimodal.extractFeatures(media)
       .collect().map(f => (f.media_id, f.payload_hash, f.n_bytes, f.mean_byte)).toSet
-    val batched = Multimodal.extractFeaturesByCell(media, cells)
+    val batched = Multimodal.extractFeaturesByCell(media, cells,
+      numPartitions = Some(64))
     val got = batched
       .collect().map(f => (f.media_id, f.payload_hash, f.n_bytes, f.mean_byte)).toSet
     assert(got == plain)
-    // each IVF cell lands in exactly one partition (the memo-cache
-    // locality); pid is stamped BELOW the verification join's shuffle
-    // (spark_partition_id is nondeterministic, so it cannot be moved)
+    // identical payloads land in exactly one partition (every memo-cache
+    // hit preserved — the memo only ever hits on exact payload equality);
+    // pid is stamped directly on the extraction output
     val withPid = batched.toDF().withColumn("pid", spark_partition_id())
-    val spread = withPid
-      .join(cells.select(col("vec_id").as("media_id"), col("centroid_id")), Seq("media_id"))
-      .groupBy("centroid_id").agg(countDistinct("pid").as("n_parts"))
+    val split = withPid.groupBy("payload_hash")
+      .agg(countDistinct("pid").as("n_parts"))
       .where(col("n_parts") > 1).count()
-    assert(spread == 0, "a cell was split across partitions")
+    assert(split == 0, "an identical payload was split across partitions")
+    // decode parallelism is NOT capped at the ≤17 cell count: the salt
+    // spreads work across >17 partitions when partitions are available
+    val occupied = withPid.select("pid").distinct().count()
+    assert(occupied > 17, s"decode ran in only $occupied partitions — parallelism capped by cell count")
   }
 
   test("resize truncates payloads; frameSample strides bytes") {

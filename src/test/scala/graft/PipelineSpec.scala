@@ -41,6 +41,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("error_class") == err.getClass.getSimpleName)
   }
 
+  test("post-load validation flags a clobbered artifact (validate_load)") {
+    val out = Files.createTempDirectory("graft_wh_pl").toString
+    val stats = Pipeline.run(spark, TestSpark.sf, out, mode = Pipeline.StagingOnly)
+    // intact warehouse: every check passes (run() itself already gated on this)
+    assert(Pipeline.validateLoad(spark, out, stats).forall(_.ok))
+    // clobber the published artifact behind the run's back: truncate it
+    // to one row, then re-validate against the original stats
+    val path = s"$out/stg_lineitem_clean"
+    val tmp = s"$out/stg_lineitem_clean__truncated"
+    spark.read.parquet(path).limit(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val checks = Pipeline.validateLoad(spark, out, stats)
+    val bad = checks.filterNot(_.ok)
+    assert(bad.map(_.table) == Seq("stg_lineitem_clean"))
+    assert(bad.head.actual_rows == 1L && bad.head.expected_rows > 1L)
+    // a missing artifact is also a failed check, not an exception
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    assert(!Pipeline.validateLoad(spark, out, stats).forall(_.ok))
+  }
+
   test("successful notified run clears the failure artifact") {
     val out = Files.createTempDirectory("graft_wh_ok").toString
     // seed a stale failure artifact, then a clean StagingOnly run removes it

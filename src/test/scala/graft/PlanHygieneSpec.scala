@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Cleaning, Events, Facts, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Cleaning, Dedup, Events, Facts, Similarity, TextAnalysis}
 import graft.plans.GraftExtensions
 
 /** Plan-shape guarantees that must survive refactors: pruned scans,
@@ -72,6 +72,27 @@ class PlanHygieneSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles <= 1, s"expected ≤1 shuffle (bucket count), saw $shuffles:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"bucket sizes must broadcast back:\n$p")
+  }
+
+  test("simhash: no window, no bit-explode, band counts broadcast back") {
+    val df = Dedup.simhash(spark, TestSpark.sf)
+    val p = plan(df)
+    // a window partitioned by the ≤256-value band keys funnels the whole
+    // corpus into ≤256 tasks; band counts must groupBy + broadcast back
+    assert(!p.contains("Window"), s"band counts must not window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band counts must broadcast back:\n$p")
+    // the 16-way bit explode is folded into static aggregate columns —
+    // only the token explode may Generate
+    assert(!p.contains("explode(sequence"), s"bit loop must not explode:\n$p")
+    // the simhash subtree appears once per join-back branch in the
+    // LOGICAL plan, but its doc_id Exchange is identical in each — the
+    // runtime plan reuses one shuffle for all three (the corpus is
+    // scanned and exploded once)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("StageReuse") ||
+      "Exchange hashpartitioning\\(doc_id".r.findAllIn(finalPlan).size <= 1,
+      s"corpus shuffle not reused across count branches:\n$finalPlan")
   }
 
   test("extensions class injects cosine_similarity (builder-level wiring)") {
