@@ -138,6 +138,57 @@ object Cleaning {
         sum(col("rating_count")).as("total_reviews"))
   }
 
+  // ─── q37 API category-list endpoint (extract.py:103-127) ─────────────
+  /** The reference's SECOND REST shape: the category-list endpoint
+    * returns a TOP-LEVEL JSON ARRAY (extract.py:103-127 parses
+    * `response.json()` as a list), not JSON-lines — read with
+    * `multiLine`. The list seeds category conforming: the output is the
+    * reconciliation a conform stage reads — per category, catalog
+    * presence/stats vs API presence, including API-only categories
+    * (e.g. discontinued lines the catalog no longer carries) and the
+    * keyword category_group classification.
+    *
+    * The feed synthesizes once per source generation
+    * (fingerprint-keyed): sorted distinct catalog categories with
+    * positional ids plus one API-only entry. The synthesis collect is
+    * the category LIST itself — bounded exactly like the reference's
+    * `requests.get().json()` payload, never row data.
+    */
+  def apiCategoryList(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/api_categories/" +
+      s"src${key}_${Tables.sourceKey(spark, s"$dir/part.parquet")}/categories.json"
+    val p = Tables.part(spark, dir)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hp)) {
+      val cats = p.select(col("p_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val entries = cats.zipWithIndex.map { case (c, i) =>
+        s"""  {"category_id": ${i + 1}, "category": "${esc(c)}"}"""
+      } :+ s"""  {"category_id": ${cats.length + 1}, "category": "DISCONTINUED"}"""
+      val out = fs.create(hp, true)
+      out.write(entries.mkString("[\n", ",\n", "\n]\n").getBytes("UTF-8"))
+      out.close()
+    }
+    val schema = StructType.fromDDL("category_id BIGINT, category STRING")
+    val api = spark.read.schema(schema).option("multiLine", "true").json(path)
+      .select(col("category"), col("category_id"))
+    val cat = p.groupBy(col("p_type").as("category"))
+      .agg(
+        count(lit(1)).as("n_products"),
+        (out2(sum(m2(col("p_retailprice")))) / count(lit(1))).as("avg_price"))
+    api.join(cat, Seq("category"), "full_outer")
+      .select(
+        col("category"), col("category_id"),
+        coalesce(col("n_products"), lit(0L)).as("n_products"),
+        col("avg_price"),
+        col("category_id").isNotNull.as("in_api"),
+        col("n_products").isNotNull.as("in_catalog"),
+        categoryGroup(col("category")).as("category_group"))
+  }
+
   // ─── q36 price↔rating correlation per category ───────────────────────
   /** The reference dashboard's price-vs-rating scatter
     * (streamlit_app.py:364-380; the rating object flattened at
@@ -241,6 +292,7 @@ object Cleaning {
     "q19_multi_source_conform" -> multiSourceConform,
     "q34_api_catalog_ratings" -> catalogRatings,
     "q36_price_rating_corr" -> priceRatingCorr,
+    "q37_api_category_list" -> apiCategoryList,
     "q22_validation_gates" -> validationGates,
     "q30_order_reconciliation" -> orderReconciliation)
 
@@ -282,6 +334,30 @@ object Cleaning {
         |       (n * sxy - sx * sy)
         |         / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0) AS price_rating_corr
         |FROM m""".stripMargin,
+    "q37_api_category_list" ->
+      """WITH api AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY p_type) AS BIGINT) AS category_id,
+        |         p_type AS category
+        |  FROM (SELECT DISTINCT p_type FROM part)
+        |  UNION ALL
+        |  SELECT CAST((SELECT count(DISTINCT p_type) FROM part) + 1 AS BIGINT),
+        |         'DISCONTINUED'),
+        |cat AS (
+        |  SELECT p_type AS category, count(*) AS n_products,
+        |         CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |           / count(*) AS avg_price
+        |  FROM part GROUP BY 1)
+        |SELECT coalesce(api.category, cat.category) AS category,
+        |       api.category_id,
+        |       CAST(coalesce(cat.n_products, 0) AS BIGINT) AS n_products,
+        |       cat.avg_price,
+        |       api.category_id IS NOT NULL AS in_api,
+        |       cat.n_products IS NOT NULL AS in_catalog,
+        |       CASE WHEN coalesce(api.category, cat.category) IN ('STANDARD', 'ECONOMY') THEN 'Value'
+        |            WHEN coalesce(api.category, cat.category) IN ('SMALL', 'MEDIUM', 'LARGE') THEN 'General'
+        |            WHEN coalesce(api.category, cat.category) = 'PROMO' THEN 'Promotional'
+        |            ELSE 'Unknown' END AS category_group
+        |FROM api FULL JOIN cat ON api.category = cat.category""".stripMargin,
     "q30_order_reconciliation" ->
       """WITH li AS (
         |  SELECT l_orderkey,
