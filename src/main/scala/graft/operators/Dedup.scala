@@ -39,7 +39,16 @@ object Dedup {
   }
 
   // ─── d02 blocked exact n-gram Jaccard ────────────────────────────────
-  /** Exact word-3-gram Jaccard for candidate pairs blocked by language.
+  /** Exact word-3-gram Jaccard for candidate pairs blocked by language
+    * AND by a LOSSLESS length-ratio prune: J ≥ 0.2 forces
+    * min(n_a,n_b)/max(n_a,n_b) ≥ 0.2 (inter ≤ min, union ≥ max), so
+    * dropping shared-shingle matches whose shingle-set sizes differ by
+    * more than 5× provably cannot change the output — it only prunes
+    * hopeless pairs BEFORE the pair-count shuffle, the stage that goes
+    * quadratic on hot shingles. Each doc's set size rides along its
+    * shingle rows (sizes join — broadcast while per-doc sizes are small,
+    * a real shuffle at corpus scale, which is exactly when the prune
+    * pays), which also removes the two post-aggregation size joins.
     * Word shingles (not char-4-grams) keep the shared-shingle join
     * sparse — a char n-gram from a common vocabulary co-occurs in nearly
     * every doc pair and turns the candidate join quadratic in practice.
@@ -47,15 +56,15 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = wordShingles(spark, dir, withLang = true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val shN = sh.join(sizes, Seq("doc_id"))
+    shN.as("a").join(shN.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") <= col("b.n") * 5 && col("b.n") <= col("a.n") * 5)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
       .select(
         col("doc_a"), col("doc_b"), col("inter"),
         (col("n_a") + col("n_b") - col("inter")).as("union_n"),

@@ -71,6 +71,13 @@ object Similarity {
     * would funnel the corpus into ≤256 tasks). Supports dims ≤ 256;
     * wider embeddings would grow the literal, still O(planes×dims)
     * driver-side constants.
+    *
+    * Measured and REJECTED: folding all 8 planes in one `aggregate`
+    * pass with a struct-of-8 accumulator (reading the array once
+    * instead of 8×) ran 4.7× SLOWER at sf0.1 (1.0s → 4.8s) — the
+    * per-element struct re-creation inside ArrayAggregate costs far
+    * more than the extra slice traversals it saves. The 8-slice
+    * zip_with form stays.
     */
   def embeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     val signLit = array(lshSigns.map(row => array(row.map(lit(_)): _*)): _*)
