@@ -95,6 +95,19 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"corpus shuffle not reused across count branches:\n$finalPlan")
   }
 
+  test("d08/d09 are pure aggregations over the published verified-pair artifact") {
+    // d07 carries the verification build and publishes the artifact
+    graft.operators.Dedup.dedupPipeline(spark, TestSpark.sf).count()
+    for (q <- Seq("d08_contamination", "d09_source_overlap")) {
+      val p = plan(SparkEntry.queries(q)(spark, TestSpark.sf))
+      assert(p.contains("verified_pairs"), s"$q must read the artifact:\n$p")
+      // the round-3 shape re-exploded candidate docs into shingle sets
+      // per consumer; the artifact tier makes both consumers explode-free
+      assert(!p.contains("Generate"), s"$q must not explode shingles:\n$p")
+      assert(!p.contains("collect_set"), s"$q must not rebuild shingle sets:\n$p")
+    }
+  }
+
   test("extensions class injects cosine_similarity (builder-level wiring)") {
     // a shared test JVM already holds a session, so exercise the injection
     // surface directly (builder-applied extensions only run at creation)
