@@ -32,7 +32,11 @@ object Analytics2 {
         col("n_customers"), col("total_acctbal"), col("gr_region"), col("gr_nation"))
   }
 
-  // ─── q26 exact percentiles per segment ───────────────────────────────
+  // ─── q26 exact percentiles per segment (box-plot feed) ───────────────
+  /** The full five-number summary a box plot draws
+    * (streamlit_app.py:1769 px.box) plus p90: exact percentiles per
+    * segment — `percentile()` bit-matches DuckDB quantile_cont.
+    */
   def segmentPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
@@ -42,9 +46,33 @@ object Analytics2 {
         count(lit(1)).as("n_orders"),
         expr("percentile(o_totalprice, 0.25)").as("p25"),
         expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         round(min(col("o_totalprice")), 2).as("min_total"),
         round(max(col("o_totalprice")), 2).as("max_total"))
+  }
+
+  // ─── q38 order-amount histogram (dashboard distribution chart) ───────
+  /** The dashboard's value-distribution histogram
+    * (streamlit_app.py:888,1184,1735 px.histogram): fixed-width bins
+    * over order totals with counts and share. The binning is a pure
+    * map-side projection (`floor(x / width)`) and the aggregation one
+    * tiny groupBy — no sort, no percentile machinery; the share window
+    * runs over the ~tens-of-rows post-agg frame only.
+    */
+  def amountHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    val b = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / width).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"))
+    b.select(
+      col("bin"),
+      (col("bin") * width).as("bin_low"),
+      ((col("bin") + 1) * width).as("bin_high"),
+      col("n_orders"),
+      (col("n_orders").cast("double") /
+        sum(col("n_orders")).over(Window.partitionBy()).cast("double")).as("pct_orders"))
   }
 
   // ─── q27 existence joins (semi / anti) per segment ───────────────────
@@ -118,7 +146,8 @@ object Analytics2 {
     "q26_segment_percentiles" -> segmentPercentiles,
     "q27_segment_existence" -> segmentExistence,
     "q28_moving_window" -> movingWindow,
-    "q29_price_size_corr" -> priceSizeCorr)
+    "q29_price_size_corr" -> priceSizeCorr,
+    "q38_amount_histogram" -> amountHistogram)
 
   val oracle: Map[String, String] = Map(
     "q29_price_size_corr" ->
@@ -151,11 +180,23 @@ object Analytics2 {
         |       count(*) AS n_orders,
         |       quantile_cont(o_totalprice, 0.25) AS p25,
         |       quantile_cont(o_totalprice, 0.5) AS median,
+        |       quantile_cont(o_totalprice, 0.75) AS p75,
         |       quantile_cont(o_totalprice, 0.9) AS p90,
         |       round(min(o_totalprice), 2) AS min_total,
         |       round(max(o_totalprice), 2) AS max_total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    "q38_amount_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT bin,
+        |       bin * 25000.0 AS bin_low,
+        |       (bin + 1) * 25000.0 AS bin_high,
+        |       n_orders,
+        |       CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE) AS pct_orders
+        |FROM b""".stripMargin,
     "q27_segment_existence" ->
       """SELECT c_mktsegment AS segment,
         |       count(*) AS n_customers,
