@@ -141,13 +141,45 @@ object Analytics2 {
         .as("price_size_corr"))
   }
 
+  // ─── q39 KPI tile row (dashboard headline metrics) ───────────────────
+  /** The dashboard's headline KPI tiles (streamlit_app.py:611-659:
+    * total revenue, transactions, AOV, units sold, units/order, max
+    * single order, unique customers, revenue/customer) as ONE row from
+    * two single-pass aggregations — orders grain and lineitem grain —
+    * cross-joined as 1-row frames (the q22 pattern; a 1-row broadcast
+    * cross join is free at any scale). Revenue accumulates in exact
+    * decimal; the ratio tiles divide the rounded sum by exact counts
+    * (engine-stable raw IEEE division).
+    */
+  def kpiTiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("transactions"),
+      out2(sum(m3(col("o_totalprice")))).as("total_revenue"),
+      max(col("o_totalprice")).as("max_single_order"),
+      countDistinct(col("o_custkey")).as("unique_customers"))
+    // integer-valued double: sums exactly at any partition order
+    val li = Tables.lineitem(spark, dir).agg(
+      sum(col("l_quantity")).as("total_units"))
+    o.crossJoin(li)
+      .select(
+        col("total_revenue"),
+        col("transactions"),
+        (col("total_revenue") / col("transactions")).as("avg_order_value"),
+        col("total_units"),
+        (col("total_units") / col("transactions")).as("avg_units_per_order"),
+        col("max_single_order"),
+        col("unique_customers"),
+        (col("total_revenue") / col("unique_customers")).as("revenue_per_customer"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_region_rollup" -> regionRollup,
     "q26_segment_percentiles" -> segmentPercentiles,
     "q27_segment_existence" -> segmentExistence,
     "q28_moving_window" -> movingWindow,
     "q29_price_size_corr" -> priceSizeCorr,
-    "q38_amount_histogram" -> amountHistogram)
+    "q38_amount_histogram" -> amountHistogram,
+    "q39_kpi_tiles" -> kpiTiles)
 
   val oracle: Map[String, String] = Map(
     "q29_price_size_corr" ->
@@ -197,6 +229,23 @@ object Analytics2 {
         |       n_orders,
         |       CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE) AS pct_orders
         |FROM b""".stripMargin,
+    "q39_kpi_tiles" ->
+      """WITH o AS (
+        |  SELECT count(*) AS transactions,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,3))), 2) AS DOUBLE) AS total_revenue,
+        |         max(o_totalprice) AS max_single_order,
+        |         count(DISTINCT o_custkey) AS unique_customers
+        |  FROM orders),
+        |li AS (SELECT sum(l_quantity) AS total_units FROM lineitem)
+        |SELECT total_revenue,
+        |       transactions,
+        |       total_revenue / transactions AS avg_order_value,
+        |       total_units,
+        |       total_units / transactions AS avg_units_per_order,
+        |       max_single_order,
+        |       unique_customers,
+        |       total_revenue / unique_customers AS revenue_per_customer
+        |FROM o CROSS JOIN li""".stripMargin,
     "q27_segment_existence" ->
       """SELECT c_mktsegment AS segment,
         |       count(*) AS n_customers,
