@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Dimensions, Facts, Similarity}
+import graft.operators.{Analytics, Analytics2, Dimensions, Facts, Similarity}
 
 class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -40,6 +40,40 @@ class AnalyticsSpec extends AnyFunSuite {
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
     assert(fact.count() == li.count())
     assert(fact.filter(col("customer_key").isNull || col("category_key").isNull).count() == 0)
+  }
+
+  test("q37 conform surfaces the API-only category; catalog rows carry both flags") {
+    val c = graft.operators.Cleaning.apiCategoryList(spark, TestSpark.sf)
+    val disc = c.filter(col("category") === "DISCONTINUED").collect()
+    assert(disc.length == 1)
+    assert(disc.head.getAs[Boolean]("in_api") && !disc.head.getAs[Boolean]("in_catalog"))
+    assert(disc.head.getAs[Long]("n_products") == 0L)
+    assert(c.filter(col("in_catalog") && (col("n_products") <= 0 || !col("in_api"))).count() == 0)
+  }
+
+  test("q38 histogram shares sum to 1 and bins tile the value range") {
+    val h = Analytics2.amountHistogram(spark, TestSpark.sf)
+    val total = h.agg(sum("pct_orders")).collect().head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+    assert(h.filter(col("bin_high") - col("bin_low") =!= 25000.0).count() == 0)
+    assert(h.filter(col("n_orders") <= 0).count() == 0)
+  }
+
+  test("q39 KPI tiles are internally consistent") {
+    val k = Analytics2.kpiTiles(spark, TestSpark.sf).collect()
+    assert(k.length == 1)
+    val r = k.head
+    assert(math.abs(r.getAs[Double]("avg_order_value") -
+      r.getAs[Double]("total_revenue") / r.getAs[Long]("transactions")) < 1e-9)
+    assert(r.getAs[Long]("unique_customers") <= r.getAs[Long]("transactions"))
+    assert(r.getAs[Double]("max_single_order") <= r.getAs[Double]("total_revenue"))
+  }
+
+  test("q26 percentiles are ordered within every segment") {
+    val p = Analytics2.segmentPercentiles(spark, TestSpark.sf)
+    assert(p.filter(col("p25") > col("median") || col("median") > col("p75") ||
+      col("p75") > col("p90") || col("min_total") > col("p25") ||
+      col("p90") > col("max_total")).count() == 0)
   }
 
   test("knn returns 10 ranked neighbors per query, cosine in [-1,1]") {
