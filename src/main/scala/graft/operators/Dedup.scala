@@ -400,6 +400,35 @@ object Dedup {
         max(col("jaccard")).as("max_jaccard"))
   }
 
+  // ─── d10 post-dedup effective mixture report ─────────────────────────
+  /** What actually enters training after near-dup removal: per
+    * (source, lang), raw vs kept doc and token counts and the kept
+    * share — the mixture table a curation run reads to set source
+    * weights AFTER dedup has taken its cut (raw token counts overstate
+    * a duplicate-heavy source). Third consumer of the verified-pair
+    * artifact: the d07 keep-min removal set (distinct larger doc of
+    * each verified pair) anti-flags docs in one broadcast join; token
+    * counts are the t03 whitespace census. Integer aggregations + one
+    * final division — bit-stable at any parallelism.
+    */
+  def effectiveMixture(spark: SparkSession, dir: String): DataFrame = {
+    val removed = verifiedPairsArtifact(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_removed", lit(true))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("toks"))
+    d.join(broadcast(removed), Seq("doc_id"), "left")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(col("is_removed").isNull, col("toks")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("pct_tokens_kept",
+        col("tokens_kept").cast("double") / col("tokens_total").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
@@ -407,9 +436,69 @@ object Dedup {
     "d04_simhash" -> simhash,
     "d07_dedup_pipeline" -> dedupPipeline,
     "d08_contamination" -> contamination,
-    "d09_source_overlap" -> sourceOverlap)
+    "d09_source_overlap" -> sourceOverlap,
+    "d10_effective_mixture" -> effectiveMixture)
 
   val oracle: Map[String, String] = Map(
+    "d10_effective_mixture" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN csh a ON cand.doc_a = a.doc_id
+        |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT cand.doc_a, cand.doc_b
+        |  FROM cand
+        |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5),
+        |removed AS (SELECT DISTINCT doc_b AS doc_id FROM verified),
+        |census AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tk
+        |  FROM documents)
+        |SELECT census.source, census.lang,
+        |       count(*) AS n_docs,
+        |       CAST(coalesce(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+        |       CAST(sum(census.tk) AS BIGINT) AS tokens_total,
+        |       CAST(coalesce(sum(CASE WHEN r.doc_id IS NULL THEN census.tk ELSE 0 END), 0) AS BIGINT) AS tokens_kept,
+        |       CAST(coalesce(sum(CASE WHEN r.doc_id IS NULL THEN census.tk ELSE 0 END), 0) AS DOUBLE)
+        |         / CAST(sum(census.tk) AS DOUBLE) AS pct_tokens_kept
+        |FROM census LEFT JOIN removed r ON census.doc_id = r.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "d09_source_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
