@@ -56,4 +56,17 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("band_lo") == s % 256)
     }
   }
+
+  test("d10 mixture reconciles with the d07 removal list") {
+    import org.apache.spark.sql.functions._
+    val removal = Dedup.dedupPipeline(spark, TestSpark.sf)
+    val mix = Dedup.effectiveMixture(spark, TestSpark.sf)
+    // the mixture's removed-doc total IS the survivorship list's size —
+    // both derive from the same verified-pair artifact
+    assert(mix.agg(sum("n_removed")).collect().head.getLong(0) == removal.count())
+    // kept never exceeds raw; shares stay in (0, 1]
+    assert(mix.filter(col("tokens_kept") > col("tokens_total") ||
+      col("n_removed") > col("n_docs") ||
+      col("pct_tokens_kept") <= 0 || col("pct_tokens_kept") > 1).count() == 0)
+  }
 }
