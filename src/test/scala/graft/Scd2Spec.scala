@@ -95,4 +95,55 @@ class Scd2Spec extends AnyFunSuite {
     // full lineage for id=1: expired v1 + current v2
     assert(dim.filter(col("id") === 1).count() == 2)
   }
+
+  test("multi-batch merge matches a brute-force SCD2 reference on randomized batches") {
+    // reference state machine: per key, a current version plus expired
+    // history; change detected by row_hash, version increments, expired
+    // rows close at the batch timestamp
+    case class V(k: Long, a: String, version: Long, current: Boolean,
+                 startDay: Int, endDay: Int) // endDay 99 = far future
+    val rnd = new scala.util.Random(7)
+    var state = Map.empty[Long, List[V]]
+    def applyRef(batch: Seq[(Long, String)], day: Int): Unit =
+      batch.foreach { case (k, a) =>
+        state.get(k) match {
+          case None => state += k -> List(V(k, a, 1L, true, day, 99))
+          case Some(vs) =>
+            val cur = vs.find(_.current).get
+            if (cur.a != a) {
+              val expired = cur.copy(current = false, endDay = day)
+              state += k -> (V(k, a, cur.version + 1, true, day, 99) ::
+                expired :: vs.filterNot(_.current))
+            }
+        }
+      }
+
+    var dim = Seq.empty[(Long, String, Long, Boolean, String)]
+      .toDF("id", "attr", "version", "is_current", "row_hash")
+      .withColumn("effective_start_date", ts("2024-01-01 00:00:00"))
+      .withColumn("effective_end_date", ts(far))
+      .filter(lit(false))
+    (1 to 4).foreach { day =>
+      // ~12 of 8 possible keys per batch, attr drawn from 3 values so
+      // unchanged/changed/new/absent all occur repeatedly across batches
+      val batch = rnd.shuffle((0L until 8L).toList).take(5)
+        .map(k => k -> s"a${rnd.nextInt(3)}")
+      applyRef(batch, day)
+      dim = Scd2.merge(dim,
+        batch.toDF("id", "attr").withColumn("row_hash", col("attr")),
+        "id", ts(f"2024-01-0$day%d 00:00:00"),
+        farFuture = ts(far)).localCheckpoint(true)
+    }
+    val got = dim
+      .select(col("id"), col("attr"), col("version"), col("is_current"),
+        dayofmonth(col("effective_start_date")).as("sd"),
+        when(year(col("effective_end_date")) === 9999, 99)
+          .otherwise(dayofmonth(col("effective_end_date"))).as("ed"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3),
+        r.getInt(4), r.getInt(5))).toSet
+    val expect = state.values.flatten
+      .map(v => (v.k, v.a, v.version, v.current, v.startDay, v.endDay)).toSet
+    assert(got == expect)
+  }
 }
