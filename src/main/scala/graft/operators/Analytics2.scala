@@ -141,6 +141,49 @@ object Analytics2 {
         .as("price_size_corr"))
   }
 
+  // ─── q40 dashboard sidebar filter slice + filtered KPI row ───────────
+  /** The dashboard's interactive sidebar filters
+    * (streamlit_app.py:790-813): a date-range + category restriction
+    * applied BEFORE every chart. Returns the filtered line-item slice
+    * joined to its order date and category; both predicates reach the
+    * parquet scans (PlanHygieneSpec pins PushedFilters) — at 100 TB the
+    * filters prune row groups before any aggregation sees a row, which
+    * is the only shape that makes an interactive dashboard viable.
+    */
+  def filteredSales(spark: SparkSession, dir: String,
+                    fromDate: String, toDate: String,
+                    categories: Seq[String]): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+        col("o_orderdate") < lit(toDate).cast("timestamp") + expr("INTERVAL 1 DAY"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type"))
+      .filter(col("p_type").isin(categories: _*))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+  }
+
+  /** The filtered KPI row the sidebar drives (streamlit_app.py:805-813:
+    * Filtered Revenue / Transactions / Avg Quantity / Avg Price per
+    * unit) over a fixed slice so the oracle can replay it. Avg price
+    * per unit is the ratio of exact sums (revenue/units) — a float mean
+    * of per-row ratios would be partition-order-sensitive.
+    */
+  def filteredSummary(spark: SparkSession, dir: String): DataFrame =
+    filteredSales(spark, dir, "1996-01-01", "1996-12-31", Seq("STANDARD", "PROMO"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("transactions"),
+        out2(sum(m2(col("l_extendedprice")))).as("filtered_revenue"),
+        sum(col("l_quantity")).as("total_units"))
+      .select(
+        col("n_lines"), col("transactions"), col("filtered_revenue"),
+        col("total_units"),
+        (col("total_units") / col("n_lines")).as("avg_quantity"),
+        (col("filtered_revenue") / col("total_units")).as("avg_price_per_unit"))
+
   // ─── q39 KPI tile row (dashboard headline metrics) ───────────────────
   /** The dashboard's headline KPI tiles (streamlit_app.py:611-659:
     * total revenue, transactions, AOV, units sold, units/order, max
@@ -179,7 +222,8 @@ object Analytics2 {
     "q28_moving_window" -> movingWindow,
     "q29_price_size_corr" -> priceSizeCorr,
     "q38_amount_histogram" -> amountHistogram,
-    "q39_kpi_tiles" -> kpiTiles)
+    "q39_kpi_tiles" -> kpiTiles,
+    "q40_filtered_summary" -> filteredSummary)
 
   val oracle: Map[String, String] = Map(
     "q29_price_size_corr" ->
@@ -246,6 +290,25 @@ object Analytics2 {
         |       unique_customers,
         |       total_revenue / unique_customers AS revenue_per_customer
         |FROM o CROSS JOIN li""".stripMargin,
+    "q40_filtered_summary" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_extendedprice, l_quantity
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-12-31 00:00:00' + INTERVAL 1 DAY
+        |    AND p_type IN ('STANDARD', 'PROMO')),
+        |m AS (
+        |  SELECT count(*) AS n_lines,
+        |         count(DISTINCT l_orderkey) AS transactions,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS filtered_revenue,
+        |         sum(l_quantity) AS total_units
+        |  FROM f)
+        |SELECT n_lines, transactions, filtered_revenue, total_units,
+        |       total_units / n_lines AS avg_quantity,
+        |       filtered_revenue / total_units AS avg_price_per_unit
+        |FROM m""".stripMargin,
     "q27_segment_existence" ->
       """SELECT c_mktsegment AS segment,
         |       count(*) AS n_customers,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics, Cleaning, Dedup, Events, Facts, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Analytics2, Cleaning, Dedup, Events, Facts, Similarity, TextAnalysis}
 import graft.plans.GraftExtensions
 
 /** Plan-shape guarantees that must survive refactors: pruned scans,
@@ -93,6 +93,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("StageReuse") ||
       "Exchange hashpartitioning\\(doc_id".r.findAllIn(finalPlan).size <= 1,
       s"corpus shuffle not reused across count branches:\n$finalPlan")
+  }
+
+  test("dashboard filter slice pushes both predicates to the scans and broadcasts the dim") {
+    val p = plan(Analytics2.filteredSales(spark, TestSpark.sf,
+      "1996-01-01", "1996-12-31", Seq("STANDARD", "PROMO")))
+    // the date range must prune orders row groups at the scan, and the
+    // category IN-list must prune the part scan — an interactive filter
+    // that scans everything is unusable at 100 TB
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"date filter not pushed:\n$p")
+    assert(p.contains("In(p_type"), s"category filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"category dim must broadcast:\n$p")
   }
 
   test("d08/d09 are pure aggregations over the published verified-pair artifact") {
