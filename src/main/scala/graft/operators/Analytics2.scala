@@ -141,6 +141,38 @@ object Analytics2 {
         .as("price_size_corr"))
   }
 
+  // ─── q41 monthly revenue trend per category ──────────────────────────
+  /** The dashboard's monthly-trend-by-category line chart
+    * (streamlit_app.py:1059-1085: groupby(YearMonth × category)): net
+    * revenue and line counts per (year, month, category) with
+    * per-category MoM growth. The growth lag partitions by category
+    * over the tiny post-aggregation frame (months × ≤#categories rows)
+    * — the fact never flows through a window.
+    */
+  def monthlyCategoryTrend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val m = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("year"),
+        month(col("o_orderdate")).cast("long").as("month"),
+        col("p_type").as("product_category"))
+      .agg(
+        out2(sum(net(col("l_extendedprice"), col("l_discount")))).as("net_revenue"),
+        count(lit(1)).as("n_lines"))
+    val w = Window.partitionBy(col("product_category")).orderBy(col("year"), col("month"))
+    val prev = lag(col("net_revenue"), 1).over(w)
+    m.select(
+      col("year"), col("month"), col("product_category"),
+      col("net_revenue"), col("n_lines"),
+      prev.as("prev_revenue"),
+      ((col("net_revenue") - prev) /
+        when(prev === 0.0, lit(null)).otherwise(prev) * 100).as("mom_growth_pct"))
+  }
+
   // ─── q40 dashboard sidebar filter slice + filtered KPI row ───────────
   /** The dashboard's interactive sidebar filters
     * (streamlit_app.py:790-813): a date-range + category restriction
@@ -223,7 +255,8 @@ object Analytics2 {
     "q29_price_size_corr" -> priceSizeCorr,
     "q38_amount_histogram" -> amountHistogram,
     "q39_kpi_tiles" -> kpiTiles,
-    "q40_filtered_summary" -> filteredSummary)
+    "q40_filtered_summary" -> filteredSummary,
+    "q41_monthly_category_trend" -> monthlyCategoryTrend)
 
   val oracle: Map[String, String] = Map(
     "q29_price_size_corr" ->
@@ -309,6 +342,24 @@ object Analytics2 {
         |       total_units / n_lines AS avg_quantity,
         |       filtered_revenue / total_units AS avg_price_per_unit
         |FROM m""".stripMargin,
+    "q41_monthly_category_trend" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+        |         CAST(month(o_orderdate) AS BIGINT) AS month,
+        |         p_type AS product_category,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS net_revenue,
+        |         count(*) AS n_lines
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT year, month, product_category, net_revenue, n_lines,
+        |       lag(net_revenue) OVER w AS prev_revenue,
+        |       (net_revenue - lag(net_revenue) OVER w)
+        |         / nullif(lag(net_revenue) OVER w, 0) * 100 AS mom_growth_pct
+        |FROM m
+        |WINDOW w AS (PARTITION BY product_category ORDER BY year, month)""".stripMargin,
     "q27_segment_existence" ->
       """SELECT c_mktsegment AS segment,
         |       count(*) AS n_customers,
