@@ -208,10 +208,17 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 16).map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-    val hiCounts = sh.groupBy(floor(col("simhash") / 256).cast("long").as("band_hi"))
-      .agg(count(lit(1)).as("c_hi"))
-    val loCounts = sh.groupBy((col("simhash") % 256).as("band_lo"))
-      .agg(count(lit(1)).as("c_lo"))
+    // BOTH band-count families derive from ONE tiny (band_hi, band_lo)
+    // grid (≤65536 cells), so the corpus aggregates in exactly two
+    // branches (the per-doc frame + the grid) sharing the doc_id
+    // exchange — separate per-family groupBys would re-aggregate the
+    // corpus once per family
+    val grid = sh.groupBy(
+        floor(col("simhash") / 256).cast("long").as("band_hi"),
+        (col("simhash") % 256).as("band_lo"))
+      .agg(count(lit(1)).as("c"))
+    val hiCounts = grid.groupBy(col("band_hi")).agg(sum(col("c")).as("c_hi"))
+    val loCounts = grid.groupBy(col("band_lo")).agg(sum(col("c")).as("c_lo"))
     sh.select(
         col("doc_id"), col("simhash"),
         floor(col("simhash") / 256).cast("long").as("band_hi"),
