@@ -100,6 +100,38 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("lsh_bucket"), col("bucket_size"))
   }
 
+  // ─── d11 embedding-cosine near-dup report (bucket-blocked) ───────────
+  /** Embedding-space near-duplicate report: each vector's single
+    * nearest neighbor WITHIN its hyperplane-LSH bucket (the d06
+    * blocking — candidate pairs are bucket-local, never all-pairs),
+    * with the exact fused cosine and an `is_near_dup` flag at 0.99.
+    * Zero-safe: vectors in singleton buckets report a null neighbor —
+    * "no candidate" is a result, exactly like d08's clean benchmark
+    * rows. The top-1 is a map-side max(struct) argmax (no per-vector
+    * window); ties break to the smaller neighbor id.
+    *
+    * Scale: the bucket self-join is the LSH contract — quadratic only
+    * within a bucket, and bucket sizes are corpus/2^planes in
+    * expectation; more planes shrink buckets as the corpus grows.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = embeddingLsh(spark, dir).select(col("vec_id"), col("lsh_bucket"))
+    val withEmb = buckets.join(corpusEmb(spark, dir), Seq("vec_id"))
+    val pairs = withEmb.select(col("vec_id"), col("lsh_bucket"), col("emb"))
+      .as("a")
+      .join(withEmb.select(col("vec_id").as("nn_id"), col("lsh_bucket"), col("emb").as("nn_emb")).as("b"),
+        col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.vec_id") =!= col("nn_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        cosR(col("a.emb"), col("nn_emb")).as("cos_r"), col("nn_id"))
+    val top1 = pairs.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_r"), (-col("nn_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_id")).as("nn_vec_id"),
+        col("best.cos_r").as("nn_cosine"))
+    buckets.join(broadcast(top1), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("lsh_bucket"), col("nn_vec_id"), col("nn_cosine"),
+        coalesce(col("nn_cosine") >= 0.99, lit(false)).as("is_near_dup"))
+  }
+
   // ─── q24 IVF coarse quantization with k-means codebook (index build) ─
   /** Inverted-file ANN, build stage: a 16-cell coarse codebook seeded
     * from the first 16 corpus vectors and refined with TWO deterministic
@@ -384,6 +416,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
     "d06_embedding_lsh" -> embeddingLsh,
+    "d11_embedding_neardup" -> embeddingNearDup,
     "q24_ivf_ann" -> ivfBuild,
     "q32_ivf_search" -> ivfSearch,
     "q35_ivf_recall" -> ivfSearchRecall)
@@ -523,6 +556,38 @@ object Similarity {
         |            ORDER BY cosine_sim DESC, c_id) AS BIGINT) AS rank
         |FROM scored
         |QUALIFY rank <= 10""".stripMargin,
+    "d11_embedding_neardup" ->
+      """WITH comps AS (
+        |  SELECT vec_id,
+        |         unnest(range(1, len(embedding) + 1)) AS d,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
+        |bits AS (
+        |  SELECT vec_id, j,
+        |         CAST(sum(v * (CASE WHEN substr(md5('hp_' || j || '_' || d), 1, 1)
+        |                            IN ('8','9','a','b','c','d','e','f')
+        |                       THEN 1.0 ELSE -1.0 END)) > 0 AS BIGINT) AS bit
+        |  FROM comps CROSS JOIN js GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         CAST(sum(bit * CAST(round(power(2, j), 0) AS BIGINT)) AS BIGINT) AS lsh_bucket
+        |  FROM bits GROUP BY 1),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |wb AS (SELECT b.vec_id, b.lsh_bucket, e.emb FROM buckets b JOIN e USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |         round(list_dot_product(a.emb, b.emb)
+        |               / (sqrt(list_dot_product(a.emb, a.emb))
+        |                  * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos_r
+        |  FROM wb a JOIN wb b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id <> b.vec_id),
+        |t1 AS (
+        |  SELECT vec_id, nn_id, cos_r,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, nn_id) AS rk
+        |  FROM pairs)
+        |SELECT bk.vec_id, bk.lsh_bucket, t1.nn_id AS nn_vec_id, t1.cos_r AS nn_cosine,
+        |       coalesce(t1.cos_r >= 0.99, false) AS is_near_dup
+        |FROM buckets bk LEFT JOIN t1 ON bk.vec_id = t1.vec_id AND t1.rk = 1""".stripMargin,
     "d06_embedding_lsh" ->
       """WITH comps AS (
         |  SELECT vec_id, label,
