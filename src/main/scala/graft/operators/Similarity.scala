@@ -127,7 +127,10 @@ object Similarity {
       .agg(max(struct(col("cos_r"), (-col("nn_id")).as("neg_id"))).as("best"))
       .select(col("vec_id"), (-col("best.neg_id")).as("nn_vec_id"),
         col("best.cos_r").as("nn_cosine"))
-    buckets.join(broadcast(top1), Seq("vec_id"), "left")
+    // top1 is corpus-proportional (one row per non-singleton-bucket
+    // vector) — it must NOT broadcast; the zero-safe join shuffles on
+    // vec_id like any fact-fact equi-join
+    buckets.join(top1, Seq("vec_id"), "left")
       .select(col("vec_id"), col("lsh_bucket"), col("nn_vec_id"), col("nn_cosine"),
         coalesce(col("nn_cosine") >= 0.99, lit(false)).as("is_near_dup"))
   }
