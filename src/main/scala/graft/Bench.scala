@@ -10,7 +10,7 @@ object Bench {
     * normal-looking number — the silent `catch → -1` of earlier rounds
     * let a broken query hide as a fast time.
     */
-  private case class Timing(ok: Seq[Double], errors: Seq[String]) {
+  private[graft] case class Timing(ok: Seq[Double], errors: Seq[String]) {
     def median: Double =
       if (ok.isEmpty) -1.0
       else ok.sorted.apply((ok.size - 1) / 2)
