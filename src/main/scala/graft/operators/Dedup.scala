@@ -436,6 +436,77 @@ object Dedup {
         col("tokens_kept").cast("double") / col("tokens_total").cast("double"))
   }
 
+  // ─── d12 transitive dup clusters (connected components) ──────────────
+  /** Transitive closure of the verified near-dup graph — the step after
+    * pairwise verification in a production dedup run: near-dups CHAIN
+    * (a~b and b~c without a~c whenever edits accumulate past the
+    * threshold), and pairwise survivorship (d07) can over- or
+    * under-remove across a chain. Every connected component is grouped
+    * under its minimum doc id with its removal budget (n_docs - 1),
+    * source spread, and the strength of its strongest internal pair.
+    *
+    * Algorithm: min-label propagation to fixpoint over the pair graph —
+    * per hop one equi-join on the node id plus a min-aggregate, both
+    * map-side combinable. Iterations = graph diameter; near-dup
+    * components are short chains in practice, and a run that exceeds
+    * the 25-hop guard aborts loudly rather than mis-cluster (the
+    * pointer-doubling / alternating-star variants cut the bound to
+    * O(log n) if a corpus ever needs it). Scale: the propagation only
+    * ever touches the PAIR graph (docs with at least one verified
+    * near-dup — orders smaller than the corpus); the corpus itself is
+    * streamed ONCE against the broadcast final assignment for the
+    * source rollup. Fourth consumer of the verified-pair artifact.
+    */
+  /** Per-doc connected-component assignment (doc_id, cluster_id) over
+    * the verified-pair graph; cluster_id = min doc id in the component.
+    * Only docs with at least one verified near-dup appear.
+    */
+  def dupClusterAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val verified = verifiedPairsArtifact(spark, dir)
+    // tiny frames: materialize once and cut lineage so the loop's plans
+    // stay flat (blocks are released by the caller's clearCache / JVM
+    // exit — Bench clears between queries)
+    val edges = verified.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(verified.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var hops = 0
+    while (!converged && hops < 25) {
+      val next = labels
+        .union(edges.join(labels.withColumnRenamed("v", "a"), Seq("a"))
+          .select(col("b").as("v"), col("lbl")))
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("v"))
+        .filter(col("lbl") =!= col("prev")).limit(1).count() == 0
+      labels = next
+      hops += 1
+    }
+    require(converged, s"d12 label propagation did not converge in $hops hops")
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val verified = verifiedPairsArtifact(spark, dir)
+    val assign = dupClusterAssignment(spark, dir)
+    val cstats = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(assign), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - 1).as("n_removed"),
+        countDistinct(col("source")).as("n_sources"))
+    val pstats = verified
+      .join(broadcast(assign.select(col("doc_id").as("doc_a"), col("cluster_id"))), Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+    cstats.join(pstats, Seq("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
@@ -444,9 +515,84 @@ object Dedup {
     "d07_dedup_pipeline" -> dedupPipeline,
     "d08_contamination" -> contamination,
     "d09_source_overlap" -> sourceOverlap,
-    "d10_effective_mixture" -> effectiveMixture)
+    "d10_effective_mixture" -> effectiveMixture,
+    "d12_dup_clusters" -> dupClusters)
 
   val oracle: Map[String, String] = Map(
+    // note: the recursive closure is a NESTED subquery with its own
+    // WITH RECURSIVE — hoisting RECURSIVE onto the outer WITH makes
+    // DuckDB 1.0 mis-evaluate the unnest()-bearing prefix CTEs
+    // (verified came back with 21 rows and jaccard values > 1)
+    "d12_dup_clusters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN csh a ON cand.doc_a = a.doc_id
+        |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |         CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |           / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) AS jaccard
+        |  FROM cand
+        |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        |          UNION ALL SELECT doc_b, doc_a FROM verified),
+        |assign AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM (
+        |    WITH RECURSIVE reach(src, dst) AS (
+        |      SELECT DISTINCT a, a FROM edges
+        |      UNION
+        |      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |    SELECT src, dst FROM reach)
+        |  GROUP BY 1),
+        |cstats AS (
+        |  SELECT a.cluster_id,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(count(*) - 1 AS BIGINT) AS n_removed,
+        |         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+        |  FROM assign a JOIN documents d USING (doc_id) GROUP BY 1),
+        |pstats AS (
+        |  SELECT aa.cluster_id,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         max(v.jaccard) AS max_jaccard
+        |  FROM verified v JOIN assign aa ON v.doc_a = aa.doc_id GROUP BY 1)
+        |SELECT c.cluster_id, c.n_docs, c.n_removed, c.n_sources, p.n_pairs, p.max_jaccard
+        |FROM cstats c JOIN pstats p USING (cluster_id)""".stripMargin,
     "d10_effective_mixture" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

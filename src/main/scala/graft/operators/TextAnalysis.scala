@@ -113,6 +113,59 @@ object TextAnalysis {
       .filter(col("bucket") < col("rate_permille"))
   }
 
+  // ─── t06 repetition quality rules (Gopher-style) ─────────────────────
+  /** The repetition family of corpus-quality rules: duplicate-word
+    * fraction, the character share of the single most frequent word
+    * 2-gram, and the fraction of 2-gram occurrences that are repeats —
+    * the signals that catch boilerplate, keyword stuffing, and
+    * degenerate generation loops, which length/punctuation ratios (t02)
+    * miss entirely. A doc passes the filter when neither repetition
+    * signal exceeds its threshold.
+    *
+    * Scale: ONE corpus scan — the per-doc word stats (functionally
+    * dependent on doc_id) ride the bigram explode as extra grouping
+    * keys instead of a second scan + corpus-sized join-back; both
+    * aggregations partial-aggregate map-side on high-cardinality keys;
+    * the argmax is the windowless `max(struct(cnt, bigram))` (ties
+    * break to the lexicographically largest bigram in both engines).
+    * All fractions are single IEEE divisions of integers — bit-stable
+    * at any parallelism.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val docKeys = Seq(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct_words"))
+    val exploded = d
+      .select(col("doc_id"), col("n_chars"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("w"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    val btop = exploded
+      .groupBy(docKeys :+ col("bigram"): _*).agg(count(lit(1)).as("cnt"))
+      .groupBy(docKeys: _*)
+      .agg(
+        max(struct(col("cnt"), col("bigram"))).as("top"),
+        sum(col("cnt")).as("total_bigrams"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_occ"))
+    val dupWordFrac =
+      lit(1.0) - col("n_distinct_words").cast("double") / col("n_words")
+    val topCharFrac =
+      (col("top.cnt") * length(col("top.bigram"))).cast("double") / col("n_chars")
+    btop
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct_words"),
+        dupWordFrac.as("dup_word_frac"),
+        col("top.bigram").as("top_bigram"),
+        col("top.cnt").as("top_bigram_count"),
+        topCharFrac.as("top_bigram_char_frac"),
+        (col("dup_occ").cast("double") / col("total_bigrams")).as("dup_bigram_frac"),
+        (dupWordFrac <= 0.85 && topCharFrac <= 0.20).as("passes_repetition_filter"))
+  }
+
   // ─── q33 per-language corpus statistics ──────────────────────────────
   /** The corpus report a curation run ends with: per-language doc
     * counts, token volume, and the exact token-count distribution
@@ -141,6 +194,7 @@ object TextAnalysis {
     "t03_token_count" -> tokenCount,
     "t04_fingerprint" -> fingerprintDocs,
     "t05_hash_sample" -> hashSample,
+    "t06_repetition_stats" -> repetitionStats,
     "q33_corpus_stats" -> corpusStats)
 
   private val docQuality =
@@ -153,6 +207,36 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t06_repetition_stats" ->
+      """WITH words AS (
+        |  SELECT doc_id, n_chars, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |docstats AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words
+        |  FROM words),
+        |bigrams AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words)),
+        |bcounts AS (
+        |  SELECT doc_id, bigram, count(*) AS cnt
+        |  FROM bigrams GROUP BY doc_id, bigram),
+        |btop AS (
+        |  SELECT doc_id,
+        |         max(struct_pack(cnt := cnt, bigram := bigram)) AS top,
+        |         CAST(sum(cnt) AS BIGINT) AS total_bigrams,
+        |         CAST(coalesce(sum(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup_occ
+        |  FROM bcounts GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_words, d.n_distinct_words,
+        |       1.0 - CAST(d.n_distinct_words AS DOUBLE) / d.n_words AS dup_word_frac,
+        |       b.top.bigram AS top_bigram,
+        |       CAST(b.top.cnt AS BIGINT) AS top_bigram_count,
+        |       CAST(b.top.cnt * length(b.top.bigram) AS DOUBLE) / d.n_chars AS top_bigram_char_frac,
+        |       CAST(b.dup_occ AS DOUBLE) / b.total_bigrams AS dup_bigram_frac,
+        |       (1.0 - CAST(d.n_distinct_words AS DOUBLE) / d.n_words <= 0.85
+        |        AND CAST(b.top.cnt * length(b.top.bigram) AS DOUBLE) / d.n_chars <= 0.20)
+        |         AS passes_repetition_filter
+        |FROM docstats d JOIN btop b USING (doc_id)""".stripMargin,
     "q33_corpus_stats" ->
       """WITH t AS (
         |  SELECT lang, n_chars,

@@ -69,4 +69,39 @@ class DedupSpec extends AnyFunSuite {
       col("n_removed") > col("n_docs") ||
       col("pct_tokens_kept") <= 0 || col("pct_tokens_kept") > 1).count() == 0)
   }
+
+  test("d12 clusters are closed over the d07 removal pairs") {
+    val assign = Dedup.dupClusterAssignment(spark, TestSpark.sf)
+    val removal = Dedup.dedupPipeline(spark, TestSpark.sf)
+    // transitivity: every (removed, kept_partner) pair from the pairwise
+    // survivorship list must land in the SAME connected component
+    val crossCluster = removal
+      .join(assign.withColumnRenamed("doc_id", "removed_doc_id")
+        .withColumnRenamed("cluster_id", "c_removed"), Seq("removed_doc_id"))
+      .join(assign.withColumnRenamed("doc_id", "kept_partner")
+        .withColumnRenamed("cluster_id", "c_kept"), Seq("kept_partner"))
+    assert(crossCluster.count() == removal.count())
+    assert(crossCluster.filter(col("c_removed") =!= col("c_kept")).count() == 0)
+    // labels are the component minimum: the label itself is a member,
+    // and no member is smaller
+    assert(assign.filter(col("doc_id") < col("cluster_id")).count() == 0)
+    assert(assign.filter(col("doc_id") === col("cluster_id")).count() ==
+      assign.select("cluster_id").distinct().count())
+
+    val report = Dedup.dupClusters(spark, TestSpark.sf)
+    val rows = report.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nPairs) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs"))
+      assert(nDocs >= 2 && r.getAs[Long]("n_removed") == nDocs - 1)
+      // connectivity needs a spanning tree; pairs can't exceed all-pairs
+      assert(nPairs >= nDocs - 1 && nPairs <= nDocs * (nDocs - 1) / 2)
+      val j = r.getAs[Double]("max_jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+      val nSources = r.getAs[Long]("n_sources")
+      assert(nSources >= 1 && nSources <= nDocs)
+    }
+    // the report covers exactly the assigned docs
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == assign.count())
+  }
 }

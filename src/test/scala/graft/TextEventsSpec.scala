@@ -21,6 +21,39 @@ class TextEventsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("t06 repetition stats match a driver-side recomputation") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val stats = TextAnalysis.repetitionStats(spark, TestSpark.sf)
+    assert(stats.count() == docs.count())
+    stats.collect().foreach { r =>
+      assert(r.getAs[Long]("n_distinct_words") <= r.getAs[Long]("n_words"))
+      val dw = r.getAs[Double]("dup_word_frac")
+      val tb = r.getAs[Double]("top_bigram_char_frac")
+      val db = r.getAs[Double]("dup_bigram_frac")
+      assert(dw >= 0 && dw < 1 && tb > 0 && tb < 1 && db >= 0 && db < 1)
+      // the max-count bigram repeats iff ANY bigram repeats
+      assert((r.getAs[Long]("top_bigram_count") > 1) == (db > 0))
+      assert(r.getAs[Boolean]("passes_repetition_filter") == (dw <= 0.85 && tb <= 0.20))
+    }
+    // full differential on one doc: recompute every column in plain Scala
+    val row = stats.filter(col("doc_id") === 0).collect().head
+    val text = docs.filter(col("doc_id") === 0).collect().head.getAs[String]("text")
+    val w = text.split("\\s+").filter(_.nonEmpty)
+    val bi = w.sliding(2).map(_.mkString(" ")).toSeq
+    val counts = bi.groupBy(identity).view.mapValues(_.size)
+    val (topBigram, topCnt) = counts.toSeq.maxBy { case (b, c) => (c, b) }
+    assert(row.getAs[Long]("n_words") == w.length)
+    assert(row.getAs[Long]("n_distinct_words") == w.distinct.length)
+    assert(row.getAs[Double]("dup_word_frac") ==
+      1.0 - w.distinct.length.toDouble / w.length)
+    assert(row.getAs[String]("top_bigram") == topBigram)
+    assert(row.getAs[Long]("top_bigram_count") == topCnt)
+    assert(row.getAs[Double]("top_bigram_char_frac") ==
+      topCnt.toLong * topBigram.length / text.length.toDouble)
+    val dupOcc = counts.values.filter(_ > 1).sum
+    assert(row.getAs[Double]("dup_bigram_frac") == dupOcc.toDouble / bi.size)
+  }
+
   test("fingerprint dup ranks start at 1 per fingerprint") {
     val fp = TextAnalysis.fingerprintDocs(spark, TestSpark.sf)
     val firsts = fp.groupBy("fingerprint").agg(min("dup_rank").as("m"))
