@@ -457,24 +457,29 @@ object Dedup {
     * streamed ONCE against the broadcast final assignment for the
     * source rollup. Fourth consumer of the verified-pair artifact.
     */
-  /** Per-doc connected-component assignment (doc_id, cluster_id) over
-    * the verified-pair graph; cluster_id = min doc id in the component.
-    * Only docs with at least one verified near-dup appear.
+  /** Connected components of an undirected graph given as one-direction
+    * edge rows `(a, b)` with long node ids: returns `(node, component)`
+    * where component = the minimum node id reachable. Min-label
+    * propagation to fixpoint — per hop one equi-join on the node id
+    * plus a min-aggregate, both map-side combinable; iterations = graph
+    * diameter, and a graph deeper than `maxHops` aborts loudly rather
+    * than mis-label (pointer-doubling / alternating-star variants cut
+    * the bound to O(log n) if a workload ever needs it). Each hop's
+    * frame is localCheckpoint-ed: the loop's plans stay flat and
+    * re-runs of downstream actions can't recompute a different
+    * iteration count (blocks are released by the caller's clearCache /
+    * JVM exit — Bench clears between queries).
     */
-  def dupClusterAssignment(spark: SparkSession, dir: String): DataFrame = {
-    val verified = verifiedPairsArtifact(spark, dir)
-    // tiny frames: materialize once and cut lineage so the loop's plans
-    // stay flat (blocks are released by the caller's clearCache / JVM
-    // exit — Bench clears between queries)
-    val edges = verified.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(verified.select(col("doc_b").as("a"), col("doc_a").as("b")))
+  def connectedComponents(edgesOneWay: DataFrame, maxHops: Int = 25): DataFrame = {
+    val edges = edgesOneWay.toDF("a", "b")
+      .union(edgesOneWay.toDF("b", "a").select(col("a"), col("b")))
       .localCheckpoint()
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v"))
       .localCheckpoint()
     var converged = false
     var hops = 0
-    while (!converged && hops < 25) {
+    while (!converged && hops < maxHops) {
       val next = labels
         .union(edges.join(labels.withColumnRenamed("v", "a"), Seq("a"))
           .select(col("b").as("v"), col("lbl")))
@@ -486,9 +491,18 @@ object Dedup {
       labels = next
       hops += 1
     }
-    require(converged, s"d12 label propagation did not converge in $hops hops")
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    require(converged, s"label propagation did not converge in $hops hops")
+    labels.select(col("v").as("node"), col("lbl").as("component"))
   }
+
+  /** Per-doc connected-component assignment (doc_id, cluster_id) over
+    * the verified-pair graph; cluster_id = min doc id in the component.
+    * Only docs with at least one verified near-dup appear.
+    */
+  def dupClusterAssignment(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+        verifiedPairsArtifact(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val verified = verifiedPairsArtifact(spark, dir)
@@ -507,6 +521,50 @@ object Dedup {
     cstats.join(pstats, Seq("cluster_id"))
   }
 
+  // ─── d13 exact n-gram collision decontamination ──────────────────────
+  /** The n-gram-collision decontamination standard (13-gram overlap, as
+    * used for GPT-3/PaLM-style training-set filtering): a corpus doc is
+    * contaminated when ANY of its word 13-grams also appears in a
+    * held-out benchmark doc. Complements d08 — d08 finds benchmark
+    * NEAR-duplicates via LSH + Jaccard; d13 finds verbatim PASSAGE
+    * overlap no matter how different the rest of the doc is. One row
+    * per corpus doc long enough to have a 13-gram (zero rows included —
+    * the filter's keep-list is the point).
+    *
+    * Scale: 13-grams are md5-hashed BEFORE the distinct/shuffle (32-hex
+    * keys, not ~90-byte strings); candidate matching is one equi-join
+    * on the hash — the bench side is a benchmark suite (tiny in real
+    * deployments, broadcastable, but left declarative so AQE picks);
+    * both aggregations are map-side combinable. No windows, no
+    * all-pairs work.
+    */
+  def ngramContamination(spark: SparkSession, dir: String): DataFrame = {
+    val benchSources = Seq("src0", "src1")
+    val n = 13
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source").isin(benchSources: _*).as("is_bench"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("is_bench"),
+        explode(transform(sequence(lit(0), size(col("t")) - n),
+          i => md5(array_join(slice(col("t"), i + 1, lit(n)), " ")))).as("h"))
+      .distinct()
+    val bench = grams.filter(col("is_bench"))
+      .select(col("doc_id").as("bench_doc_id"), col("h"))
+    val corpus = grams.filter(!col("is_bench")).select(col("doc_id"), col("h"))
+    val hits = corpus.join(bench, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("h")).as("hit_ngrams"),
+        countDistinct(col("bench_doc_id")).as("hit_bench_docs"))
+    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("hit_ngrams"), lit(0L)).as("n_collisions"),
+        coalesce(col("hit_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("hit_ngrams"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
@@ -516,9 +574,34 @@ object Dedup {
     "d08_contamination" -> contamination,
     "d09_source_overlap" -> sourceOverlap,
     "d10_effective_mixture" -> effectiveMixture,
-    "d12_dup_clusters" -> dupClusters)
+    "d12_dup_clusters" -> dupClusters,
+    "d13_ngram_contamination" -> ngramContamination)
 
   val oracle: Map[String, String] = Map(
+    "d13_ngram_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, source IN ('src0','src1') AS is_bench,
+        |         regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, is_bench,
+        |         md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 12], ' ')) AS h
+        |  FROM (SELECT doc_id, is_bench, t, unnest(range(1, len(t) - 11)) AS i
+        |        FROM w WHERE len(t) >= 13)),
+        |bench AS (SELECT DISTINCT doc_id AS bench_doc_id, h FROM grams WHERE is_bench),
+        |corpus AS (SELECT doc_id, h FROM grams WHERE NOT is_bench),
+        |hits AS (
+        |  SELECT c.doc_id,
+        |         CAST(count(DISTINCT c.h) AS BIGINT) AS hit_ngrams,
+        |         CAST(count(DISTINCT b.bench_doc_id) AS BIGINT) AS hit_bench_docs
+        |  FROM corpus c JOIN bench b USING (h) GROUP BY 1),
+        |totals AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM corpus GROUP BY 1)
+        |SELECT t.doc_id, t.n_ngrams,
+        |       CAST(coalesce(h.hit_ngrams, 0) AS BIGINT) AS n_collisions,
+        |       CAST(coalesce(h.hit_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+        |       coalesce(h.hit_ngrams, 0) > 0 AS is_contaminated
+        |FROM totals t LEFT JOIN hits h USING (doc_id)""".stripMargin,
     // note: the recursive closure is a NESTED subquery with its own
     // WITH RECURSIVE — hoisting RECURSIVE onto the outer WITH makes
     // DuckDB 1.0 mis-evaluate the unnest()-bearing prefix CTEs

@@ -104,4 +104,62 @@ class DedupSpec extends AnyFunSuite {
     // the report covers exactly the assigned docs
     assert(rows.map(_.getAs[Long]("n_docs")).sum == assign.count())
   }
+
+  test("d13 covers every long-enough corpus doc; collisions bounded by gram counts") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val expectedRows = docs
+      .filter(!col("source").isin("src0", "src1") &&
+        size(split(col("text"), "\\s+")) >= 13).count()
+    val report = Dedup.ngramContamination(spark, TestSpark.sf)
+    assert(report.count() == expectedRows)
+    report.collect().foreach { r =>
+      assert(r.getAs[Long]("n_collisions") <= r.getAs[Long]("n_ngrams"))
+      assert(r.getAs[Boolean]("is_contaminated") == (r.getAs[Long]("n_collisions") > 0))
+      assert((r.getAs[Long]("n_bench_docs") > 0) == (r.getAs[Long]("n_collisions") > 0))
+    }
+    // exact-dup pairs that cross the bench boundary MUST be flagged:
+    // identical text shares every 13-gram
+    val flagged = report.filter(col("is_contaminated")).select("doc_id")
+    val benchTexts = docs.filter(col("source").isin("src0", "src1"))
+      .filter(size(split(col("text"), "\\s+")) >= 13)
+      .select(col("text")).distinct()
+    val exactCross = docs.filter(!col("source").isin("src0", "src1"))
+      .join(benchTexts, Seq("text"), "left_semi").select("doc_id")
+    assert(exactCross.join(flagged, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260812L)
+    for (_ <- 1 to 5) {
+      val n = 30 + rng.nextInt(30)
+      // a mix of short chain segments, random cross edges, and a star —
+      // cycles, merges, and isolated pairs all occur across seeds
+      val chain = (0 until n).sliding(2).collect {
+        case Seq(a, b) if rng.nextBoolean() => (a.toLong, b.toLong)
+      }.toSeq
+      val cross = Seq.fill(n / 2)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val hub = rng.nextInt(n).toLong
+      val star = Seq.fill(4)((hub, rng.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      val edges = chain ++ cross ++ star
+
+      // reference: union-find with path compression, labels = min member
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), maxHops = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+    spark.catalog.clearCache()
+  }
 }
