@@ -122,13 +122,64 @@ object Events {
           when(col("n_clicked_after") === 0, lit(null)).otherwise(col("n_clicked_after")))
   }
 
+  // ─── e05 weekly cohort retention ─────────────────────────────────────
+  /** Classic cohort retention: users grouped by the ISO week of their
+    * first event, and for each cohort the count (and share of the
+    * cohort) still active N weeks later — the activation/churn matrix
+    * behind every product-analytics dashboard.
+    *
+    * Scale: ONE exchange on user_id collects each user's distinct
+    * active weeks (`collect_set` — bounded by weeks-in-corpus, dedup
+    * happens map-side in the partial aggregate); the explode emits one
+    * row per (user, active week), so the (cohort, offset) count needs
+    * no countDistinct — per-user offsets are unique by construction.
+    * The retention share is a window over the tiny post-aggregation
+    * frame only (weeks × offsets rows), the q38 pattern. Offsets are
+    * exact: both week starts are Mondays, so datediff is always a
+    * multiple of 7.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"), collect_set(col("wk")).as("wks"))
+    val agg = perUser
+      .select(col("user_id"), col("cohort_week"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    agg.withColumn("retention_pct",
+      col("n_users").cast("double") /
+        max(when(col("week_offset") === 0, col("n_users")))
+          .over(Window.partitionBy(col("cohort_week"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> sessionize,
     "e02_event_tumbling" -> tumblingWindows,
     "e03_json_props" -> jsonProps,
-    "e04_funnel" -> funnel)
+    "e04_funnel" -> funnel,
+    "e05_cohort_retention" -> cohortRetention)
 
   val oracle: Map[String, String] = Map(
+    "e05_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort_week,
+        |         CAST(date_diff('day', f.cohort_week, uw.wk) // 7 AS BIGINT) AS week_offset,
+        |         uw.user_id
+        |  FROM uw JOIN f USING (user_id)),
+        |agg AS (
+        |  SELECT cohort_week, week_offset,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM act GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |       CAST(n_users AS DOUBLE)
+        |         / max(CASE WHEN week_offset = 0 THEN n_users END)
+        |             OVER (PARTITION BY cohort_week) AS retention_pct
+        |FROM agg""".stripMargin,
     "e04_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id,

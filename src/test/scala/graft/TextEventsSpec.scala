@@ -68,6 +68,24 @@ class TextEventsSpec extends AnyFunSuite {
     assert(sess.agg(sum("n_events")).collect().head.getLong(0) == nEvents)
   }
 
+  test("e05 cohort retention: offset-0 rows are full cohorts covering every user") {
+    import graft.operators.Events
+    val ret = Events.cohortRetention(spark, TestSpark.sf)
+    val rows = ret.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0)
+      val pct = r.getAs[Double]("retention_pct")
+      assert(pct > 0 && pct <= 1.0)
+      if (r.getAs[Long]("week_offset") == 0) assert(pct == 1.0)
+    }
+    // every user lands in exactly one cohort's week-0 row
+    val users = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_.getAs[Long]("week_offset") == 0)
+      .map(_.getAs[Long]("n_users")).sum == users)
+  }
+
   test("tumbling windows partition all events") {
     val n = Events.tumblingWindows(spark, TestSpark.sf)
       .agg(sum("n_events")).collect().head.getLong(0)
