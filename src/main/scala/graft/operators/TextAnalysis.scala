@@ -34,9 +34,15 @@ object TextAnalysis {
   }
 
   // ─── t02 document quality scoring ────────────────────────────────────
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    scoredDocs(spark, dir).drop("lang")
+
+  /** t02's scoring frame with the language carried — shared by t02 and
+    * the t07 per-language prune so both see bit-identical scores.
+    */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    d.select(col("doc_id"), col("text"))
+    d.select(col("doc_id"), col("lang"), col("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_tokens", wsTokenCount(col("text")))
       .withColumn("punct_count", patternCount(col("text"), "[^A-Za-z0-9\\s]"))
@@ -46,7 +52,7 @@ object TextAnalysis {
         // ratios stay RAW doubles: integer/integer divisions are exact and
         // bit-identical cross-engine; rounding them creates dyadic decimal
         // midpoints (1/32 = .03125) where rounding modes disagree
-        col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
         (col("n_chars").cast("double") /
           when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")))
           .as("avg_token_len"),
@@ -166,6 +172,32 @@ object TextAnalysis {
         (dupWordFrac <= 0.85 && topCharFrac <= 0.20).as("passes_repetition_filter"))
   }
 
+  // ─── t07 per-language quality prune ──────────────────────────────────
+  /** Score-based curation: drop each language's bottom quality quartile
+    * (the "filter by model/heuristic score, calibrated per language"
+    * step of LLM corpus curation — a single global threshold would
+    * gut low-resource languages whose score distributions sit lower).
+    * One zero-safe row per doc with its threshold and the keep flag —
+    * the keep-list AND the audit trail of what the filter cost.
+    *
+    * Scale: scoring is the t02 narrow projection; the per-language
+    * exact p25 is one tiny aggregation (values collect per language —
+    * the exact-percentile cost; at real corpus scale swap in
+    * `approx_percentile`, which partial-aggregates, and keep the same
+    * join-back); thresholds broadcast back against the streamed scored
+    * corpus. Score and threshold are computed from the same expressions
+    * on both engines, so the >= comparison is bit-stable (percentile ==
+    * quantile_cont established by q26).
+    */
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val s = scoredDocs(spark, dir).select(col("doc_id"), col("lang"), col("quality_score"))
+    val thresholds = s.groupBy(col("lang"))
+      .agg(expr("percentile(quality_score, 0.25)").as("lang_p25"))
+    s.join(broadcast(thresholds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_p25"),
+        (col("quality_score") >= col("lang_p25")).as("is_kept"))
+  }
+
   // ─── q33 per-language corpus statistics ──────────────────────────────
   /** The corpus report a curation run ends with: per-language doc
     * counts, token volume, and the exact token-count distribution
@@ -195,6 +227,7 @@ object TextAnalysis {
     "t04_fingerprint" -> fingerprintDocs,
     "t05_hash_sample" -> hashSample,
     "t06_repetition_stats" -> repetitionStats,
+    "t07_quality_prune" -> qualityPrune,
     "q33_corpus_stats" -> corpusStats)
 
   private val docQuality =
@@ -207,6 +240,25 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t07_quality_prune" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stopword_count
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |           * (1.0 - CAST(punct_count AS DOUBLE) / nullif(n_chars, 0))
+        |           * (0.5 + 0.5 * least(1.0, CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0) * 10.0))
+        |           AS quality_score
+        |  FROM q),
+        |t AS (SELECT lang, quantile_cont(quality_score, 0.25) AS lang_p25 FROM s GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.quality_score, t.lang_p25,
+        |       s.quality_score >= t.lang_p25 AS is_kept
+        |FROM s JOIN t USING (lang)""".stripMargin,
     "t06_repetition_stats" ->
       """WITH words AS (
         |  SELECT doc_id, n_chars, regexp_extract_all(text, '\S+') AS w FROM documents),

@@ -119,6 +119,36 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("t06 repetition stats: one corpus scan, no join-back, no window") {
+    val p = plan(TextAnalysis.repetitionStats(spark, TestSpark.sf))
+    // the per-doc stats ride the explode as grouping keys — a second
+    // scan + corpus-sized join-back would double the 100 TB read
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"t06 must scan documents once, saw $scans:\n$p")
+    assert(!p.contains("Join"), s"t06 must not join:\n$p")
+    assert(!p.contains("Window"), s"t06 must not window:\n$p")
+  }
+
+  test("d13 contamination: hash-key join only, no window, no all-pairs") {
+    val p = plan(Dedup.ngramContamination(spark, TestSpark.sf))
+    assert(!p.contains("Window"), s"d13 must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d13 must join on the gram hash, never all-pairs:\n$p")
+  }
+
+  test("e05 cohort retention: one user exchange; share window on post-agg rows only") {
+    val df = Events.cohortRetention(spark, TestSpark.sf)
+    val p = plan(df)
+    // the only user_id shuffle is the collect_set aggregation; the
+    // retention window must partition by cohort_week (tiny post-agg
+    // frame), never by user
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles <= 1, s"e05 should shuffle users once, saw $userShuffles:\n$p")
+    assert(!p.contains("partitionBy=\\[user_id") &&
+      "Window .*user_id".r.findFirstIn(p).isEmpty,
+      s"retention window must not partition by user:\n$p")
+  }
+
   test("extensions class injects cosine_similarity (builder-level wiring)") {
     // a shared test JVM already holds a session, so exercise the injection
     // surface directly (builder-applied extensions only run at creation)

@@ -21,6 +21,29 @@ class TextEventsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("t07 prunes about a quarter of each language, never more than half") {
+    val prune = TextAnalysis.qualityPrune(spark, TestSpark.sf)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    assert(prune.count() == docs.count())
+    // scores agree with t02 bit-for-bit (shared scoring base)
+    val joined = prune.select(col("doc_id"), col("quality_score").as("p_score"))
+      .join(TextAnalysis.qualityScore(spark, TestSpark.sf)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+    assert(joined.filter(col("p_score") =!= col("quality_score")).count() == 0)
+    // a p25 cut keeps at least half and at most all-but-one per language
+    // (ties can push the kept share above 75%)
+    prune.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept"))
+      .collect().foreach { r =>
+        val (n, kept) = (r.getAs[Long]("n"), r.getAs[Long]("kept"))
+        assert(kept >= n / 2 && kept < n, s"lang ${r.getAs[String]("lang")}: $kept/$n")
+      }
+    // the flag is exactly the threshold comparison
+    assert(prune.filter(col("is_kept") =!= (col("quality_score") >= col("lang_p25")))
+      .count() == 0)
+  }
+
   test("t06 repetition stats match a driver-side recomputation") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val stats = TextAnalysis.repetitionStats(spark, TestSpark.sf)
