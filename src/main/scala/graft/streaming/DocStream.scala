@@ -43,17 +43,26 @@ object DocStream {
   }
 
   /** Quality-gated dedup ingest: the cheap narrow screens (length and
-    * alphabetic-ratio floors — the t02 quality-score building blocks)
-    * run BEFORE the stateful dedup, so junk never occupies dedup state.
+    * alphabetic-ratio floors — the t02 quality-score building blocks —
+    * plus the t06 duplicate-word-fraction repetition rule, which is a
+    * pure per-row expression because each document is one row) run
+    * BEFORE the stateful dedup, so junk never occupies dedup state.
     * Filter-then-dedup order matters in a stream: state is the scarce
-    * resource, and a narrow codegen'd filter is free.
+    * resource, and a narrow codegen'd filter is free. The thresholds
+    * default to the batch operators' values so the stream front door
+    * enforces the same policy the batch passes report on.
     */
   def gatedIngest(docs: DataFrame, horizon: String = "1 hour",
-                  minChars: Int = 20, minAlphaRatio: Double = 0.5): DataFrame = {
+                  minChars: Int = 20, minAlphaRatio: Double = 0.5,
+                  maxDupWordFrac: Double = 0.85): DataFrame = {
     val alpha = length(regexp_replace(col("text"), lit("[^\\p{L}]"), lit("")))
+    val w = split(col("text"), "\\s+")
+    val dupWordFrac =
+      lit(1.0) - size(array_distinct(w)).cast("double") / size(w)
     dedupIngest(
       docs.filter(length(col("text")) >= minChars &&
-        alpha.cast("double") / length(col("text")) >= minAlphaRatio),
+        alpha.cast("double") / length(col("text")) >= minAlphaRatio &&
+        dupWordFrac <= maxDupWordFrac),
       horizon)
   }
 }

@@ -53,12 +53,18 @@ class DocStreamSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val junk = Seq(
       Doc(10, "src0", "xx", "1234567890 9876543210 0000000", ts("2024-01-01 11:00:00")), // numeric
-      Doc(11, "src0", "xx", "tiny", ts("2024-01-01 11:01:00"))) // too short
+      Doc(11, "src0", "xx", "tiny", ts("2024-01-01 11:01:00")), // too short
+      Doc(12, "src0", "en", // degenerate repetition loop: 1 distinct word in 20
+        Seq.fill(20)("spam").mkString(" "), ts("2024-01-01 11:02:00")))
     val src = MemoryStream[Doc]
     src.addData(docs ++ junk: _*)
     val out = EventsStream.runToMemory(
       DocStream.gatedIngest(src.toDF()), "gated_ingest", OutputMode.Append())
     val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(1L, 3L, 5L))
+    // the static frame through the same gate agrees (stream == batch)
+    val batchKept = DocStream.gatedIngest((docs ++ junk).toDF())
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchKept == kept)
   }
 }
