@@ -552,17 +552,19 @@ object Dedup {
     val bench = grams.filter(col("is_bench"))
       .select(col("doc_id").as("bench_doc_id"), col("h"))
     val corpus = grams.filter(!col("is_bench")).select(col("doc_id"), col("h"))
-    val hits = corpus.join(bench, Seq("h"))
+    // ONE left join + ONE aggregation serves totals, collisions, and
+    // bench-doc counts together (count(DISTINCT) ignores the nulls the
+    // left join leaves on clean grams) — the hits-join + totals-agg +
+    // join-back form re-derived the gram frame per consumer, re-scanning
+    // the corpus
+    corpus.join(bench, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(
-        countDistinct(col("h")).as("hit_ngrams"),
-        countDistinct(col("bench_doc_id")).as("hit_bench_docs"))
-    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_ngrams"),
-        coalesce(col("hit_ngrams"), lit(0L)).as("n_collisions"),
-        coalesce(col("hit_bench_docs"), lit(0L)).as("n_bench_docs"),
-        (coalesce(col("hit_ngrams"), lit(0L)) > 0).as("is_contaminated"))
+        countDistinct(col("h")).as("n_ngrams"),
+        countDistinct(when(col("bench_doc_id").isNotNull, col("h"))).as("n_collisions"),
+        countDistinct(col("bench_doc_id")).as("n_bench_docs"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_collisions"), col("n_bench_docs"),
+        (col("n_collisions") > 0).as("is_contaminated"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -589,19 +591,14 @@ object Dedup {
         |  FROM (SELECT doc_id, is_bench, t, unnest(range(1, len(t) - 11)) AS i
         |        FROM w WHERE len(t) >= 13)),
         |bench AS (SELECT DISTINCT doc_id AS bench_doc_id, h FROM grams WHERE is_bench),
-        |corpus AS (SELECT doc_id, h FROM grams WHERE NOT is_bench),
-        |hits AS (
-        |  SELECT c.doc_id,
-        |         CAST(count(DISTINCT c.h) AS BIGINT) AS hit_ngrams,
-        |         CAST(count(DISTINCT b.bench_doc_id) AS BIGINT) AS hit_bench_docs
-        |  FROM corpus c JOIN bench b USING (h) GROUP BY 1),
-        |totals AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM corpus GROUP BY 1)
-        |SELECT t.doc_id, t.n_ngrams,
-        |       CAST(coalesce(h.hit_ngrams, 0) AS BIGINT) AS n_collisions,
-        |       CAST(coalesce(h.hit_bench_docs, 0) AS BIGINT) AS n_bench_docs,
-        |       coalesce(h.hit_ngrams, 0) > 0 AS is_contaminated
-        |FROM totals t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+        |corpus AS (SELECT doc_id, h FROM grams WHERE NOT is_bench)
+        |SELECT c.doc_id,
+        |       CAST(count(DISTINCT c.h) AS BIGINT) AS n_ngrams,
+        |       CAST(count(DISTINCT CASE WHEN b.bench_doc_id IS NOT NULL THEN c.h END) AS BIGINT) AS n_collisions,
+        |       CAST(count(DISTINCT b.bench_doc_id) AS BIGINT) AS n_bench_docs,
+        |       count(DISTINCT CASE WHEN b.bench_doc_id IS NOT NULL THEN c.h END) > 0 AS is_contaminated
+        |FROM corpus c LEFT JOIN bench b USING (h)
+        |GROUP BY 1""".stripMargin,
     // note: the recursive closure is a NESTED subquery with its own
     // WITH RECURSIVE — hoisting RECURSIVE onto the outer WITH makes
     // DuckDB 1.0 mis-evaluate the unnest()-bearing prefix CTEs

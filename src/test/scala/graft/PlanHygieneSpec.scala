@@ -129,11 +129,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"t06 must not window:\n$p")
   }
 
-  test("d13 contamination: hash-key join only, no window, no all-pairs") {
+  test("d13 contamination: two pruned scans, hash-key join only, no all-pairs") {
     val p = plan(Dedup.ngramContamination(spark, TestSpark.sf))
     assert(!p.contains("Window"), s"d13 must not window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"d13 must join on the gram hash, never all-pairs:\n$p")
+    // the single-aggregation form reads documents exactly twice — once
+    // per boundary side — with the source predicate pruning each scan
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"d13 must scan documents once per side, saw $scans:\n$p")
+    assert(p.contains("PushedFilters: [In(source") &&
+      p.contains("PushedFilters: [Not(In(source"),
+      s"source split must push to both scans:\n$p")
   }
 
   test("e05 cohort retention: one user exchange; share window on post-agg rows only") {
