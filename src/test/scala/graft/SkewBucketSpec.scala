@@ -45,4 +45,26 @@ class SkewBucketSpec extends AnyFunSuite {
       assert(joined.count() == li.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("month-partitioned layout prunes partitions and matches the flat scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_extendedprice"), col("l_quantity"))
+    li.write.mode("overwrite").parquet(s"$dir/flat")
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(s"$dir/bymonth")
+    val month = li.agg(max(col("ship_month"))).collect().head.getString(0)
+    def slice(path: String) =
+      spark.read.parquet(path).filter(col("ship_month") === month)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).as("rev"))
+    // the partitioned read must carry the predicate as a PartitionFilter
+    // (directory pruning at planning time), not a per-row data filter
+    val p = slice(s"$dir/bymonth").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(ship_month") ||
+      "PartitionFilters: \\[.*ship_month".r.findFirstIn(p).isDefined,
+      s"expected partition pruning in:\n$p")
+    // and both layouts agree on the answer
+    assert(slice(s"$dir/bymonth").collect().toSeq == slice(s"$dir/flat").collect().toSeq)
+  }
 }
