@@ -198,6 +198,58 @@ object TextAnalysis {
         (col("quality_score") >= col("lang_p25")).as("is_kept"))
   }
 
+  // ─── t08 deterministic token-budget sampler ──────────────────────────
+  /** Budgeted mixture sampling: select documents per source, in a
+    * deterministic hash order, until each source reaches a token budget
+    * (half its corpus here) — the "build the training mix to a budget"
+    * step that follows the weighting decisions of d10. RNG-free like
+    * t05, so a re-run, a retried stage, or another engine selects the
+    * SAME documents.
+    *
+    * Scale: the naive form is a running-token-sum window partitioned by
+    * source — a ≤#sources-key window that funnels the corpus into a
+    * handful of tasks (the d04/d06 anti-pattern). Two phases avoid it:
+    * (1) per (source, hash-bucket) token totals — a tiny frame — get
+    * cumulative ends per source, which classifies every NON-boundary
+    * bucket as wholly kept or wholly dropped with no window at all;
+    * (2) only the single boundary bucket per source (1/256th of that
+    * source) pays the running-sum window, seeded with its bucket's
+    * cumulative start. The bucket id is the first two hex chars of the
+    * ordering hash, so bucket order == hash order and the greedy prefix
+    * is exactly the one the single-window form selects.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("bucket", conv(substring(col("rk"), 1, 2), 16, 10).cast("long"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val meta = d.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum_end", sum(col("btok")).over(wcum))
+      .withColumn("cum_start", col("cum_end") - col("btok"))
+      .withColumn("budget",
+        // exact integer halving (x div 2): Column `/` promotes to double,
+        // which loses exactness past 2^53 tokens
+        shiftright(sum(col("btok")).over(Window.partitionBy(col("source"))), 1))
+      .select(col("source"), col("bucket"), col("cum_start"), col("cum_end"), col("budget"))
+    val classified = d.join(broadcast(meta), Seq("source", "bucket"))
+    val outCols = Seq(col("doc_id"), col("source"), col("n_tokens"), col("budget"))
+    val clear = classified
+      .filter(col("cum_end") <= col("budget") || col("cum_start") >= col("budget"))
+      .select(outCols :+ (col("cum_end") <= col("budget")).as("is_sampled"): _*)
+    val wb = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = classified
+      .filter(col("cum_start") < col("budget") && col("budget") < col("cum_end"))
+      .withColumn("run", col("cum_start") + sum(col("n_tokens")).over(wb))
+      .select(outCols :+ (col("run") <= col("budget")).as("is_sampled"): _*)
+    clear.union(boundary)
+  }
+
   // ─── q33 per-language corpus statistics ──────────────────────────────
   /** The corpus report a curation run ends with: per-language doc
     * counts, token volume, and the exact token-count distribution
@@ -228,6 +280,7 @@ object TextAnalysis {
     "t05_hash_sample" -> hashSample,
     "t06_repetition_stats" -> repetitionStats,
     "t07_quality_prune" -> qualityPrune,
+    "t08_token_budget_sample" -> tokenBudgetSample,
     "q33_corpus_stats" -> corpusStats)
 
   private val docQuality =
@@ -240,6 +293,21 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t08_token_budget_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |b AS (SELECT source, CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT d.*, b.budget,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY d.source ORDER BY rk, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM d JOIN b USING (source))
+        |SELECT doc_id, source, n_tokens, budget,
+        |       cum_tokens <= budget AS is_sampled
+        |FROM c""".stripMargin,
     "t07_quality_prune" ->
       """WITH q AS (
         |  SELECT doc_id, lang,

@@ -44,6 +44,35 @@ class TextEventsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("t08 fills each source budget greedily: under budget, maximal, deterministic") {
+    import graft.operators.TextAnalysis
+    val s = TextAnalysis.tokenBudgetSample(spark, TestSpark.sf).collect()
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").count()
+    assert(s.length == docs)
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    s.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val budget = rows.head.getAs[Long]("budget")
+      val inOrder = rows.sortBy(r =>
+        (md5hex(r.getAs[Long]("doc_id").toString), r.getAs[Long]("doc_id")))
+      val keptTokens = inOrder.filter(_.getAs[Boolean]("is_sampled"))
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(keptTokens <= budget)
+      // greedy prefix: sampled docs are EXACTLY the longest hash-order
+      // prefix that fits — which also proves maximality
+      var cum = 0L
+      inOrder.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Boolean]("is_sampled") == (cum <= budget))
+      }
+    }
+    // re-run selects the identical sample (RNG-free)
+    val again = TextAnalysis.tokenBudgetSample(spark, TestSpark.sf).collect()
+    assert(s.map(r => (r.getLong(0), r.getBoolean(4))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getBoolean(4))).sortBy(_._1).toSeq)
+  }
+
   test("t06 repetition stats match a driver-side recomputation") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val stats = TextAnalysis.repetitionStats(spark, TestSpark.sf)
