@@ -156,6 +156,23 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"retention window must not partition by user:\n$p")
   }
 
+  test("t08 sampler: corpus-facing window partitions by (source, bucket), never source alone") {
+    val p = plan(TextAnalysis.tokenBudgetSample(spark, TestSpark.sf))
+    // the naive running-sum window over PARTITION BY source funnels the
+    // corpus into ≤#sources tasks; only the boundary-bucket window may
+    // sum doc-row tokens, and its partition spec must carry the bucket
+    // key (windows over the tiny bucket frame sum btok, not n_tokens)
+    val windowLines = p.split("\n").filter(_.contains("Window "))
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected windows in:\n$p")
+    windowLines.filter(_.contains("n_tokens")).foreach { l =>
+      assert("windowspecdefinition\\([^)]*bucket".r.findFirstIn(l).isDefined,
+        s"doc-row running sum must partition by (source, bucket):\n$l")
+    }
+    assert(windowLines.exists(_.contains("n_tokens")),
+      s"expected the boundary-bucket running sum:\n$p")
+  }
+
   test("extensions class injects cosine_similarity (builder-level wiring)") {
     // a shared test JVM already holds a session, so exercise the injection
     // surface directly (builder-applied extensions only run at creation)
