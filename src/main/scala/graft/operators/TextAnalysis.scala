@@ -217,6 +217,14 @@ object TextAnalysis {
     * cumulative start. The bucket id is the first two hex chars of the
     * ordering hash, so bucket order == hash order and the greedy prefix
     * is exactly the one the single-window form selects.
+    *
+    * Measured: at sf0.1 the naive form is ~2x FASTER (0.48s vs 0.97s
+    * median) — 5k docs over 20 sources never stress the window, and the
+    * two-phase pays a second scan plus the broadcast join. Kept anyway:
+    * the naive form serializes each source's entire corpus slice
+    * through one task (the d04/d06 bounded-key anti-pattern), which is
+    * the difference between hours and minutes at real corpus scale;
+    * PlanHygieneSpec pins the doc-facing window to (source, bucket).
     */
   def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(
