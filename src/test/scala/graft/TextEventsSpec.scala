@@ -87,23 +87,26 @@ class TextEventsSpec extends AnyFunSuite {
       assert((r.getAs[Long]("top_bigram_count") > 1) == (db > 0))
       assert(r.getAs[Boolean]("passes_repetition_filter") == (dw <= 0.85 && tb <= 0.20))
     }
-    // full differential on one doc: recompute every column in plain Scala
-    val row = stats.filter(col("doc_id") === 0).collect().head
-    val text = docs.filter(col("doc_id") === 0).collect().head.getAs[String]("text")
-    val w = text.split("\\s+").filter(_.nonEmpty)
-    val bi = w.sliding(2).map(_.mkString(" ")).toSeq
-    val counts = bi.groupBy(identity).view.mapValues(_.size)
-    val (topBigram, topCnt) = counts.toSeq.maxBy { case (b, c) => (c, b) }
-    assert(row.getAs[Long]("n_words") == w.length)
-    assert(row.getAs[Long]("n_distinct_words") == w.distinct.length)
-    assert(row.getAs[Double]("dup_word_frac") ==
-      1.0 - w.distinct.length.toDouble / w.length)
-    assert(row.getAs[String]("top_bigram") == topBigram)
-    assert(row.getAs[Long]("top_bigram_count") == topCnt)
-    assert(row.getAs[Double]("top_bigram_char_frac") ==
-      topCnt.toLong * topBigram.length / text.length.toDouble)
-    val dupOcc = counts.values.filter(_ > 1).sum
-    assert(row.getAs[Double]("dup_bigram_frac") == dupOcc.toDouble / bi.size)
+    // full differential on EVERY doc: recompute every column in plain Scala
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    stats.collect().foreach { row =>
+      val text = texts(row.getAs[Long]("doc_id"))
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      val bi = w.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bi.groupBy(identity).view.mapValues(_.size)
+      val (topBigram, topCnt) = counts.toSeq.maxBy { case (b, c) => (c, b) }
+      assert(row.getAs[Long]("n_words") == w.length)
+      assert(row.getAs[Long]("n_distinct_words") == w.distinct.length)
+      assert(row.getAs[Double]("dup_word_frac") ==
+        1.0 - w.distinct.length.toDouble / w.length)
+      assert(row.getAs[String]("top_bigram") == topBigram, s"doc ${row.getLong(0)}")
+      assert(row.getAs[Long]("top_bigram_count") == topCnt)
+      assert(row.getAs[Double]("top_bigram_char_frac") ==
+        topCnt.toLong * topBigram.length / text.length.toDouble)
+      val dupOcc = counts.values.filter(_ > 1).sum
+      assert(row.getAs[Double]("dup_bigram_frac") == dupOcc.toDouble / bi.size)
+    }
   }
 
   test("fingerprint dup ranks start at 1 per fingerprint") {
