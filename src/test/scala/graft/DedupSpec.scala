@@ -126,6 +126,23 @@ class DedupSpec extends AnyFunSuite {
     val exactCross = docs.filter(!col("source").isin("src0", "src1"))
       .join(benchTexts, Seq("text"), "left_semi").select("doc_id")
     assert(exactCross.join(flagged, Seq("doc_id"), "left_anti").count() == 0)
+
+    // full differential: recompute every column from the raw texts
+    val all = docs.select("doc_id", "source", "text").collect().map { r =>
+      val toks = r.getString(2).split("\\s+").filter(_.nonEmpty)
+      (r.getLong(0), Set("src0", "src1").contains(r.getString(1)),
+        if (toks.length >= 13) toks.sliding(13).map(_.mkString(" ")).toSet
+        else Set.empty[String])
+    }
+    val benchSets = all.filter(r => r._2 && r._3.nonEmpty).map(r => r._1 -> r._3)
+    report.collect().foreach { r =>
+      val g = all.find(_._1 == r.getAs[Long]("doc_id")).get._3
+      val hits = benchSets.filter(_._2.exists(g.contains))
+      assert(r.getAs[Long]("n_ngrams") == g.size)
+      assert(r.getAs[Long]("n_collisions") ==
+        g.count(x => benchSets.exists(_._2.contains(x))))
+      assert(r.getAs[Long]("n_bench_docs") == hits.length)
+    }
   }
 
   test("connectedComponents matches a driver-side union-find on random graphs") {

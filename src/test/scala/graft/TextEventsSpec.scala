@@ -139,6 +139,25 @@ class TextEventsSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(rows.filter(_.getAs[Long]("week_offset") == 0)
       .map(_.getAs[Long]("n_users")).sum == users)
+
+    // full differential: recompute the matrix from epoch seconds in Scala
+    import java.time.{Instant, LocalDate, ZoneOffset, DayOfWeek}
+    import java.time.temporal.TemporalAdjusters
+    val uw = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec")).collect()
+      .map { r =>
+        val wk = LocalDate.ofInstant(Instant.ofEpochSecond(r.getLong(1)), ZoneOffset.UTC)
+          .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        (r.getLong(0), wk)
+      }.distinct
+    val firsts = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val expected = uw.groupBy { case (u, wk) =>
+      (firsts(u), (wk.toEpochDay - firsts(u).toEpochDay) / 7)
+    }.map { case ((cw, off), rs) => (cw.toString, off, rs.map(_._1).distinct.size.toLong) }
+      .toSet
+    val got = rows.map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+      r.getAs[Long]("week_offset"), r.getAs[Long]("n_users"))).toSet
+    assert(got == expected)
   }
 
   test("tumbling windows partition all events") {
