@@ -567,6 +567,50 @@ object Dedup {
         (col("n_collisions") > 0).as("is_contaminated"))
   }
 
+  // ─── d14 curation funnel ─────────────────────────────────────────────
+  /** The report a curation run ends with: per source, how many docs and
+    * tokens survive each stage — exact dedup (keep-first per content
+    * hash), transitive near-dup removal (d12's components, applied to
+    * exact-dedup survivors so stages don't double-count), and 13-gram
+    * benchmark decontamination (d13) — down to the clean doc/token
+    * counts that actually enter training. The funnel is how a curation
+    * budget is argued: every stage's cost is visible in one row.
+    *
+    * Scale: the exact-dedup stage is a groupBy(fingerprint) + join back
+    * on the fingerprint (one exchange each side — no per-hash window);
+    * the near-dup assignment and contaminated keep-list are small
+    * relative to the corpus and joined declaratively (AQE broadcasts
+    * them when they fit); the rollup is integer sums per source.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("tk"),
+      md5(col("text")).as("fp"))
+    val keeps = d.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val assign = dupClusterAssignment(spark, dir)
+    val contaminated = ngramContamination(spark, dir)
+      .filter(col("is_contaminated")).select(col("doc_id"), lit(true).as("cont"))
+    val flags = d.join(keeps, Seq("fp"))
+      .join(assign, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("exact_removed", col("doc_id") =!= col("keep_id"))
+      .withColumn("neardup_removed",
+        col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id") &&
+          col("doc_id") === col("keep_id"))
+      .withColumn("survivor", !col("exact_removed") && !col("neardup_removed"))
+    flags.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tk")).as("tokens"),
+      sum(when(col("exact_removed"), 1L).otherwise(0L)).as("n_exact_removed"),
+      sum(when(col("neardup_removed"), 1L).otherwise(0L)).as("n_neardup_removed"),
+      sum(when(col("survivor") && col("cont").isNotNull, 1L).otherwise(0L))
+        .as("n_contaminated_survivors"),
+      sum(when(col("survivor") && col("cont").isNull, 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("survivor") && col("cont").isNull, col("tk")).otherwise(0L))
+        .as("tokens_clean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
@@ -577,9 +621,99 @@ object Dedup {
     "d09_source_overlap" -> sourceOverlap,
     "d10_effective_mixture" -> effectiveMixture,
     "d12_dup_clusters" -> dupClusters,
-    "d13_ngram_contamination" -> ngramContamination)
+    "d13_ngram_contamination" -> ngramContamination,
+    "d14_curation_funnel" -> curationFunnel)
 
   val oracle: Map[String, String] = Map(
+    "d14_curation_funnel" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN csh a ON cand.doc_a = a.doc_id
+        |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT cand.doc_a, cand.doc_b
+        |  FROM cand
+        |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        |          UNION ALL SELECT doc_b, doc_a FROM verified),
+        |assign AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM (
+        |    WITH RECURSIVE reach(src, dst) AS (
+        |      SELECT DISTINCT a, a FROM edges
+        |      UNION
+        |      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |    SELECT src, dst FROM reach)
+        |  GROUP BY 1),
+        |w13 AS (
+        |  SELECT doc_id, source IN ('src0','src1') AS is_bench, t
+        |  FROM (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t FROM documents)),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, is_bench,
+        |         md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 12], ' ')) AS h
+        |  FROM (SELECT doc_id, is_bench, t, unnest(range(1, len(t) - 11)) AS i
+        |        FROM w13 WHERE len(t) >= 13)),
+        |bgr AS (SELECT DISTINCT h FROM grams WHERE is_bench),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id FROM grams g JOIN bgr USING (h) WHERE NOT g.is_bench),
+        |base AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS tk,
+        |         min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS keep_id
+        |  FROM documents d),
+        |flags AS (
+        |  SELECT b.doc_id, b.source, b.tk,
+        |         b.doc_id <> b.keep_id AS exact_removed,
+        |         (a.doc_id IS NOT NULL AND b.doc_id <> a.cluster_id
+        |          AND b.doc_id = b.keep_id) AS neardup_removed,
+        |         (c.doc_id IS NOT NULL) AS contaminated
+        |  FROM base b
+        |  LEFT JOIN assign a ON b.doc_id = a.doc_id
+        |  LEFT JOIN contaminated c ON b.doc_id = c.doc_id)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tk) AS BIGINT) AS tokens,
+        |       CAST(coalesce(sum(CASE WHEN exact_removed THEN 1 END), 0) AS BIGINT) AS n_exact_removed,
+        |       CAST(coalesce(sum(CASE WHEN neardup_removed THEN 1 END), 0) AS BIGINT) AS n_neardup_removed,
+        |       CAST(coalesce(sum(CASE WHEN NOT exact_removed AND NOT neardup_removed AND contaminated THEN 1 END), 0) AS BIGINT) AS n_contaminated_survivors,
+        |       CAST(coalesce(sum(CASE WHEN NOT exact_removed AND NOT neardup_removed AND NOT contaminated THEN 1 END), 0) AS BIGINT) AS n_clean,
+        |       CAST(coalesce(sum(CASE WHEN NOT exact_removed AND NOT neardup_removed AND NOT contaminated THEN tk END), 0) AS BIGINT) AS tokens_clean
+        |FROM flags GROUP BY 1""".stripMargin,
     "d13_ngram_contamination" ->
       """WITH w AS (
         |  SELECT doc_id, source IN ('src0','src1') AS is_bench,

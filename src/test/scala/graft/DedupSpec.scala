@@ -145,6 +145,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 funnel reconciles with d01, d12, and d13") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val funnel = Dedup.curationFunnel(spark, TestSpark.sf).collect()
+    // per-source stages partition the docs exactly
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_exact_removed") + r.getAs[Long]("n_neardup_removed") +
+        r.getAs[Long]("n_contaminated_survivors") + r.getAs[Long]("n_clean"))
+      assert(r.getAs[Long]("tokens_clean") <= r.getAs[Long]("tokens"))
+    }
+    assert(funnel.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // exact stage == corpus minus distinct fingerprints (d01's groups)
+    assert(funnel.map(_.getAs[Long]("n_exact_removed")).sum ==
+      docs.count() - Dedup.exactDedup(spark, TestSpark.sf).count())
+    // near-dup stage: every removed doc is a non-representative member
+    // of some d12 cluster (≤ because exact removal can claim it first)
+    val assign = Dedup.dupClusterAssignment(spark, TestSpark.sf)
+    val nonRep = assign.filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(funnel.map(_.getAs[Long]("n_neardup_removed")).sum <= nonRep)
+    // contaminated survivors never exceed d13's flagged set
+    val d13 = Dedup.ngramContamination(spark, TestSpark.sf)
+      .filter(col("is_contaminated")).count()
+    assert(funnel.map(_.getAs[Long]("n_contaminated_survivors")).sum <= d13)
+  }
+
   test("connectedComponents matches a driver-side union-find on random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(20260812L)
