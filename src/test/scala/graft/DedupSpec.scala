@@ -204,4 +204,16 @@ class DedupSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("connectedComponents converges on a deep chain within the default hop guard") {
+    import spark.implicits._
+    // a 60-node path has diameter 59: plain min-label propagation needs
+    // 59 hops and would trip the default 25-hop abort; pointer doubling
+    // must close it in O(log diameter) hops — every node labels to 0
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges) // default maxHops = 25
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 59L).map(_ -> 0L).toMap)
+    spark.catalog.clearCache()
+  }
 }
