@@ -143,6 +143,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"source split must push to both scans:\n$p")
   }
 
+  test("d14 funnel: declarative joins only — no window, no all-pairs") {
+    // the funnel composes d01's groupBy+join-back (a min-over-window per
+    // content hash would funnel the corpus into per-hash tasks), d12's
+    // assignment, and d13's keep-list — all equi-joins the optimizer is
+    // free to broadcast; any all-pairs fallback means a key got lost
+    val p = plan(Dedup.curationFunnel(spark, TestSpark.sf))
+    assert(!p.contains("Window"), s"d14 must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d14 must join on keys, never all-pairs:\n$p")
+  }
+
   test("e05 cohort retention: one user exchange; share window on post-agg rows only") {
     val df = Events.cohortRetention(spark, TestSpark.sf)
     val p = plan(df)
