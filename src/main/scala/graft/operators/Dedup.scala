@@ -624,6 +624,40 @@ object Dedup {
         .as("tokens_clean"))
   }
 
+  // ─── d15 quality-aware dedup survivorship ────────────────────────────
+  /** Which doc of each near-dup cluster actually enters training:
+    * production dedup keeps the HIGHEST-QUALITY member (the cleanest
+    * crawl of a page, the least-truncated copy), not the minimum id —
+    * keep-min (d07) is the deterministic baseline, this is the
+    * quality-aware refinement layered on the same cluster structure.
+    * One row per clustered doc: its cluster, quality score, cluster
+    * size, the surviving doc, and the keep flag (argmax quality, doc id
+    * breaking ties).
+    *
+    * Scale: fifth consumer of the verified-pair artifact — the cluster
+    * assignment (pair-graph-sized, tiny) broadcasts against the t02
+    * scoring projection of the corpus; the pick windows partition by
+    * cluster_id (high cardinality, group size = cluster size) and stack
+    * on one exchange. Determinism: quality_score is the t02 expression
+    * both engines compute bit-identically (established by t02/t07), and
+    * the order key (score desc, doc_id) is a total order.
+    */
+  def qualityDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assign = dupClusterAssignment(spark, dir)
+    val members = TextAnalysis.scoredDocs(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(broadcast(assign), Seq("doc_id"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val pick = byCluster.orderBy(col("quality_score").desc, col("doc_id"))
+    members
+      .withColumn("pick_rank", row_number().over(pick))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("survivor_doc_id", first(col("doc_id")).over(pick))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("survivor_doc_id"),
+        (col("pick_rank") === 1).as("is_survivor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
@@ -635,9 +669,89 @@ object Dedup {
     "d10_effective_mixture" -> effectiveMixture,
     "d12_dup_clusters" -> dupClusters,
     "d13_ngram_contamination" -> ngramContamination,
-    "d14_curation_funnel" -> curationFunnel)
+    "d14_curation_funnel" -> curationFunnel,
+    "d15_quality_dedup" -> qualityDedup)
 
   val oracle: Map[String, String] = Map(
+    "d15_quality_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN csh a ON cand.doc_a = a.doc_id
+        |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT cand.doc_a, cand.doc_b
+        |  FROM cand
+        |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+        |          UNION ALL SELECT doc_b, doc_a FROM verified),
+        |assign AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM (
+        |    WITH RECURSIVE reach(src, dst) AS (
+        |      SELECT DISTINCT a, a FROM edges
+        |      UNION
+        |      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |    SELECT src, dst FROM reach)
+        |  GROUP BY 1),
+        |qd AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stopword_count
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+        |           * (1.0 - CAST(punct_count AS DOUBLE) / nullif(n_chars, 0))
+        |           * (0.5 + 0.5 * least(1.0, CAST(stopword_count AS DOUBLE) / nullif(n_tokens, 0) * 10.0))
+        |           AS quality_score
+        |  FROM qd),
+        |m AS (
+        |  SELECT a.doc_id, a.cluster_id, s.quality_score FROM assign a JOIN s USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |       quality_score,
+        |       first_value(doc_id) OVER (PARTITION BY cluster_id
+        |         ORDER BY quality_score DESC, doc_id) AS survivor_doc_id,
+        |       row_number() OVER (PARTITION BY cluster_id
+        |         ORDER BY quality_score DESC, doc_id) = 1 AS is_survivor
+        |FROM m""".stripMargin,
     "d14_curation_funnel" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

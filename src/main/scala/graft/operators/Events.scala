@@ -154,14 +154,64 @@ object Events {
           .over(Window.partitionBy(col("cohort_week"))))
   }
 
+  // ─── e06 rolling active users (DAU / WAU / MAU) ──────────────────────
+  /** The engagement headline triple: per active day, the distinct users
+    * active that day (DAU), in the trailing 7 days (WAU), and in the
+    * trailing 30 days (MAU), plus the DAU/MAU stickiness ratio. Early
+    * days report partial trailing windows — the standard ramp-in shape.
+    *
+    * Scale: the corpus collapses to the DEDUPED (user, day) frame first
+    * (one exchange, map-side combine), and each user-day then explodes
+    * into the ≤30 report days it can influence — a bounded 30× blowup of
+    * the small deduped frame, aggregated with distinct counts that
+    * partial-aggregate through Spark's expand. The tempting alternative
+    * — a non-equi range join of days × user-days (`d BETWEEN r-29 AND
+    * r`) — has no equi key, so it plans as a broadcast nested loop over
+    * the full user-day frame per report day; the offset explode turns
+    * the same window membership into a plain hash aggregation.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val days = ud.select(col("d").as("activity_date")).distinct()
+    val contrib = ud
+      .select(col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(29))).as("off"))
+      .select(col("user_id"), col("off"),
+        date_add(col("d"), col("off")).as("activity_date"))
+      .join(broadcast(days), Seq("activity_date"), "left_semi")
+    contrib.groupBy(col("activity_date"))
+      .agg(
+        countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("off") <= 6, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .withColumn("dau_mau_ratio",
+        col("dau").cast("double") / col("mau").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> sessionize,
     "e02_event_tumbling" -> tumblingWindows,
     "e03_json_props" -> jsonProps,
     "e04_funnel" -> funnel,
-    "e05_cohort_retention" -> cohortRetention)
+    "e05_cohort_retention" -> cohortRetention,
+    "e06_rolling_active_users" -> rollingActiveUsers)
 
   val oracle: Map[String, String] = Map(
+    "e06_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d AS activity_date FROM ud),
+        |c AS (
+        |  SELECT user_id, CAST(i AS BIGINT) AS off, d + CAST(i AS INT) AS activity_date
+        |  FROM ud, (SELECT unnest(range(0, 30)) AS i)),
+        |j AS (SELECT c.* FROM c JOIN days USING (activity_date))
+        |SELECT activity_date,
+        |       CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS BIGINT) AS dau,
+        |       CAST(count(DISTINCT CASE WHEN off <= 6 THEN user_id END) AS BIGINT) AS wau,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+        |       CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS DOUBLE)
+        |         / count(DISTINCT user_id) AS dau_mau_ratio
+        |FROM j GROUP BY 1""".stripMargin,
     "e05_cohort_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -37,10 +37,11 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     scoredDocs(spark, dir).drop("lang")
 
-  /** t02's scoring frame with the language carried — shared by t02 and
-    * the t07 per-language prune so both see bit-identical scores.
+  /** t02's scoring frame with the language carried — shared by t02, the
+    * t07 per-language prune, and d15's quality-aware survivorship so all
+    * consumers see bit-identical scores.
     */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"), col("lang"), col("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -258,6 +259,82 @@ object TextAnalysis {
     clear.union(boundary)
   }
 
+  // ─── t09 TF-IDF keyword extraction ───────────────────────────────────
+  /** Top-3 characteristic terms per document by TF-IDF — the tagging /
+    * topic-surfacing primitive (search indexing, cluster labeling,
+    * near-dup triage all read it). The score is `tf · N / df`, the
+    * MONOTONE equivalent of `tf · ln(N/df)` rank-wise (ln is increasing,
+    * tf > 0): ranking by the raw ratio skips the logarithm, whose last-
+    * ulp results differ across libm implementations — `tf·N` is an exact
+    * integer and the single IEEE division by `df` is bit-identical on
+    * every engine, so ranks (and the emitted score) are hash-stable.
+    * Ties break on the token string for a deterministic total order.
+    *
+    * Scale: one corpus scan explodes tokens into the (doc, token) TF
+    * aggregation (map-side combine); document frequency is a second
+    * tiny aggregation OF THE TF FRAME (vocab-sized — no second corpus
+    * scan); the vocab frame joins back declaratively (AQE broadcasts it
+    * while it fits) and the top-k window partitions on doc_id — high
+    * cardinality, bounded per-doc group. N rides along as a broadcast
+    * 1-row frame (the q39 pattern), never a collected literal.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tf = d
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= 3)
+      .select(col("doc_id"), col("kw_rank"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  // ─── t10 vocabulary coverage report ──────────────────────────────────
+  /** Corpus-wide token frequency census: every distinct token with its
+    * occurrence count, document frequency, corpus share, frequency rank,
+    * and cumulative coverage — the table read before tokenizer/vocab
+    * induction ("how many types cover 95% of tokens?") and the Zipf
+    * sanity check of a new corpus source. Ranks order by (count desc,
+    * token) so ties are deterministic.
+    *
+    * Scale: the corpus aggregates ONCE into the (token, occurrences,
+    * doc_freq) vocab frame — `count` + `count_distinct` over the token
+    * explode, both partial-aggregating map-side (distinct doc counting
+    * expands per-key, bounded by vocab × docs-per-token). The rank and
+    * cumulative-share windows run over the VOCAB frame only — post-agg
+    * rows, orders of magnitude smaller than the corpus — and the grand
+    * total rides a broadcast 1-row frame. An unpartitioned window is the
+    * documented exception for tiny post-agg frames (SURVEY §5); a real
+    * 100 TB vocab (millions of types) would range-partition the rank by
+    * a count-bucket prefix before the final merge.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("token"))
+    val vocab = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+    val total = vocab.agg(sum(col("occurrences")).as("total_occ"))
+    val w = Window.orderBy(col("occurrences").desc, col("token"))
+    vocab.crossJoin(broadcast(total))
+      .withColumn("freq_rank", row_number().over(w).cast("long"))
+      .withColumn("share", col("occurrences").cast("double") / col("total_occ"))
+      .withColumn("cum_share",
+        sum(col("occurrences")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("total_occ"))
+      .select(col("freq_rank"), col("token"), col("occurrences"), col("doc_freq"),
+        col("share"), col("cum_share"))
+  }
+
   // ─── q33 per-language corpus statistics ──────────────────────────────
   /** The corpus report a curation run ends with: per-language doc
     * counts, token volume, and the exact token-count distribution
@@ -289,6 +366,8 @@ object TextAnalysis {
     "t06_repetition_stats" -> repetitionStats,
     "t07_quality_prune" -> qualityPrune,
     "t08_token_budget_sample" -> tokenBudgetSample,
+    "t09_tfidf_keywords" -> tfidfKeywords,
+    "t10_vocab_coverage" -> vocabCoverage,
     "q33_corpus_stats" -> corpusStats)
 
   private val docQuality =
@@ -301,6 +380,40 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t09_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY score DESC, token) AS BIGINT) AS kw_rank
+        |  FROM s)
+        |SELECT doc_id, kw_rank, token, tf, df, score
+        |FROM r WHERE kw_rank <= 3""".stripMargin,
+    "t10_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token,
+        |         CAST(count(*) AS BIGINT) AS occurrences,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |  FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(occurrences) AS BIGINT) AS total_occ FROM vocab)
+        |SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, token) AS BIGINT) AS freq_rank,
+        |       token, occurrences, doc_freq,
+        |       CAST(occurrences AS DOUBLE) / total_occ AS share,
+        |       CAST(sum(occurrences) OVER (ORDER BY occurrences DESC, token
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         / total_occ AS cum_share
+        |FROM vocab CROSS JOIN t""".stripMargin,
     "t08_token_budget_sample" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -105,6 +105,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == assign.count())
   }
 
+  test("d15 keeps exactly the quality argmax of every cluster") {
+    val qd = Dedup.qualityDedup(spark, TestSpark.sf).collect()
+    assert(qd.nonEmpty)
+    // covers exactly the d12 assignment
+    assert(qd.length == Dedup.dupClusterAssignment(spark, TestSpark.sf).count())
+    qd.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, rows) =>
+      assert(rows.count(_.getAs[Boolean]("is_survivor")) == 1)
+      assert(rows.forall(_.getAs[Long]("cluster_size") == rows.length))
+      val surv = rows.find(_.getAs[Boolean]("is_survivor")).get
+      // argmax by (quality desc, doc_id asc)
+      val best = rows.map(r =>
+        (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id"))).min
+      assert((-surv.getAs[Double]("quality_score"), surv.getAs[Long]("doc_id")) == best)
+      assert(rows.forall(_.getAs[Long]("survivor_doc_id") == surv.getAs[Long]("doc_id")))
+    }
+  }
+
   test("d13 covers every long-enough corpus doc; collisions bounded by gram counts") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val expectedRows = docs

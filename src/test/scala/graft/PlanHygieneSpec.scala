@@ -184,6 +184,32 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"expected the boundary-bucket running sum:\n$p")
   }
 
+  test("e06 rolling actives: offset explode, never a per-day nested loop; no window") {
+    val p = plan(Events.rollingActiveUsers(spark, TestSpark.sf))
+    assert(!p.contains("Window"), s"e06 must not window:\n$p")
+    // the range-join formulation (d BETWEEN r-29 AND r) has no equi key
+    // and falls back to a nested loop over the user-day frame per day
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"e06 must stay equi-join + explode:\n$p")
+    // the three distinct counts partial-aggregate through one Expand
+    assert(p.contains("Expand"), s"expected distinct-agg expand:\n$p")
+  }
+
+  test("t09 keyword window partitions by doc_id; t10 windows consume post-agg rows") {
+    val p9 = plan(TextAnalysis.tfidfKeywords(spark, TestSpark.sf))
+    val w9 = p9.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(w9.nonEmpty, s"expected the top-k window in:\n$p9")
+    w9.foreach(l => assert(l.contains("doc_id"),
+      s"t09's window must partition by doc_id (bounded per-doc groups):\n$l"))
+    val p10 = plan(TextAnalysis.vocabCoverage(spark, TestSpark.sf))
+    val w10 = p10.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(w10.nonEmpty, s"expected rank/coverage windows in:\n$p10")
+    // the unpartitioned windows are the tiny-post-agg exception (SURVEY
+    // §5): they must rank aggregated vocab rows, never corpus tokens
+    w10.foreach(l => assert(l.contains("occurrences"),
+      s"t10's windows must consume the aggregated vocab frame:\n$l"))
+  }
+
   test("extensions class injects cosine_similarity (builder-level wiring)") {
     // a shared test JVM already holds a session, so exercise the injection
     // surface directly (builder-applied extensions only run at creation)

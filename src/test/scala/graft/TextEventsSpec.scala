@@ -109,6 +109,52 @@ class TextEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("t09 tf-idf: ranks contiguous per doc, scores exact and non-increasing") {
+    val kw = TextAnalysis.tfidfKeywords(spark, TestSpark.sf).collect()
+    val nDocs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").count()
+    kw.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("kw_rank")).toSeq
+      assert(sorted.map(_.getAs[Long]("kw_rank")) == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    }
+    kw.foreach { r =>
+      assert(r.getAs[Double]("score") ==
+        (r.getAs[Long]("tf") * nDocs).toDouble / r.getAs[Long]("df"))
+    }
+  }
+
+  test("t10 vocab coverage: ranks contiguous, counts monotone, coverage ends at 1") {
+    val v = TextAnalysis.vocabCoverage(spark, TestSpark.sf)
+      .orderBy("freq_rank").collect()
+    assert(v.map(_.getAs[Long]("freq_rank")).toSeq == (1L to v.length))
+    val occ = v.map(_.getAs[Long]("occurrences")).toSeq
+    assert(occ.zip(occ.drop(1)).forall { case (a, b) => a >= b })
+    assert(math.abs(v.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+    assert(math.abs(v.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(v.forall(r => r.getAs[Long]("doc_freq") <= r.getAs[Long]("occurrences")))
+  }
+
+  test("e06 rolling actives: dau <= wau <= mau, ramp-in collapses, dau exact") {
+    val r = Events.rollingActiveUsers(spark, TestSpark.sf)
+      .orderBy("activity_date").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("dau") <= row.getAs[Long]("wau"))
+      assert(row.getAs[Long]("wau") <= row.getAs[Long]("mau"))
+    }
+    // the first active day's trailing windows contain only itself
+    assert(r.head.getAs[Long]("dau") == r.head.getAs[Long]("mau"))
+    val direct = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(to_date(col("ts")).as("activity_date"), col("user_id")).distinct()
+      .groupBy("activity_date").agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(x => x.getAs[java.sql.Date]("activity_date") -> x.getAs[Long]("n")).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("dau") == direct(row.getAs[java.sql.Date]("activity_date")))
+    }
+  }
+
   test("fingerprint dup ranks start at 1 per fingerprint") {
     val fp = TextAnalysis.fingerprintDocs(spark, TestSpark.sf)
     val firsts = fp.groupBy("fingerprint").agg(min("dup_rank").as("m"))
