@@ -247,6 +247,36 @@ object Analytics2 {
         (col("total_revenue") / col("unique_customers")).as("revenue_per_customer"))
   }
 
+  // ─── q42 join-key heavy-hitter census ────────────────────────────────
+  /** The key-frequency report read BEFORE planning a big join: the top
+    * 20 hottest join-key values with their row share and skew-vs-mean
+    * ratio — the detection counterpart of the mitigation operators
+    * (Skew.saltedJoin, AQE skew thresholds are tuned from exactly this
+    * table). A key whose skew_vs_mean reads 50× tells you one task will
+    * carry 50× the average partition before you pay for the shuffle.
+    *
+    * Scale: one map-side-combining groupBy over the single key column,
+    * then `orderBy.limit(20)` — planned as TakeOrderedAndProject (per-
+    * partition top-20 + driver merge), NEVER a global sort of the key
+    * census; the rank window and grand-total broadcast touch only the
+    * 20-row result. Ties break on the key value, so the top-20 slice is
+    * deterministic on any engine.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      sum(col("n_rows")).as("total_rows"), count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n_rows").desc, col("l_partkey")).limit(20)
+    val w = Window.orderBy(col("n_rows").desc, col("l_partkey"))
+    top.crossJoin(broadcast(stats))
+      .withColumn("hot_rank", row_number().over(w).cast("long"))
+      .select(col("hot_rank"), col("l_partkey").as("part_key"), col("n_rows"),
+        (col("n_rows").cast("double") / col("total_rows")).as("share"),
+        ((col("n_rows") * col("n_keys")).cast("double") / col("total_rows"))
+          .as("skew_vs_mean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_region_rollup" -> regionRollup,
     "q26_segment_percentiles" -> segmentPercentiles,
@@ -256,9 +286,24 @@ object Analytics2 {
     "q38_amount_histogram" -> amountHistogram,
     "q39_kpi_tiles" -> kpiTiles,
     "q40_filtered_summary" -> filteredSummary,
-    "q41_monthly_category_trend" -> monthlyCategoryTrend)
+    "q41_monthly_category_trend" -> monthlyCategoryTrend,
+    "q42_heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
+    "q42_heavy_hitters" ->
+      """WITH counts AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys
+        |  FROM counts),
+        |top AS (SELECT * FROM counts ORDER BY n_rows DESC, l_partkey LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, l_partkey) AS BIGINT) AS hot_rank,
+        |       l_partkey AS part_key, n_rows,
+        |       CAST(n_rows AS DOUBLE) / total_rows AS share,
+        |       CAST(n_rows * n_keys AS DOUBLE) / total_rows AS skew_vs_mean
+        |FROM top CROSS JOIN s""".stripMargin,
     "q29_price_size_corr" ->
       """WITH m AS (
         |  SELECT p_type AS product_category,

@@ -184,6 +184,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"expected the boundary-bucket running sum:\n$p")
   }
 
+  test("q42 heavy hitters: top-20 via TakeOrderedAndProject, windows on the slice only") {
+    val p = plan(Analytics2.heavyHitters(spark, TestSpark.sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q42's top-20 must merge per-partition heads, not globally sort:\n$p")
+    // the rank window consumes the 20-row slice (post-limit), so the
+    // plan's Window sits above the TakeOrderedAndProject
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"rank window must consume the limited slice:\n$p")
+  }
+
   test("e06 rolling actives: offset explode, never a per-day nested loop; no window") {
     val p = plan(Events.rollingActiveUsers(spark, TestSpark.sf))
     assert(!p.contains("Window"), s"e06 must not window:\n$p")
