@@ -247,6 +247,55 @@ object Analytics2 {
         (col("total_revenue") / col("unique_customers")).as("revenue_per_customer"))
   }
 
+  // ─── q44 per-category revenue trendline (least squares) ──────────────
+  /** The dashboard's trendline: a least-squares line through each
+    * category's monthly revenue series, with the one-month-ahead
+    * projection — the "is this category growing?" readout behind every
+    * scatter-with-trendline chart. Slope/intercept come from the
+    * normal-equation sums computed EXACTLY: month indexes rebase to
+    * small integers per category (slope is shift-invariant; the rebase
+    * also keeps the decimal×int products far from precision-38 scale
+    * loss), revenue stays DECIMAL through every sum (the q29 posture),
+    * and the final slope/intercept/projection are fixed-order double
+    * expressions — bit-stable at any parallelism, unlike built-in
+    * `regr_slope`'s streaming accumulation.
+    *
+    * Scale: the fact aggregates once to the tiny (category, month)
+    * frame; the rebase window and the least-squares aggregation touch
+    * only that frame.
+    */
+  def categoryTrendline(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val monthly = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type").as("product_category"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("mi"))
+      .agg(round(sum(net(col("l_extendedprice"), col("l_discount"))), 2)
+        .cast("decimal(18,2)").as("rev"))
+    val rebased = monthly.withColumn("x",
+      col("mi") - min(col("mi")).over(Window.partitionBy(col("product_category"))))
+    val sums = rebased.groupBy(col("product_category"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        max(col("x")).as("mx"),
+        outRaw(sum(col("rev"))).as("sy"),
+        outRaw(sum(col("rev") * col("x"))).as("sxy"))
+    val slope = (col("n_months") * col("sxy") - col("sx") * col("sy")) /
+      when(col("n_months") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+        .otherwise((col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    sums.select(
+      col("product_category"), col("n_months"),
+      slope.as("slope_per_month"),
+      ((col("sy") - slope * col("sx")) / col("n_months")).as("intercept_at_start"),
+      (slope * (col("mx") + 1) + (col("sy") - slope * col("sx")) / col("n_months"))
+        .as("forecast_next_month"))
+  }
+
   // ─── q42 join-key heavy-hitter census ────────────────────────────────
   /** The key-frequency report read BEFORE planning a big join: the top
     * 20 hottest join-key values with their row share and skew-vs-mean
@@ -287,9 +336,44 @@ object Analytics2 {
     "q39_kpi_tiles" -> kpiTiles,
     "q40_filtered_summary" -> filteredSummary,
     "q41_monthly_category_trend" -> monthlyCategoryTrend,
-    "q42_heavy_hitters" -> heavyHitters)
+    "q42_heavy_hitters" -> heavyHitters,
+    "q44_category_trendline" -> categoryTrendline)
 
   val oracle: Map[String, String] = Map(
+    "q44_category_trendline" ->
+      """WITH monthly AS (
+        |  SELECT p_type AS product_category,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+        |              AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |rebased AS (
+        |  SELECT *, mi - min(mi) OVER (PARTITION BY product_category) AS x FROM monthly),
+        |sums AS (
+        |  SELECT product_category,
+        |         CAST(count(*) AS BIGINT) AS n_months,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(max(x) AS BIGINT) AS mx,
+        |         CAST(sum(rev) AS DOUBLE) AS sy,
+        |         CAST(sum(rev * x) AS DOUBLE) AS sxy
+        |  FROM rebased GROUP BY 1)
+        |SELECT product_category, n_months,
+        |       (n_months * sxy - sx * sy)
+        |         / nullif(CAST(n_months * sxx - sx * sx AS DOUBLE), 0) AS slope_per_month,
+        |       (sy - (n_months * sxy - sx * sy)
+        |                / nullif(CAST(n_months * sxx - sx * sx AS DOUBLE), 0) * sx)
+        |         / n_months AS intercept_at_start,
+        |       (n_months * sxy - sx * sy)
+        |           / nullif(CAST(n_months * sxx - sx * sx AS DOUBLE), 0) * (mx + 1)
+        |         + (sy - (n_months * sxy - sx * sy)
+        |                    / nullif(CAST(n_months * sxx - sx * sx AS DOUBLE), 0) * sx)
+        |             / n_months AS forecast_next_month
+        |FROM sums""".stripMargin,
     "q42_heavy_hitters" ->
       """WITH counts AS (
         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows

@@ -189,15 +189,83 @@ object Events {
         col("dau").cast("double") / col("mau").cast("double"))
   }
 
+  // ─── e07 event-volume anomaly detection ──────────────────────────────
+  /** Operational monitoring over the event stream: per (event_type,
+    * day), the day's volume z-scored against the TRAILING 7 days — the
+    * alert feed behind "did clicks fall off a cliff last night?". Only
+    * days with a full 7-day history emit (the ramp-in has no stable
+    * reference); zero-variance history falls back to exact inequality.
+    *
+    * Determinism: the built-in stddev is Welford-style (accumulation
+    * order varies per engine/partitioning), so mean and variance come
+    * from EXACT integer window sums (Σn, Σn²) via the explicit formula
+    * (7·Σn² − (Σn)²)/49 — the q29 trick on a window instead of a group.
+    * The divisions and `sqrt` are single correctly-rounded IEEE ops,
+    * bit-identical everywhere.
+    *
+    * Scale: the corpus collapses to (event_type, day) counts first —
+    * one map-side-combining aggregation; every window runs over that
+    * tiny daily frame partitioned by event_type, so the fact table
+    * never flows through a window.
+    */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("activity_date"))
+      .agg(count(lit(1)).as("n_events"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("activity_date"))
+      .rowsBetween(-7, -1)
+    val varNum = lit(7) * col("sumsq_prior") - col("sum_prior") * col("sum_prior")
+    val mean7 = col("sum_prior") / 7.0
+    val std7 = sqrt(varNum / 49.0)
+    val z = (col("n_events") - mean7) / std7
+    daily
+      .withColumn("n_prior", count(col("n_events")).over(win))
+      .withColumn("sum_prior", sum(col("n_events")).over(win))
+      .withColumn("sumsq_prior", sum(col("n_events") * col("n_events")).over(win))
+      .filter(col("n_prior") === 7)
+      .select(
+        col("event_type"), col("activity_date"), col("n_events"),
+        mean7.as("mean7"), std7.as("std7"),
+        when(varNum > 0, z).as("z_score"),
+        when(varNum > 0, abs(z) > 2.0)
+          .otherwise(col("n_events").cast("double") =!= mean7).as("is_anomaly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> sessionize,
     "e02_event_tumbling" -> tumblingWindows,
     "e03_json_props" -> jsonProps,
     "e04_funnel" -> funnel,
     "e05_cohort_retention" -> cohortRetention,
-    "e06_rolling_active_users" -> rollingActiveUsers)
+    "e06_rolling_active_users" -> rollingActiveUsers,
+    "e07_event_anomalies" -> eventAnomalies)
 
   val oracle: Map[String, String] = Map(
+    "e07_event_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS activity_date,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |         CAST(count(n_events) OVER win AS BIGINT) AS n_prior,
+        |         CAST(sum(n_events) OVER win AS BIGINT) AS sum_prior,
+        |         CAST(sum(n_events * n_events) OVER win AS BIGINT) AS sumsq_prior
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY activity_date
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, activity_date, n_events,
+        |       sum_prior / 7.0 AS mean7,
+        |       sqrt((7 * sumsq_prior - sum_prior * sum_prior) / 49.0) AS std7,
+        |       CASE WHEN 7 * sumsq_prior - sum_prior * sum_prior > 0
+        |            THEN (n_events - sum_prior / 7.0)
+        |                   / sqrt((7 * sumsq_prior - sum_prior * sum_prior) / 49.0)
+        |            END AS z_score,
+        |       CASE WHEN 7 * sumsq_prior - sum_prior * sum_prior > 0
+        |            THEN abs((n_events - sum_prior / 7.0)
+        |                   / sqrt((7 * sumsq_prior - sum_prior * sum_prior) / 49.0)) > 2.0
+        |            ELSE CAST(n_events AS DOUBLE) <> sum_prior / 7.0 END AS is_anomaly
+        |FROM w WHERE n_prior = 7""".stripMargin,
     "e06_rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |days AS (SELECT DISTINCT d AS activity_date FROM ud),

@@ -69,6 +69,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("max_single_order") <= r.getAs[Double]("total_revenue"))
   }
 
+  test("q44 trendline matches a driver-side least-squares fit per category") {
+    val fit = Analytics2.categoryTrendline(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("product_category") -> r).toMap
+    assert(fit.nonEmpty)
+    // recompute the monthly series exactly as q41 publishes it
+    val monthly = Analytics2.monthlyCategoryTrend(spark, TestSpark.sf)
+      .select(col("product_category"), (col("year") * 12 + col("month")).as("mi"),
+        col("net_revenue")).collect()
+      .map(r => (r.getAs[String]("product_category"), r.getAs[Long]("mi"),
+        r.getAs[Double]("net_revenue")))
+      .groupBy(_._1)
+    monthly.foreach { case (cat, rows) =>
+      val x0 = rows.map(_._2).min
+      val pts = rows.map(t => ((t._2 - x0).toDouble, t._3))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val r = fit(cat)
+      assert(r.getAs[Long]("n_months") == pts.length)
+      assert(math.abs(r.getAs[Double]("slope_per_month") - slope) < 1e-6 * math.max(1.0, math.abs(slope)),
+        s"$cat: ${r.getAs[Double]("slope_per_month")} vs $slope")
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getAs[Double]("intercept_at_start") - intercept) <
+        1e-6 * math.max(1.0, math.abs(intercept)))
+      // the projection extends the fitted line one month past the series
+      val mx = pts.map(_._1).max
+      assert(math.abs(r.getAs[Double]("forecast_next_month") - (slope * (mx + 1) + intercept)) <
+        1e-6 * math.max(1.0, math.abs(intercept)))
+    }
+  }
+
   test("q26 percentiles are ordered within every segment") {
     val p = Analytics2.segmentPercentiles(spark, TestSpark.sf)
     assert(p.filter(col("p25") > col("median") || col("median") > col("p75") ||

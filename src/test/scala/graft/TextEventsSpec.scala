@@ -155,6 +155,35 @@ class TextEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e07 anomalies match a driver-side trailing-window recomputation") {
+    val out = Events.eventAnomalies(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("activity_date").toString) -> r)
+      .toMap
+    val daily = graft.sources.Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString, r.getAs[Long]("n")))
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    var checked = 0
+    daily.foreach { case (et, rows) =>
+      val series = rows.sortBy(_._2).map(t => (t._2, t._3))
+      series.zipWithIndex.drop(7).foreach { case ((day, n), i) =>
+        val prior = series.slice(i - 7, i).map(_._2)
+        val (s, ss) = (prior.sum, prior.map(x => x * x).sum)
+        val r = out((et, day))
+        assert(r.getAs[Long]("n_events") == n)
+        assert(r.getAs[Double]("mean7") == s / 7.0)
+        val varNum = 7 * ss - s * s
+        assert(r.getAs[Double]("std7") == math.sqrt(varNum / 49.0))
+        if (varNum > 0)
+          assert(r.getAs[Double]("z_score") == (n - s / 7.0) / math.sqrt(varNum / 49.0))
+        checked += 1
+      }
+    }
+    assert(checked == out.size, s"row sets differ: recomputed $checked vs ${out.size}")
+  }
+
   test("fingerprint dup ranks start at 1 per fingerprint") {
     val fp = TextAnalysis.fingerprintDocs(spark, TestSpark.sf)
     val firsts = fp.groupBy("fingerprint").agg(min("dup_rank").as("m"))
