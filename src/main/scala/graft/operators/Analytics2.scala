@@ -337,10 +337,10 @@ object Analytics2 {
     "q40_filtered_summary" -> filteredSummary,
     "q41_monthly_category_trend" -> monthlyCategoryTrend,
     "q42_heavy_hitters" -> heavyHitters,
-    "q44_category_trendline" -> categoryTrendline)
+    "q43_category_trendline" -> categoryTrendline)
 
   val oracle: Map[String, String] = Map(
-    "q44_category_trendline" ->
+    "q43_category_trendline" ->
       """WITH monthly AS (
         |  SELECT p_type AS product_category,
         |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
