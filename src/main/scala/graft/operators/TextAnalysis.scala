@@ -286,7 +286,15 @@ object TextAnalysis {
         explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // sum(tf > 0 → 1) not count(*): every tf row is ≥ 1 so the value is
+    // identical, but the predicate genuinely consumes the tf column,
+    // which keeps this branch's (doc, token) aggregate subtree IDENTICAL
+    // to the tf branch — with count(*) (or count(tf), which canonicalizes
+    // to it) column pruning strips tf here, the subtrees stop
+    // canonicalizing together, and AQE stage reuse can't eliminate the
+    // second corpus explode (PlanHygieneSpec pins the ReusedExchange)
+    val dfreq = tf.groupBy(col("token"))
+      .agg(sum(when(col("tf") > 0, 1L)).as("df"))
     val scored = tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))

@@ -211,6 +211,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(w9.nonEmpty, s"expected the top-k window in:\n$p9")
     w9.foreach(l => assert(l.contains("doc_id"),
       s"t09's window must partition by doc_id (bounded per-doc groups):\n$l"))
+    // the tf and df branches share one (doc, token) aggregation at
+    // runtime: df consumes the tf count so both subtrees canonicalize
+    // identically and AQE stage reuse replaces the second corpus explode
+    val df9 = TextAnalysis.tfidfKeywords(spark, TestSpark.sf)
+    // collect() drives df9's OWN QueryExecution (count() would plan a
+    // different one), so the adaptive plan below is the executed one
+    df9.collect()
+    val executed = df9.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      s"t09's df branch must reuse the tf exchange:\n$executed")
     val p10 = plan(TextAnalysis.vocabCoverage(spark, TestSpark.sf))
     val w10 = p10.split("\n").filter(_.contains("windowspecdefinition")).toSeq
     assert(w10.nonEmpty, s"expected rank/coverage windows in:\n$p10")
