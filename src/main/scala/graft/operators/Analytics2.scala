@@ -296,6 +296,44 @@ object Analytics2 {
         .as("forecast_next_month"))
   }
 
+  // ─── q44 customer revenue deciles ────────────────────────────────────
+  /** Decile analysis — the marketing staple "which tenth of the customer
+    * base carries the revenue": per-customer lifetime revenue bucketed
+    * into value deciles with per-decile counts, revenue, and share.
+    *
+    * Deliberately NOT `ntile(10)`: NTILE needs one global sort of every
+    * customer through a single task (the bounded-key window
+    * anti-pattern, at customer-count scale). Instead the nine decile
+    * BOUNDARIES come from one `percentile` aggregation (engine-parity
+    * established by q26) and broadcast back — each customer classifies
+    * itself with a counting filter over the 9 thresholds, map-side.
+    * Tied customers land in the same decile (NTILE would split them
+    * arbitrarily); decile populations are therefore approximately even
+    * rather than exactly even, which is the honest semantics for a
+    * value-tier report. Revenue sums stay DECIMAL (the rounded doubles
+    * only feed comparisons); the share window touches the 10-row
+    * post-agg frame.
+    */
+  def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(m3(col("o_totalprice"))), 2).cast("decimal(18,2)").as("rev_d"))
+      .withColumn("rev", col("rev_d").cast("double"))
+    val bounds = perCust.agg(
+      expr("percentile(rev, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ts"))
+    val deciles = perCust.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (size(filter(col("ts"), t => col("rev") > t)) + 1).cast("long"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(col("rev")).as("min_rev"),
+        max(col("rev")).as("max_rev"),
+        out2(sum(col("rev_d"))).as("total_rev"))
+    deciles.withColumn("revenue_share",
+      col("total_rev") / sum(col("total_rev")).over(Window.partitionBy()))
+  }
+
   // ─── q42 join-key heavy-hitter census ────────────────────────────────
   /** The key-frequency report read BEFORE planning a big join: the top
     * 20 hottest join-key values with their row share and skew-vs-mean
@@ -337,9 +375,31 @@ object Analytics2 {
     "q40_filtered_summary" -> filteredSummary,
     "q41_monthly_category_trend" -> monthlyCategoryTrend,
     "q42_heavy_hitters" -> heavyHitters,
-    "q43_category_trendline" -> categoryTrendline)
+    "q43_category_trendline" -> categoryTrendline,
+    "q44_revenue_deciles" -> revenueDeciles)
 
   val oracle: Map[String, String] = Map(
+    "q44_revenue_deciles" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,3))), 2) AS DECIMAL(18,2)) AS rev_d
+        |  FROM orders GROUP BY 1),
+        |pcd AS (SELECT o_custkey, rev_d, CAST(rev_d AS DOUBLE) AS rev FROM pc),
+        |b AS (
+        |  SELECT quantile_cont(rev, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts FROM pcd),
+        |d AS (
+        |  SELECT pcd.*,
+        |         CAST(len(list_filter(b.ts, t -> pcd.rev > t)) + 1 AS BIGINT) AS decile
+        |  FROM pcd CROSS JOIN b),
+        |agg AS (
+        |  SELECT decile,
+        |         CAST(count(*) AS BIGINT) AS n_customers,
+        |         min(rev) AS min_rev,
+        |         max(rev) AS max_rev,
+        |         CAST(round(sum(rev_d), 2) AS DOUBLE) AS total_rev
+        |  FROM d GROUP BY 1)
+        |SELECT *, total_rev / sum(total_rev) OVER () AS revenue_share
+        |FROM agg""".stripMargin,
     "q43_category_trendline" ->
       """WITH monthly AS (
         |  SELECT p_type AS product_category,

@@ -658,6 +658,94 @@ object Dedup {
         (col("pick_rank") === 1).as("is_survivor"))
   }
 
+  // ─── d16 containment (near-subset) dedup ─────────────────────────────
+  /** The dedup family's SUBSET detector: pairs where ≥ 80% of the
+    * smaller doc's shingles appear in the larger doc (quoted inclusions,
+    * boilerplate-wrapped copies, truncated re-crawls). Jaccard-based
+    * methods (d02/d03/d07) structurally miss these — a small doc inside
+    * a much larger one has tiny Jaccard no matter how completely it is
+    * contained — and MinHash bands are tuned for symmetric similarity.
+    *
+    * Candidate generation is PREFIX FILTERING, and the prune is
+    * LOSSLESS: order each doc's shingles by a global portable key
+    * (md5), keep the first ⌊n/5⌋+1 as the prefix; if containment ≥ 0.8
+    * then fewer than n/5 of the smaller doc's shingles are missing from
+    * the larger, so at least one PREFIX shingle must appear in it — a
+    * pair with no (prefix-of-smaller, anywhere-in-larger) shingle match
+    * provably sits below the threshold. Candidates are then verified
+    * exactly on the candidate-doc slice (the d07 set-array machinery),
+    * with containment = |A∩B| / |A|.
+    *
+    * Scale: the prefix join's left side is ~1/5 of the shingle rows;
+    * the right side is the full distinct-shingle frame — an equi-join
+    * on the shingle, never all-pairs. Ranks come from ONE per-doc
+    * `sort_array(collect_list)` + posexplode instead of a row_number
+    * window: the window needs a partition-wide (doc_id, h) sort of the
+    * full shingle frame per join side (benched ~2× slower at sf0.1),
+    * while sort_array orders each doc's ~1e2 shingles inside its row
+    * and both join sides read the SAME exploded subtree (exchange
+    * reuse). The verification slice filters documents BELOW the
+    * explode; `subset_only` marks pairs invisible to the jaccard
+    * pipeline (containment ≥ 0.8 but J < 0.5).
+    */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.8
+    val sh = wordShingles(spark, dir)
+    val ranked = sh
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(md5(col("shingle")).as("h"),
+        col("shingle").as("shingle")))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("rk"),
+        col("s.shingle").as("shingle"))
+    val prefix = ranked.filter(col("rk") <= floor(col("n") / 5).cast("long") + 1)
+    // position filter (PPJoin-style), ALSO lossless: the pair's MINIMUM
+    // shared shingle under the global md5 order has the minimal rank on
+    // BOTH sides simultaneously (same order), and every other shared
+    // shingle sits at ranks ≥ (ra, rb) of that match, so overlap ≤
+    // 1 + min(n_a−ra, n_b−rb). Requiring that bound to reach
+    // ⌈0.8·n_a⌉ = (4·n_a+4) div 5 on at least one match keeps every true
+    // pair while pruning hot-shingle matches that sit deep in the larger
+    // doc BEFORE the distinct shuffle (integer-exact threshold: 0.8·n in
+    // float rounds UP at multiples of 5). sf0.1 medians with/without are
+    // comparable (~3.3 vs ~3.1 s); kept because the join output it
+    // prunes is the term that grows quadratically with hot-shingle
+    // document frequency — the 100 TB risk — and the rank it needs is
+    // free in the array form.
+    val cand = prefix
+      .select(col("doc_id").as("doc_a"), col("shingle"), col("n").as("na"), col("rk").as("ra"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("n").as("nb"), col("rk").as("rb")), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        (col("na") < col("nb") || (col("na") === col("nb") && col("doc_a") < col("doc_b"))) &&
+        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          floor((lit(4) * col("na") + lit(4)) / 5).cast("long"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shSets = wordShinglesOf(
+        Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
+        dedup = false)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("s"))
+      .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
+    cand
+      .join(shSets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("n_a")), Seq("doc_a"))
+      .join(shSets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= t)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .select(
+        col("doc_a").as("contained_doc"), col("doc_b").as("container_doc"),
+        col("n_a").as("n_sh_contained"), col("n_b").as("n_sh_container"),
+        col("inter"), col("containment"), col("jaccard"),
+        (col("jaccard") < 0.5).as("subset_only"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
@@ -670,9 +758,49 @@ object Dedup {
     "d12_dup_clusters" -> dupClusters,
     "d13_ngram_contamination" -> ngramContamination,
     "d14_curation_funnel" -> curationFunnel,
-    "d15_quality_dedup" -> qualityDedup)
+    "d15_quality_dedup" -> qualityDedup,
+    "d16_containment_dedup" -> containmentDedup)
 
   val oracle: Map[String, String] = Map(
+    "d16_containment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ranked AS (
+        |  SELECT doc_id, shingle,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle), shingle) AS BIGINT) AS rk,
+        |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |  FROM sh),
+        |pref AS (SELECT * FROM ranked WHERE rk <= n // 5 + 1),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM pref p JOIN ranked r USING (shingle)
+        |  WHERE p.doc_id <> r.doc_id
+        |    AND (p.n < r.n OR (p.n = r.n AND p.doc_id < r.doc_id))
+        |    AND 1 + least(p.n - p.rk, r.n - r.rk) >= (4 * p.n + 4) // 5),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON c.doc_a = a.doc_id
+        |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a AS contained_doc, c.doc_b AS container_doc,
+        |       sa.n AS n_sh_contained, sb.n AS n_sh_container,
+        |       i.inter,
+        |       CAST(i.inter AS DOUBLE) / sa.n AS containment,
+        |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard,
+        |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) < 0.5 AS subset_only
+        |FROM cand c
+        |JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        |JOIN sizes sa ON c.doc_a = sa.doc_id
+        |JOIN sizes sb ON c.doc_b = sb.doc_id
+        |WHERE CAST(i.inter AS DOUBLE) / sa.n >= 0.8""".stripMargin,
     "d15_quality_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

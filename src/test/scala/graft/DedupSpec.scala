@@ -122,6 +122,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 prefix filtering is lossless: equals the brute-force containment pairs") {
+    val got = Dedup.containmentDedup(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Long]("contained_doc"), r.getAs[Long]("container_doc"),
+        r.getAs[Long]("inter"), r.getAs[Double]("containment"))).toSet
+    // brute force over ALL pairs — no prefix filter, no candidate step
+    val sets = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getAs[String]("text").split("\\s+").filter(_.nonEmpty)
+        r.getAs[Long]("doc_id") -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).sortBy(_._1)
+    val want = (for {
+      i <- sets.indices; j <- sets.indices if i != j
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      // orientation: a is the smaller (ties break on doc id)
+      if sa.size < sb.size || (sa.size == sb.size && a < b)
+      inter = (sa & sb).size
+      if inter.toDouble / sa.size >= 0.8
+    } yield (a, b, inter.toLong, inter.toDouble / sa.size)).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+  }
+
   test("d13 covers every long-enough corpus doc; collisions bounded by gram counts") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val expectedRows = docs
