@@ -29,6 +29,16 @@ object Pipeline {
   case object FullRun extends Mode
   case object SkipMarts extends Mode   // dims + fact only (≈ --skip-load)
   case object StagingOnly extends Mode // cleaned staging only (≈ --extract-only)
+  /** The LLM-data curation warehouse: per-doc quality, the near-dup
+    * removal list, transitive clusters, the 13-gram decontamination
+    * keep-list, the post-dedup mixture table, and the per-source
+    * funnel — the tables a training-data build reads, published with
+    * the same stage/validate/notify machinery as the retail build.
+    * (The LSH candidate and verified-pair artifacts these stages probe
+    * are warehouse-level caches keyed to the source — built once by the
+    * first stage that needs them, shared by the rest.)
+    */
+  case object CurationRun extends Mode
 
   // thunks, not DataFrames: plan construction itself can throw (missing
   // source path resolves at read time), and the failure log must
@@ -45,12 +55,42 @@ object Pipeline {
     val marts: Seq[(String, () => DataFrame)] = Seq(
       "mart_sales_performance" -> (() => Marts.martSalesPerformance(spark, sfDir)),
       "mart_category_analysis" -> (() => Marts.martCategoryAnalysis(spark, sfDir)))
+    val curation: Seq[(String, () => DataFrame)] = Seq(
+      "corpus_quality" -> (() => TextAnalysis.qualityScore(spark, sfDir)),
+      "dedup_removals" -> (() => Dedup.dedupPipeline(spark, sfDir)),
+      "dup_clusters" -> (() => Dedup.dupClusters(spark, sfDir)),
+      "decontamination" -> (() => Dedup.ngramContamination(spark, sfDir)),
+      "effective_mixture" -> (() => Dedup.effectiveMixture(spark, sfDir)),
+      "curation_funnel" -> (() => Dedup.curationFunnel(spark, sfDir)))
     mode match {
       case StagingOnly => staging
       case SkipMarts => staging ++ core
       case FullRun => staging ++ core ++ marts
+      case CurationRun => curation
     }
   }
+
+  /** Pre-run gate for the curation build (validate_extract analog over
+    * the corpus instead of the retail tables): non-empty, no null ids
+    * or text, unique doc ids. One aggregation pass.
+    */
+  private def corpusGatesPass(spark: SparkSession, sfDir: String): Boolean = {
+    val r = graft.sources.Tables.documents(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("doc_id").isNull || col("text").isNull, 1L).otherwise(0L)).as("bad"),
+        countDistinct(col("doc_id")).as("ids"))
+      .collect().head
+    r.getAs[Long]("n") > 0 && r.getAs[Long]("bad") == 0 &&
+      r.getAs[Long]("ids") == r.getAs[Long]("n")
+  }
+
+  private def preGatePass(spark: SparkSession, sfDir: String, mode: Mode): Boolean =
+    mode match {
+      case CurationRun => corpusGatesPass(spark, sfDir)
+      case _ => Cleaning.validationGates(spark, sfDir)
+        .select(col("all_gates_pass")).collect().head.getBoolean(0)
+    }
 
   case class LoadCheck(table: String, expected_rows: Long, actual_rows: Long, ok: Boolean)
 
@@ -88,11 +128,9 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           validateFirst: Boolean = true, mode: Mode = FullRun,
           validateLoadAfter: Boolean = true): Seq[LoadStat] = {
-    if (validateFirst) {
-      val gates = Cleaning.validationGates(spark, sfDir)
-        .select(col("all_gates_pass")).collect().head.getBoolean(0)
-      require(gates, "validation gates failed — aborting load (dag: validate_extract)")
-    }
+    if (validateFirst)
+      require(preGatePass(spark, sfDir, mode),
+        "validation gates failed — aborting load (dag: validate_extract)")
     val stats = stageList(spark, sfDir, mode).map { case (name, mkDf) =>
       val t0 = System.nanoTime()
       val rows = Sinks.stagePublish(mkDf(), s"$outDir/$name")
@@ -119,11 +157,9 @@ object Pipeline {
     var currentStage = "validate_extract"
     val done = scala.collection.mutable.ArrayBuffer.empty[LoadStat]
     try {
-      if (validateFirst) {
-        val gates = Cleaning.validationGates(spark, sfDir)
-          .select(col("all_gates_pass")).collect().head.getBoolean(0)
-        require(gates, "validation gates failed — aborting load (dag: validate_extract)")
-      }
+      if (validateFirst)
+        require(preGatePass(spark, sfDir, mode),
+          "validation gates failed — aborting load (dag: validate_extract)")
       stageList(spark, sfDir, mode).foreach { case (name, mkDf) =>
         currentStage = name
         val t0 = System.nanoTime()

@@ -25,6 +25,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(log.where("status = 'SUCCESS'").count() == stats.length)
   }
 
+  test("curation build publishes the training-data tables behind the corpus gate") {
+    val out = Files.createTempDirectory("graft_wh_cur").toString
+    val stats = Pipeline.run(spark, TestSpark.sf, out, mode = Pipeline.CurationRun)
+    assert(stats.map(_.table) == Seq(
+      "corpus_quality", "dedup_removals", "dup_clusters",
+      "decontamination", "effective_mixture", "curation_funnel"))
+    assert(stats.forall(_.rows > 0))
+    // the published funnel equals the operator's direct result
+    val published = spark.read.parquet(s"$out/curation_funnel")
+    val direct = graft.operators.Dedup.curationFunnel(spark, TestSpark.sf)
+    assert(published.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      direct.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // removal list and clusters reconcile: every removed doc is clustered
+    val removals = spark.read.parquet(s"$out/dedup_removals")
+    val clusters = spark.read.parquet(s"$out/dup_clusters")
+    assert(removals.count() > 0 && clusters.count() > 0)
+  }
+
   test("failed stage writes the failure-log artifact (notify_on_failure)") {
     val out = Files.createTempDirectory("graft_wh_fail").toString
     val bad = Files.createTempDirectory("graft_no_tables").toString
