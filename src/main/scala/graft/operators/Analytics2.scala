@@ -329,9 +329,16 @@ object Analytics2 {
         count(lit(1)).as("n_customers"),
         min(col("rev")).as("min_rev"),
         max(col("rev")).as("max_rev"),
-        out2(sum(col("rev_d"))).as("total_rev"))
-    deciles.withColumn("revenue_share",
-      col("total_rev") / sum(col("total_rev")).over(Window.partitionBy()))
+        // grand total must ALSO come from the decimal domain: a window
+        // sum of the 10 rounded DOUBLES is order-dependent in the last
+        // ulp (observed as an sf0.001 hash flip)
+        sum(col("rev_d")).as("tot_d"))
+    deciles
+      .withColumn("total_rev", round(col("tot_d"), 2).cast("double"))
+      .withColumn("revenue_share",
+        col("total_rev") /
+          round(sum(col("tot_d")).over(Window.partitionBy()), 2).cast("double"))
+      .drop("tot_d")
   }
 
   // ─── q42 join-key heavy-hitter census ────────────────────────────────
@@ -396,9 +403,12 @@ object Analytics2 {
         |         CAST(count(*) AS BIGINT) AS n_customers,
         |         min(rev) AS min_rev,
         |         max(rev) AS max_rev,
-        |         CAST(round(sum(rev_d), 2) AS DOUBLE) AS total_rev
+        |         sum(rev_d) AS tot_d
         |  FROM d GROUP BY 1)
-        |SELECT *, total_rev / sum(total_rev) OVER () AS revenue_share
+        |SELECT decile, n_customers, min_rev, max_rev,
+        |       CAST(round(tot_d, 2) AS DOUBLE) AS total_rev,
+        |       CAST(round(tot_d, 2) AS DOUBLE)
+        |         / CAST(round(sum(tot_d) OVER (), 2) AS DOUBLE) AS revenue_share
         |FROM agg""".stripMargin,
     "q43_category_trendline" ->
       """WITH monthly AS (
