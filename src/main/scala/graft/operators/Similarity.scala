@@ -416,15 +416,89 @@ object Similarity {
         round(col("n_candidates").cast("double") / 20.0, 2).as("avg_candidates"))
   }
 
+  // ─── q45 IVF index-health report ─────────────────────────────────────
+  /** The per-cell health table an ANN operator reads before trusting an
+    * index: cell sizes, mean and worst member-to-centroid cosine
+    * (cluster tightness), each cell's corpus share, skew vs an even
+    * spread, and the hot-cell flag (> 2× even share — the cells that
+    * dominate probe latency and argue for a re-train or a split).
+    *
+    * Scale: pure aggregation over the PERSISTED assignment artifact
+    * (build-if-missing, like q32/q35) — one map-side-combining groupBy
+    * on centroid_id; the corpus-total and cell-count ride broadcast
+    * 1-row frames. Determinism: the mean divides an exact DECIMAL sum
+    * of the 4-dp-rounded cosines (a double sum's order varies with
+    * partitioning).
+    */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    ensureIndex(spark, dir)
+    val a = spark.read.parquet(indexPath(spark, dir))
+      .select(col("centroid_id"), col("cos_to_centroid"))
+    val nVecs = a.agg(count(lit(1)).as("n_vecs"))
+    val nCells = spark.read.parquet(codebookPath(spark, dir))
+      .agg(count(lit(1)).as("n_cells"))
+    a.groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("cell_size"),
+        (round(sum(col("cos_to_centroid").cast("decimal(7,4)")), 4).cast("double") /
+          count(lit(1))).as("mean_cos"),
+        min(col("cos_to_centroid")).as("worst_cos"))
+      .crossJoin(broadcast(nVecs)).crossJoin(broadcast(nCells))
+      .select(
+        col("centroid_id"), col("cell_size"), col("mean_cos"), col("worst_cos"),
+        (col("cell_size").cast("double") / col("n_vecs")).as("cell_share"),
+        ((col("cell_size") * col("n_cells")).cast("double") / col("n_vecs"))
+          .as("skew_vs_even"),
+        (col("cell_size").cast("double") / col("n_vecs") >
+          lit(2.0) / col("n_cells")).as("is_hot"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
     "d06_embedding_lsh" -> embeddingLsh,
     "d11_embedding_neardup" -> embeddingNearDup,
     "q24_ivf_ann" -> ivfBuild,
     "q32_ivf_search" -> ivfSearch,
-    "q35_ivf_recall" -> ivfSearchRecall)
+    "q35_ivf_recall" -> ivfSearchRecall,
+    "q45_ivf_cell_stats" -> ivfCellStats)
 
   val oracle: Map[String, String] = Map(
+    "q45_ivf_cell_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_to_centroid
+        |  FROM e CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, centroid_id) = 1),
+        |cells AS (
+        |  SELECT centroid_id,
+        |         CAST(count(*) AS BIGINT) AS cell_size,
+        |         CAST(round(sum(CAST(cos_to_centroid AS DECIMAL(7,4))), 4) AS DOUBLE)
+        |           / count(*) AS mean_cos,
+        |         min(cos_to_centroid) AS worst_cos
+        |  FROM fin GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM fin),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM c1)
+        |SELECT centroid_id, cell_size, mean_cos, worst_cos,
+        |       CAST(cell_size AS DOUBLE) / n_vecs AS cell_share,
+        |       CAST(cell_size * n_cells AS DOUBLE) / n_vecs AS skew_vs_even,
+        |       CAST(cell_size AS DOUBLE) / n_vecs > 2.0 / n_cells AS is_hot
+        |FROM cells CROSS JOIN tot CROSS JOIN nc""".stripMargin,
     "q24_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
