@@ -57,6 +57,30 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of e06's DAU column: exact daily active users via
+    * CHAINED stateful operators — bounded-state dedup to (user, day)
+    * first (`dropDuplicatesWithinWatermark`, the stream-legal stand-in
+    * for countDistinct, whose state a stream can't bound), then a
+    * watermarked daily window COUNT of the deduped rows. Two stateful
+    * operators in one query share the event-time watermark — the shape
+    * Structured Streaming supports for exactly this dedup-then-aggregate
+    * pattern. On a static frame both stages degrade to their batch
+    * forms and the function is its own batch twin (asserted in
+    * StreamingSpec).
+    */
+  def dailyActiveUsers(events: DataFrame): DataFrame = {
+    val dayRows = events.select(col("ts"), col("user_id"), to_date(col("ts")).as("d"))
+    val deduped =
+      if (events.isStreaming)
+        dayRows.withWatermark("ts", "1 day")
+          .dropDuplicatesWithinWatermark("user_id", "d")
+      else dayRows.dropDuplicates("user_id", "d")
+    deduped
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").cast("date").as("activity_date"), col("dau"))
+  }
+
   /** Watermarked stream-stream inner join — purchase→click attribution
     * (the streaming counterpart of the q23 as-of attribution): each
     * purchase joins the same user's clicks from the hour before it.

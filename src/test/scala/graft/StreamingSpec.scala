@@ -32,6 +32,38 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("dailyActiveUsers chains dedup into the window agg; stream == batch DAU") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day12 = Seq(
+      Event(1, ts("2024-01-01 09:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:00:00"), 1, "view", 1.0),  // same user+day: dedup
+      Event(3, ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+      Event(4, ts("2024-01-02 09:00:00"), 1, "click", 1.0), // new day counts again
+      Event(5, ts("2024-01-02 09:30:00"), 3, "click", 1.0))
+    // a later event advances the watermark past both days so the
+    // append-mode windows close and emit
+    val flush = Event(99, ts("2024-01-05 00:00:00"), 9, "click", 1.0)
+    val src = MemoryStream[Event]
+    val q = EventsStream.dailyActiveUsers(src.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dau_s").start()
+    try {
+      src.addData(day12: _*); q.processAllAvailable()
+      src.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dau_s").collect()
+      .map(r => r.getAs[java.sql.Date]("activity_date").toString -> r.getAs[Long]("dau"))
+      .toMap
+    assert(rows == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+    // the static frame through the same function is its own batch twin
+    val batch = EventsStream.dailyActiveUsers((day12 :+ flush).toDF())
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("activity_date").toString -> r.getAs[Long]("dau"))
+      .toMap
+    assert(batch == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-05" -> 1L))
+  }
+
   test("purchaseClickJoin attributes in-window clicks; stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
