@@ -179,6 +179,42 @@ object Dimensions {
       mergeTs = lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
   }
 
+  // ─── q46 cumulative customer acquisition curve ───────────────────────
+  /** The dashboard's customer-growth series: for every calendar date,
+    * the customers acquired that day (first purchase) and the running
+    * total per segment — the onboarding curve read next to revenue
+    * trends. Zero-acquisition dates emit rows (a growth curve with holes
+    * misreads as data loss), so the dates × segments grid is built
+    * first.
+    *
+    * Scale: this is the EVENT-DIFF shape for "how many members by date
+    * d" — one tiny (date, segment) count aggregation of the dim plus
+    * running sums over the calendar grid. The tempting alternative — a
+    * non-equi join of dates against membership intervals
+    * (`start <= d < end`) — is quadratic for long-lived rows, which is
+    * exactly what dimension rows are; the cumulative form is O(dim +
+    * dates), and every window here partitions by segment over the
+    * calendar grid (dates × segments — always tiny next to the dim).
+    */
+  def customerGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val dim = dimCustomer(spark, dir)
+      .select(to_date(col("first_purchase_date")).as("full_date"),
+        col("customer_segment"))
+      .filter(col("full_date").isNotNull)
+    val acquired = dim.groupBy(col("full_date"), col("customer_segment"))
+      .agg(count(lit(1)).as("n_new_customers"))
+    val segments = dim.select(col("customer_segment")).distinct()
+    val grid = dimDate(spark, dir).select(col("full_date"))
+      .crossJoin(broadcast(segments))
+    val w = Window.partitionBy(col("customer_segment")).orderBy(col("full_date"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(acquired, Seq("full_date", "customer_segment"), "left")
+      .withColumn("n_new_customers", coalesce(col("n_new_customers"), lit(0L)))
+      .withColumn("cumulative_customers", sum(col("n_new_customers")).over(w))
+      .select(col("full_date"), col("customer_segment"),
+        col("n_new_customers"), col("cumulative_customers"))
+  }
+
   // ─── q31 product dimension + SCD2 merge (transform.py:226-280) ───────
   /** Product dim — SCD2 instance #2 with multi-source price conformance
     * (/root/reference/etl/transform.py:226-280): the part catalog plays
@@ -241,9 +277,40 @@ object Dimensions {
     "q09_dim_date" -> dimDate,
     "q10_dim_customer" -> dimCustomer,
     "q11_scd2_merge" -> scd2MergeDemo,
-    "q31_dim_product" -> dimProduct)
+    "q31_dim_product" -> dimProduct,
+    "q46_customer_growth" -> customerGrowth)
 
   val oracle: Map[String, String] = Map(
+    "q46_customer_growth" ->
+      """WITH snap AS (
+        |  SELECT c_custkey,
+        |         min(o_orderdate) AS first_purchase_date,
+        |         count(o_orderkey) AS total_transactions
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |dim AS (
+        |  SELECT CAST(first_purchase_date AS DATE) AS full_date,
+        |         CASE WHEN total_transactions <= 1 THEN 'New'
+        |              WHEN total_transactions <= 3 THEN 'Occasional'
+        |              WHEN total_transactions <= 5 THEN 'Regular'
+        |              ELSE 'Loyal' END AS customer_segment
+        |  FROM snap WHERE first_purchase_date IS NOT NULL),
+        |acq AS (SELECT full_date, customer_segment, CAST(count(*) AS BIGINT) AS n
+        |        FROM dim GROUP BY 1, 2),
+        |b AS (SELECT make_date(CAST(year(min(o_orderdate)) AS INT), 1, 1) AS mn,
+        |             make_date(CAST(year(max(o_orderdate)) AS INT), 12, 31) AS mx
+        |      FROM orders),
+        |dates AS (SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS full_date FROM b),
+        |segs AS (SELECT DISTINCT customer_segment FROM dim),
+        |grid AS (SELECT full_date, customer_segment FROM dates CROSS JOIN segs)
+        |SELECT g.full_date, g.customer_segment,
+        |       CAST(coalesce(acq.n, 0) AS BIGINT) AS n_new_customers,
+        |       CAST(sum(coalesce(acq.n, 0)) OVER (PARTITION BY g.customer_segment
+        |            ORDER BY g.full_date
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cumulative_customers
+        |FROM grid g LEFT JOIN acq
+        |  ON g.full_date = acq.full_date AND g.customer_segment = acq.customer_segment""".stripMargin,
     "q31_dim_product" ->
       """WITH obs AS (
         |  SELECT l_partkey,
