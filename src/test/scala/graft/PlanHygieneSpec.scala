@@ -230,6 +230,19 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"t10's windows must consume the aggregated vocab frame:\n$l"))
   }
 
+  test("q46/e07: running-sum windows partition by their small keys, never a bare global") {
+    val p46 = plan(graft.operators.Dimensions.customerGrowth(spark, TestSpark.sf))
+    val w46 = p46.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(w46.nonEmpty, s"expected the cumulative window in:\n$p46")
+    w46.foreach(l => assert(l.contains("customer_segment"),
+      s"q46's running sum must partition by segment over the calendar grid:\n$l"))
+    val p07 = plan(Events.eventAnomalies(spark, TestSpark.sf))
+    val w07 = p07.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(w07.nonEmpty, s"expected the trailing-stat windows in:\n$p07")
+    w07.foreach(l => assert(l.contains("event_type"),
+      s"e07's trailing windows must partition by event_type over daily rows:\n$l"))
+  }
+
   test("extensions class injects cosine_similarity (builder-level wiring)") {
     // a shared test JVM already holds a session, so exercise the injection
     // surface directly (builder-applied extensions only run at creation)
