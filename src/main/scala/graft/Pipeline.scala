@@ -92,6 +92,71 @@ object Pipeline {
         .select(col("all_gates_pass")).collect().head.getBoolean(0)
     }
 
+  /** Pre-flight reachability gate — the reference DAG's
+    * `task_health_check` (dags/retail_etl_dag.py:101): the source dir
+    * must exist and hold every table the selected mode reads, and the
+    * warehouse dir must be creatable, checked BEFORE any stage plans —
+    * a dead mount or typo'd path fails in milliseconds with a pointed
+    * message instead of mid-load with a stack from the middle of a
+    * write. Pure filesystem metadata — no Spark job is launched.
+    */
+  def healthCheck(spark: SparkSession, sfDir: String, outDir: String,
+                  mode: Mode = FullRun): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val required = mode match {
+      case CurationRun => Seq("documents.parquet")
+      case StagingOnly => Seq("lineitem.parquet")
+      case _ => Seq("lineitem.parquet", "orders.parquet",
+        "customer.parquet", "part.parquet")
+    }
+    val src = new org.apache.hadoop.fs.Path(sfDir)
+    val fs = src.getFileSystem(conf)
+    require(fs.exists(src),
+      s"health check failed (dag: task_health_check): source dir unreachable: $sfDir")
+    val missing = required.filterNot(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$sfDir/$t")))
+    require(missing.isEmpty,
+      s"health check failed (dag: task_health_check): missing source tables " +
+        s"${missing.mkString(", ")} under $sfDir")
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val ofs = out.getFileSystem(conf)
+    require(ofs.mkdirs(out) || ofs.exists(out),
+      s"health check failed (dag: task_health_check): warehouse dir not creatable: $outDir")
+  }
+
+  /** Persist the run log as a warehouse artifact under
+    * `outDir/_run_logs/<runId>` (the reference's etl_run_log table) so
+    * an operator can tail run history — and so [[cleanupOldLogs]] has a
+    * canonical place to sweep.
+    */
+  def writeRunLog(spark: SparkSession, stats: Seq[LoadStat], runId: String,
+                  outDir: String): Unit =
+    runLog(spark, stats, runId).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/_run_logs/$runId")
+
+  /** Retention sweep — the reference DAG's `cleanup_old_logs`
+    * (dags/retail_etl_dag.py:638): delete run-log artifacts (and a
+    * lingering `_failure_log`) whose filesystem mtime is older than
+    * `maxAgeMs`. Returns the deleted paths so the caller's own run log
+    * can record what the sweep removed. Metadata-only; never touches
+    * published tables.
+    */
+  def cleanupOldLogs(spark: SparkSession, outDir: String, maxAgeMs: Long,
+                     now: Long = System.currentTimeMillis()): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logsDir = new org.apache.hadoop.fs.Path(s"$outDir/_run_logs")
+    val fs = logsDir.getFileSystem(conf)
+    val cutoff = now - maxAgeMs
+    val runLogs =
+      if (fs.exists(logsDir)) fs.listStatus(logsDir).toSeq else Seq.empty
+    val failure = new org.apache.hadoop.fs.Path(s"$outDir/_failure_log")
+    val failureStatus =
+      if (fs.exists(failure)) Seq(fs.getFileStatus(failure)) else Seq.empty
+    (runLogs ++ failureStatus)
+      .filter(_.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   case class LoadCheck(table: String, expected_rows: Long, actual_rows: Long, ok: Boolean)
 
   /** Post-load validation — the reference DAG's `validate_load` task
@@ -128,6 +193,7 @@ object Pipeline {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           validateFirst: Boolean = true, mode: Mode = FullRun,
           validateLoadAfter: Boolean = true): Seq[LoadStat] = {
+    healthCheck(spark, sfDir, outDir, mode)
     if (validateFirst)
       require(preGatePass(spark, sfDir, mode),
         "validation gates failed — aborting load (dag: validate_extract)")
@@ -154,9 +220,11 @@ object Pipeline {
                   runId: String = "run"): Seq[LoadStat] = {
     import spark.implicits._
     val failurePath = s"$outDir/_failure_log"
-    var currentStage = "validate_extract"
+    var currentStage = "health_check"
     val done = scala.collection.mutable.ArrayBuffer.empty[LoadStat]
     try {
+      healthCheck(spark, sfDir, outDir, mode)
+      currentStage = "validate_extract"
       if (validateFirst)
         require(preGatePass(spark, sfDir, mode),
           "validation gates failed — aborting load (dag: validate_extract)")
@@ -176,12 +244,17 @@ object Pipeline {
       done.toSeq
     } catch {
       case e: Throwable =>
-        Seq((runId, currentStage, e.getClass.getSimpleName,
-            Option(e.getMessage).getOrElse("").take(500), done.size.toLong))
-          .toDF("run_id", "failed_stage", "error_class", "error", "n_completed_stages")
-          .withColumn("status", lit("FAILED"))
-          .withColumn("failed_at", current_timestamp())
-          .write.mode("overwrite").parquet(failurePath)
+        // the failure log itself can fail (e.g. health_check failed
+        // BECAUSE the warehouse dir is unreachable) — never let the
+        // alert write mask the root cause
+        try {
+          Seq((runId, currentStage, e.getClass.getSimpleName,
+              Option(e.getMessage).getOrElse("").take(500), done.size.toLong))
+            .toDF("run_id", "failed_stage", "error_class", "error", "n_completed_stages")
+            .withColumn("status", lit("FAILED"))
+            .withColumn("failed_at", current_timestamp())
+            .write.mode("overwrite").parquet(failurePath)
+        } catch { case w: Throwable => e.addSuppressed(w) }
         throw e
     }
   }

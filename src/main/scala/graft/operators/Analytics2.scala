@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,17 +37,31 @@ object Analytics2 {
     * (streamlit_app.py:1769 px.box) plus p90: exact percentiles per
     * segment — `percentile()` bit-matches DuckDB quantile_cont.
     */
-  def segmentPercentiles(spark: SparkSession, dir: String): DataFrame = {
+  def segmentPercentiles(spark: SparkSession, dir: String): DataFrame =
+    segmentPercentiles(spark, dir, approx = false)
+
+  /** `approx = true` is the 100×-scale path: exact `percentile` buffers
+    * every group value in its final merge task (fine at dashboard scale,
+    * an OOM at per-segment corpus scale), while `approx_percentile`
+    * merges fixed-size quantile sketches and partial-aggregates map-side
+    * (plan-pinned in PlanHygieneSpec). The exact form stays the oracle
+    * row — approx results are data-dependent within the sketch's error
+    * bound, not bit-reproducible across engines.
+    */
+  def segmentPercentiles(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    def pct(p: Double): Column =
+      if (approx) expr(s"approx_percentile(o_totalprice, $p, 10000)")
+      else expr(s"percentile(o_totalprice, $p)")
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        expr("percentile(o_totalprice, 0.25)").as("p25"),
-        expr("percentile(o_totalprice, 0.5)").as("median"),
-        expr("percentile(o_totalprice, 0.75)").as("p75"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        pct(0.25).as("p25"),
+        pct(0.5).as("median"),
+        pct(0.75).as("p75"),
+        pct(0.9).as("p90"),
         round(min(col("o_totalprice")), 2).as("min_total"),
         round(max(col("o_totalprice")), 2).as("max_total"))
   }
@@ -313,14 +327,29 @@ object Analytics2 {
     * value-tier report. Revenue sums stay DECIMAL (the rounded doubles
     * only feed comparisons); the share window touches the 10-row
     * post-agg frame.
+    *
+    * The exact `percentile` boundary aggregate still buffers a
+    * counts-map of every DISTINCT per-customer revenue in its final
+    * merge task (the q26 accepted cost — bounded by distinct-revenue
+    * cardinality, not customer count, but still a single-task reduce).
+    * For dims where that cardinality is itself huge, pass
+    * `approx = true`: `approx_percentile` partial-aggregates a
+    * fixed-size sketch and the boundaries become approximate — the
+    * honest production trade at 100 TB.
     */
-  def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+  def revenueDeciles(spark: SparkSession, dir: String): DataFrame =
+    revenueDeciles(spark, dir, approx = false)
+
+  def revenueDeciles(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(round(sum(m3(col("o_totalprice"))), 2).cast("decimal(18,2)").as("rev_d"))
       .withColumn("rev", col("rev_d").cast("double"))
     val bounds = perCust.agg(
-      expr("percentile(rev, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ts"))
+      (if (approx)
+        expr("approx_percentile(rev, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+      else
+        expr("percentile(rev, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")).as("ts"))
     val deciles = perCust.crossJoin(broadcast(bounds))
       .withColumn("decile",
         (size(filter(col("ts"), t => col("rev") > t)) + 1).cast("long"))

@@ -18,8 +18,9 @@ import graft.sources.Tables
   *    Kirsch–Mitzenmacher double hashing over the two md5 halves of the
   *    shingle (`min(h1 + k·h2)`) — ONE digest per shingle, portable
   *    across engines, uniformly distributed per k.
-  *  - d04 SimHash: 16-bit weighted fingerprint from token-hash bits,
-  *    with two 8-bit bands for hamming-neighbor candidate grouping.
+  *  - d04/d17 SimHash: 64-bit weighted fingerprint from token-hash
+  *    bits, carried as four 16-bit bands for hamming-neighbor candidate
+  *    grouping, with a hamming-verified near-dup pair report.
   *
   * Scale: nothing here is O(n²) in the corpus — d02 joins only within
   * blocking keys on shared shingles; d03/d04 join on band buckets. All
@@ -184,54 +185,116 @@ object Dedup {
   }
 
   // ─── d04 SimHash fingerprint + hamming bands ─────────────────────────
-  /** 16-bit weighted SimHash in ONE corpus aggregation: each token
-    * occurrence contributes ±1 per bit position (summing the sign per
-    * OCCURRENCE is identical to the classic per-distinct-token
-    * count-weighted sum, without the (doc, token) pre-aggregation), and
-    * all 16 bit-sums are STATIC aggregate columns over one
-    * groupBy(doc_id) — no explode(0..15) row blowup, one md5 per token.
-    * Hamming-band neighbor counts come from two tiny groupBy counts
-    * broadcast-joined back; a window partitioned by the ≤256-value band
-    * keys would funnel the whole corpus into ≤256 tasks (the d06
-    * scale-killer shape, same fix).
+  /** Per-nibble-bit hex-digit sets: hex char c has nibble bit b set iff
+    * c ∈ hexBitSets(b). Testing a literal IN-list keeps the per-token
+    * work a pure string lookup (no conv/parse), and any engine can
+    * replay it.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  private val hexBitSets: Seq[Seq[String]] = Seq(
+    Seq("1", "3", "5", "7", "9", "b", "d", "f"), // nibble bit 0
+    Seq("2", "3", "6", "7", "a", "b", "e", "f"), // nibble bit 1
+    Seq("4", "5", "6", "7", "c", "d", "e", "f"), // nibble bit 2
+    Seq("8", "9", "a", "b", "c", "d", "e", "f")) // nibble bit 3
+
+  /** 64-bit weighted SimHash as FOUR 16-bit hamming bands in ONE corpus
+    * aggregation: each token occurrence contributes ±1 per bit position
+    * (summing the sign per OCCURRENCE is identical to the classic
+    * per-distinct-token count-weighted sum, without the (doc, token)
+    * pre-aggregation); bit j's sign comes from bit (j mod 4) of md5 hex
+    * nibble (j div 4), so one md5 per token feeds all 64 bits, and all
+    * 64 bit-sums are STATIC aggregate columns over one groupBy(doc_id)
+    * — no explode(0..63) row blowup. The fingerprint is kept as its
+    * four 16-bit band values (banding = the standard ≤3-bit-hamming
+    * blocking guarantee: two fingerprints within hamming 3 agree on ≥1
+    * band) rather than one 64-bit integer, which would collide with the
+    * sign bit in both engines' BIGINT.
+    *
+    * Round 4's 16-bit fingerprint SATURATED on this corpus's small
+    * vocabulary (846 identical-fingerprint pairs at sf0.01 — the banded
+    * join degenerated toward the cross product); 64 bits restores the
+    * discrimination a production SimHash needs, spec-pinned in
+    * DedupSpec (distinct fingerprints ≈ distinct texts).
+    */
+  private[graft] def simhashBands(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val hexHigh: Column => Column = c => c.isin("8", "9", "a", "b", "c", "d", "e", "f")
     val toks = d.select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("token"))
       .select(col("doc_id"), md5(col("token")).as("m"))
-    val bitSums = (0 until 16).map(j =>
-      sum(when(hexHigh(substring(col("m"), j + 1, 1)), 1L).otherwise(-1L)).as(s"s_$j"))
-    // Measured: an eager localCheckpoint of this tiny per-doc frame (so
-    // the three consumers skip the re-run final agg) reads 0.99 vs 1.04s
-    // at sf0.1 — noise. The token explode + md5 shuffle dominates and is
-    // already shared via exchange reuse, so the declarative form stays.
-    val sh = toks.groupBy(col("doc_id"))
+    val bitSums = (0 until 64).map { j =>
+      val c = substring(col("m"), j / 4 + 1, 1)
+      sum(when(c.isin(hexBitSets(j % 4): _*), 1L).otherwise(-1L)).as(s"s_$j")
+    }
+    toks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-    // BOTH band-count families derive from ONE tiny (band_hi, band_lo)
-    // grid (≤65536 cells), so the corpus aggregates in exactly two
+      .select(col("doc_id") +:
+        (0 until 4).map { b =>
+          (0 until 16).map(i =>
+            when(col(s"s_${16 * b + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as(s"band$b")
+        }: _*)
+  }
+
+  /** d04 report row: per doc, the four band values plus how many OTHER
+    * docs share each band (the candidate-generation fan-out a dedup
+    * operator reads before running the d17 pair verify). Band counts
+    * come from tiny groupBy counts over ONE shared (band0..band3) grid,
+    * broadcast-joined back; a window partitioned by the band keys would
+    * funnel the whole corpus into per-band-value tasks (the d06
+    * scale-killer shape, same fix).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashBands(spark, dir)
+    // all four band-count families derive from ONE grid (≈ distinct
+    // fingerprints, narrow), so the corpus aggregates in exactly two
     // branches (the per-doc frame + the grid) sharing the doc_id
     // exchange — separate per-family groupBys would re-aggregate the
     // corpus once per family
-    val grid = sh.groupBy(
-        floor(col("simhash") / 256).cast("long").as("band_hi"),
-        (col("simhash") % 256).as("band_lo"))
+    val grid = sh.groupBy(col("band0"), col("band1"), col("band2"), col("band3"))
       .agg(count(lit(1)).as("c"))
-    val hiCounts = grid.groupBy(col("band_hi")).agg(sum(col("c")).as("c_hi"))
-    val loCounts = grid.groupBy(col("band_lo")).agg(sum(col("c")).as("c_lo"))
-    sh.select(
-        col("doc_id"), col("simhash"),
-        floor(col("simhash") / 256).cast("long").as("band_hi"),
-        (col("simhash") % 256).as("band_lo"))
-      .join(broadcast(hiCounts), Seq("band_hi"))
-      .join(broadcast(loCounts), Seq("band_lo"))
-      .select(col("doc_id"), col("simhash"), col("band_hi"), col("band_lo"),
-        (col("c_hi") - 1).as("n_same_hi"),
-        (col("c_lo") - 1).as("n_same_lo"))
+    val joined = (0 until 4).foldLeft(sh) { (acc, b) =>
+      val counts = grid.groupBy(col(s"band$b")).agg(sum(col("c")).as(s"c_$b"))
+      acc.join(broadcast(counts), Seq(s"band$b"))
+    }
+    joined.select(
+      col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"),
+      (col("c_0") - 1).as("n_same_b0"), (col("c_1") - 1).as("n_same_b1"),
+      (col("c_2") - 1).as("n_same_b2"), (col("c_3") - 1).as("n_same_b3"))
+  }
+
+  // ─── d17 SimHash near-dup pair report (band-blocked, hamming-verified) ─
+  /** The pair report the 16-bit fingerprint could not support (the
+    * rejected round-4 probe): candidate pairs share ≥1 of the four
+    * 16-bit bands (equi-join on (band index, band value) — the d03 LSH
+    * blocking shape, never all-pairs), then the EXACT 64-bit hamming
+    * distance verifies each candidate (XOR + popcount per band, on the
+    * candidate slice only). `is_near_dup` at the banding guarantee
+    * radius (≤3 bits): within that distance a pair ALWAYS shares a
+    * band, so the report is exact over the whole corpus, not just
+    * sampled candidates.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashBands(spark, dir)
+    val lf = sh.select(col("doc_id"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("band", "val")))
+    val cand = lf.as("a")
+      .join(lf.as("b"),
+        col("a.band") === col("b.band") && col("a.val") === col("b.val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val x = sh.select(col("doc_id").as("doc_a"),
+      col("band0").as("x0"), col("band1").as("x1"),
+      col("band2").as("x2"), col("band3").as("x3"))
+    val y = sh.select(col("doc_id").as("doc_b"),
+      col("band0").as("y0"), col("band1").as("y1"),
+      col("band2").as("y2"), col("band3").as("y3"))
+    val ham = (0 until 4)
+      .map(i => expr(s"CAST(bit_count(x$i ^ y$i) AS BIGINT)"))
+      .reduce(_ + _)
+    cand.join(x, Seq("doc_a")).join(y, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        ham.as("hamming_dist"), (ham <= 3).as("is_near_dup"))
   }
 
   // ─── d07 end-to-end dedup pipeline: LSH → verify → removal list ──────
@@ -751,6 +814,7 @@ object Dedup {
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
     "d04_simhash" -> simhash,
+    "d17_simhash_pairs" -> simhashPairs,
     "d07_dedup_pipeline" -> dedupPipeline,
     "d08_contamination" -> contamination,
     "d09_source_overlap" -> sourceOverlap,
@@ -1354,24 +1418,63 @@ object Dedup {
         |     AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
     "d04_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
-        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
-        |js AS (SELECT unnest(range(0, 16)) AS j),
-        |bits AS (
-        |  SELECT doc_id, CAST(j AS INT) AS j,
-        |         CAST(sum(cnt * (CASE WHEN substr(md5(token), CAST(j AS INT) + 1, 1)
-        |                              IN ('8','9','a','b','c','d','e','f')
-        |                         THEN 1 ELSE -1 END)) > 0 AS BIGINT) AS bit
-        |  FROM tc CROSS JOIN js GROUP BY 1, 2),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CAST(sum(bit * CAST(round(power(2, j), 0) AS BIGINT)) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY 1)
-        |SELECT doc_id, simhash,
-        |       simhash // 256 AS band_hi,
-        |       simhash % 256 AS band_lo,
-        |       count(*) OVER (PARTITION BY simhash // 256) - 1 AS n_same_hi,
-        |       count(*) OVER (PARTITION BY simhash % 256) - 1 AS n_same_lo
-        |FROM sh""".stripMargin)
+      (simhash64OracleCte +
+      """
+        |SELECT doc_id, band0, band1, band2, band3,
+        |       count(*) OVER (PARTITION BY band0) - 1 AS n_same_b0,
+        |       count(*) OVER (PARTITION BY band1) - 1 AS n_same_b1,
+        |       count(*) OVER (PARTITION BY band2) - 1 AS n_same_b2,
+        |       count(*) OVER (PARTITION BY band3) - 1 AS n_same_b3
+        |FROM sh""".stripMargin),
+    "d17_simhash_pairs" ->
+      (simhash64OracleCte +
+      """,
+        |lf AS (
+        |  SELECT doc_id, b.band, b.val
+        |  FROM sh, LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) b(band, val)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+        |  FROM lf a JOIN lf b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+        |       CAST(bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+        |          + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) AS BIGINT) AS hamming_dist,
+        |       (bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+        |          + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3))) <= 3 AS is_near_dup
+        |FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id""".stripMargin))
+
+  /** Shared 64-bit SimHash oracle prelude: per-(doc, nibble-bit) signed
+    * sums → 64 bits → the four 16-bit band values, replaying
+    * [[simhashBands]] exactly (same md5-nibble bit source, same
+    * per-occurrence weighting via the (doc, token) counts).
+    */
+  private def simhash64OracleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents),
+      |tc AS (SELECT doc_id, md5(token) AS m, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      |js AS (SELECT unnest(range(0, 64)) AS j),
+      |bits AS (
+      |  SELECT doc_id, CAST(j AS INT) AS j,
+      |         CAST(sum(cnt * (CASE
+      |           WHEN j % 4 = 0 THEN CASE WHEN substr(m, CAST(j // 4 AS INT) + 1, 1)
+      |                IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END
+      |           WHEN j % 4 = 1 THEN CASE WHEN substr(m, CAST(j // 4 AS INT) + 1, 1)
+      |                IN ('2','3','6','7','a','b','e','f') THEN 1 ELSE -1 END
+      |           WHEN j % 4 = 2 THEN CASE WHEN substr(m, CAST(j // 4 AS INT) + 1, 1)
+      |                IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END
+      |           ELSE CASE WHEN substr(m, CAST(j // 4 AS INT) + 1, 1)
+      |                IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END END)) > 0
+      |           AS BIGINT) AS bit
+      |  FROM tc CROSS JOIN js GROUP BY 1, 2),
+      |bandvals AS (
+      |  SELECT doc_id, CAST(j // 16 AS INT) AS band,
+      |         CAST(sum(bit * CAST(round(power(2, j % 16), 0) AS BIGINT)) AS BIGINT) AS val
+      |  FROM bits GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         max(CASE WHEN band = 0 THEN val END) AS band0,
+      |         max(CASE WHEN band = 1 THEN val END) AS band1,
+      |         max(CASE WHEN band = 2 THEN val END) AS band2,
+      |         max(CASE WHEN band = 3 THEN val END) AS band3
+      |  FROM bandvals GROUP BY 1)""".stripMargin
 }

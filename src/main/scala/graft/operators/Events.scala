@@ -203,22 +203,49 @@ object Events {
     * The divisions and `sqrt` are single correctly-rounded IEEE ops,
     * bit-identical everywhere.
     *
+    * Densification: a day with ZERO events produces no row in the raw
+    * daily aggregate, so a trailing window over observed rows would
+    * silently span more than 7 calendar days across gaps — and a
+    * complete outage day (exactly the "fell off a cliff" scenario this
+    * feed exists for) would never emit at all. Each event_type's series
+    * is therefore zero-filled over the calendar grid from its first
+    * active day through the corpus-wide last day (the q46 grid pattern)
+    * BEFORE the windows, making "trailing 7" mean 7 calendar days and
+    * making outage days first-class anomaly rows.
+    *
     * Scale: the corpus collapses to (event_type, day) counts first —
-    * one map-side-combining aggregation; every window runs over that
-    * tiny daily frame partitioned by event_type, so the fact table
-    * never flows through a window.
+    * one map-side-combining aggregation; the grid explode, zero-fill
+    * join, and every window run over that tiny daily frame partitioned
+    * by event_type, so the fact table never flows through a window.
     */
-  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("activity_date"))
-      .agg(count(lit(1)).as("n_events"))
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame =
+    anomaliesOverCalendar(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("activity_date"))
+        .agg(count(lit(1)).as("n_events")))
+
+  /** Densify-then-window core over a (event_type, activity_date,
+    * n_events) daily frame — separated so the gap semantics (an outage
+    * day emits, trailing 7 means calendar days) are assertable on a
+    * synthetic gapped frame in TextEventsSpec.
+    */
+  private[graft] def anomaliesOverCalendar(daily: DataFrame): DataFrame = {
+    val gmax = daily.agg(max(col("activity_date")).as("dmax"))
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("activity_date")).as("d0"))
+      .crossJoin(broadcast(gmax))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("dmax"))).as("activity_date"))
+    val dense = grid.join(daily, Seq("event_type", "activity_date"), "left")
+      .select(col("event_type"), col("activity_date"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
     val win = Window.partitionBy(col("event_type")).orderBy(col("activity_date"))
       .rowsBetween(-7, -1)
     val varNum = lit(7) * col("sumsq_prior") - col("sum_prior") * col("sum_prior")
     val mean7 = col("sum_prior") / 7.0
     val std7 = sqrt(varNum / 49.0)
     val z = (col("n_events") - mean7) / std7
-    daily
+    dense
       .withColumn("n_prior", count(col("n_events")).over(win))
       .withColumn("sum_prior", sum(col("n_events")).over(win))
       .withColumn("sumsq_prior", sum(col("n_events") * col("n_events")).over(win))
@@ -246,12 +273,24 @@ object Events {
         |  SELECT event_type, CAST(ts AS DATE) AS activity_date,
         |         CAST(count(*) AS BIGINT) AS n_events
         |  FROM events GROUP BY 1, 2),
+        |gmax AS (SELECT max(activity_date) AS dmax FROM daily),
+        |grid AS (
+        |  SELECT b.event_type,
+        |         CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+        |                                     CAST(g.dmax AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS activity_date
+        |  FROM (SELECT event_type, min(activity_date) AS d0
+        |        FROM daily GROUP BY 1) b CROSS JOIN gmax g),
+        |dense AS (
+        |  SELECT g.event_type, g.activity_date,
+        |         coalesce(d.n_events, CAST(0 AS BIGINT)) AS n_events
+        |  FROM grid g LEFT JOIN daily d USING (event_type, activity_date)),
         |w AS (
         |  SELECT *,
         |         CAST(count(n_events) OVER win AS BIGINT) AS n_prior,
         |         CAST(sum(n_events) OVER win AS BIGINT) AS sum_prior,
         |         CAST(sum(n_events * n_events) OVER win AS BIGINT) AS sumsq_prior
-        |  FROM daily
+        |  FROM dense
         |  WINDOW win AS (PARTITION BY event_type ORDER BY activity_date
         |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, activity_date, n_events,

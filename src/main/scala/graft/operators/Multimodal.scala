@@ -26,12 +26,27 @@ object Multimodal {
                            mean_byte: Double, histogram: Array[Long],
                            payload_hash: String)
 
-  /** Deterministic stand-in for a real image/audio decoder. A production
-    * build replaces this object with JNI/FFI bindings; the Spark-side
-    * contract (bytes in, fixed-width features out, initialized once per
-    * partition) is unchanged.
+  /** The codec injection seam: a production decoder implements this and
+    * drops in WITHOUT touching any partitioning/shuffle logic — the
+    * extraction stages take a FACTORY (`() => MediaCodec`) and invoke it
+    * once per partition inside `mapPartitions`, which is where a JNI/FFI
+    * decoder does its heavy native init (the factory closure ships to
+    * executors; the live codec never crosses the wire). Per-row
+    * `decode` must be pure: the memo cache and the stream==batch
+    * differentials assume equal payloads produce equal features.
     */
-  object FakeCodec {
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte]): (Double, Array[Long])
+  }
+
+  /** Deterministic stand-in for a real image/audio decoder (this
+    * container ships no image/audio libraries). A production build
+    * injects JNI/FFI bindings via [[MediaCodec]]; the Spark-side
+    * contract (bytes in, fixed-width features out, initialized once per
+    * partition) is unchanged — MultimodalSpec runs a second codec
+    * through the same plumbing to pin that.
+    */
+  object FakeCodec extends MediaCodec {
     val HIST_BUCKETS = 16
     def decode(payload: Array[Byte]): (Double, Array[Long]) = {
       val hist = new Array[Long](HIST_BUCKETS)
@@ -67,13 +82,15 @@ object Multimodal {
     * (heavy init, cheap per-row call) requires. No collect, no UDF
     * per-row closure capture.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+                      codecFactory: () => MediaCodec = () => FakeCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init: the codec AND the digest instance (a
-      // MessageDigest resets on digest(), so one instance serves the
-      // whole partition — no per-row allocation)
-      val codec = FakeCodec
+      // per-partition init: the codec (factory call = heavy native init
+      // for a real decoder) AND the digest instance (a MessageDigest
+      // resets on digest(), so one instance serves the whole partition
+      // — no per-row allocation)
+      val codec = codecFactory()
       val md5 = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (mean, hist) = codec.decode(r.payload)
@@ -110,7 +127,8 @@ object Multimodal {
     */
   def extractFeaturesByCell(media: Dataset[MediaRow], cells: DataFrame,
                             saltBuckets: Int = 64,
-                            numPartitions: Option[Int] = None): Dataset[MediaFeatures] = {
+                            numPartitions: Option[Int] = None,
+                            codecFactory: () => MediaCodec = () => FakeCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     val withCell = media.toDF()
       .join(cells.select(col("vec_id").as("media_id"), col("centroid_id")),
@@ -122,7 +140,7 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("format"), col("payload"), col("meta_len"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        val codec = FakeCodec
+        val codec = codecFactory()
         val md5 = java.security.MessageDigest.getInstance("MD5")
         // memo keyed by payload digest: near-dup cells make this hit
         val memo = scala.collection.mutable.HashMap.empty[String, (Double, Array[Long])]

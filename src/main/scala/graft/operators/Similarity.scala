@@ -25,10 +25,26 @@ import graft.sources.Tables
 object Similarity {
 
   // ─── d05 brute-force cosine top-k ────────────────────────────────────
-  def embeddingKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** Hard ceiling on the brute-force query set: the exact baseline is
+    * broadcast-queries × streamed-corpus, so its cost is queryBound ×
+    * corpus — widening the bound silently re-creates the all-pairs scan
+    * the ANN family exists to avoid (and a corpus-sized broadcast OOMs
+    * the driver first). Raise it only with an explicit maxQueryBound,
+    * which is the reviewable act.
+    */
+  val defaultMaxQueryBound = 1024L
+
+  def embeddingKnn(spark: SparkSession, dir: String): DataFrame =
+    embeddingKnn(spark, dir, queryBound = 20L)
+
+  def embeddingKnn(spark: SparkSession, dir: String, queryBound: Long,
+                   maxQueryBound: Long = defaultMaxQueryBound): DataFrame = {
+    require(queryBound <= maxQueryBound,
+      s"d05 is the bounded exact baseline: queryBound=$queryBound exceeds " +
+        s"maxQueryBound=$maxQueryBound — use the IVF/LSH path for wide query sets")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val queries = e.filter(col("vec_id") < 20)
+    val queries = e.filter(col("vec_id") < queryBound)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
     // fused single-pass scorer (custom codegen Expression); bit-identical
@@ -136,10 +152,12 @@ object Similarity {
   }
 
   // ─── q24 IVF coarse quantization with k-means codebook (index build) ─
-  /** Inverted-file ANN, build stage: a 16-cell coarse codebook seeded
-    * from the first 16 corpus vectors and refined with TWO deterministic
-    * Lloyd iterations, then nearest-centroid cell assignment. Search
-    * probes only the query's cell(s) — 1/16th-sized scans at 100 TB.
+  /** Inverted-file ANN, build stage: a k-cell coarse codebook (default
+    * 16; k is a build parameter — pick ~√n at production scale) seeded
+    * by deterministic hash-spread over mod-k vec_id buckets and refined
+    * with TWO deterministic Lloyd iterations, then nearest-centroid
+    * cell assignment. Search probes only the query's cell(s) —
+    * 1/k-sized scans at 100 TB.
     *
     * Determinism at any parallelism (the property that lets DuckDB
     * replay the identical k-means): centroid means accumulate in exact
@@ -165,7 +183,10 @@ object Similarity {
     * assignments the last iteration had already computed).
     */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    assignmentFrom(ivfModel(corpusEmb(spark, dir))._2)
+    ivfAssign(spark, dir, defaultCells)
+
+  def ivfAssign(spark: SparkSession, dir: String, k: Int): DataFrame =
+    assignmentFrom(ivfModel(corpusEmb(spark, dir), k)._2)
 
   private def corpusEmb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -203,6 +224,30 @@ object Similarity {
         coalesce(col("c_emb_new"), col("c_emb")).as("c_emb"))
   }
 
+  /** Default codebook size. At production scale pick k ≈ √n cells
+    * (probe cost n/k balanced against k centroid scorings per query)
+    * and pass it to [[ivfBuild]] — the build is parameterized, the
+    * search stages read whatever k the published artifact carries.
+    */
+  val defaultCells = 16
+
+  /** Deterministic hash-spread seeding: one seed per mod-k bucket of
+    * vec_id — the bucket member with the smallest (md5(vec_id), vec_id)
+    * pair. Unlike the round-4 `vec_id < 16` form, the seeds draw from
+    * the WHOLE corpus (the first k ids could all be near-identical
+    * crawl neighbors at 100 TB, collapsing the codebook), every bucket
+    * is non-empty for any k ≤ n, and any engine can replay the choice
+    * (md5 ties broken by the unique id). One map-side-combining
+    * k-key aggregation — no window, no sort.
+    */
+  private def seedCodebook(e: DataFrame, k: Int): DataFrame =
+    e.groupBy(pmod(col("vec_id"), lit(k.toLong)).as("centroid_id"))
+      .agg(min(struct(
+        md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id").as("v"),
+        col("emb").as("e"))).as("s"))
+      .select(col("centroid_id"), col("s.e").as("c_emb"))
+
   /** The whole k-means model in TWO corpus E-steps: seed c0 →
     * assign(c0) → means c1 → assign(c1) → means c2. Returns (final
     * codebook c2, final E-step assignment a2). a2 is BOTH the input to
@@ -211,9 +256,9 @@ object Similarity {
     * (its identical Exchange subtree is also reused within a single
     * action by Spark's ReuseExchange rule).
     */
-  private def ivfModel(e: DataFrame): (DataFrame, DataFrame) = {
-    val c0 = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+  private def ivfModel(e: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    require(k > 0, s"IVF codebook needs at least one cell, got k=$k")
+    val c0 = seedCodebook(e, k)
     val c1 = meansFrom(assignTo(e, c0), c0)
     val a2 = assignTo(e, c1)
     (meansFrom(a2, c1), a2)
@@ -248,11 +293,14 @@ object Similarity {
     // "src" prefix: a sanitized absolute path starts with "_", and
     // underscore-prefixed paths are "hidden" to Spark's file listing
     // (directly-addressed reads still work, but only via an exemption).
-    // "v2": index FORMAT version — v2 publishes the final Lloyd E-step
-    // as the assignment (2-pass build); the version bump invalidates any
-    // v1 index (3-pass semantics) the source fingerprint alone would
-    // wrongly accept as fresh.
-    s"v2src${dirKey}_${Tables.sourceKey(spark, s"$dir/embeddings.parquet")}"
+    // "v3": index FORMAT version — v3 seeds the codebook by hash-spread
+    // mod-k buckets (v2 seeded from vec_id < 16; v1 was the 3-pass
+    // build); the version bump invalidates older indexes the source
+    // fingerprint alone would wrongly accept as fresh. k is NOT in the
+    // key: a corpus has ONE active index (a rebuild with a new k
+    // replaces it, the production deployment contract), and searchers
+    // read k from the published codebook rather than assuming one.
+    s"v3src${dirKey}_${Tables.sourceKey(spark, s"$dir/embeddings.parquet")}"
   }
 
   private def indexPath(spark: SparkSession, dir: String): String =
@@ -277,8 +325,11 @@ object Similarity {
     * assignment. Build cost lives here; the search stages read the
     * artifacts.
     */
-  def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
-    val (c2, a2) = ivfModel(corpusEmb(spark, dir))
+  def ivfBuild(spark: SparkSession, dir: String): DataFrame =
+    ivfBuild(spark, dir, defaultCells)
+
+  def ivfBuild(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val (c2, a2) = ivfModel(corpusEmb(spark, dir), k)
     // the final E-step feeds BOTH artifact writes (codebook = its means,
     // assignment = its projection); persist it across the two actions so
     // the corpus is scored exactly twice total (MEMORY_AND_DISK default —
@@ -465,7 +516,10 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q45_ivf_cell_stats" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |c0 AS (
+        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
         |a1 AS (
         |  SELECT vec_id, emb, centroid_id,
         |         round(list_dot_product(emb, c_emb)
@@ -501,7 +555,10 @@ object Similarity {
         |FROM cells CROSS JOIN tot CROSS JOIN nc""".stripMargin,
     "q24_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |c0 AS (
+        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
         |a1 AS (
         |  SELECT vec_id, emb, centroid_id,
         |         round(list_dot_product(emb, c_emb)
@@ -526,7 +583,10 @@ object Similarity {
         |FROM fin JOIN sizes ON fin.centroid_id = sizes.centroid_id""".stripMargin,
     "q32_ivf_search" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |c0 AS (
+        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
         |a1 AS (
         |  SELECT vec_id, emb, centroid_id,
         |         round(list_dot_product(emb, c_emb)
@@ -557,7 +617,10 @@ object Similarity {
         |FROM scored QUALIFY rank <= 5""".stripMargin,
     "q35_ivf_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |c0 AS (
+        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
         |a1 AS (
         |  SELECT vec_id, emb, centroid_id,
         |         round(list_dot_product(emb, c_emb)

@@ -183,17 +183,28 @@ object TextAnalysis {
     *
     * Scale: scoring is the t02 narrow projection; the per-language
     * exact p25 is one tiny aggregation (values collect per language —
-    * the exact-percentile cost; at real corpus scale swap in
-    * `approx_percentile`, which partial-aggregates, and keep the same
-    * join-back); thresholds broadcast back against the streamed scored
+    * the exact-percentile cost; at real corpus scale pass
+    * `approx = true` for the sketch-merging `approx_percentile` path,
+    * same join-back); thresholds broadcast back against the streamed scored
     * corpus. Score and threshold are computed from the same expressions
     * on both engines, so the >= comparison is bit-stable (percentile ==
     * quantile_cont established by q26).
     */
-  def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame =
+    qualityPrune(spark, dir, approx = false)
+
+  /** `approx = true` swaps the per-language threshold to
+    * `approx_percentile` — a fixed-size sketch that partial-aggregates
+    * map-side (plan-pinned in PlanHygieneSpec) instead of buffering the
+    * language's every score in one merge task. Same join-back shape;
+    * the exact form stays the oracle row.
+    */
+  def qualityPrune(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val s = scoredDocs(spark, dir).select(col("doc_id"), col("lang"), col("quality_score"))
-    val thresholds = s.groupBy(col("lang"))
-      .agg(expr("percentile(quality_score, 0.25)").as("lang_p25"))
+    val p25 =
+      if (approx) expr("approx_percentile(quality_score, 0.25, 10000)")
+      else expr("percentile(quality_score, 0.25)")
+    val thresholds = s.groupBy(col("lang")).agg(p25.as("lang_p25"))
     s.join(broadcast(thresholds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_p25"),
         (col("quality_score") >= col("lang_p25")).as("is_kept"))
@@ -351,17 +362,27 @@ object TextAnalysis {
     * `percentile` (bit-matches DuckDB's quantile_cont, established by
     * q26).
     */
-  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(spark, dir, approx = false)
+
+  /** `approx = true` is the 100×-scale path for the per-language token
+    * percentiles (q26 rationale): sketch-merging `approx_percentile`
+    * partial-aggregates; exact `percentile` stays the oracle row.
+    */
+  def corpusStats(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("lang"), col("n_chars"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
           .cast("long").as("n_tokens"))
+    def pct(p: Double) =
+      if (approx) expr(s"approx_percentile(n_tokens, $p, 10000)")
+      else expr(s"percentile(n_tokens, $p)")
     d.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"),
-      expr("percentile(n_tokens, 0.25)").as("p25_tokens"),
-      expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
-      expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+      pct(0.25).as("p25_tokens"),
+      pct(0.5).as("p50_tokens"),
+      pct(0.9).as("p90_tokens"),
       sum(col("n_chars")).as("total_chars"))
   }
 

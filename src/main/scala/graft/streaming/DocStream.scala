@@ -56,7 +56,11 @@ object DocStream {
                   minChars: Int = 20, minAlphaRatio: Double = 0.5,
                   maxDupWordFrac: Double = 0.85): DataFrame = {
     val alpha = length(regexp_replace(col("text"), lit("[^\\p{L}]"), lit("")))
-    val w = split(col("text"), "\\s+")
+    // tokenize EXACTLY as batch t06 does (regexp \S+, not split on \s+,
+    // which emits an empty token under leading whitespace and skews the
+    // fraction) — the stream gate and the batch report must agree on
+    // every document, which DocStreamSpec's randomized differential pins
+    val w = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
     val dupWordFrac =
       lit(1.0) - size(array_distinct(w)).cast("double") / size(w)
     dedupIngest(

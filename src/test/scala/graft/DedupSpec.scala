@@ -48,13 +48,60 @@ class DedupSpec extends AnyFunSuite {
     assert(first.nonEmpty && first.sameElements(again))
   }
 
-  test("simhash is a 16-bit value with consistent bands") {
-    Dedup.simhash(spark, TestSpark.sf).collect().foreach { r =>
-      val s = r.getAs[Long]("simhash")
-      assert(s >= 0 && s < 65536)
-      assert(r.getAs[Long]("band_hi") == s / 256)
-      assert(r.getAs[Long]("band_lo") == s % 256)
+  test("simhash bands are 16-bit values and the 64-bit space does not saturate") {
+    val rows = Dedup.simhash(spark, TestSpark.sf).collect()
+    rows.foreach { r =>
+      for (b <- 0 until 4) {
+        val v = r.getAs[Long](s"band$b")
+        assert(v >= 0 && v < 65536, s"band$b out of 16-bit range: $v")
+        assert(r.getAs[Long](s"n_same_b$b") >= 0)
+      }
     }
+    // the round-4 16-bit fingerprint collapsed this corpus into a few
+    // hundred identical-fingerprint pairs; at 64 bits distinct
+    // fingerprints must track distinct texts (collisions only for
+    // near-identical token multisets)
+    val fps = rows.map(r => (r.getAs[Long]("band0"), r.getAs[Long]("band1"),
+      r.getAs[Long]("band2"), r.getAs[Long]("band3"))).distinct.length
+    val texts = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).distinct().count()
+    assert(fps >= 0.9 * texts,
+      s"fingerprint space saturated: $fps distinct fingerprints for $texts distinct texts")
+  }
+
+  test("d17 pair report: band-blocked candidates, hamming verified, flag at radius 3") {
+    val sh = Dedup.simhashBands(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Seq(r.getAs[Long]("band0"), r.getAs[Long]("band1"),
+          r.getAs[Long]("band2"), r.getAs[Long]("band3"))).toMap
+    val pairs = Dedup.simhashPairs(spark, TestSpark.sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b, "pairs must be canonically ordered")
+      val (ba, bb) = (sh(a), sh(b))
+      val shared = ba.zip(bb).count { case (x, y) => x == y }
+      assert(r.getAs[Long]("n_shared_bands") == shared)
+      val ham = ba.zip(bb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum.toLong
+      assert(r.getAs[Long]("hamming_dist") == ham,
+        s"hamming mismatch for ($a,$b): got ${r.getAs[Long]("hamming_dist")}, expected $ham")
+      assert(r.getAs[Boolean]("is_near_dup") == (ham <= 3))
+    }
+    // the banding guarantee: every pair within hamming 3 shares a band,
+    // so near-dups in the report == near-dups over all pairs (driver
+    // recheck over the full cross product of this small corpus)
+    val ids = sh.keys.toSeq.sorted
+    val allNear = (for {
+      i <- ids; j <- ids if i < j
+      h = sh(i).zip(sh(j)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (i, j)).toSet
+    val reportedNear = pairs.filter(_.getAs[Boolean]("is_near_dup"))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(reportedNear == allNear,
+      s"missed: ${allNear -- reportedNear}; extra: ${reportedNear -- allNear}")
   }
 
   test("d10 mixture reconciles with the d07 removal list") {

@@ -67,4 +67,55 @@ class DocStreamSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(batchKept == kept)
   }
+
+  test("randomized differential: stream gate == independent batch-rule recomputation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 200 random docs exercising every rule edge: repetition loops,
+    // numeric/punctuation blobs, short strings, leading/trailing
+    // whitespace (the tokenizer trap: split-on-\s+ sees a phantom empty
+    // token where t06's \S+ extraction does not), and exact duplicates
+    // across different doc_ids
+    val rnd = new scala.util.Random(20250813)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "123", "!!", "x9", "the", "quick", "fox")
+    val frame = (0 until 200).map { i =>
+      val text =
+        if (i % 5 == 4) s"duplicate content body ${i % 7} repeated here" // cross-id dups
+        else {
+          val n = 1 + rnd.nextInt(30)
+          val pool = if (rnd.nextInt(4) == 0) vocab.take(1 + rnd.nextInt(2)) else vocab
+          val body = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+          ("  " * rnd.nextInt(2)) + body + ("  " * rnd.nextInt(2))
+        }
+      Doc(i.toLong, s"src${i % 3}", "en", text, ts("2024-01-01 10:00:00"))
+    }
+    // independent driver-side recomputation of the gate rules (plain
+    // string ops, not Spark expressions — a genuine second
+    // implementation of minChars=20 / alphaRatio>=0.5 / dupWordFrac<=0.85)
+    def passes(s: String): Boolean = {
+      val ws = "\\S+".r.findAllIn(s).toSeq
+      s.length >= 20 &&
+        s.count(_.isLetter).toDouble / s.length >= 0.5 &&
+        ws.nonEmpty && (1.0 - ws.distinct.size.toDouble / ws.size) <= 0.85
+    }
+    val expectedTexts = frame.filter(d => passes(d.text)).map(_.text).toSet
+    val idsByText = frame.groupBy(_.text).map { case (t, ds) => t -> ds.map(_.doc_id).toSet }
+    val src = MemoryStream[Doc]
+    src.addData(frame: _*)
+    val out = EventsStream.runToMemory(
+      DocStream.gatedIngest(src.toDF()), "gated_diff", OutputMode.Append()).collect()
+    // gate differential: exactly the rule-passing contents survive,
+    // exactly once each (dedup arrival-order identity is pinned by the
+    // ordered-batch tests above; here ids need only be real holders)
+    val keptTexts = out.map(_.getAs[String]("text"))
+    assert(keptTexts.toSet == expectedTexts,
+      s"stream-only: ${keptTexts.toSet -- expectedTexts}; batch-only: ${expectedTexts -- keptTexts.toSet}")
+    assert(keptTexts.length == keptTexts.toSet.size, "one survivor per distinct content")
+    out.foreach { r =>
+      assert(idsByText(r.getAs[String]("text")).contains(r.getAs[Long]("doc_id")))
+    }
+    assert(expectedTexts.nonEmpty && expectedTexts.size < frame.size,
+      "differential must exercise both kept and dropped docs")
+  }
 }

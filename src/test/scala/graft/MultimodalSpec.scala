@@ -4,6 +4,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
 
+/** A deliberately different decoder: inverted mean, coarse 4-bucket
+  * histogram — if ANY partitioning/memo/schema logic were entangled with
+  * FakeCodec, running this through the same plumbing would diverge
+  * structurally. Top-level so the shipped factory closure captures no
+  * test-suite state.
+  */
+private object InverseCodec extends Multimodal.MediaCodec {
+  def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+    val hist = new Array[Long](4)
+    var sum = 0L
+    payload.foreach { b => val u = b & 0xff; hist(u / 64) += 1; sum += u }
+    (if (payload.isEmpty) 0.0 else 255.0 - sum.toDouble / payload.length, hist)
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -50,6 +65,32 @@ class MultimodalSpec extends AnyFunSuite {
     // spreads work across >17 partitions when partitions are available
     val occupied = withPid.select("pid").distinct().count()
     assert(occupied > 17, s"decode ran in only $occupied partitions — parallelism capped by cell count")
+  }
+
+  test("codec seam: a second codec rides the same cell-batched plumbing unchanged") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.mediaTable(spark, TestSpark.sf)
+    val cells = graft.operators.Similarity.ivfAssign(spark, TestSpark.sf)
+      .select(col("vec_id"), col("centroid_id"))
+    val viaFake = Multimodal.extractFeaturesByCell(media, cells,
+      numPartitions = Some(64))
+    val viaInverse = Multimodal.extractFeaturesByCell(media, cells,
+      numPartitions = Some(64), codecFactory = () => InverseCodec)
+    val fake = viaFake.collect().map(f => f.media_id -> f).toMap
+    val inv = viaInverse.collect().map(f => f.media_id -> f).toMap
+    // identical plumbing: same row set, ids, byte counts, payload hashes
+    assert(inv.keySet == fake.keySet)
+    inv.foreach { case (id, f) =>
+      assert(f.n_bytes == fake(id).n_bytes)
+      assert(f.payload_hash == fake(id).payload_hash)
+      // and the features really came from the injected codec
+      assert(f.histogram.length == 4)
+      if (f.n_bytes > 0) assert(f.mean_byte == 255.0 - fake(id).mean_byte)
+    }
+    // partition shape identical too: same salt keys → same distribution
+    val pidsInv = viaInverse.toDF().withColumn("pid", spark_partition_id())
+      .select("pid").distinct().count()
+    assert(pidsInv > 17, s"injected codec must keep salted parallelism, got $pidsInv partitions")
   }
 
   test("resize truncates payloads; frameSample strides bytes") {

@@ -43,9 +43,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(removals.count() > 0 && clusters.count() > 0)
   }
 
+  test("pre-flight health check catches a missing source before any stage (task_health_check)") {
+    val out = Files.createTempDirectory("graft_wh_hc").toString
+    // an empty source dir: reachable, but the mode's tables are absent —
+    // the health check must fail in metadata time, attributed to itself
+    val bad = Files.createTempDirectory("graft_no_tables").toString
+    val err = intercept[IllegalArgumentException] {
+      Pipeline.runNotified(spark, bad, out, validateFirst = false, runId = "hc_run")
+    }
+    assert(err.getMessage.contains("task_health_check"))
+    assert(err.getMessage.contains("lineitem"))
+    val fl = spark.read.parquet(s"$out/_failure_log").collect()
+    assert(fl.length == 1 && fl.head.getAs[String]("failed_stage") == "health_check")
+    // an entirely unreachable source dir also refuses, with the dir named
+    val gone = intercept[IllegalArgumentException] {
+      Pipeline.healthCheck(spark, s"$bad/does_not_exist", out)
+    }
+    assert(gone.getMessage.contains("unreachable"))
+    // the happy path is silent
+    Pipeline.healthCheck(spark, TestSpark.sf, out)
+  }
+
   test("failed stage writes the failure-log artifact (notify_on_failure)") {
     val out = Files.createTempDirectory("graft_wh_fail").toString
-    val bad = Files.createTempDirectory("graft_no_tables").toString
+    // a source that PASSES the reachability check (files exist) but
+    // whose table is corrupt — the failure must attribute to the stage
+    val bad = Files.createTempDirectory("graft_corrupt").toString
+    for (t <- Seq("lineitem", "orders", "customer", "part"))
+      Files.write(java.nio.file.Paths.get(s"$bad/$t.parquet"),
+        "not a parquet file".getBytes)
     val err = intercept[Exception] {
       Pipeline.runNotified(spark, bad, out, validateFirst = false, runId = "fail_run")
     }
@@ -57,6 +83,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("status") == "FAILED")
     assert(r.getAs[Long]("n_completed_stages") == 0L)
     assert(r.getAs[String]("error_class") == err.getClass.getSimpleName)
+  }
+
+  test("cleanup_old_logs prunes aged run logs and stale failure logs, keeps fresh ones") {
+    val out = Files.createTempDirectory("graft_wh_logs").toString
+    val stats = Seq(Pipeline.LoadStat("t1", 1L, 0.1))
+    Pipeline.writeRunLog(spark, stats, "run_old", out)
+    Pipeline.writeRunLog(spark, stats, "run_new", out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // age run_old a week back (fs mtime is the retention clock)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$out/_run_logs/run_old")
+    val weekMs = 7L * 24 * 3600 * 1000
+    fs.setTimes(oldPath, System.currentTimeMillis() - 8 * 24 * 3600 * 1000L, -1)
+    val deleted = Pipeline.cleanupOldLogs(spark, out, maxAgeMs = weekMs)
+    assert(deleted.exists(_.endsWith("run_old")), s"run_old not swept: $deleted")
+    assert(!fs.exists(oldPath))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_run_logs/run_new")))
+    // the fresh log survives repeated sweeps; nothing else to delete
+    assert(Pipeline.cleanupOldLogs(spark, out, maxAgeMs = weekMs).isEmpty)
+    // a swept warehouse with no logs dir is a no-op, not an error
+    assert(Pipeline.cleanupOldLogs(spark,
+      Files.createTempDirectory("graft_empty").toString, weekMs).isEmpty)
   }
 
   test("post-load validation flags a clobbered artifact (validate_load)") {

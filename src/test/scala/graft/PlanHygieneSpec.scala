@@ -189,8 +189,11 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"q42's top-20 must merge per-partition heads, not globally sort:\n$p")
     // the rank window consumes the 20-row slice (post-limit), so the
-    // plan's Window sits above the TakeOrderedAndProject
-    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+    // plan's Window sits above the TakeOrderedAndProject; bind the index
+    // so an absent Window (indexOf == -1) can never pass vacuously
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, s"expected the rank window in:\n$p")
+    assert(wIdx < p.indexOf("TakeOrderedAndProject"),
       s"rank window must consume the limited slice:\n$p")
   }
 
@@ -241,6 +244,25 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(w07.nonEmpty, s"expected the trailing-stat windows in:\n$p07")
     w07.foreach(l => assert(l.contains("event_type"),
       s"e07's trailing windows must partition by event_type over daily rows:\n$l"))
+  }
+
+  test("approx-percentile paths partial-aggregate a bounded sketch (no whole-group buffer)") {
+    // the 100×-scale variants of the four exact-percentile sites: the
+    // sketch must partial-aggregate map-side — an aggregate whose only
+    // mode is final/complete buffers every group value in one task
+    val dfs = Seq(
+      "q26" -> Analytics2.segmentPercentiles(spark, TestSpark.sf, approx = true),
+      "q44" -> Analytics2.revenueDeciles(spark, TestSpark.sf, approx = true),
+      "t07" -> TextAnalysis.qualityPrune(spark, TestSpark.sf, approx = true),
+      "q33" -> TextAnalysis.corpusStats(spark, TestSpark.sf, approx = true))
+    for ((name, df) <- dfs) {
+      val p = plan(df)
+      assert(p.contains("approx_percentile"), s"$name approx path must use the sketch:\n$p")
+      assert(p.contains("partial_approx_percentile"),
+        s"$name sketch must partial-aggregate map-side:\n$p")
+      assert(!p.contains("partial_percentile("),
+        s"$name approx path must not fall back to exact percentile:\n$p")
+    }
   }
 
   test("extensions class injects cosine_similarity (builder-level wiring)") {

@@ -11,6 +11,42 @@ import graft.sources.Tables
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("parameterized IVF: a k=32 build/search round-trips; searchers read k from the artifact") {
+    // build with a non-default k: the publish replaces the corpus's one
+    // active index, and every search stage must follow the ARTIFACT's
+    // cell count (never an assumed 16)
+    val a32 = Similarity.ivfBuild(spark, TestSpark.sf, k = 32)
+    val cells = a32.select("centroid_id").distinct().count()
+    assert(cells > 1 && cells <= 32, s"expected ≤32 populated cells, got $cells")
+    assert(a32.agg(max("centroid_id")).collect().head.getLong(0) >= 16L,
+      "mod-32 seeding must spread cells beyond the 16-id range")
+    assert(a32.count() == graft.sources.Tables.embeddings(spark, TestSpark.sf).count())
+    // q45 reports one row per populated cell of the k=32 artifact
+    val stats32 = Similarity.ivfCellStats(spark, TestSpark.sf)
+    assert(stats32.count() == cells)
+    // q32 probe search still returns ranked rows per query
+    val s32 = Similarity.ivfSearch(spark, TestSpark.sf)
+    assert(s32.groupBy("q_id").count().count() == 20)
+    // restore the default-k index for the rest of the suite (and the
+    // oracle surface): a rebuild is the deployment-contract way back
+    val a16 = Similarity.ivfBuild(spark, TestSpark.sf)
+    assert(a16.select("centroid_id").distinct().count() <= 16)
+  }
+
+  test("d05 guard: a query bound past the ceiling refuses to plan") {
+    // the exact baseline is broadcast-queries × streamed-corpus; a wide
+    // bound silently becomes the all-pairs scan ANN exists to avoid
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingKnn(spark, TestSpark.sf,
+        queryBound = Similarity.defaultMaxQueryBound + 1)
+    }
+    assert(e.getMessage.contains("queryBound"))
+    // an explicitly raised ceiling is the reviewable opt-in
+    val df = Similarity.embeddingKnn(spark, TestSpark.sf,
+      queryBound = 25L, maxQueryBound = 32L)
+    assert(df.columns.contains("rank"))
+  }
+
   test("ivf k-means: every vector lands in exactly one of ≤16 cells") {
     val df = Similarity.ivfAssign(spark, TestSpark.sf)
     val n = Tables.embeddings(spark, TestSpark.sf).count()
@@ -27,8 +63,12 @@ class SimilaritySpec extends AnyFunSuite {
   test("Lloyd refinement does not degrade mean assignment cosine vs the seed codebook") {
     val e = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("emb"))
-    val c0 = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    // recompute the hash-spread seed codebook exactly as the build does:
+    // per mod-16 bucket, the member with the smallest (md5(id), id)
+    val c0 = e.groupBy(pmod(col("vec_id"), lit(16L)).as("centroid_id"))
+      .agg(min(struct(md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id").as("v"), col("emb").as("e"))).as("s"))
+      .select(col("centroid_id"), col("s.e").as("c_emb"))
     val init = e.crossJoin(c0)
       .select(col("vec_id"),
         round(CosineSimilarity.cosineSim(col("emb"), col("c_emb")), 4).as("cos_r"))

@@ -155,19 +155,24 @@ class TextEventsSpec extends AnyFunSuite {
     }
   }
 
-  test("e07 anomalies match a driver-side trailing-window recomputation") {
+  test("e07 anomalies match a driver-side calendar-densified recomputation") {
     val out = Events.eventAnomalies(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("activity_date").toString) -> r)
       .toMap
-    val daily = graft.sources.Tables.events(spark, TestSpark.sf)
+    val raw = graft.sources.Tables.events(spark, TestSpark.sf)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString, r.getAs[Long]("n")))
-      .groupBy(_._1)
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toLocalDate, r.getAs[Long]("n")))
     assert(out.nonEmpty)
+    // densify driver-side exactly as the operator does: each type's
+    // series zero-filled from its first day through the global max day
+    val gmax = raw.map(_._2).max
     var checked = 0
-    daily.foreach { case (et, rows) =>
-      val series = rows.sortBy(_._2).map(t => (t._2, t._3))
+    raw.groupBy(_._1).foreach { case (et, rows) =>
+      val byDay = rows.map(t => t._2 -> t._3).toMap
+      val d0 = rows.map(_._2).min
+      val series = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(gmax))
+        .map(d => (d.toString, byDay.getOrElse(d, 0L))).toVector
       series.zipWithIndex.drop(7).foreach { case ((day, n), i) =>
         val prior = series.slice(i - 7, i).map(_._2)
         val (s, ss) = (prior.sum, prior.map(x => x * x).sum)
@@ -182,6 +187,40 @@ class TextEventsSpec extends AnyFunSuite {
       }
     }
     assert(checked == out.size, s"row sets differ: recomputed $checked vs ${out.size}")
+  }
+
+  test("e07 gap semantics: an outage day emits an anomaly; windows span calendar days") {
+    import spark.implicits._
+    // 'click' runs 10/day for 10 days, then day 11 is a COMPLETE outage
+    // (no row at all — the scenario the feed exists for), then resumes.
+    // 'buy' has a 3-day mid-series gap, so its "trailing 7" must span 7
+    // calendar days (zero-filled), not reach back over 10 observed days.
+    val daily = (
+      (1 to 10).map(i => ("click", f"2024-03-$i%02d", 10L)) ++
+      Seq(("click", "2024-03-12", 10L)) ++
+      (1 to 6).map(i => ("buy", f"2024-03-$i%02d", 5L)) ++
+      Seq(("buy", "2024-03-10", 5L), ("buy", "2024-03-12", 5L)))
+      .toDF("event_type", "activity_date", "n_events")
+      .withColumn("activity_date", to_date(col("activity_date")))
+    val out = Events.anomaliesOverCalendar(daily).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("activity_date").toString) -> r)
+      .toMap
+    // the outage day EXISTS in the output and fires: history is a
+    // constant 10/day (variance 0), and 0 != mean triggers the exact
+    // fallback
+    val outage = out(("click", "2024-03-11"))
+    assert(outage.getAs[Long]("n_events") == 0L)
+    assert(outage.getAs[Boolean]("is_anomaly"),
+      "a complete outage after a constant week must alert")
+    // 'buy' 03-12: the trailing 7 CALENDAR days (03-05..03-11) hold
+    // 5 (03-05), 5 (03-06), 0, 0, 0, 5 (03-10), 0 → mean 15/7; the
+    // observed-days form would instead have averaged seven 5s
+    val b12 = out(("buy", "2024-03-12"))
+    assert(b12.getAs[Double]("mean7") == 15.0 / 7.0,
+      s"trailing window must be calendar-day based, got mean7=${b12.getAs[Double]("mean7")}")
+    // zero-filled leading ramp-in still suppressed: first 7 calendar
+    // days of each series emit nothing
+    assert(!out.contains(("click", "2024-03-07")))
   }
 
   test("fingerprint dup ranks start at 1 per fingerprint") {
