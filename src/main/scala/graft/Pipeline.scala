@@ -206,6 +206,27 @@ object Pipeline {
     stats
   }
 
+  /** Bounded stage retry — the reference DAG's `retries=2` default_args
+    * (dags/retail_etl_dag.py) and the extract path's retried API calls
+    * (extract.py:75-80): re-attempt a failed STAGE up to `retries`
+    * times before letting the failure propagate to the notifier. Only
+    * transient faults benefit (a torn source mid-replace, a staging
+    * rename race); the attempt count and last error survive into the
+    * thrown exception so the failure log tells the whole story.
+    */
+  private[graft] def withRetries[A](retries: Int, stage: String)(body: => A): A = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= retries) {
+      try return body
+      catch { case e: Throwable => last = e; attempt += 1 }
+    }
+    throw new RuntimeException(
+      s"stage $stage failed after ${retries + 1} attempts (dag retries=$retries): " +
+        s"${last.getClass.getSimpleName}: ${Option(last.getMessage).getOrElse("").take(300)}",
+      last)
+  }
+
   /** Failure-notification analog of the reference DAG's
     * `notify_on_failure` callback (dags/retail_etl_dag.py:494-521):
     * run the pipeline, and if any stage throws, record WHICH stage
@@ -217,7 +238,7 @@ object Pipeline {
     */
   def runNotified(spark: SparkSession, sfDir: String, outDir: String,
                   validateFirst: Boolean = true, mode: Mode = FullRun,
-                  runId: String = "run"): Seq[LoadStat] = {
+                  runId: String = "run", stageRetries: Int = 0): Seq[LoadStat] = {
     import spark.implicits._
     val failurePath = s"$outDir/_failure_log"
     var currentStage = "health_check"
@@ -231,7 +252,9 @@ object Pipeline {
       stageList(spark, sfDir, mode).foreach { case (name, mkDf) =>
         currentStage = name
         val t0 = System.nanoTime()
-        val rows = Sinks.stagePublish(mkDf(), s"$outDir/$name")
+        val rows = withRetries(stageRetries, name) {
+          Sinks.stagePublish(mkDf(), s"$outDir/$name")
+        }
         done += LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
       }
       // validate_load: a mismatch here attributes the failure to the

