@@ -239,21 +239,44 @@ object Dedup {
         }: _*)
   }
 
-  /** d04 report row: per doc, the four band values plus how many OTHER
-    * docs share each band (the candidate-generation fan-out a dedup
-    * operator reads before running the d17 pair verify). Band counts
-    * come from tiny groupBy counts over ONE shared (band0..band3) grid,
-    * broadcast-joined back; a window partitioned by the band keys would
-    * funnel the whole corpus into per-band-value tasks (the d06
-    * scale-killer shape, same fix).
+  /** Warehouse path of the published per-doc band table — the SimHash
+    * family's shared artifact (the d03/q24 build-once contract):
+    * fingerprinting the corpus is the dominant cost, and both the d04
+    * fan-out report and the d17 pair verify probe the same band set.
+    * Fingerprint-keyed to the source so regenerated data invalidates.
+    */
+  private def simhashBandsPath(spark: SparkSession, dir: String): String = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/simhash_bands/" +
+      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+  }
+
+  /** Published band table, building the artifact iff missing (a fresh
+    * session running d17 standalone).
+    */
+  private def bandsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val path = simhashBandsPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      graft.sources.Sinks.stagePublish(simhashBands(spark, dir), path)
+    spark.read.parquet(path)
+  }
+
+  /** d04 entry: fingerprint the corpus, PUBLISH the band table
+    * (stage-then-swap, like d03's candidate pairs), and report per doc
+    * the four band values plus how many OTHER docs share each band (the
+    * candidate-generation fan-out a dedup operator reads before running
+    * the d17 pair verify). The counts probe the just-published artifact
+    * — one narrow scan feeds the report row AND the four tiny band-count
+    * aggregations, broadcast-joined back; a window partitioned by the
+    * band keys would funnel the whole corpus into per-band-value tasks
+    * (the d06 scale-killer shape, same fix).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashBands(spark, dir)
-    // all four band-count families derive from ONE grid (≈ distinct
-    // fingerprints, narrow), so the corpus aggregates in exactly two
-    // branches (the per-doc frame + the grid) sharing the doc_id
-    // exchange — separate per-family groupBys would re-aggregate the
-    // corpus once per family
+    val path = simhashBandsPath(spark, dir)
+    graft.sources.Sinks.stagePublish(simhashBands(spark, dir), path)
+    val sh = spark.read.parquet(path)
     val grid = sh.groupBy(col("band0"), col("band1"), col("band2"), col("band3"))
       .agg(count(lit(1)).as("c"))
     val joined = (0 until 4).foldLeft(sh) { (acc, b) =>
@@ -275,10 +298,13 @@ object Dedup {
     * candidate slice only). `is_near_dup` at the banding guarantee
     * radius (≤3 bits): within that distance a pair ALWAYS shares a
     * band, so the report is exact over the whole corpus, not just
-    * sampled candidates.
+    * sampled candidates. Probes the band ARTIFACT d04 publishes
+    * (build-if-missing) — the corpus is fingerprinted once for the
+    * whole SimHash family, and this stage's own cost is the banded
+    * join + verify only.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashBands(spark, dir)
+    val sh = bandsArtifact(spark, dir)
     val lf = sh.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band", "val")))

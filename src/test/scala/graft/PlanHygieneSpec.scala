@@ -74,25 +74,29 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bucket sizes must broadcast back:\n$p")
   }
 
-  test("simhash: no window, no bit-explode, band counts broadcast back") {
+  test("simhash: windowless build, band counts broadcast back over the published artifact") {
+    // BUILD path: one corpus aggregation — the 64-way bit loop is
+    // static aggregate columns (no explode(0..63) row blowup), no
+    // window anywhere, exactly one doc_id exchange
+    val pb = plan(Dedup.simhashBands(spark, TestSpark.sf))
+    assert(!pb.contains("Window"), s"bands build must not window:\n$pb")
+    assert(!pb.contains("explode(sequence"), s"bit loop must not explode:\n$pb")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(pb).size <= 1,
+      s"bands build must aggregate the corpus once:\n$pb")
+    // REPORT path (d04): probes the artifact the entry just published —
+    // band counts are tiny groupBys broadcast-joined back, never a
+    // window partitioned by the band keys (which would funnel the
+    // corpus into per-band-value tasks)
     val df = Dedup.simhash(spark, TestSpark.sf)
     val p = plan(df)
-    // a window partitioned by the ≤256-value band keys funnels the whole
-    // corpus into ≤256 tasks; band counts must groupBy + broadcast back
+    assert(p.contains("simhash_bands"), s"d04 must read the published artifact:\n$p")
     assert(!p.contains("Window"), s"band counts must not window:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"band counts must broadcast back:\n$p")
-    // the 16-way bit explode is folded into static aggregate columns —
-    // only the token explode may Generate
-    assert(!p.contains("explode(sequence"), s"bit loop must not explode:\n$p")
-    // the simhash subtree appears once per join-back branch in the
-    // LOGICAL plan, but its doc_id Exchange is identical in each — the
-    // runtime plan reuses one shuffle for all three (the corpus is
-    // scanned and exploded once)
-    df.collect()
-    val finalPlan = df.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("StageReuse") ||
-      "Exchange hashpartitioning\\(doc_id".r.findAllIn(finalPlan).size <= 1,
-      s"corpus shuffle not reused across count branches:\n$finalPlan")
+    // PAIR path (d17): same artifact, no recompute of the corpus
+    val pp = plan(Dedup.simhashPairs(spark, TestSpark.sf))
+    assert(pp.contains("simhash_bands"), s"d17 must read the published artifact:\n$pp")
+    assert(!pp.contains("Scan parquet") ||
+      !pp.contains("documents.parquet"), s"d17 must not re-scan the corpus:\n$pp")
   }
 
   test("dashboard filter slice pushes both predicates to the scans and broadcasts the dim") {
