@@ -645,10 +645,13 @@ object Dedup {
     * both aggregations are map-side combinable. No windows, no
     * all-pairs work.
     */
-  def ngramContamination(spark: SparkSession, dir: String): DataFrame = {
-    val benchSources = Seq("src0", "src1")
-    val n = 13
-    val grams = Tables.documents(spark, dir)
+  /** Distinct (doc, is_bench, 13-gram-md5) frame shared by d13 (exact
+    * join decontamination) and d18 (Bloom-sketch decontamination) — one
+    * definition so the two stages provably screen the same grams.
+    */
+  private def contaminationGrams(spark: SparkSession, dir: String,
+                                 benchSources: Seq[String], n: Int): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source").isin(benchSources: _*).as("is_bench"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
       .filter(size(col("t")) >= n)
@@ -656,6 +659,9 @@ object Dedup {
         explode(transform(sequence(lit(0), size(col("t")) - n),
           i => md5(array_join(slice(col("t"), i + 1, lit(n)), " ")))).as("h"))
       .distinct()
+
+  def ngramContamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = contaminationGrams(spark, dir, Seq("src0", "src1"), 13)
     val bench = grams.filter(col("is_bench"))
       .select(col("doc_id").as("bench_doc_id"), col("h"))
     val corpus = grams.filter(!col("is_bench")).select(col("doc_id"), col("h"))
@@ -672,6 +678,50 @@ object Dedup {
         countDistinct(col("bench_doc_id")).as("n_bench_docs"))
       .select(col("doc_id"), col("n_ngrams"), col("n_collisions"), col("n_bench_docs"),
         (col("n_collisions") > 0).as("is_contaminated"))
+  }
+
+  // ─── d18 Bloom-filter decontamination (broadcast sketch) ─────────────
+  /** d13's verbatim-overlap screen re-expressed as the shape a 100 TB
+    * pipeline runs first: the benchmark's 13-grams compress into a
+    * Bloom filter — the distinct SET POSITIONS of m = 2^20 bits under
+    * k = 4 Kirsch–Mitzenmacher probes over the two md5 halves (d03's
+    * hash family, so any engine replays it) — and the corpus probes it
+    * with a broadcast semi-join. What the sketch buys over d13's exact
+    * join: the probe side is BOUNDED (≤ m positions, a few MB, however
+    * large the benchmark suite grows — a real deployment precomputes it
+    * once and probes map-side), and only probe HITS (rare on a clean
+    * corpus) flow into the per-gram hit-count aggregation. The corpus
+    * gram frame still pays its one distinct exchange — that is the
+    * per-doc-distinct semantic d13 and d18 share, not join cost.
+    * One-sided error is the contract: a flagged gram may be a false
+    * positive (≈(1−e^{−kn/m})^k), a clean verdict is exact — so the
+    * flag set is provably a SUPERSET of d13's exact collisions
+    * (DedupSpec pins it) and the sketch drops into the funnel as a
+    * cheap pre-filter: docs it clears skip the exact join entirely,
+    * and only flagged survivors pay d13.
+    */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val mBits = 1L << 20
+    val kProbes = 4
+    val grams = contaminationGrams(spark, dir, Seq("src0", "src1"), 13)
+    val h1 = conv(substring(col("h"), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(col("h"), 17, 14), 16, 10).cast("long")
+    def probes = explode(transform(sequence(lit(0), lit(kProbes - 1)),
+      i => pmod(h1 + i * h2, lit(mBits)))).as("pos")
+    val filterBits = grams.filter(col("is_bench")).select(probes).distinct()
+    val corpus = grams.filter(!col("is_bench")).select(col("doc_id"), col("h"))
+    val flagged = corpus.select(col("doc_id"), col("h"), probes)
+      .join(broadcast(filterBits), Seq("pos"), "left_semi")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === kProbes)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0).as("is_flagged"))
   }
 
   // ─── d14 curation funnel ─────────────────────────────────────────────
@@ -852,6 +902,7 @@ object Dedup {
     "d10_effective_mixture" -> effectiveMixture,
     "d12_dup_clusters" -> dupClusters,
     "d13_ngram_contamination" -> ngramContamination,
+    "d18_bloom_contamination" -> bloomContamination,
     "d14_curation_funnel" -> curationFunnel,
     "d15_quality_dedup" -> qualityDedup,
     "d16_containment_dedup" -> containmentDedup)
@@ -1083,6 +1134,40 @@ object Dedup {
         |       count(DISTINCT CASE WHEN b.bench_doc_id IS NOT NULL THEN c.h END) > 0 AS is_contaminated
         |FROM corpus c LEFT JOIN bench b USING (h)
         |GROUP BY 1""".stripMargin,
+    "d18_bloom_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, source IN ('src0','src1') AS is_bench,
+        |         regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, is_bench,
+        |         md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 12], ' ')) AS h
+        |  FROM (SELECT doc_id, is_bench, t, unnest(range(1, len(t) - 11)) AS i
+        |        FROM w WHERE len(t) >= 13)),
+        |hp AS (
+        |  SELECT doc_id, is_bench, h,
+        |         CAST(('0x' || substr(h, 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(h, 17, 14)) AS BIGINT) AS h2
+        |  FROM grams),
+        |pb AS (
+        |  SELECT doc_id, is_bench, h, (h1 + k * h2) % 1048576 AS pos
+        |  FROM hp CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+        |fb AS (SELECT DISTINCT pos FROM pb WHERE is_bench),
+        |hits AS (
+        |  SELECT p.doc_id, p.h, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM pb p JOIN fb USING (pos)
+        |  WHERE NOT p.is_bench
+        |  GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+        |  FROM hits WHERE n_hit = 4 GROUP BY 1),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+        |  FROM grams WHERE NOT is_bench GROUP BY 1)
+        |SELECT t.doc_id, t.n_ngrams,
+        |       coalesce(f.n_flagged, CAST(0 AS BIGINT)) AS n_flagged,
+        |       coalesce(f.n_flagged, 0) > 0 AS is_flagged
+        |FROM tot t LEFT JOIN flagged f USING (doc_id)""".stripMargin,
     // note: the recursive closure is a NESTED subquery with its own
     // WITH RECURSIVE — hoisting RECURSIVE onto the outer WITH makes
     // DuckDB 1.0 mis-evaluate the unnest()-bearing prefix CTEs

@@ -104,6 +104,31 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${allNear -- reportedNear}; extra: ${reportedNear -- allNear}")
   }
 
+  test("d18 bloom flags are a one-sided superset of d13's exact collisions") {
+    val exact = Dedup.ngramContamination(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_collisions"))).toMap
+    val bloom = Dedup.bloomContamination(spark, TestSpark.sf).collect()
+    assert(bloom.nonEmpty)
+    // same doc universe (every corpus doc long enough for a 13-gram)
+    assert(bloom.map(_.getAs[Long]("doc_id")).toSet == exact.keySet)
+    bloom.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nGrams, nColl) = exact(id)
+      assert(r.getAs[Long]("n_ngrams") == nGrams, s"doc $id gram universe differs")
+      // the Bloom contract: no false negatives — every exact collision
+      // is flagged (its probe positions are in the filter by
+      // construction); false positives are allowed on top
+      assert(r.getAs[Long]("n_flagged") >= nColl,
+        s"doc $id: bloom flagged ${r.getAs[Long]("n_flagged")} < exact $nColl")
+      if (nColl > 0) assert(r.getAs[Boolean]("is_flagged"))
+    }
+    // and the sketch must actually DISCRIMINATE at this filter size —
+    // if everything were flagged the pre-filter would be useless
+    val clean = bloom.count(r => !r.getAs[Boolean]("is_flagged"))
+    assert(clean > 0, "bloom filter saturated: every doc flagged")
+  }
+
   test("d10 mixture reconciles with the d07 removal list") {
     import org.apache.spark.sql.functions._
     val removal = Dedup.dedupPipeline(spark, TestSpark.sf)
