@@ -120,6 +120,53 @@ object TextAnalysis {
       .filter(col("bucket") < col("rate_permille"))
   }
 
+  // ─── t11 mixture resampler (APPLY the source weights d10 reports) ────
+  /** The stage that closes the mixture loop: d10 reports what dedup did
+    * to the per-source mixture; this operator RE-BALANCES it — each
+    * source whose token mass exceeds the median source's is
+    * down-sampled to that cap with a deterministic per-mille hash
+    * gate (t05's discipline: integer bucket from an md5 prefix, so a
+    * re-run, a retried stage, or another engine selects the SAME
+    * docs). Sources at or under the cap keep everything (rate 1000‰).
+    * One summary row per source: raw vs sampled doc/token counts, the
+    * cap, and the applied rate — the table a mixture build logs next
+    * to the d10 report it started from.
+    *
+    * Scale: the corpus collapses to a narrow (doc, source, tokens,
+    * bucket) projection; per-source totals are one map-side-combining
+    * aggregation; the median-of-~sources percentile runs on the tiny
+    * totals frame (NOT a per-group corpus buffer — no approx path
+    * needed); rates broadcast back against the streamed projection.
+    * Rate arithmetic is single IEEE ops on exact integer totals, so
+    * the permille thresholds are bit-identical on any engine.
+    */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"),
+      (conv(substring(md5(concat_ws("_", col("doc_id"), col("source"))), 1, 4), 16, 10)
+        .cast("long") % 1000).as("bucket"))
+    val totals = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+    val cap = totals.agg(expr("percentile(tokens_total, 0.5)").as("target_tokens"))
+    val rates = totals.crossJoin(broadcast(cap))
+      .withColumn("rate_permille",
+        least(lit(1000L),
+          floor(lit(1000.0) * col("target_tokens") / col("tokens_total"))))
+    val sampled = d
+      .join(broadcast(rates.select(col("source"), col("rate_permille"))), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("bucket") < col("rate_permille"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("bucket") < col("rate_permille"), col("n_tokens")).otherwise(0L))
+          .as("tokens_sampled"))
+    rates.join(sampled, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("target_tokens"), col("rate_permille"),
+        col("n_sampled"), col("tokens_sampled"))
+  }
+
   // ─── t06 repetition quality rules (Gopher-style) ─────────────────────
   /** The repetition family of corpus-quality rules: duplicate-word
     * fraction, the character share of the single most frequent word
@@ -395,6 +442,7 @@ object TextAnalysis {
     "t06_repetition_stats" -> repetitionStats,
     "t07_quality_prune" -> qualityPrune,
     "t08_token_budget_sample" -> tokenBudgetSample,
+    "t11_mixture_resample" -> mixtureResample,
     "t09_tfidf_keywords" -> tfidfKeywords,
     "t10_vocab_coverage" -> vocabCoverage,
     "q33_corpus_stats" -> corpusStats)
@@ -519,6 +567,29 @@ object TextAnalysis {
         |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM t GROUP BY 1""".stripMargin,
+    "t11_mixture_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(('0x' || substr(md5(concat_ws('_', doc_id, source)), 1, 4)) AS BIGINT) % 1000 AS bucket
+        |  FROM documents),
+        |tot AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |  FROM d GROUP BY 1),
+        |cap AS (SELECT quantile_cont(tokens_total, 0.5) AS target_tokens FROM tot),
+        |rates AS (
+        |  SELECT t.source, t.n_docs, t.tokens_total, c.target_tokens,
+        |         CAST(least(1000, floor(1000.0 * c.target_tokens / t.tokens_total)) AS BIGINT) AS rate_permille
+        |  FROM tot t CROSS JOIN cap c),
+        |s AS (
+        |  SELECT d.source,
+        |         CAST(sum(CASE WHEN d.bucket < r.rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |         CAST(sum(CASE WHEN d.bucket < r.rate_permille THEN d.n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
+        |  FROM d JOIN rates r USING (source) GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.tokens_total, r.target_tokens,
+        |       r.rate_permille, s.n_sampled, s.tokens_sampled
+        |FROM rates r JOIN s USING (source)""".stripMargin,
     "t05_hash_sample" ->
       """SELECT doc_id, lang, source,
         |       CAST(('0x' || substr(md5(concat_ws('_', doc_id, lang)), 1, 4)) AS BIGINT) % 1000 AS bucket,

@@ -223,6 +223,36 @@ class TextEventsSpec extends AnyFunSuite {
     assert(!out.contains(("click", "2024-03-07")))
   }
 
+  test("t11 resampler: over-cap sources down-sample toward the median, under-cap keep all") {
+    val rows = TextAnalysis.mixtureResample(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val cap = rows.head.getAs[Double]("target_tokens")
+    // the cap IS the median of per-source token masses: half the
+    // sources sit at or under it (rate 1000), the rest down-sample
+    rows.foreach { r =>
+      val (tot, rate) = (r.getAs[Long]("tokens_total"), r.getAs[Long]("rate_permille"))
+      if (tot <= cap) assert(rate == 1000L, s"${r.getAs[String]("source")} under cap must keep all")
+      else {
+        assert(rate < 1000L, s"${r.getAs[String]("source")} over cap must down-sample")
+        assert(rate == math.floor(1000.0 * cap / tot).toLong)
+      }
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_sampled") <= tot)
+      // rate 1000 keeps EVERYTHING (buckets are 0..999 by construction)
+      if (rate == 1000L) {
+        assert(r.getAs[Long]("n_sampled") == r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("tokens_sampled") == tot)
+      }
+    }
+    assert(rows.exists(_.getAs[Long]("rate_permille") == 1000L))
+    assert(rows.exists(_.getAs[Long]("rate_permille") < 1000L),
+      "corpus must have at least one over-cap source for the test to bite")
+    // deterministic: the same docs are selected on a re-run
+    val again = TextAnalysis.mixtureResample(spark, TestSpark.sf).collect()
+    assert(rows.map(_.toSeq).sortBy(_.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("fingerprint dup ranks start at 1 per fingerprint") {
     val fp = TextAnalysis.fingerprintDocs(spark, TestSpark.sf)
     val firsts = fp.groupBy("fingerprint").agg(min("dup_rank").as("m"))
