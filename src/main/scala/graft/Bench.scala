@@ -148,12 +148,17 @@ object Bench {
     }
     val probeTimings: Map[String, Timing] =
       if (skewOnly) Map.empty else toTimings(probeRuns.toSeq)
-    // median-of-ratios: robust to one probe hitting a pathological stall
+    // median-of-ratios: robust to one probe hitting a pathological
+    // stall. TRUE median (even-sized lists average the middle pair) —
+    // the lower-middle shortcut would systematically understate tenancy
+    // with the fixed 4-probe set (ratios 1.0,1.0,2.5,2.6 would read 1.0)
     val calib: Double = {
       val ratios = probeRefs.flatMap { case (n, ref) =>
         probeTimings.get(n).map(_.median).filter(_ > 0).map(_ / ref)
       }.sorted
-      if (ratios.isEmpty) -1.0 else ratios((ratios.size - 1) / 2)
+      if (ratios.isEmpty) -1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     }
 
     // ─── skew A/B: plain vs salted sort-merge join on a hot key ────────
@@ -251,7 +256,10 @@ object Bench {
 
     val load1 = loadAvg()
     val all = results.toSeq ++ skewResults ++ bucketResults ++ ivfCompute
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would render every value as invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(entries: Seq[(String, Double)]): String =
       entries.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -218,8 +218,10 @@ object Pipeline {
     var attempt = 0
     var last: Throwable = null
     while (attempt <= retries) {
+      // NonFatal only: an OOM'd or interrupted JVM must propagate
+      // immediately, never re-execute the stage against corrupted state
       try return body
-      catch { case e: Throwable => last = e; attempt += 1 }
+      catch { case scala.util.control.NonFatal(e) => last = e; attempt += 1 }
     }
     throw new RuntimeException(
       s"stage $stage failed after ${retries + 1} attempts (dag retries=$retries): " +

@@ -247,8 +247,13 @@ object Dedup {
     */
   private def simhashBandsPath(spark: SparkSession, dir: String): String = {
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // "v1": fingerprint FORMAT version — this round already changed the
+    // algorithm once (16→64 bits); without a version component in the
+    // key, the next change would silently serve stale persisted bands
+    // to d17 (the failure mode the IVF index key's v1→v3 bumps exist
+    // to prevent, see Similarity.indexKey)
     s"${spark.conf.get("spark.sql.warehouse.dir")}/simhash_bands/" +
-      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+      s"v1src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
   }
 
   /** Published band table, building the artifact iff missing (a fresh

@@ -150,10 +150,13 @@ object TextAnalysis {
     val totals = d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
     val cap = totals.agg(expr("percentile(tokens_total, 0.5)").as("target_tokens"))
+    // floor of ≥1‰: a source >1000× the cap would otherwise floor to
+    // 0‰ and VANISH from the mixture — the resampler's contract is
+    // "cap the dominant source", never "delete it"
     val rates = totals.crossJoin(broadcast(cap))
       .withColumn("rate_permille",
-        least(lit(1000L),
-          floor(lit(1000.0) * col("target_tokens") / col("tokens_total"))))
+        greatest(lit(1L), least(lit(1000L),
+          floor(lit(1000.0) * col("target_tokens") / col("tokens_total")))))
     val sampled = d
       .join(broadcast(rates.select(col("source"), col("rate_permille"))), Seq("source"))
       .groupBy(col("source"))
@@ -421,8 +424,11 @@ object TextAnalysis {
       .select(col("lang"), col("n_chars"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
           .cast("long").as("n_tokens"))
+    // cast keeps the exact path's DOUBLE schema: approx_percentile on a
+    // LONG column returns LONG (a dataset element), which would silently
+    // flip published schemas when a caller opts into the scale path
     def pct(p: Double) =
-      if (approx) expr(s"approx_percentile(n_tokens, $p, 10000)")
+      if (approx) expr(s"approx_percentile(n_tokens, $p, 10000)").cast("double")
       else expr(s"percentile(n_tokens, $p)")
     d.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
@@ -580,7 +586,7 @@ object TextAnalysis {
         |cap AS (SELECT quantile_cont(tokens_total, 0.5) AS target_tokens FROM tot),
         |rates AS (
         |  SELECT t.source, t.n_docs, t.tokens_total, c.target_tokens,
-        |         CAST(least(1000, floor(1000.0 * c.target_tokens / t.tokens_total)) AS BIGINT) AS rate_permille
+        |         CAST(greatest(1, least(1000, floor(1000.0 * c.target_tokens / t.tokens_total))) AS BIGINT) AS rate_permille
         |  FROM tot t CROSS JOIN cap c),
         |s AS (
         |  SELECT d.source,

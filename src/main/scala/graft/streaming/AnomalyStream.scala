@@ -100,10 +100,28 @@ object AnomalyStream {
       st = push(et, st, d, st.pending(ds), out)
       st = st.copy(pending = st.pending - ds)
     }
+    // trailing outage: even with NOTHING pending, the key's calendar
+    // advances to the watermark frontier (the last fully-passed day)
+    // with zero-filled emissions — a key that goes PERMANENTLY silent
+    // must keep alerting (that is the scenario the feed exists for);
+    // without this, the first outage day would only emit if the key
+    // ever resumed
+    if (st.lastDate.nonEmpty && wm > 0) {
+      val frontier = java.time.Instant.ofEpochMilli(wm)
+        .atZone(ZoneOffset.UTC).toLocalDate.minusDays(1)
+      var g = LocalDate.parse(st.lastDate).plusDays(1)
+      while (!g.isAfter(frontier)) {
+        st = push(et, st, g, 0L, out)
+        g = g.plusDays(1)
+      }
+    }
     state.update(st)
-    // arm a timeout at the earliest unfinalized day's end so the key
-    // flushes on a no-data batch once the watermark passes it
-    val nextEnd = st.pending.keys.map(d => dayEndMs(LocalDate.parse(d)))
+    // arm the next flush: the earliest unfinalized pending day, or the
+    // calendar day after the last finalized one — quiet keys advance on
+    // no-data batches as the global watermark moves
+    val nextEnd = (st.pending.keys.map(d => dayEndMs(LocalDate.parse(d))) ++
+      (if (st.lastDate.nonEmpty)
+        Seq(dayEndMs(LocalDate.parse(st.lastDate).plusDays(1))) else Nil))
       .filter(_ > wm)
     if (nextEnd.nonEmpty) state.setTimeoutTimestamp(nextEnd.min)
     out.result().iterator

@@ -24,13 +24,15 @@ class AnomalyStreamSpec extends AnyFunSuite {
 
   // (event_type, day-of-March, n_events) — gaps are the point:
   // click has a one-day outage (11); buy has a 3-day mid-series gap
-  // and sparse resumes
+  // and sparse resumes; pay goes PERMANENTLY silent after day 10 while
+  // the other keys keep the global watermark advancing
   private val plan: Seq[(String, Int, Int)] =
     (1 to 10).map(d => ("click", d, d % 3 + 1)) ++
       (12 to 16).map(d => ("click", d, 3)) ++
       (1 to 6).map(d => ("buy", d, 2)) ++
       Seq(("buy", 10, 4), ("buy", 12, 4)) ++
-      (13 to 16).map(d => ("buy", d, 1))
+      (13 to 16).map(d => ("buy", d, 1)) ++
+      (1 to 10).map(d => ("pay", d, 2))
 
   private val events: Seq[Event] = plan.flatMap { case (et, d, n) =>
     (1 to n).map(i => Event(d * 1000L + i, ts(d), i.toLong, et, 1.0))
@@ -80,6 +82,21 @@ class AnomalyStreamSpec extends AnyFunSuite {
       r.getAs[java.sql.Date]("activity_date").toString == "2024-03-11")
     assert(outage.isDefined, "outage day 2024-03-11 must be emitted by the stream")
     assert(outage.get.getAs[Long]("n_events") == 0L)
+
+    // a PERMANENTLY silent key keeps alerting: pay stops on 03-10, but
+    // other keys advance the watermark, so its outage days zero-fill
+    // through the watermark frontier — the first outage day flags
+    // (constant-2 history, 0 != mean), and emission does NOT stop at
+    // the key's own last datum
+    val payDays = out.filter(_.getAs[String]("event_type") == "pay")
+      .map(_.getAs[java.sql.Date]("activity_date").toString).sorted
+    assert(payDays.nonEmpty && payDays.last > "2024-03-10",
+      s"silent key stopped emitting at its last datum: $payDays")
+    val payOutage = out.find(r => r.getAs[String]("event_type") == "pay" &&
+      r.getAs[java.sql.Date]("activity_date").toString == "2024-03-11").get
+    assert(payOutage.getAs[Long]("n_events") == 0L &&
+      payOutage.getAs[Boolean]("is_anomaly"),
+      "the first day of a permanent outage must alert")
 
     // coverage is exactly the contiguous finalized range per type: no
     // holes between the first and last emitted day of each type

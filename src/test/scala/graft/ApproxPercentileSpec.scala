@@ -18,7 +18,9 @@ class ApproxPercentileSpec extends AnyFunSuite {
   test("q26 approx: same segments/schema; quantiles ordered and inside [min, max]") {
     val exact = Analytics2.segmentPercentiles(spark, TestSpark.sf)
     val approx = Analytics2.segmentPercentiles(spark, TestSpark.sf, approx = true)
-    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.schema.map(f => (f.name, f.dataType)).toSeq ==
+      exact.schema.map(f => (f.name, f.dataType)).toSeq,
+      "approx path must keep the exact path's schema, types included")
     val rows = approx.collect()
     assert(rows.length == exact.count())
     rows.foreach { r =>
@@ -43,7 +45,9 @@ class ApproxPercentileSpec extends AnyFunSuite {
   test("q44 approx: all customers classified; per-decile counts near-even") {
     val approx = Analytics2.revenueDeciles(spark, TestSpark.sf, approx = true)
     val exact = Analytics2.revenueDeciles(spark, TestSpark.sf)
-    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.schema.map(f => (f.name, f.dataType)).toSeq ==
+      exact.schema.map(f => (f.name, f.dataType)).toSeq,
+      "approx path must keep the exact path's schema, types included")
     val n = approx.agg(sum("n_customers")).collect().head.getLong(0)
     assert(n == exact.agg(sum("n_customers")).collect().head.getLong(0),
       "approx boundaries must still classify every customer exactly once")
@@ -59,7 +63,9 @@ class ApproxPercentileSpec extends AnyFunSuite {
   test("t07 approx: same keep semantics, per-language keep rate near 75%") {
     val approx = TextAnalysis.qualityPrune(spark, TestSpark.sf, approx = true)
     val exact = TextAnalysis.qualityPrune(spark, TestSpark.sf)
-    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.schema.map(f => (f.name, f.dataType)).toSeq ==
+      exact.schema.map(f => (f.name, f.dataType)).toSeq,
+      "approx path must keep the exact path's schema, types included")
     assert(approx.count() == exact.count(), "audit trail must keep one row per doc")
     val rates = approx.groupBy("lang")
       .agg(avg(col("is_kept").cast("double")).as("rate")).collect()
@@ -73,7 +79,9 @@ class ApproxPercentileSpec extends AnyFunSuite {
   test("q33 approx: per-language token quantiles ordered and within corpus range") {
     val approx = TextAnalysis.corpusStats(spark, TestSpark.sf, approx = true)
     val exact = TextAnalysis.corpusStats(spark, TestSpark.sf)
-    assert(approx.columns.toSeq == exact.columns.toSeq)
+    assert(approx.schema.map(f => (f.name, f.dataType)).toSeq ==
+      exact.schema.map(f => (f.name, f.dataType)).toSeq,
+      "approx path must keep the exact path's schema, types included")
     assert(approx.count() == exact.count())
     approx.collect().foreach { r =>
       val Seq(p25, p50, p90) = Seq("p25_tokens", "p50_tokens", "p90_tokens")

@@ -231,10 +231,12 @@ class TextEventsSpec extends AnyFunSuite {
     // sources sit at or under it (rate 1000), the rest down-sample
     rows.foreach { r =>
       val (tot, rate) = (r.getAs[Long]("tokens_total"), r.getAs[Long]("rate_permille"))
+      // the 1-permille floor: capping never DELETES a source
+      assert(rate >= 1L, s"${r.getAs[String]("source")} vanished from the mixture")
       if (tot <= cap) assert(rate == 1000L, s"${r.getAs[String]("source")} under cap must keep all")
       else {
         assert(rate < 1000L, s"${r.getAs[String]("source")} over cap must down-sample")
-        assert(rate == math.floor(1000.0 * cap / tot).toLong)
+        assert(rate == math.max(1L, math.floor(1000.0 * cap / tot).toLong))
       }
       assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
       assert(r.getAs[Long]("tokens_sampled") <= tot)
