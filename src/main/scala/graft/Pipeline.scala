@@ -215,6 +215,9 @@ object Pipeline {
     * thrown exception so the failure log tells the whole story.
     */
   private[graft] def withRetries[A](retries: Int, stage: String)(body: => A): A = {
+    // a negative count would skip the loop entirely and NPE on `last`
+    // below — fail with the real story instead
+    require(retries >= 0, s"stage $stage: retries must be >= 0, got $retries")
     var attempt = 0
     var last: Throwable = null
     while (attempt <= retries) {

@@ -39,15 +39,32 @@ object Sinks {
     * load.py's load_table.
     */
   def stagePublish(df: DataFrame, path: String): Long = {
-    val staging = s"${path}_staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    // unique per-invocation staging dir: two concurrent builders (e.g.
+    // d04 republishing the band table while d17's build-if-missing probe
+    // fires in another session) can no longer write into the SAME
+    // staging path. The final delete-then-rename swap is still not
+    // atomic across writers — artifact families are single-writer by
+    // contract (concurrent rebuilds are idempotent in content, and a
+    // reader between the delete and rename of two racing publishers can
+    // observe the path missing); a failed attempt cleans its own
+    // staging dir instead of leaving it for the next try to overwrite.
+    val staging = s"${path}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     val spark = df.sparkSession
-    val n = spark.read.parquet(staging).count()
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
-    n
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(staging)
+      val n = spark.read.parquet(staging).count()
+      val target = new org.apache.hadoop.fs.Path(path)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.rename(stagingPath, target)
+      n
+    } catch {
+      case e: Throwable =>
+        try fs.delete(stagingPath, true)
+        catch { case w: Throwable => e.addSuppressed(w) }
+        throw e
+    }
   }
 
   /** JDBC staging store — the reference's optional MySQL staging layer

@@ -107,6 +107,12 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.withRetries(0, "once") { once += 1; sys.error("boom") }
     }
     assert(once == 1)
+    // a negative budget is a caller bug: pointed error, body never runs
+    var never = 0
+    val neg = intercept[IllegalArgumentException] {
+      Pipeline.withRetries(-1, "negative") { never += 1; 1 }
+    }
+    assert(never == 0 && neg.getMessage.contains("retries must be >= 0"))
   }
 
   test("cleanup_old_logs prunes aged run logs and stale failure logs, keeps fresh ones") {
