@@ -31,8 +31,12 @@ object Bench {
     * q13 at 5.17s (14× its baseline median) at loadavg 3.35, while the
     * SAME frozen code on a calm box reads 0.46s — without an in-run
     * yardstick the 2× gate cannot tell environment from regression.
-    * The judge should read `value_calibrated` (= total / calib) and
-    * divide any suspect per-query median by `calib` before gating.
+    * Calibration is ADVISORY, not an automatic divisor: gate on the
+    * RAW medians first, and use the probe ratios (per-class detail in
+    * BENCH_FULL.json, see [[queryClass]]) to adjudicate whether a
+    * breach is uniform-tenancy inflation or a genuine regression — a
+    * self-measured reference set must explain numbers, never shrink
+    * them.
     *
     * References recorded on this container at loadavg < 1 (see
     * BASELINE.md "Calibration probes"); re-record them if the official
@@ -43,6 +47,55 @@ object Bench {
     "p_shuffle_agg" -> 1.34,
     "p_join_smj" -> 1.22,
     "p_window_rank" -> 1.19)
+
+  /** Probe class per query — which of the four calibration probes a
+    * query's DOMINANT cost resembles (per-row expression work, a wide
+    * hash-exchange aggregation, a shuffled equi-join, or a per-key
+    * ordered window). The round-5 lesson: one scalar `calib` (the
+    * MEDIAN across the four probe ratios) under-corrects whichever
+    * class tenancy hit hardest — that run's CPU probe read 1.76× while
+    * shuffle/join/window read ~1.0×, so calib=1.014 "corrected" nothing
+    * for the CPU-bound queries that flagged (e03 at 4.6×). BENCH_FULL
+    * now records each query's class and its class-calibrated median
+    * (median ÷ its OWN class's probe ratio) so the per-query gate can
+    * compare like against like. Queries not listed (a new entry added
+    * without a class) fall back to the scalar median ratio.
+    */
+  private[graft] val queryClass: Map[String, String] = {
+    val cpu = Seq("d01_exact_dedup", "d05_embedding_knn", "e03_json_props",
+      "q09_dim_date", "q10_dim_customer", "q15_clean_lineitem",
+      "q19_multi_source_conform", "q24_ivf_ann", "q31_dim_product",
+      "q33_corpus_stats", "t01_lang_id", "t02_quality_score",
+      "t03_token_count", "t04_fingerprint", "x05_ivf_compute")
+    val shuffle = Seq("d04_simhash", "d09_source_overlap",
+      "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
+      "e02_event_tumbling", "q01_monthly_sales_trend", "q02_category_performance",
+      "q03_customer_segmentation", "q05_weekend_weekday", "q06_top_customers",
+      "q07_product_catalog", "q14_mart_category_analysis", "q16_day_month_heatmap",
+      "q18_priority_status_matrix", "q20_pricing_summary", "q21_region_revenue",
+      "q22_validation_gates", "q25_region_rollup", "q27_segment_existence",
+      "q29_price_size_corr", "q36_price_rating_corr", "q37_api_category_list",
+      "q38_amount_histogram", "q39_kpi_tiles", "q40_filtered_summary",
+      "q41_monthly_category_trend", "q42_heavy_hitters", "q43_category_trendline",
+      "q45_ivf_cell_stats", "t05_hash_sample", "t06_repetition_stats",
+      "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
+      "t11_mixture_resample")
+    val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
+      "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
+      "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",
+      "d17_simhash_pairs", "e04_funnel", "e05_cohort_retention",
+      "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
+      "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
+      "q32_ivf_search", "q34_api_catalog_ratings", "q35_ivf_recall",
+      "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
+      "x04_bucketed_smj")
+    val window = Seq("d15_quality_dedup", "e01_sessionize",
+      "e06_rolling_active_users", "e07_event_anomalies", "q08_quarterly_yoy",
+      "q17_revenue_rank_window", "q26_segment_percentiles", "q28_moving_window",
+      "q44_revenue_deciles", "q46_customer_growth", "t09_tfidf_keywords")
+    (cpu.map(_ -> "p_cpu_sha") ++ shuffle.map(_ -> "p_shuffle_agg") ++
+      join.map(_ -> "p_join_smj") ++ window.map(_ -> "p_window_rank")).toMap
+  }
 
   private def probeBody(spark: SparkSession, name: String): Unit = name match {
     case "p_cpu_sha" =>
@@ -283,11 +336,32 @@ object Bench {
       val m = probeTimings.get(n).map(_.median).getOrElse(-1.0)
       s"\"$n\":{\"median\":${fmt(m)},\"ref\":$ref,\"ratio\":${fmt(if (m > 0) m / ref else -1.0)}}"
     }.mkString("{", ",", "}")
+    // per-class tenancy ratios + class-calibrated per-query medians:
+    // each query divides by the ratio of the probe CLASS it resembles
+    // (falling back to the scalar median for unclassified names), so the
+    // gate compares CPU-bound queries against the CPU probe's inflation
+    // instead of a cross-class median that a lopsided tenancy profile
+    // renders meaningless
+    val ratioByProbe: Map[String, Double] = probeRefs.map { case (n, ref) =>
+      n -> probeTimings.get(n).map(_.median).filter(_ > 0).map(_ / ref).getOrElse(-1.0)
+    }.toMap
+    val classLabel = Map("p_cpu_sha" -> "cpu", "p_shuffle_agg" -> "shuffle",
+      "p_join_smj" -> "join", "p_window_rank" -> "window")
+    val calibByClass = probeRefs.map { case (n, _) =>
+      s"\"${classLabel(n)}\":${fmt(ratioByProbe(n))}"
+    }.mkString("{", ",", "}")
+    val queryClassJson = all.map { case (k, _) =>
+      s"\"$k\":\"${queryClass.get(k).map(classLabel).getOrElse("unclassified")}\""
+    }.toSeq.sorted.mkString("{", ",", "}")
+    val classCalibrated = jmap(all.map { case (k, t) =>
+      val r = queryClass.get(k).map(ratioByProbe).filter(_ > 0).getOrElse(calib)
+      k -> (if (t.median >= 0 && r > 0) t.median / r else -1.0)
+    })
     val fullJson =
-      s"""{"metric":"total","value":$total,"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"query_max":${jmap(all.map { case (k, t) => k -> t.max })},"calibration":$calDetail,"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"queries_class_calibrated":$classCalibrated,"query_class":$queryClassJson,"query_max":${jmap(all.map { case (k, t) => k -> t.max })},"calibration":$calDetail,"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"sf":"$sfDir"}"""
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"file":"$fullPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"file":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -6,23 +6,66 @@ import org.apache.spark.sql.SparkSession
   *
   * Mirrors the role of the reference's `config/settings.py`
   * (/root/reference/config/settings.py) — one place where engine
-  * configuration lives — but tuned for Spark execution: AQE on (runtime
-  * re-planning, skew-join handling, partition coalescing), shuffle
-  * partition count sized for the local harness (a real cluster would set
-  * this to ~2-3x total cores), UTC session timezone for oracle parity.
+  * configuration lives, driven by the ENVIRONMENT with code defaults
+  * (settings.py reads every tunable and endpoint from env/.env) — but
+  * tuned for Spark execution: AQE on (runtime re-planning, skew-join
+  * handling, partition coalescing), shuffle partition count sized for
+  * the local harness (a real cluster would set this to ~2-3x total
+  * cores), UTC session timezone for oracle parity.
+  *
+  * Env surface (all optional; unset = the code default, so the test
+  * harness and driver behave exactly as before):
+  *
+  *  - `GRAFT_MASTER` — Spark master URL (default: caller's `master`
+  *    arg, normally `local[*]`; a cluster deployment sets e.g.
+  *    `yarn` or `spark://host:port`)
+  *  - `GRAFT_SHUFFLE_PARTITIONS` — positive int (default 32 locally;
+  *    a 1000-executor cluster wants ~2-3x its total cores)
+  *  - `GRAFT_BROADCAST_THRESHOLD` — spark.sql.autoBroadcastJoinThreshold
+  *    (bytes, or -1 to disable; default: Spark's 10 MB)
+  *  - `GRAFT_WAREHOUSE_DIR` — spark.sql.warehouse.dir, where the
+  *    artifact families (LSH candidates, verified pairs, SimHash
+  *    bands, IVF index) publish (default: Spark's ./spark-warehouse)
   */
 object GraftSession {
-  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession
-      .builder()
-      .master(master)
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+
+  /** Resolve (master, config map) from the environment with code
+    * defaults — pure, so the precedence rules are unit-testable
+    * without building a session. Env wins over the caller's defaults
+    * (the settings.py contract: deployment configures the engine
+    * without a rebuild).
+    */
+  private[graft] def resolvedConfig(
+      master: String, shufflePartitions: Int,
+      env: Map[String, String]): (String, Map[String, String]) = {
+    val sp = env.get("GRAFT_SHUFFLE_PARTITIONS") match {
+      case None => shufflePartitions.toString
+      case Some(v) =>
+        require(v.matches("[0-9]+") && v.toInt > 0,
+          s"GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'")
+        v
+    }
+    val base = Map(
+      "spark.sql.shuffle.partitions" -> sp,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.ui.enabled" -> "false")
+    val optional = Seq(
+      "GRAFT_BROADCAST_THRESHOLD" -> "spark.sql.autoBroadcastJoinThreshold",
+      "GRAFT_WAREHOUSE_DIR" -> "spark.sql.warehouse.dir")
+      .flatMap { case (envKey, conf) => env.get(envKey).map(conf -> _) }
+    (env.getOrElse("GRAFT_MASTER", master), base ++ optional)
+  }
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32,
+              env: Map[String, String] = sys.env): SparkSession.Builder = {
+    val (m, conf) = resolvedConfig(master, shufflePartitions, env)
+    conf.foldLeft(SparkSession.builder().master(m).appName("graft")) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+  }
 
   def apply(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()

@@ -579,6 +579,7 @@ object Dedup {
     * caller's clearCache / JVM exit — Bench clears between queries).
     */
   def connectedComponents(edgesOneWay: DataFrame, maxHops: Int = 25): DataFrame = {
+    val spark = edgesOneWay.sparkSession
     val edges = edgesOneWay.toDF("a", "b")
       .union(edgesOneWay.toDF("b", "a").select(col("a"), col("b")))
       .localCheckpoint()
@@ -588,19 +589,35 @@ object Dedup {
     var converged = false
     var hops = 0
     while (!converged && hops < maxHops) {
+      // Convergence detection rides INSIDE the hop's one materialization
+      // job: the previous label joins the min-aggregate as a tagged
+      // union branch (every v keeps exactly one prev row — max() just
+      // un-tags it), and an accumulator counts rows whose label
+      // strictly dropped as the eager localCheckpoint streams them.
+      // The round-5 shape ran a separate labels-join + limit(1).count()
+      // per hop — ~2 serialized driver round-trips per hop was the
+      // reason d12 degraded worst under contention. A task retry can
+      // only OVER-count the accumulator (never under): the worst case
+      // is one redundant extra hop, never a premature exit.
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_hop_$hops")
+      val markChanged = udf { changed: Boolean =>
+        if (changed) changedAcc.add(1L)
+        changed
+      }.asNondeterministic()
       val viaPtr = labels
         .join(labels.select(col("v").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
         .select(col("v"), col("lbl2").as("lbl"))
-      val next = labels
+      val nullPrev = lit(null).cast("long")
+      val next = labels.select(col("v"), col("lbl"), col("lbl").as("prev"))
         .union(edges.join(labels.withColumnRenamed("v", "a"), Seq("a"))
-          .select(col("b").as("v"), col("lbl")))
-        .union(viaPtr)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .select(col("b").as("v"), col("lbl"), nullPrev))
+        .union(viaPtr.select(col("v"), col("lbl"), nullPrev))
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
+        .select(col("v"), col("lbl"),
+          markChanged(col("lbl") < col("prev")).as("changed"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "prev"), Seq("v"))
-        .filter(col("lbl") =!= col("prev")).limit(1).count() == 0
-      labels = next
+      converged = changedAcc.value == 0L
+      labels = next.select(col("v"), col("lbl"))
       hops += 1
     }
     require(converged, s"label propagation did not converge in $hops hops")

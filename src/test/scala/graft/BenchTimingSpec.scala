@@ -28,4 +28,18 @@ class BenchTimingSpec extends AnyFunSuite {
     assert(t.median == 0.4)
     assert(t.errors == Seq("SparkException: flaky"))
   }
+
+  test("every bench entry has a calibration probe class") {
+    // the class-aware gate only works if no query silently falls back
+    // to the scalar median — a new queries() entry must be classified
+    val benchNames = SparkEntry.queries.keySet ++
+      Seq("x01_skew_plain_join", "x02_skew_salted_join",
+        "x03_shuffle_smj", "x04_bucketed_smj", "x05_ivf_compute")
+    val unclassified = benchNames -- Bench.queryClass.keySet
+    assert(unclassified.isEmpty, s"unclassified bench entries: $unclassified")
+    val stale = Bench.queryClass.keySet -- benchNames
+    assert(stale.isEmpty, s"stale queryClass entries: $stale")
+    val probes = Bench.probeRefs.map(_._1).toSet
+    assert(Bench.queryClass.values.toSet.subsetOf(probes))
+  }
 }
