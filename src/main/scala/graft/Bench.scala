@@ -65,10 +65,12 @@ object Bench {
     val cpu = Seq("d01_exact_dedup", "d05_embedding_knn", "e03_json_props",
       "q09_dim_date", "q10_dim_customer", "q15_clean_lineitem",
       "q19_multi_source_conform", "q24_ivf_ann", "q31_dim_product",
+      "q48_ivf_adaptive",
       "q33_corpus_stats", "t01_lang_id", "t02_quality_score",
       "t03_token_count", "t04_fingerprint", "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
+      "d20_simhash_dedup",
       "e02_event_tumbling", "q01_monthly_sales_trend", "q02_category_performance",
       "q03_customer_segmentation", "q05_weekend_weekday", "q06_top_customers",
       "q07_product_catalog", "q14_mart_category_analysis", "q16_day_month_heatmap",
@@ -83,10 +85,11 @@ object Bench {
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
       "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",
-      "d17_simhash_pairs", "e04_funnel", "e05_cohort_retention",
+      "d17_simhash_pairs", "d19_shard_dedup", "e04_funnel", "e05_cohort_retention",
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
       "q32_ivf_search", "q34_api_catalog_ratings", "q35_ivf_recall",
+      "q47_incremental_fact",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize",

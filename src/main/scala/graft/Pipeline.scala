@@ -206,6 +206,33 @@ object Pipeline {
     stats
   }
 
+  /** Incremental (daily-DAG) fact run — the reference's actual
+    * operating schedule (dags/retail_etl_dag.py: `schedule_interval`
+    * daily; load.py:195 WRITE_APPEND): each invocation loads ONE date
+    * slice of the fact into the standing warehouse via dynamic
+    * partition overwrite (Facts.loadFactIncrement), so a scheduler
+    * retry or backfill of the same slice is idempotent instead of
+    * double-counting. Runs the same health/validation gates as a full
+    * build; each slice becomes one LoadStat whose row count is the
+    * slice's rows as READ BACK from the published partitions (the
+    * validate_load discipline applied per increment).
+    */
+  def incrementalFactRun(spark: SparkSession, sfDir: String, outDir: String,
+                         slices: Seq[(Long, Long)],
+                         validateFirst: Boolean = true): Seq[LoadStat] = {
+    healthCheck(spark, sfDir, outDir, FullRun)
+    if (validateFirst)
+      require(preGatePass(spark, sfDir, FullRun),
+        "validation gates failed — aborting load (dag: validate_extract)")
+    slices.map { case (fromKey, toKey) =>
+      val t0 = System.nanoTime()
+      val rows = Facts.loadFactIncrement(
+        spark, sfDir, s"$outDir/fact_sales", fromKey, toKey)
+      LoadStat(s"fact_sales[$fromKey..$toKey]", rows,
+        (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   /** Bounded stage retry — the reference DAG's `retries=2` default_args
     * (dags/retail_etl_dag.py) and the extract path's retried API calls
     * (extract.py:75-80): re-attempt a failed STAGE up to `retries`

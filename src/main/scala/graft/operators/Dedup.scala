@@ -149,25 +149,30 @@ object Dedup {
     * d07 share one shingle computation between the signature build and
     * the exact-Jaccard verification.
     */
-  private def minhashLshFrom(sh: DataFrame): DataFrame = {
-    // 18 min-wise signatures as STATIC aggregate columns over ONE pass —
-    // no k-explosion (one row per doc through the shuffle, not
-    // (doc, shingle, k)) and ONE md5 per shingle: the hash family is
-    // Kirsch–Mitzenmacher double hashing h_k = h1 + k·h2 over the two
-    // md5 halves (h1 = 60 bits, h2 = 56 bits, so h1 + 17·h2 < 2^62 —
-    // no signed-long overflow). The round-2 family hashed md5(k|shingle)
-    // per (k, shingle) and the 12 digests were ~2.8s of d03's 3.1s at
-    // sf0.1; arithmetic signatures are nearly free, which is why this
-    // uses MORE of them banded NARROWER (6 bands × 3 rows): recall at
-    // J=0.8 rises from ~80% (3×4) to ~99.9%, the property DedupSpec's
-    // LSH-recall test pins.
+  /** Per-doc LSH band table (doc_id, band_j, band_hash) from a
+    * (doc_id, shingle) frame — 18 min-wise signatures as STATIC
+    * aggregate columns over ONE pass (no k-explosion: one row per doc
+    * through the shuffle, not (doc, shingle, k)) and ONE md5 per
+    * shingle: the hash family is Kirsch–Mitzenmacher double hashing
+    * h_k = h1 + k·h2 over the two md5 halves (h1 = 60 bits, h2 = 56
+    * bits, so h1 + 17·h2 < 2^62 — no signed-long overflow). The
+    * round-2 family hashed md5(k|shingle) per (k, shingle) and the 12
+    * digests were ~2.8s of d03's 3.1s at sf0.1; arithmetic signatures
+    * are nearly free, which is why this uses MORE of them banded
+    * NARROWER (6 bands × 3 rows): recall at J=0.8 rises from ~80%
+    * (3×4) to ~99.9%, the property DedupSpec's LSH-recall test pins.
+    * Exposed as its own stage because the band table is ALSO the
+    * standing index a new shard probes (d19) — per-doc rows, so a
+    * subset corpus yields exactly the matching subset of bands.
+    */
+  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame = {
     val m = md5(col("shingle"))
     val h1 = conv(substring(m, 1, 15), 16, 10).cast("long")
     val h2 = conv(substring(m, 17, 14), 16, 10).cast("long")
     val ks = 0 until 18
     val sigCols = ks.map(k => min(h1 + lit(k.toLong) * h2).as(s"sig_$k"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until 6).map(j => struct(
         lit(j.toLong).as("band_j"),
         md5(concat_ws("",
@@ -176,6 +181,10 @@ object Dedup {
           .as("band_hash"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_j").as("band_j"), col("b.band_hash").as("band_hash"))
+  }
+
+  private def minhashLshFrom(sh: DataFrame): DataFrame = {
+    val bands = minhashBandsOf(sh)
     bands.as("a").join(bands.as("b"),
         col("a.band_j") === col("b.band_j") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -308,8 +317,7 @@ object Dedup {
     * whole SimHash family, and this stage's own cost is the banded
     * join + verify only.
     */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = bandsArtifact(spark, dir)
+  private def simhashPairsFrom(sh: DataFrame): DataFrame = {
     val lf = sh.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band", "val")))
@@ -332,6 +340,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         ham.as("hamming_dist"), (ham <= 3).as("is_near_dup"))
   }
+
+  /** Warehouse path of the published PAIR report — the SimHash family's
+    * second artifact tier (bands answer "fingerprint me", pairs answer
+    * "who is near whom"), mirroring the MinHash family's candidate →
+    * verified-pair ladder so downstream consumers (d20 survivorship)
+    * read the verified result instead of re-running the banded join.
+    */
+  private def simhashPairsPath(spark: SparkSession, dir: String): String = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/simhash_pairs/" +
+      s"v1src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+  }
+
+  /** d17 entry: band-blocked, hamming-verified pair report — AND its
+    * publisher (the d03/d07 build-once contract applied to the SimHash
+    * route): d17 carries the banded-join + verify cost and publishes
+    * the result; d20 reads the artifact.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = simhashPairsPath(spark, dir)
+    graft.sources.Sinks.stagePublish(
+      simhashPairsFrom(bandsArtifact(spark, dir)), path)
+    spark.read.parquet(path)
+  }
+
+  /** Published pair report, building iff missing (a fresh session
+    * running d20 standalone).
+    */
+  private def simhashPairsArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(simhashPairsPath(spark, dir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) simhashPairs(spark, dir)
+    else spark.read.parquet(simhashPairsPath(spark, dir))
+  }
+
+  // ─── d20 SimHash-route dedup survivorship ────────────────────────────
+  /** The d07 survivorship rollup over the SIMHASH near-dup route: for
+    * every doc that is the larger side of a hamming-verified near-dup
+    * pair (≤ 3 bits — the banding guarantee radius, so the pair set is
+    * exact over the corpus), the keep-min removal row with its
+    * strongest (minimum-hamming) match. SimHash catches a different
+    * near-dup slice than MinHash/Jaccard (bit-level similarity of the
+    * weighted token profile vs set overlap of 3-gram shingles) — a
+    * production pipeline runs both routes and unions the removal
+    * lists. Pure aggregation over the d17 PAIR ARTIFACT
+    * (build-if-missing): the fingerprint/band/verify cost was paid
+    * once by d04/d17; this stage is one map-side-combinable groupBy.
+    */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsArtifact(spark, dir)
+      .filter(col("is_near_dup"))
+      .groupBy(col("doc_b").as("removed_doc_id"))
+      .agg(
+        min(col("doc_a")).as("kept_partner"),
+        count(lit(1)).as("n_dup_pairs"),
+        min(col("hamming_dist")).as("min_hamming_dist"))
 
   // ─── d07 end-to-end dedup pipeline: LSH → verify → removal list ──────
   /** The production near-dup flow composed from the building blocks:
@@ -361,11 +425,18 @@ object Dedup {
     * intermediate the caller must unpersist after materializing.
     */
   private def verifyPairs(spark: SparkSession, dir: String, cand: DataFrame,
-                          minJaccard: Double): (DataFrame, DataFrame) = {
+                          minJaccard: Double): (DataFrame, DataFrame) =
+    verifyPairsOf(Tables.documents(spark, dir), cand, minJaccard)
+
+  /** Documents-frame version of the exact verification — the d19 shard
+    * probe verifies against corpus ∪ shard, not a source dir.
+    */
+  private def verifyPairsOf(docs: DataFrame, cand: DataFrame,
+                            minJaccard: Double): (DataFrame, DataFrame) = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shSets = wordShinglesOf(
-        Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
+        docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
         dedup = false)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh_set"))
@@ -433,6 +504,107 @@ object Dedup {
         min(col("doc_a")).as("kept_partner"),
         count(lit(1)).as("n_dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
+  }
+
+  // ─── d19 incremental shard dedup (probe the standing index) ──────────
+  /** Incremental dedup of a NEW document shard against a standing
+    * corpus WITHOUT recomputing the corpus side — the production
+    * curation flow (each crawl shard dedups against the published
+    * index, not against a full-corpus rebuild): the shard's MinHash
+    * band rows probe the corpus's published per-doc BAND TABLE by
+    * band-bucket equi-join (plus a shard-internal self-join), and the
+    * exact Jaccard verification runs only on the candidate slice. The
+    * report uses d07's keep-min survivorship, which keeps incremental
+    * EXACTLY equal to a full rebuild: a full rebuild's candidate pairs
+    * restricted to shard-involving pairs are precisely the probe's
+    * pairs (band rows are per-doc and deterministic), so
+    * standing-corpus removals ∪ this report's removals == the
+    * full-rebuild removal set — DedupSpec pins the equality on a split
+    * corpus. (Keep-min also means a shard doc can RETRO-REMOVE a
+    * larger-id corpus doc; `is_shard_doc` separates the two cases —
+    * the corpus-wins policy of some deployments is this report with
+    * the retro rows filtered out.)
+    *
+    * Scale: the corpus side is READ, never recomputed — the whole
+    * point. Shard bands are computed over the (small) shard only; the
+    * probe is a band-bucket equi-join of shard bands against the index
+    * (shard-sized output, never all-pairs); verification touches
+    * candidate docs only.
+    */
+  def shardProbe(corpusDocs: DataFrame, shardDocs: DataFrame,
+                 corpusBands: DataFrame): DataFrame = {
+    val shardBands = minhashBandsOf(wordShinglesOf(shardDocs, dedup = false))
+    // shard bands vs (corpus ∪ shard) bands: shard×corpus pairs appear
+    // once, shard×shard twice (both orientations) — least/greatest +
+    // distinct normalizes to the same unordered pair set a full
+    // rebuild's a.doc_id < b.doc_id join produces on shard-involving
+    // pairs
+    val all = corpusBands.union(shardBands)
+    val cand = shardBands.as("a").join(all.as("b"),
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val (verified, shSets) = verifyPairsOf(
+      corpusDocs.unionByName(shardDocs), cand, minJaccard = 0.5)
+    val report = verified.groupBy(col("doc_b").as("removed_doc_id"))
+      .agg(
+        min(col("doc_a")).as("kept_partner"),
+        count(lit(1)).as("n_dup_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .withColumn("is_shard_doc", pmod(col("removed_doc_id"), lit(5L)) === 4)
+    // the verify stage persists its per-doc shingle arrays (they feed
+    // both join sides); the report is tiny, so materialize it eagerly
+    // and release the intermediate before returning — the
+    // buildVerified discipline, without an artifact write
+    val out = report.localCheckpoint()
+    shSets.unpersist(false)
+    out
+  }
+
+  /** Removal-id set (distinct doc_b of keep-min-verified pairs) over an
+    * arbitrary documents frame — the full-rebuild reference DedupSpec
+    * compares the incremental shard path against.
+    */
+  private[graft] def removalSetOf(docs: DataFrame): DataFrame = {
+    val (verified, shSets) = verifyPairsOf(docs,
+      minhashLshFrom(wordShinglesOf(docs, dedup = false)), minJaccard = 0.5)
+    val out = verified.select(col("doc_b")).distinct().localCheckpoint()
+    shSets.unpersist(false)
+    out
+  }
+
+  /** Standing-index path for the d19 demo split: the band table of the
+    * held-out corpus (doc_id % 5 ≠ 4), fingerprint-keyed to the source
+    * like every artifact. "holdout5" marks the split spec — a real
+    * deployment keys this by corpus snapshot.
+    */
+  private def corpusBandsPath(spark: SparkSession, dir: String): String = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/lsh_bands/" +
+      s"holdout5src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+  }
+
+  /** d19 entry: split the documents table into a standing corpus
+    * (doc_id % 5 ≠ 4) and an arriving shard (doc_id % 5 = 4), publish
+    * the corpus band table iff missing (the standing index a previous
+    * run would have left), probe the shard against it, and return the
+    * shard-involving removal report.
+    */
+  def shardDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isShard = pmod(col("doc_id"), lit(5L)) === 4
+    val corpus = docs.filter(!isShard)
+    val shard = docs.filter(isShard)
+    val path = corpusBandsPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      graft.sources.Sinks.stagePublish(
+        minhashBandsOf(wordShinglesOf(corpus, dedup = false)), path)
+    shardProbe(corpus, shard, spark.read.parquet(path))
   }
 
   // ─── d08 benchmark decontamination report ────────────────────────────
@@ -927,7 +1099,9 @@ object Dedup {
     "d03_minhash_lsh" -> minhashLsh,
     "d04_simhash" -> simhash,
     "d17_simhash_pairs" -> simhashPairs,
+    "d20_simhash_dedup" -> simhashDedup,
     "d07_dedup_pipeline" -> dedupPipeline,
+    "d19_shard_dedup" -> shardDedup,
     "d08_contamination" -> contamination,
     "d09_source_overlap" -> sourceOverlap,
     "d10_effective_mixture" -> effectiveMixture,
@@ -1508,6 +1682,60 @@ object Dedup {
         |       count(*) AS n_dup_pairs,
         |       max(jaccard) AS max_jaccard
         |FROM verified GROUP BY 1""".stripMargin,
+    "d19_shard_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 5 = 4),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+        |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+        |  FROM cand
+        |  JOIN csh a ON cand.doc_a = a.doc_id
+        |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |         CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |           / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) AS jaccard
+        |  FROM cand
+        |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+        |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+        |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5)
+        |SELECT doc_b AS removed_doc_id,
+        |       min(doc_a) AS kept_partner,
+        |       count(*) AS n_dup_pairs,
+        |       max(jaccard) AS max_jaccard,
+        |       (doc_b % 5 = 4) AS is_shard_doc
+        |FROM verified GROUP BY doc_b""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS fingerprint,
         |       min(doc_id) AS keep_doc_id,
@@ -1573,6 +1801,26 @@ object Dedup {
         |       count(*) OVER (PARTITION BY band2) - 1 AS n_same_b2,
         |       count(*) OVER (PARTITION BY band3) - 1 AS n_same_b3
         |FROM sh""".stripMargin),
+    "d20_simhash_dedup" ->
+      (simhash64OracleCte +
+      """,
+        |lf AS (
+        |  SELECT doc_id, b.band, b.val
+        |  FROM sh, LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) b(band, val)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM lf a JOIN lf b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+        |            + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) AS BIGINT) AS hamming_dist
+        |  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+        |SELECT doc_b AS removed_doc_id,
+        |       min(doc_a) AS kept_partner,
+        |       count(*) AS n_dup_pairs,
+        |       min(hamming_dist) AS min_hamming_dist
+        |FROM pairs WHERE hamming_dist <= 3 GROUP BY doc_b""".stripMargin),
     "d17_simhash_pairs" ->
       (simhash64OracleCte +
       """,

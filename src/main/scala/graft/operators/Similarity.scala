@@ -231,6 +231,33 @@ object Similarity {
     */
   val defaultCells = 16
 
+  /** √n-adaptive codebook size: k = ⌊√n⌋ clamped to [1, 256] — the
+    * balance point where per-query work (k centroid scorings + n/k
+    * cell members) is minimized for nprobe=1. Derivable from the
+    * corpus count alone, so any engine replays the choice (the q48
+    * oracle computes the same k in SQL); the clamp bounds broadcast
+    * codebook size. k=16 stays the deterministic default — adaptive
+    * sizing is the production path for corpora whose n the operator
+    * doesn't hand-tune.
+    */
+  def adaptiveCells(n: Long): Int =
+    math.max(1, math.min(256, math.floor(math.sqrt(n.toDouble)).toInt))
+
+  /** Adaptive-k twins of [[ivfAssign]]/[[ivfBuild]]: one bounded count
+    * picks k, then the standard parameterized build runs. The search
+    * stages need no changes — they read k from the published artifacts
+    * (the reason k was never baked into the index key).
+    */
+  def ivfAssignAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusEmb(spark, dir)
+    assignmentFrom(ivfModel(e, adaptiveCells(e.count()))._2)
+  }
+
+  def ivfBuildAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusEmb(spark, dir)
+    ivfBuild(spark, dir, adaptiveCells(e.count()))
+  }
+
   /** Deterministic hash-spread seeding: one seed per mod-k bucket of
     * vec_id — the bucket member with the smallest (md5(vec_id), vec_id)
     * pair. Unlike the round-4 `vec_id < 16` form, the seeds draw from
@@ -511,7 +538,8 @@ object Similarity {
     "q24_ivf_ann" -> ivfBuild,
     "q32_ivf_search" -> ivfSearch,
     "q35_ivf_recall" -> ivfSearchRecall,
-    "q45_ivf_cell_stats" -> ivfCellStats)
+    "q45_ivf_cell_stats" -> ivfCellStats,
+    "q48_ivf_adaptive" -> ivfAssignAdaptive)
 
   val oracle: Map[String, String] = Map(
     "q45_ivf_cell_stats" ->
@@ -553,6 +581,35 @@ object Similarity {
         |       CAST(cell_size * n_cells AS DOUBLE) / n_vecs AS skew_vs_even,
         |       CAST(cell_size AS DOUBLE) / n_vecs > 2.0 / n_cells AS is_hot
         |FROM cells CROSS JOIN tot CROSS JOIN nc""".stripMargin,
+    "q48_ivf_adaptive" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |kv AS (SELECT greatest(1, least(256, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k FROM e),
+        |c0 AS (
+        |  SELECT vec_id % kv.k AS centroid_id, emb AS c_emb FROM e CROSS JOIN kv
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % kv.k
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_to_centroid
+        |  FROM e CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, centroid_id) = 1),
+        |sizes AS (SELECT centroid_id, count(*) AS cell_size FROM fin GROUP BY 1)
+        |SELECT vec_id, fin.centroid_id, cos_to_centroid, cell_size
+        |FROM fin JOIN sizes ON fin.centroid_id = sizes.centroid_id""".stripMargin,
     "q24_ivf_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c0 AS (

@@ -336,4 +336,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (0L to 59L).map(_ -> 0L).toMap)
     spark.catalog.clearCache()
   }
+
+  test("d20 survivorship reconciles with the d17 pair artifact") {
+    val pairs = Dedup.simhashPairs(spark, TestSpark.sf)
+      .filter(col("is_near_dup")).collect()
+    val roll = Dedup.simhashDedup(spark, TestSpark.sf).collect()
+    assert(roll.nonEmpty)
+    val byB = pairs.groupBy(_.getAs[Long]("doc_b"))
+    assert(roll.map(_.getAs[Long]("removed_doc_id")).toSet == byB.keySet)
+    roll.foreach { r =>
+      val grp = byB(r.getAs[Long]("removed_doc_id"))
+      assert(r.getAs[Long]("n_dup_pairs") == grp.size)
+      assert(r.getAs[Long]("kept_partner") == grp.map(_.getAs[Long]("doc_a")).min)
+      assert(r.getAs[Long]("min_hamming_dist") ==
+        grp.map(_.getAs[Long]("hamming_dist")).min)
+    }
+  }
+
+  test("d19 shard-incremental keep-set == full-rebuild keep-set on a split corpus") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val isShard = pmod(col("doc_id"), lit(5L)) === 4
+    // full rebuild over everything vs standing-index removals over the
+    // held-out corpus plus the shard probe's incremental removals
+    val full = Dedup.removalSetOf(docs)
+      .collect().map(_.getLong(0)).toSet
+    val standing = Dedup.removalSetOf(docs.filter(!isShard))
+      .collect().map(_.getLong(0)).toSet
+    val probe = Dedup.shardDedup(spark, TestSpark.sf).collect()
+    val incRemoved = probe.map(_.getAs[Long]("removed_doc_id")).toSet
+    assert(standing.subsetOf(full),
+      "standing-corpus removals must be a subset of the full rebuild's")
+    assert((standing ++ incRemoved) == full,
+      s"incremental != rebuild: extra=${(standing ++ incRemoved) -- full} " +
+        s"missing=${full -- (standing ++ incRemoved)}")
+    // both directions of keep-min must occur in a near-dup-dense corpus:
+    // shard docs removed against the corpus AND retro-removed corpus docs
+    assert(probe.exists(_.getAs[Boolean]("is_shard_doc")))
+    assert(probe.exists(!_.getAs[Boolean]("is_shard_doc")))
+    // every report row names a real partner with a verified-strength match
+    probe.foreach { r =>
+      assert(r.getAs[Long]("kept_partner") < r.getAs[Long]("removed_doc_id"))
+      assert(r.getAs[Double]("max_jaccard") >= 0.5)
+    }
+    spark.catalog.clearCache()
+  }
 }

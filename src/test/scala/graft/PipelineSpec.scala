@@ -43,6 +43,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(removals.count() > 0 && clusters.count() > 0)
   }
 
+  test("incremental fact run == full rebuild, and re-running a slice is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_wh_inc").toString
+    // three calendar slices cover the whole span (synthetic orders run
+    // 1995-2001), plus an empty leading slice — a day with no orders is
+    // legal daily input and must load as 0 rows, not fail
+    val slices = Seq((19900101L, 19941231L), (0L, 19971231L),
+      (19980101L, 19991231L), (20000101L, 99999999L))
+    val stats = Pipeline.incrementalFactRun(spark, TestSpark.sf, out, slices)
+    assert(stats.size == 4)
+    assert(stats.head.rows == 0 && stats.tail.forall(_.rows > 0))
+    val full = graft.operators.Facts.factSales(spark, TestSpark.sf)
+    val inc = spark.read.parquet(s"$out/fact_sales").drop("month_key")
+    assert(inc.count() == full.count())
+    // exact set equality, both directions
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0)
+    // scheduler retry: re-running the MIDDLE slice rewrites only its
+    // partitions — row count unchanged, content unchanged
+    Pipeline.incrementalFactRun(spark, TestSpark.sf, out,
+      Seq(slices(2)), validateFirst = false)
+    val after = spark.read.parquet(s"$out/fact_sales").drop("month_key")
+    assert(after.count() == full.count())
+    assert(after.except(full).count() == 0)
+    // and the partition layout actually prunes: a one-month read
+    // touches only that month's directory
+    val oneMonth = spark.read.parquet(s"$out/fact_sales")
+      .filter(col("month_key") === 199501L)
+    assert(oneMonth.count() > 0)
+    assert(oneMonth.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("pre-flight health check catches a missing source before any stage (task_health_check)") {
     val out = Files.createTempDirectory("graft_wh_hc").toString
     // an empty source dir: reachable, but the mode's tables are absent —

@@ -33,6 +33,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a16.select("centroid_id").distinct().count() <= 16)
   }
 
+  test("adaptive √n build round-trips through the q32/q35/q45 search stages") {
+    val n = Tables.embeddings(spark, TestSpark.sf).count()
+    val k = Similarity.adaptiveCells(n)
+    assert(k == math.floor(math.sqrt(n.toDouble)).toInt)
+    // clamp edges: tiny and astronomically large corpora stay bounded
+    assert(Similarity.adaptiveCells(0L) == 1)
+    assert(Similarity.adaptiveCells(3L) == 1)
+    assert(Similarity.adaptiveCells(100L) == 10)
+    assert(Similarity.adaptiveCells(10_000_000_000L) == 256)
+    // publish the adaptive index as the corpus's active index
+    val a = Similarity.ivfBuildAdaptive(spark, TestSpark.sf)
+    val cells = a.select("centroid_id").distinct().count()
+    assert(cells > 16 && cells <= k,
+      s"adaptive k=$k should spread past the default 16, got $cells cells")
+    assert(a.count() == n)
+    // the search stages follow the artifact's k with no code changes
+    assert(Similarity.ivfCellStats(spark, TestSpark.sf).count() == cells)
+    assert(Similarity.ivfSearch(spark, TestSpark.sf)
+      .groupBy("q_id").count().count() == 20)
+    val recall = Similarity.ivfSearchRecall(spark, TestSpark.sf)
+      .orderBy("nprobe").collect()
+    assert(recall.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    // restore the default-k index for the rest of the suite
+    val a16 = Similarity.ivfBuild(spark, TestSpark.sf)
+    assert(a16.select("centroid_id").distinct().count() <= 16)
+  }
+
   test("d05 guard: a query bound past the ceiling refuses to plan") {
     // the exact baseline is broadcast-queries × streamed-corpus; a wide
     // bound silently becomes the all-pairs scan ANN exists to avoid
