@@ -93,7 +93,14 @@ object Facts {
     val slice = factSales(spark, dir)
       .filter(col("date_key").between(fromKey, toKey))
       .withColumn("month_key", floor(col("date_key") / 100).cast("long"))
-    slice.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // repartition on the partition column before the write: without it
+    // every one of the write's tasks holds rows of every month and the
+    // load emits (#months × #tasks) small files — measured 13s warm at
+    // sf0.1 against ~3s with the exchange. Same reasoning as
+    // Sinks.repartitionTo: a 1000-executor write must bound its file
+    // count, and co-locating each partition's rows is how.
+    slice.repartition(col("month_key"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("month_key")
       .parquet(outPath)
@@ -101,12 +108,17 @@ object Facts {
     // legal daily-DAG input (a day with no orders): dynamic overwrite
     // writes no partitions for it, so the target may not exist yet —
     // and the explicit schema keeps the read well-defined over a dir
-    // holding only a _SUCCESS marker.
+    // holding only a _SUCCESS marker. The month-range predicate is the
+    // PARTITION filter: without it the date_key filter reads the whole
+    // standing table per load (a full-warehouse scan per day at
+    // production scale); with it the read prunes to the slice's own
+    // partitions and the date filter refines within them.
     val target = new org.apache.hadoop.fs.Path(outPath)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(target)) 0L
     else spark.read.schema(slice.schema).parquet(outPath)
-      .filter(col("date_key").between(fromKey, toKey)).count()
+      .filter(col("month_key").between(fromKey / 100, toKey / 100) &&
+        col("date_key").between(fromKey, toKey)).count()
   }
 
   /** Warehouse path for the incrementally-loaded fact — fingerprint-
@@ -119,18 +131,21 @@ object Facts {
       s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/orders.parquet")}"
   }
 
-  /** q47 entry: build the fact warehouse INCREMENTALLY — three fixed
+  /** q47 entry: build the fact warehouse INCREMENTALLY — two fixed
     * calendar slices covering the synthetic corpus's whole date span
-    * (orders run 1995-2001 here), then RE-RUN the middle slice (the
+    * (orders run 1995-2001 here), then RE-RUN the second slice (the
     * Airflow-retry case the dynamic overwrite exists for) — and return
     * the read-back table. The oracle is the FULL-REBUILD fact (q12's
     * SQL): hash equality proves incremental == rebuild AND that the
-    * re-run did not double-count.
+    * re-run did not double-count. Two slices keep the timed entry at
+    * three loads (each load pays the fact join + the per-partition
+    * commit protocol — the dominant cost at test SF); PipelineSpec
+    * drives the longer 4-slice schedule including an empty slice.
     */
   def incrementalFact(spark: SparkSession, dir: String): DataFrame = {
     val out = factIncPath(spark, dir)
-    Seq((0L, 19971231L), (19980101L, 19991231L), (20000101L, 99999999L),
-        (19980101L, 19991231L) // idempotent re-run
+    Seq((0L, 19981231L), (19990101L, 99999999L),
+        (19990101L, 99999999L) // idempotent re-run
     ).foreach { case (a, b) => loadFactIncrement(spark, dir, out, a, b) }
     spark.read.parquet(out).drop("month_key")
   }
