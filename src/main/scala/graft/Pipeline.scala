@@ -58,10 +58,17 @@ object Pipeline {
     val curation: Seq[(String, () => DataFrame)] = Seq(
       "corpus_quality" -> (() => TextAnalysis.qualityScore(spark, sfDir)),
       "dedup_removals" -> (() => Dedup.dedupPipeline(spark, sfDir)),
+      // the SimHash route catches bit-level token-profile near-dups the
+      // Jaccard route misses — production unions both removal lists
+      "simhash_removals" -> (() => Dedup.simhashDedup(spark, sfDir)),
       "dup_clusters" -> (() => Dedup.dupClusters(spark, sfDir)),
       "decontamination" -> (() => Dedup.ngramContamination(spark, sfDir)),
       "effective_mixture" -> (() => Dedup.effectiveMixture(spark, sfDir)),
-      "curation_funnel" -> (() => Dedup.curationFunnel(spark, sfDir)))
+      "curation_funnel" -> (() => Dedup.curationFunnel(spark, sfDir)),
+      // per-shard incremental dedup report (the d19 probe on the demo
+      // split) — the table an arriving crawl shard's keep decisions
+      // read
+      "shard_dedup_report" -> (() => Dedup.shardDedup(spark, sfDir)))
     mode match {
       case StagingOnly => staging
       case SkipMarts => staging ++ core

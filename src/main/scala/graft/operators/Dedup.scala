@@ -268,7 +268,7 @@ object Dedup {
   /** Published band table, building the artifact iff missing (a fresh
     * session running d17 standalone).
     */
-  private def bandsArtifact(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandsArtifact(spark: SparkSession, dir: String): DataFrame = {
     val path = simhashBandsPath(spark, dir)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -317,7 +317,7 @@ object Dedup {
     * whole SimHash family, and this stage's own cost is the banded
     * join + verify only.
     */
-  private def simhashPairsFrom(sh: DataFrame): DataFrame = {
+  private[graft] def simhashPairsFrom(sh: DataFrame): DataFrame = {
     val lf = sh.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band", "val")))
@@ -533,6 +533,22 @@ object Dedup {
     */
   def shardProbe(corpusDocs: DataFrame, shardDocs: DataFrame,
                  corpusBands: DataFrame): DataFrame = {
+    val (report, shSets) = shardProbeFrame(corpusDocs, shardDocs, corpusBands)
+    // the verify stage persists its per-doc shingle arrays (they feed
+    // both join sides); the report is tiny, so materialize it eagerly
+    // and release the intermediate before returning — the
+    // buildVerified discipline, without an artifact write
+    val out = report.localCheckpoint()
+    shSets.unpersist(false)
+    out
+  }
+
+  /** Lazy (report, persisted-intermediate) pair behind [[shardProbe]] —
+    * split out so PlanHygieneSpec can pin the probe's plan shape before
+    * the eager checkpoint erases it.
+    */
+  private[graft] def shardProbeFrame(corpusDocs: DataFrame, shardDocs: DataFrame,
+                                     corpusBands: DataFrame): (DataFrame, DataFrame) = {
     val shardBands = minhashBandsOf(wordShinglesOf(shardDocs, dedup = false))
     // shard bands vs (corpus ∪ shard) bands: shard×corpus pairs appear
     // once, shard×shard twice (both orientations) — least/greatest +
@@ -555,13 +571,7 @@ object Dedup {
         count(lit(1)).as("n_dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
       .withColumn("is_shard_doc", pmod(col("removed_doc_id"), lit(5L)) === 4)
-    // the verify stage persists its per-doc shingle arrays (they feed
-    // both join sides); the report is tiny, so materialize it eagerly
-    // and release the intermediate before returning — the
-    // buildVerified discipline, without an artifact write
-    val out = report.localCheckpoint()
-    shSets.unpersist(false)
-    out
+    (report, shSets)
   }
 
   /** Removal-id set (distinct doc_b of keep-min-verified pairs) over an

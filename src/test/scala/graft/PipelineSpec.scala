@@ -29,8 +29,9 @@ class PipelineSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_wh_cur").toString
     val stats = Pipeline.run(spark, TestSpark.sf, out, mode = Pipeline.CurationRun)
     assert(stats.map(_.table) == Seq(
-      "corpus_quality", "dedup_removals", "dup_clusters",
-      "decontamination", "effective_mixture", "curation_funnel"))
+      "corpus_quality", "dedup_removals", "simhash_removals", "dup_clusters",
+      "decontamination", "effective_mixture", "curation_funnel",
+      "shard_dedup_report"))
     assert(stats.forall(_.rows > 0))
     // the published funnel equals the operator's direct result
     val published = spark.read.parquet(s"$out/curation_funnel")

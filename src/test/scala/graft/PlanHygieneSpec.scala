@@ -74,6 +74,35 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bucket sizes must broadcast back:\n$p")
   }
 
+  test("d19 shard probe: equi-join blocking, no cartesian product, no window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val isShard = pmod(col("doc_id"), lit(5L)) === 4
+    // any (doc_id, shingle) frame yields the same probe plan shape
+    val corpusBands = Dedup.minhashBandsOf(
+      Seq((1L, "a b c"), (1L, "b c d"), (2L, "a b c")).toDF("doc_id", "shingle"))
+    val (report, shSets) = Dedup.shardProbeFrame(
+      docs.filter(!isShard), docs.filter(isShard), corpusBands)
+    val p = plan(report)
+    shSets.unpersist(false)
+    // candidate generation must be band-bucket equi-joins — a cartesian
+    // or nested-loop pair join is the all-pairs scan LSH exists to avoid
+    assert(!p.contains("CartesianProduct"), s"shard probe went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"shard probe went all-pairs:\n$p")
+    // keep-min survivorship is an aggregation, never a per-pair window
+    assert(!p.contains("Window"), s"shard probe must not window:\n$p")
+  }
+
+  test("q48 adaptive assignment: windowless argmax, broadcast codebook") {
+    val p = plan(Similarity.ivfAssignAdaptive(spark, TestSpark.sf))
+    // nearest-centroid must stay a map-side max(struct) aggregation —
+    // a per-vector rank window would shuffle the corpus per E-step
+    assert(!p.contains("Window"), s"adaptive E-step must not window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"codebook must broadcast:\n$p")
+  }
+
   test("simhash: windowless build, band counts broadcast back over the published artifact") {
     // BUILD path: one corpus aggregation — the 64-way bit loop is
     // static aggregate columns (no explode(0..63) row blowup), no
@@ -92,11 +121,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("simhash_bands"), s"d04 must read the published artifact:\n$p")
     assert(!p.contains("Window"), s"band counts must not window:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"band counts must broadcast back:\n$p")
-    // PAIR path (d17): same artifact, no recompute of the corpus
-    val pp = plan(Dedup.simhashPairs(spark, TestSpark.sf))
+    // PAIR path (d17): the COMPUTE reads the band artifact with no
+    // corpus re-scan...
+    val pp = plan(Dedup.simhashPairsFrom(Dedup.bandsArtifact(spark, TestSpark.sf)))
     assert(pp.contains("simhash_bands"), s"d17 must read the published artifact:\n$pp")
-    assert(!pp.contains("Scan parquet") ||
-      !pp.contains("documents.parquet"), s"d17 must not re-scan the corpus:\n$pp")
+    assert(!pp.contains("documents.parquet"), s"d17 must not re-scan the corpus:\n$pp")
+    // ...and the ENTRY publishes that frame and returns the published
+    // PAIR artifact — the read surface d20's survivorship aggregates
+    val pr = plan(Dedup.simhashPairs(spark, TestSpark.sf))
+    assert(pr.contains("simhash_pairs"), s"d17 must return the pair artifact:\n$pr")
   }
 
   test("dashboard filter slice pushes both predicates to the scans and broadcasts the dim") {
