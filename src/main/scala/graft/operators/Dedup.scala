@@ -435,13 +435,30 @@ object Dedup {
                             minJaccard: Double): (DataFrame, DataFrame) = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shSets = wordShinglesOf(
-        docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
-        dedup = false)
+    val shSets = shingleSetsOf(
+        docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .persist()
+    verifyWithSets(shSets, cand, minJaccard)
+  }
+
+  /** Per-doc shingle SET arrays (doc_id, sh_set, n) — the verification
+    * currency: `array_intersect` scores pairs against these. Split out
+    * because the arrays are ALSO an artifact tier (d19 persists the
+    * standing corpus's arrays so re-verification per arriving shard
+    * stops re-exploding corpus text).
+    */
+  private def shingleSetsOf(docs: DataFrame): DataFrame =
+    wordShinglesOf(docs, dedup = false)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh_set"))
       .select(col("doc_id"), col("sh_set"), size(col("sh_set")).cast("long").as("n"))
-      .persist()
+
+  /** Exact-Jaccard scoring of `cand` against an ALREADY-PERSISTED
+    * (doc_id, sh_set, n) frame (both pair sides join it). Returns the
+    * verified frame plus that same frame for the caller to unpersist.
+    */
+  private def verifyWithSets(shSets: DataFrame, cand: DataFrame,
+                             minJaccard: Double): (DataFrame, DataFrame) = {
     val verified = cand
       .join(shSets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(shSets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b"), col("n").as("n_b")), Seq("doc_b"))
@@ -532,8 +549,10 @@ object Dedup {
     * candidate docs only.
     */
   def shardProbe(corpusDocs: DataFrame, shardDocs: DataFrame,
-                 corpusBands: DataFrame): DataFrame = {
-    val (report, shSets) = shardProbeFrame(corpusDocs, shardDocs, corpusBands)
+                 corpusBands: DataFrame,
+                 corpusSets: Option[DataFrame] = None): DataFrame = {
+    val (report, shSets) =
+      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets)
     // the verify stage persists its per-doc shingle arrays (they feed
     // both join sides); the report is tiny, so materialize it eagerly
     // and release the intermediate before returning — the
@@ -545,10 +564,14 @@ object Dedup {
 
   /** Lazy (report, persisted-intermediate) pair behind [[shardProbe]] —
     * split out so PlanHygieneSpec can pin the probe's plan shape before
-    * the eager checkpoint erases it.
+    * the eager checkpoint erases it. With `corpusSets` the corpus side
+    * of the verification reads PRE-BUILT shingle arrays (the standing
+    * index's third artifact tier) instead of re-exploding corpus text —
+    * only the shard's own arrays are computed per arriving shard.
     */
   private[graft] def shardProbeFrame(corpusDocs: DataFrame, shardDocs: DataFrame,
-                                     corpusBands: DataFrame): (DataFrame, DataFrame) = {
+                                     corpusBands: DataFrame,
+                                     corpusSets: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val shardBands = minhashBandsOf(wordShinglesOf(shardDocs, dedup = false))
     // shard bands vs (corpus ∪ shard) bands: shard×corpus pairs appear
     // once, shard×shard twice (both orientations) — least/greatest +
@@ -563,8 +586,17 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    val (verified, shSets) = verifyPairsOf(
-      corpusDocs.unionByName(shardDocs), cand, minJaccard = 0.5)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val corpusSide = corpusSets match {
+      case Some(cs) => cs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      case None => shingleSetsOf(
+        corpusDocs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    }
+    val shSets = corpusSide.unionByName(shingleSetsOf(
+        shardDocs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")))
+      .persist()
+    val (verified, _) = verifyWithSets(shSets, cand, minJaccard = 0.5)
     val report = verified.groupBy(col("doc_b").as("removed_doc_id"))
       .agg(
         min(col("doc_a")).as("kept_partner"),
@@ -597,24 +629,44 @@ object Dedup {
       s"holdout5src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
   }
 
+  /** Shingle-array sibling of [[corpusBandsPath]] — the standing
+    * index's THIRD artifact tier (bands → pairs → verification
+    * arrays): per-doc sorted shingle sets of the held-out corpus, so
+    * each arriving shard's exact verification reads arrays instead of
+    * re-exploding corpus text.
+    */
+  private def corpusSetsPath(spark: SparkSession, dir: String): String = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/shingle_sets/" +
+      s"holdout5src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+  }
+
   /** d19 entry: split the documents table into a standing corpus
     * (doc_id % 5 ≠ 4) and an arriving shard (doc_id % 5 = 4), publish
-    * the corpus band table iff missing (the standing index a previous
-    * run would have left), probe the shard against it, and return the
-    * shard-involving removal report.
+    * the corpus band table AND its verification arrays iff missing
+    * (the standing index a previous run would have left), probe the
+    * shard against them, and return the shard-involving removal
+    * report. Per-shard cost is then: shard fingerprinting + the
+    * banded probe join + array-vs-array verification — the corpus is
+    * neither re-fingerprinted nor re-exploded.
     */
   def shardDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isShard = pmod(col("doc_id"), lit(5L)) === 4
     val corpus = docs.filter(!isShard)
     val shard = docs.filter(isShard)
-    val path = corpusBandsPath(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
+    val conf = spark.sessionState.newHadoopConf()
+    val bandsP = corpusBandsPath(spark, dir)
+    if (!new org.apache.hadoop.fs.Path(bandsP).getFileSystem(conf)
+          .exists(new org.apache.hadoop.fs.Path(bandsP)))
       graft.sources.Sinks.stagePublish(
-        minhashBandsOf(wordShinglesOf(corpus, dedup = false)), path)
-    shardProbe(corpus, shard, spark.read.parquet(path))
+        minhashBandsOf(wordShinglesOf(corpus, dedup = false)), bandsP)
+    val setsP = corpusSetsPath(spark, dir)
+    if (!new org.apache.hadoop.fs.Path(setsP).getFileSystem(conf)
+          .exists(new org.apache.hadoop.fs.Path(setsP)))
+      graft.sources.Sinks.stagePublish(shingleSetsOf(corpus), setsP)
+    shardProbe(corpus, shard, spark.read.parquet(bandsP),
+      Some(spark.read.parquet(setsP)))
   }
 
   // ─── d08 benchmark decontamination report ────────────────────────────

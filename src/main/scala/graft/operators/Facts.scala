@@ -145,7 +145,10 @@ object Facts {
   def incrementalFact(spark: SparkSession, dir: String): DataFrame = {
     val out = factIncPath(spark, dir)
     Seq((0L, 19981231L), (19990101L, 99999999L),
-        (19990101L, 99999999L) // idempotent re-run
+        // idempotent re-run of a SUB-slice of an already-loaded range —
+        // the backfill case: the date filter prunes the rebuild to the
+        // year's rows and dynamic overwrite rewrites only its months
+        (20010101L, 99999999L)
     ).foreach { case (a, b) => loadFactIncrement(spark, dir, out, a, b) }
     spark.read.parquet(out).drop("month_key")
   }
