@@ -34,13 +34,22 @@ object Facts {
       .withColumn("category_key", Dimensions.hashKey(col("category_name")))
 
   // ─── q12 fact_sales ──────────────────────────────────────────────────
-  def factSales(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val cat = dimCategory(spark, dir)
-    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+  def factSales(spark: SparkSession, dir: String): DataFrame =
+    factSalesFrom(
+      Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_type")))
 
+  /** Frame-level fact builder — shared by the batch entry and the
+    * streaming ingest twin (FactStream's stream-static join feeds a
+    * lineitem STREAM through this same plan): the grain join, the
+    * broadcast dim joins, and every derived column live here once, so
+    * batch and streaming facts are definitionally identical.
+    */
+  def factSalesFrom(li: DataFrame, o: DataFrame, p: DataFrame): DataFrame = {
+    val cat = p.select(col("p_type").as("category_name")).distinct()
+      .withColumn("category_key", Dimensions.hashKey(col("category_name")))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(cat), col("p_type") === col("category_name"))
