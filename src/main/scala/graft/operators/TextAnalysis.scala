@@ -320,6 +320,58 @@ object TextAnalysis {
     clear.union(boundary)
   }
 
+  // ─── t12 deterministic sequence packing ──────────────────────────────
+  /** Contiguous sequence packing: assign every document a training
+    * SEQUENCE id and intra-sequence token offset under a fixed token
+    * budget (2048 here) — the "pack the corpus into context windows"
+    * step a pretraining data build runs after sampling/mixing.
+    * Documents line up in the deterministic md5(doc_id) order (the
+    * t05/t08 discipline: re-runs, retried stages, and other engines
+    * pack IDENTICALLY); a document belongs to the sequence its first
+    * token lands in (exclusive running sum div budget) at offset
+    * (running sum mod budget) — the contiguous-packing layout whose
+    * boundary-straddling docs a tokenizer-side writer splits across
+    * the two windows.
+    *
+    * Scale: the naive form is ONE GLOBAL running-sum window — the
+    * whole corpus through a single task. Two phases avoid it (t08's
+    * trick at global scope): (1) per-bucket token totals — a 256-row
+    * frame — take exclusive global offsets via a window over that tiny
+    * frame only; (2) the corpus-sized exclusive running sum windows by
+    * BUCKET (256-way parallel, order (h, doc_id) within) and adds its
+    * bucket's offset. Bucket = first two hex chars of the ordering
+    * hash, so bucket order == hash order and the composed pre-sums
+    * equal the single-window form's exactly (PlanHygieneSpec pins the
+    * corpus-facing window to the bucket key).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, dir, budget = 2048L)
+
+  def packSequences(spark: SparkSession, dir: String, budget: Long): DataFrame = {
+    require(budget > 0, s"sequence token budget must be positive, got $budget")
+    val d = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val offs = d.groupBy(col("bucket")).agg(sum(col("tokens")).as("btok"))
+      .withColumn("boff",
+        coalesce(sum(col("btok")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offs), Seq("bucket"))
+      .withColumn("pre",
+        col("boff") + coalesce(sum(col("tokens")).over(wb), lit(0L)))
+      .select(col("doc_id"), col("tokens"),
+        // `div`: exact integer division (Column `/` promotes to double,
+        // which loses exactness past 2^53 total tokens)
+        expr(s"CAST(pre div $budget AS BIGINT)").as("seq_id"),
+        pmod(col("pre"), lit(budget)).as("seq_offset"))
+  }
+
   // ─── t09 TF-IDF keyword extraction ───────────────────────────────────
   /** Top-3 characteristic terms per document by TF-IDF — the tagging /
     * topic-surfacing primitive (search indexing, cluster labeling,
@@ -449,6 +501,7 @@ object TextAnalysis {
     "t07_quality_prune" -> qualityPrune,
     "t08_token_budget_sample" -> tokenBudgetSample,
     "t11_mixture_resample" -> mixtureResample,
+    "t12_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "t09_tfidf_keywords" -> tfidfKeywords,
     "t10_vocab_coverage" -> vocabCoverage,
     "q33_corpus_stats" -> corpusStats)
@@ -573,6 +626,21 @@ object TextAnalysis {
         |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM t GROUP BY 1""".stripMargin,
+    "t12_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |         coalesce(sum(tokens) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM d)
+        |SELECT doc_id, tokens,
+        |       CAST(pre // 2048 AS BIGINT) AS seq_id,
+        |       CAST(pre % 2048 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
     "t11_mixture_resample" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -204,6 +204,20 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"retention window must not partition by user:\n$p")
   }
 
+  test("t12 packing: the corpus-facing running sum windows by bucket, never globally") {
+    val p = plan(TextAnalysis.packSequences(spark, TestSpark.sf))
+    // a global running-sum window serializes the whole corpus through
+    // one task; only the 256-row bucket-offsets frame (summing btok)
+    // may window without the bucket partition key
+    val windowLines = p.split("\n").filter(_.contains("Window "))
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(_.contains("tokens#")), s"expected the doc window in:\n$p")
+    windowLines.filterNot(_.contains("btok")).foreach { l =>
+      assert("windowspecdefinition\\([^)]*bucket".r.findFirstIn(l).isDefined,
+        s"doc-row running sum must partition by bucket:\n$l")
+    }
+  }
+
   test("t08 sampler: corpus-facing window partitions by (source, bucket), never source alone") {
     val p = plan(TextAnalysis.tokenBudgetSample(spark, TestSpark.sf))
     // the naive running-sum window over PARTITION BY source funnels the

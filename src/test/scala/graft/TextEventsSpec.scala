@@ -311,4 +311,32 @@ class TextEventsSpec extends AnyFunSuite {
       .agg(sum("n_events")).collect().head.getLong(0)
     assert(n == spark.read.parquet(s"${TestSpark.sf}/events.parquet").count())
   }
+
+  test("t12 packing equals a driver-side sequential pack; offsets and ids are sound") {
+    val budget = 2048L
+    val got = TextAnalysis.packSequences(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+      .toMap
+    // sequential reference: same hash order, one running sum
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("t"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("t"), r.getAs[String]("h")))
+      .sortBy { case (id, _, h) => (h, id) }
+    var pre = 0L
+    docs.foreach { case (id, t, _) =>
+      val (gt, gs, go) = got(id)
+      assert(gt == t, s"doc $id token count")
+      assert(gs == pre / budget, s"doc $id seq_id")
+      assert(go == pre % budget, s"doc $id seq_offset")
+      pre += t
+    }
+    assert(got.size == docs.length)
+    // sequence ids are contiguous from 0 and offsets stay inside the budget
+    val ids = got.values.map(_._2).toSet
+    assert(ids == (0L to ids.max).toSet, s"holes in sequence ids: $ids")
+    assert(got.values.forall { case (_, _, off) => off >= 0 && off < budget })
+  }
 }
