@@ -70,7 +70,7 @@ object Bench {
       "t03_token_count", "t04_fingerprint", "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
-      "d20_simhash_dedup",
+      "d20_simhash_dedup", "d21_route_union",
       "e02_event_tumbling", "q01_monthly_sales_trend", "q02_category_performance",
       "q03_customer_segmentation", "q05_weekend_weekday", "q06_top_customers",
       "q07_product_catalog", "q14_mart_category_analysis", "q16_day_month_heatmap",

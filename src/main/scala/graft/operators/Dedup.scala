@@ -523,6 +523,37 @@ object Dedup {
         max(col("jaccard")).as("max_jaccard"))
   }
 
+  // ─── d21 dual-route removal union ────────────────────────────────────
+  /** The union the route docs promise: one removal list combining the
+    * Jaccard route (d07's verified pairs — set overlap of 3-gram
+    * shingles) and the SimHash route (d20's hamming-verified pairs —
+    * bit-level similarity of the weighted token profile), with per-doc
+    * route attribution. The two routes catch DIFFERENT near-dup slices;
+    * what a curation run actually removes is this union, and the
+    * attribution columns are how an operator audits each route's
+    * marginal contribution before tuning its threshold.
+    *
+    * Scale: pure aggregation over the two published PAIR artifacts
+    * (build-if-missing) — two tiny keep-min rollups full-outer-joined
+    * on the removed doc. No corpus scan at all.
+    */
+  def dedupRouteUnion(spark: SparkSession, dir: String): DataFrame = {
+    val jrem = verifiedPairsArtifact(spark, dir)
+      .groupBy(col("doc_b").as("removed_doc_id"))
+      .agg(min(col("doc_a")).as("j_kept"))
+    val srem = simhashPairsArtifact(spark, dir)
+      .filter(col("is_near_dup"))
+      .groupBy(col("doc_b").as("removed_doc_id"))
+      .agg(min(col("doc_a")).as("s_kept"))
+    jrem.join(srem, Seq("removed_doc_id"), "full_outer")
+      .select(col("removed_doc_id"),
+        col("j_kept").isNotNull.as("by_jaccard"),
+        col("s_kept").isNotNull.as("by_simhash"),
+        // least() skips nulls in both engines: the kept partner is the
+        // smallest doc either route paired the removal with
+        least(col("j_kept"), col("s_kept")).as("kept_partner"))
+  }
+
   // ─── d19 incremental shard dedup (probe the standing index) ──────────
   /** Incremental dedup of a NEW document shard against a standing
     * corpus WITHOUT recomputing the corpus side — the production
@@ -1162,6 +1193,7 @@ object Dedup {
     "d04_simhash" -> simhash,
     "d17_simhash_pairs" -> simhashPairs,
     "d20_simhash_dedup" -> simhashDedup,
+    "d21_route_union" -> dedupRouteUnion,
     "d07_dedup_pipeline" -> dedupPipeline,
     "d19_shard_dedup" -> shardDedup,
     "d08_contamination" -> contamination,
@@ -1863,6 +1895,70 @@ object Dedup {
         |       count(*) OVER (PARTITION BY band2) - 1 AS n_same_b2,
         |       count(*) OVER (PARTITION BY band3) - 1 AS n_same_b3
         |FROM sh""".stripMargin),
+    "d21_route_union" ->
+      (simhash64OracleCte +
+      """,
+        |lf AS (
+        |  SELECT doc_id, b.band, b.val
+        |  FROM sh, LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) b(band, val)),
+        |scand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM lf a JOIN lf b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |srem AS (
+        |  SELECT c.doc_b AS removed_doc_id, min(c.doc_a) AS s_kept
+        |  FROM scand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+        |  WHERE bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+        |      + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) <= 3
+        |  GROUP BY 1),
+        |jt AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |jp AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM jt WHERE len(t) >= 3),
+        |jsh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM jp),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM jsh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |jcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |jcd AS (SELECT doc_a AS doc_id FROM jcand UNION SELECT doc_b FROM jcand),
+        |jcs AS (SELECT jsh.* FROM jsh JOIN jcd USING (doc_id)),
+        |jsz AS (SELECT doc_id, count(*) AS n FROM jcs GROUP BY 1),
+        |jin AS (
+        |  SELECT jcand.doc_a, jcand.doc_b, count(*) AS inter
+        |  FROM jcand
+        |  JOIN jcs a ON jcand.doc_a = a.doc_id
+        |  JOIN jcs b ON jcand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |jrem AS (
+        |  SELECT jcand.doc_b AS removed_doc_id, min(jcand.doc_a) AS j_kept
+        |  FROM jcand
+        |  LEFT JOIN jin ON jcand.doc_a = jin.doc_a AND jcand.doc_b = jin.doc_b
+        |  JOIN jsz sa ON jcand.doc_a = sa.doc_id
+        |  JOIN jsz sb ON jcand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(jin.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(jin.inter, 0) AS DOUBLE) >= 0.5
+        |  GROUP BY 1)
+        |SELECT coalesce(j.removed_doc_id, s.removed_doc_id) AS removed_doc_id,
+        |       (j.removed_doc_id IS NOT NULL) AS by_jaccard,
+        |       (s.removed_doc_id IS NOT NULL) AS by_simhash,
+        |       least(j.j_kept, s.s_kept) AS kept_partner
+        |FROM jrem j FULL OUTER JOIN srem s ON j.removed_doc_id = s.removed_doc_id""".stripMargin),
     "d20_simhash_dedup" ->
       (simhash64OracleCte +
       """,

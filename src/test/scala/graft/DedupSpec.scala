@@ -353,6 +353,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d21 route union reconciles with the d07 and d20 removal lists") {
+    val union = Dedup.dedupRouteUnion(spark, TestSpark.sf).collect()
+    val jIds = Dedup.dedupPipeline(spark, TestSpark.sf).collect()
+      .map(_.getAs[Long]("removed_doc_id")).toSet
+    val sIds = Dedup.simhashDedup(spark, TestSpark.sf).collect()
+      .map(_.getAs[Long]("removed_doc_id")).toSet
+    assert(union.map(_.getAs[Long]("removed_doc_id")).toSet == (jIds ++ sIds))
+    union.foreach { r =>
+      val id = r.getAs[Long]("removed_doc_id")
+      assert(r.getAs[Boolean]("by_jaccard") == jIds.contains(id), s"doc $id jaccard flag")
+      assert(r.getAs[Boolean]("by_simhash") == sIds.contains(id), s"doc $id simhash flag")
+      assert(r.getAs[Long]("kept_partner") < id, s"doc $id keep-min violated")
+    }
+    // both routes must contribute uniquely on this corpus, or the union
+    // is vacuous as a demonstration
+    assert(union.exists(r => r.getAs[Boolean]("by_jaccard") && !r.getAs[Boolean]("by_simhash")))
+    assert(union.exists(r => r.getAs[Boolean]("by_simhash") && !r.getAs[Boolean]("by_jaccard")))
+  }
+
   test("d19 shard-incremental keep-set == full-rebuild keep-set on a split corpus") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
     val isShard = pmod(col("doc_id"), lit(5L)) === 4
