@@ -74,6 +74,18 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bucket sizes must broadcast back:\n$p")
   }
 
+  test("q47 slice: the date-key range reaches the orders side below the fact join") {
+    import org.apache.spark.sql.functions._
+    val p = plan(Facts.factSales(spark, TestSpark.sf)
+      .filter(col("date_key").between(0L, 19981231L)))
+    // date_key is a projection of o_orderdate, so Catalyst must push the
+    // range through the join as an orders-side predicate — without it
+    // every incremental load scans and joins the full fact input (at
+    // production scale the same predicate prunes date partitions)
+    assert("Filter [^\\n]*date_format\\(cast\\(o_orderdate".r.findFirstIn(p).isDefined,
+      s"date range not pushed to the orders side:\n$p")
+  }
+
   test("d19 shard probe: equi-join blocking, no cartesian product, no window") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
