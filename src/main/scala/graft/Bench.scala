@@ -15,6 +15,15 @@ object Bench {
       if (ok.isEmpty) -1.0
       else ok.sorted.apply((ok.size - 1) / 2)
     def max: Double = if (ok.isEmpty) -1.0 else ok.max
+    /** Min over successful reps — the GATE statistic since round 7:
+      * on a multi-tenant box the minimum is the best available
+      * estimate of the code's intrinsic cost (contention only ever
+      * adds time), so a contended run can inflate medians yet cannot
+      * make a healthy query breach a min-based gate. Round 6 proved
+      * median-of-3 insufficient: frozen x03 read 38× baseline when
+      * all three reps landed in a contended window.
+      */
+    def min: Double = if (ok.isEmpty) -1.0 else ok.min
   }
 
   private def loadAvg(): Double =
@@ -89,7 +98,7 @@ object Bench {
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
       "q32_ivf_search", "q34_api_catalog_ratings", "q35_ivf_recall",
-      "q47_incremental_fact",
+      "q47_incremental_fact", "q49_ivf_pq", "q50_pq_recall",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "t12_pack_sequences",
@@ -99,6 +108,17 @@ object Bench {
     (cpu.map(_ -> "p_cpu_sha") ++ shuffle.map(_ -> "p_shuffle_agg") ++
       join.map(_ -> "p_join_smj") ++ window.map(_ -> "p_window_rank")).toMap
   }
+
+  /** Bench-only entries — timed here but absent from
+    * SparkEntry.queries (the skew/bucket A/Bs and the write-free IVF
+    * build). BenchTimingSpec derives the complete bench surface from
+    * THIS set plus SparkEntry.queries, so an entry added below without
+    * updating this set (or [[queryClass]]) fails tests instead of
+    * silently falling back to the scalar calibration ratio.
+    */
+  private[graft] val extraNames: Set[String] = Set(
+    "x01_skew_plain_join", "x02_skew_salted_join",
+    "x03_shuffle_smj", "x04_bucketed_smj", "x05_ivf_compute")
 
   private def probeBody(spark: SparkSession, name: String): Unit = name match {
     case "p_cpu_sha" =>
@@ -326,15 +346,20 @@ object Bench {
       .map { case (k, t) => s"\"" + k + "\":\"" + jesc(t.errors.head) + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_.median).filter(_ >= 0).sum
+    val totalMin = results.values.map(_.min).filter(_ >= 0).sum
     val totalCal = if (calib > 0) total / calib else -1.0
 
     // ─── FULL record → file; ONE compact line → stdout ─────────────────
-    // BENCH_r04's stdout record was tail-truncated by the harness
-    // capture window (29 of 79 medians lost, JSON unparseable). The
-    // complete per-query record (medians, per-rep max, errors,
-    // calibration detail) now lives in BENCH_FULL.json at the repo
-    // root; stdout carries the compact driver-contract line (3-decimal
-    // medians, no query_max) that fits any reasonable capture window.
+    // The harness keeps only the LAST ~2 KB of stdout (BENCH_r06's tail
+    // field: 3-decimal full-name medians lost their head — the entire
+    // d/e block, exactly the queries that breached that round). Full-
+    // name per-query maps are ≥2.4 KB at 93 entries no matter the
+    // precision, so the complete record (medians, mins, per-rep max,
+    // classes, errors, calibration detail, full names) lives in
+    // BENCH_FULL.json at the repo root, and stdout carries a line that
+    // PROVABLY fits: queries keyed by their unique id prefix ("q01",
+    // "d03" — BenchTimingSpec pins uniqueness), values = MIN-of-reps at
+    // 2 decimals (the gate statistic — see Timing.min), ~1.5 KB total.
     val calDetail = probeRefs.map { case (n, ref) =>
       val m = probeTimings.get(n).map(_.median).getOrElse(-1.0)
       s"\"$n\":{\"median\":${fmt(m)},\"ref\":$ref,\"ratio\":${fmt(if (m > 0) m / ref else -1.0)}}"
@@ -361,10 +386,27 @@ object Bench {
       k -> (if (t.median >= 0 && r > 0) t.median / r else -1.0)
     })
     val fullJson =
-      s"""{"metric":"total","value":$total,"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"queries_class_calibrated":$classCalibrated,"query_class":$queryClassJson,"query_max":${jmap(all.map { case (k, t) => k -> t.max })},"calibration":$calDetail,"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"total_min":${fmt(totalMin)},"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"query_min":${jmap(all.map { case (k, t) => k -> t.min })},"queries_class_calibrated":$classCalibrated,"query_class":$queryClassJson,"query_max":${jmap(all.map { case (k, t) => k -> t.max })},"calibration":$calDetail,"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"sf":"$sfDir"}"""
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
-    println(s"""{"metric":"total","value":${fmt(total)},"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"file":"$fullPath","sf":"$sfDir"}""")
+    // id-prefix display keys; a (theoretical) prefix collision falls
+    // back to the full name rather than merging two queries
+    val prefixCount = all.map(_._1.takeWhile(_ != '_')).groupBy(identity)
+    def shortKey(k: String): String = {
+      val p = k.takeWhile(_ != '_')
+      if (prefixCount(p).size == 1) p else k
+    }
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def jmapMin(entries: Seq[(String, Timing)]): String =
+      entries.map { case (k, t) => shortKey(k) -> t.min }.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt2(v) }
+        .mkString("{", ",", "}")
+    val errsShort = all.filter(_._2.errors.nonEmpty)
+      .map { case (k, t) => shortKey(k) -> t.errors.head }.sortBy(_._1)
+      .map { case (k, e) => s"\"" + k + "\":\"" + jesc(e.take(80)) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmapMin(all)},"errors":$errsShort,"reps":$reps,"load_before":$load0,"load_after":$load1,"keys":"queries = min-of-reps sec keyed by id prefix; medians, maxes, classes, full names in BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

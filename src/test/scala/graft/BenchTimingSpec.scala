@@ -29,17 +29,35 @@ class BenchTimingSpec extends AnyFunSuite {
     assert(t.errors == Seq("SparkException: flaky"))
   }
 
+  test("min-of-reps is the gate statistic: contention can only inflate it") {
+    // one calm rep among contended ones is enough — the property the
+    // median lacks (round 6: all three of frozen x03's reps landed in
+    // a contended window and the median read 38x baseline)
+    assert(Bench.Timing(Seq(21.2, 0.58, 19.9), Nil).min == 0.58)
+    assert(Bench.Timing(Nil, Seq("boom")).min == -1.0)
+  }
+
   test("every bench entry has a calibration probe class") {
     // the class-aware gate only works if no query silently falls back
-    // to the scalar median — a new queries() entry must be classified
-    val benchNames = SparkEntry.queries.keySet ++
-      Seq("x01_skew_plain_join", "x02_skew_salted_join",
-        "x03_shuffle_smj", "x04_bucketed_smj", "x05_ivf_compute")
+    // to the scalar median — a new queries() entry must be classified.
+    // The bench surface derives from Bench.extraNames (not a literal
+    // copy) so a Bench-only entry added there cannot escape this pin.
+    val benchNames = SparkEntry.queries.keySet ++ Bench.extraNames
     val unclassified = benchNames -- Bench.queryClass.keySet
     assert(unclassified.isEmpty, s"unclassified bench entries: $unclassified")
     val stale = Bench.queryClass.keySet -- benchNames
     assert(stale.isEmpty, s"stale queryClass entries: $stale")
     val probes = Bench.probeRefs.map(_._1).toSet
     assert(Bench.queryClass.values.toSet.subsetOf(probes))
+  }
+
+  test("compact-line id prefixes are unique across the bench surface") {
+    // the stdout line keys queries by the prefix before the first '_'
+    // ("q01", "d03") to fit the harness's ~2 KB tail capture; two
+    // entries sharing a prefix would fall back to full names and could
+    // push the line back over the window — keep prefixes unique
+    val benchNames = SparkEntry.queries.keySet ++ Bench.extraNames
+    val dups = benchNames.groupBy(_.takeWhile(_ != '_')).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"colliding bench id prefixes: $dups")
   }
 }
