@@ -41,7 +41,10 @@ object GraftSession {
     val sp = env.get("GRAFT_SHUFFLE_PARTITIONS") match {
       case None => shufflePartitions.toString
       case Some(v) =>
-        require(v.matches("[0-9]+") && v.toInt > 0,
+        // toInt via Try: an all-digit string can still overflow Int
+        // ("9999999999"), which must fail through THIS message, not a
+        // raw NumberFormatException out of the predicate
+        require(scala.util.Try(v.toInt).toOption.exists(_ > 0),
           s"GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got '$v'")
         v
     }

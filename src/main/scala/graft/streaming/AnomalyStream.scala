@@ -97,11 +97,22 @@ object AnomalyStream {
       val d = LocalDate.parse(ds)
       if (st.lastDate.nonEmpty) {
         var gap = LocalDate.parse(st.lastDate).plusDays(1)
-        while (gap.isBefore(d)) {
+        // capped like the trailing fill below: a silent run never emits
+        // past the cap no matter which loop walks it
+        while (gap.isBefore(d) &&
+               (maxSilentDays <= 0 || st.silentDays < maxSilentDays)) {
           st = push(et, st, gap, 0L, out)
           gap = gap.plusDays(1)
         }
       }
+      // the silent run reached the cap before this day finalized: REBORN
+      // with fresh calendar/ring, exactly what drop-then-recreate would
+      // have produced had the day's rows arrived in a later trigger — so
+      // the emitted-day set does not depend on how triggers split the
+      // input (previously a resuming key retro-emitted every gap zero
+      // day beyond the cap)
+      if (maxSilentDays > 0 && st.silentDays >= maxSilentDays)
+        st = AnomState("", Nil, st.pending)
       st = push(et, st, d, st.pending(ds), out)
       st = st.copy(pending = st.pending - ds)
     }
