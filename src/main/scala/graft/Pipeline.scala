@@ -226,7 +226,8 @@ object Pipeline {
     */
   def incrementalFactRun(spark: SparkSession, sfDir: String, outDir: String,
                          slices: Seq[(Long, Long)],
-                         validateFirst: Boolean = true): Seq[LoadStat] = {
+                         validateFirst: Boolean = true,
+                         grain: String = "month"): Seq[LoadStat] = {
     healthCheck(spark, sfDir, outDir, FullRun)
     if (validateFirst)
       require(preGatePass(spark, sfDir, FullRun),
@@ -234,9 +235,83 @@ object Pipeline {
     slices.map { case (fromKey, toKey) =>
       val t0 = System.nanoTime()
       val rows = Facts.loadFactIncrement(
-        spark, sfDir, s"$outDir/fact_sales", fromKey, toKey)
+        spark, sfDir, s"$outDir/fact_sales", fromKey, toKey, grain)
       LoadStat(s"fact_sales[$fromKey..$toKey]", rows,
         (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** One arriving slice of the composed daily schedule: a `date_key`
+    * range of new transactions and, optionally, the id of the document
+    * shard that arrived with it (None = a day with no new docs).
+    */
+  case class DailySlice(fromKey: Long, toKey: Long, docShard: Option[Int] = None)
+
+  /** The COMPOSED incremental scheduler — what the reference's daily
+    * DAG actually executes end-to-end (dags/retail_etl_dag.py:1 daily
+    * `schedule_interval`): per arriving slice, chain
+    *
+    *  1. a q47-style fact increment — the slice's date range loaded
+    *     into the standing fact warehouse by dynamic partition
+    *     overwrite (Facts.loadFactIncrement, idempotent on retry), and
+    *  2. a d19-style shard-dedup probe — the slice's document shard
+    *     probing the GROWING standing index and publishing its band /
+    *     shingle-array / removal tiers (Dedup.shardIngest),
+    *
+    * then refresh the published `dedup_removals_standing` curation
+    * table (the keep-min union every downstream consumer reads). After
+    * the full schedule the warehouse is EXACTLY what one full rebuild
+    * would have produced — PipelineSpec pins both sides (fact == q12
+    * rebuild, standing removals == full-rebuild removal set) on a
+    * schedule that includes an empty slice and a re-run.
+    *
+    * Runs the same health/validation gates as a full build once per
+    * invocation; each slice contributes a fact LoadStat and (when a
+    * shard arrived) a dedup LoadStat, so the run log reads like the
+    * DAG's task history.
+    */
+  def dailyRun(spark: SparkSession, sfDir: String, outDir: String,
+               slices: Seq[DailySlice], nShards: Int,
+               validateFirst: Boolean = true,
+               grain: String = "month"): Seq[LoadStat] = {
+    healthCheck(spark, sfDir, outDir, FullRun)
+    healthCheck(spark, sfDir, outDir, CurationRun)
+    if (validateFirst) {
+      require(preGatePass(spark, sfDir, FullRun),
+        "validation gates failed — aborting load (dag: validate_extract)")
+      require(preGatePass(spark, sfDir, CurationRun),
+        "corpus gates failed — aborting load (dag: validate_extract)")
+    }
+    val indexDir = s"$outDir/dedup_index"
+    val stats = slices.flatMap { s =>
+      val t0 = System.nanoTime()
+      val factRows = Facts.loadFactIncrement(
+        spark, sfDir, s"$outDir/fact_sales", s.fromKey, s.toKey, grain)
+      val factStat = LoadStat(s"fact_sales[${s.fromKey}..${s.toKey}]",
+        factRows, (System.nanoTime() - t0) / 1e9)
+      val dedupStat = s.docShard.map { i =>
+        val t1 = System.nanoTime()
+        val rows = Dedup.shardIngest(spark, sfDir, indexDir, i, nShards).count()
+        LoadStat(s"shard_dedup[shard=$i/$nShards]", rows,
+          (System.nanoTime() - t1) / 1e9)
+      }
+      Seq(factStat) ++ dedupStat
+    }
+    // the consumer-facing curation table: refreshed once per run, after
+    // the last tick (each tick's own report is already published under
+    // the index — this is the rollup view, like d20 over d17's pairs).
+    // A schedule that ingested no shard (all-facts days) has no index
+    // yet and leaves the standing table untouched.
+    val remDir = new org.apache.hadoop.fs.Path(s"$indexDir/removals")
+    val hasIndex = remDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(remDir)
+    if (!hasIndex) stats
+    else {
+      val t2 = System.nanoTime()
+      val remRows = Sinks.stagePublish(
+        Dedup.standingRemovals(spark, indexDir), s"$outDir/dedup_removals_standing")
+      stats :+ LoadStat("dedup_removals_standing", remRows,
+        (System.nanoTime() - t2) / 1e9)
     }
   }
 

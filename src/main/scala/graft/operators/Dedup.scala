@@ -581,9 +581,10 @@ object Dedup {
     */
   def shardProbe(corpusDocs: DataFrame, shardDocs: DataFrame,
                  corpusBands: DataFrame,
-                 corpusSets: Option[DataFrame] = None): DataFrame = {
+                 corpusSets: Option[DataFrame] = None,
+                 isShardDoc: Column => Column = id => pmod(id, lit(5L)) === 4): DataFrame = {
     val (report, shSets) =
-      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets)
+      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets, isShardDoc)
     // the verify stage persists its per-doc shingle arrays (they feed
     // both join sides); the report is tiny, so materialize it eagerly
     // and release the intermediate before returning — the
@@ -602,7 +603,10 @@ object Dedup {
     */
   private[graft] def shardProbeFrame(corpusDocs: DataFrame, shardDocs: DataFrame,
                                      corpusBands: DataFrame,
-                                     corpusSets: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+                                     corpusSets: Option[DataFrame] = None,
+                                     // shard membership of a doc-id column — the d19 demo's
+                                     // holdout-5 split by default; shardIngest passes its own
+                                     isShardDoc: Column => Column = id => pmod(id, lit(5L)) === 4): (DataFrame, DataFrame) = {
     val shardBands = minhashBandsOf(wordShinglesOf(shardDocs, dedup = false))
     // shard bands vs (corpus ∪ shard) bands: shard×corpus pairs appear
     // once, shard×shard twice (both orientations) — least/greatest +
@@ -633,7 +637,7 @@ object Dedup {
         min(col("doc_a")).as("kept_partner"),
         count(lit(1)).as("n_dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
-      .withColumn("is_shard_doc", pmod(col("removed_doc_id"), lit(5L)) === 4)
+      .withColumn("is_shard_doc", isShardDoc(col("removed_doc_id")))
     (report, shSets)
   }
 
@@ -698,6 +702,99 @@ object Dedup {
       graft.sources.Sinks.stagePublish(shingleSetsOf(corpus), setsP)
     shardProbe(corpus, shard, spark.read.parquet(bandsP),
       Some(spark.read.parquet(setsP)))
+  }
+
+  // ─── growing-index shard ingest (the composed daily-DAG primitive) ───
+  /** One scheduler tick of the production curation flow: ingest doc
+    * shard `shardId` (of a deterministic `nShards` split) into a
+    * GROWING standing index under `indexDir`, returning the shard's
+    * removal report. Unlike the d19 demo entry (whose standing corpus
+    * is a fixed holdout), the index here accumulates one partition per
+    * ingested shard across invocations — the shape a daily DAG
+    * actually runs (dags/retail_etl_dag.py:1 daily schedule), with
+    * each tick publishing three shard-keyed tiers:
+    *
+    *  - `bands/shard=<i>`   — the shard's MinHash band rows,
+    *  - `sets/shard=<i>`    — its per-doc shingle arrays,
+    *  - `removals/shard=<i>` — its keep-min removal report.
+    *
+    * The probe reads every published shard partition EXCEPT the
+    * shard's own (a retry must not probe against its own previous
+    * publish), so RE-RUNNING a tick is idempotent: it overwrites only
+    * its own three partitions (Sinks.stagePublish swap), and the
+    * union of removal ids over all published reports stays EXACTLY
+    * the full-rebuild removal set — every unordered near-dup pair is
+    * discovered at the ingest of its LATER shard (same-shard pairs at
+    * their own ingest via the self-join), and a backfill re-run can
+    * only rediscover pairs some other report already holds. The
+    * keep-min argument is d19's, applied inductively over the
+    * schedule; PipelineSpec pins the equality on a 3-shard schedule
+    * with a re-run.
+    *
+    * Scale: per-tick cost is shard fingerprinting + the band-bucket
+    * probe join + array-vs-array verification on the candidate slice —
+    * the standing corpus is READ (pruned to candidate docs by the
+    * left-semi join inside the probe), never recomputed. The removal
+    * union read [[standingRemovals]] is a scan of tiny per-shard
+    * reports.
+    */
+  def shardIngest(spark: SparkSession, dir: String, indexDir: String,
+                  shardId: Int, nShards: Int): DataFrame = {
+    require(nShards > 0 && shardId >= 0 && shardId < nShards,
+      s"shard $shardId out of range for $nShards-way split")
+    val docs = Tables.documents(spark, dir)
+    val shardOf = (id: Column) => pmod(id, lit(nShards.toLong))
+    val shard = docs.filter(shardOf(col("doc_id")) === shardId)
+    val conf = spark.sessionState.newHadoopConf()
+    val fsRoot = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = fsRoot.getFileSystem(conf)
+    // published shards = the shard=<i> partitions already on disk,
+    // minus this tick's own (retry semantics)
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val published: Seq[Int] =
+      if (!fs.exists(bandsDir)) Seq.empty
+      else fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toInt)
+        .filter(_ != shardId).sorted
+    val corpus =
+      if (published.isEmpty) docs.filter(lit(false))
+      else docs.filter(shardOf(col("doc_id")).isin(published.map(_.toLong): _*))
+    val standingBands =
+      if (published.isEmpty) minhashBandsOf(wordShinglesOf(corpus, dedup = false))
+      else spark.read.parquet(published.map(i => s"$indexDir/bands/shard=$i"): _*)
+    val standingSets =
+      if (published.isEmpty) None
+      else Some(spark.read.parquet(published.map(i => s"$indexDir/sets/shard=$i"): _*))
+    val report = shardProbe(corpus, shard, standingBands, standingSets,
+      isShardDoc = id => shardOf(id) === shardId)
+    // publish this shard's index tiers + its report; the report is
+    // already materialized (shardProbe checkpoints it), so the three
+    // writes re-run nothing
+    graft.sources.Sinks.stagePublish(
+      minhashBandsOf(wordShinglesOf(shard, dedup = false)),
+      s"$indexDir/bands/shard=$shardId")
+    graft.sources.Sinks.stagePublish(
+      shingleSetsOf(shard), s"$indexDir/sets/shard=$shardId")
+    graft.sources.Sinks.stagePublish(report, s"$indexDir/removals/shard=$shardId")
+    report
+  }
+
+  /** The standing removal table a consumer reads after any number of
+    * [[shardIngest]] ticks: keep-min rollup over every published
+    * per-shard report (a re-run or backfill may record the same
+    * removed doc in two reports — the rollup collapses them the same
+    * way d07 collapses pairs).
+    */
+  def standingRemovals(spark: SparkSession, indexDir: String): DataFrame = {
+    val remDir = new org.apache.hadoop.fs.Path(s"$indexDir/removals")
+    val fs = remDir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(remDir), s"no shard removals published under $indexDir")
+    val parts = fs.listStatus(remDir).toSeq.map(_.getPath.toString)
+      .filter(_.contains("shard="))
+    spark.read.parquet(parts: _*)
+      .groupBy(col("removed_doc_id"))
+      .agg(min(col("kept_partner")).as("kept_partner"),
+        max(col("max_jaccard")).as("max_jaccard"))
   }
 
   // ─── d08 benchmark decontamination report ────────────────────────────

@@ -80,11 +80,12 @@ object Facts {
     * daily; load.py:195 WRITE_APPEND for fact/mart loads): day N's run
     * appends that day's slice to the standing warehouse instead of
     * rebuilding it. Re-expressed Spark-first as DYNAMIC PARTITION
-    * OVERWRITE: the fact is partitioned by `month_key` (yyyyMM — at
-    * 100 TB the same code path runs at `date_key` day grain, where
-    * each day is executor-plural; month grain keeps local partition
-    * counts sane at test SF), and each load rewrites ONLY the
-    * partitions its slice touches. That makes RE-RUNNING a slice
+    * OVERWRITE: the fact is partitioned by the chosen grain column —
+    * `month_key` (yyyyMM) by default, which keeps local partition
+    * counts sane at test SF, or `date_key` day grain (`grain="day"`),
+    * the 100 TB shape where each day is executor-plural — and each
+    * load rewrites ONLY the partitions its slice touches. That makes
+    * RE-RUNNING a slice
     * idempotent — the Airflow retry/backfill semantics WRITE_APPEND
     * alone does not have (a retried append double-counts; the
     * reference leans on BigQuery job idempotence for this).
@@ -98,20 +99,41 @@ object Facts {
     * within each task.
     */
   def loadFactIncrement(spark: SparkSession, dir: String, outPath: String,
-                        fromKey: Long, toKey: Long): Long = {
-    val slice = factSales(spark, dir)
+                        fromKey: Long, toKey: Long,
+                        grain: String = "month"): Long = {
+    require(grain == "month" || grain == "day",
+      s"unknown fact partition grain '$grain' (expected month|day)")
+    // Dynamic partition overwrite rewrites WHOLE partitions: a slice
+    // whose bounds cut a partition would silently drop the partition's
+    // already-loaded remainder (load day 2 of a month at month grain →
+    // day 1 vanishes). So slice grain must align with partition grain:
+    // at day grain any date_key range is aligned by construction; at
+    // month grain we REQUIRE day-01 start and day-31+ end (a past-the-
+    // end day like 19990231 is a legal numeric bound — `between` on
+    // date_keys is inclusive-range arithmetic, not a calendar).
+    if (grain == "month")
+      require(fromKey % 100 <= 1 && toKey % 100 >= 31,
+        s"month-grain slice [$fromKey,$toKey] is not month-aligned " +
+          "(fromKey must end in 00/01, toKey in 31+ or an open sentinel); " +
+          "a mid-month bound would make dynamic overwrite drop the rest " +
+          "of its month — use grain=\"day\" for sub-month slices")
+    val partCol = if (grain == "month") "month_key" else "date_key"
+    val base = factSales(spark, dir)
       .filter(col("date_key").between(fromKey, toKey))
-      .withColumn("month_key", floor(col("date_key") / 100).cast("long"))
+    val slice =
+      if (grain == "month")
+        base.withColumn("month_key", floor(col("date_key") / 100).cast("long"))
+      else base
     // repartition on the partition column before the write: without it
     // every one of the write's tasks holds rows of every month and the
     // load emits (#months × #tasks) small files — measured 13s warm at
     // sf0.1 against ~3s with the exchange. Same reasoning as
     // Sinks.repartitionTo: a 1000-executor write must bound its file
     // count, and co-locating each partition's rows is how.
-    slice.repartition(col("month_key"))
+    slice.repartition(col(partCol))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("month_key")
+      .partitionBy(partCol)
       .parquet(outPath)
     // read-back count (validate_load per increment). An EMPTY slice is
     // legal daily-DAG input (a day with no orders): dynamic overwrite
@@ -124,10 +146,15 @@ object Facts {
     // partitions and the date filter refines within them.
     val target = new org.apache.hadoop.fs.Path(outPath)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val partitionPred =
+      if (grain == "month")
+        col("month_key").between(fromKey / 100, toKey / 100) &&
+          col("date_key").between(fromKey, toKey)
+      else // at day grain the date filter IS the partition filter
+        col("date_key").between(fromKey, toKey)
     if (!fs.exists(target)) 0L
     else spark.read.schema(slice.schema).parquet(outPath)
-      .filter(col("month_key").between(fromKey / 100, toKey / 100) &&
-        col("date_key").between(fromKey, toKey)).count()
+      .filter(partitionPred).count()
   }
 
   /** Warehouse path for the incrementally-loaded fact — fingerprint-

@@ -75,6 +75,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(oneMonth.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("day-grain incremental fact: sub-month slices load and re-run idempotently") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_wh_inc_day").toString
+    // mid-month bounds — exactly what month grain must REJECT (dynamic
+    // overwrite at month grain would silently drop the rest of a
+    // touched month) and day grain handles natively
+    val slices = Seq((19950101L, 19950110L), (19950111L, 19950120L),
+      (19950121L, 19950131L))
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.incrementalFactRun(spark, TestSpark.sf, out,
+        Seq((19950101L, 19950110L)), validateFirst = false)
+    }
+    assert(ex.getMessage.contains("month-aligned"))
+    val stats = Pipeline.incrementalFactRun(spark, TestSpark.sf, out, slices,
+      grain = "day")
+    assert(stats.size == 3 && stats.map(_.rows).sum > 0)
+    val full = graft.operators.Facts.factSales(spark, TestSpark.sf)
+      .filter(col("date_key").between(19950101L, 19950131L))
+    // partitioned read-back appends the partition column last; reorder
+    // to full's layout (except() compares by position)
+    val inc = spark.read.parquet(s"$out/fact_sales")
+      .select(full.columns.map(col).toSeq: _*)
+    assert(inc.count() == full.count())
+    assert(inc.except(full).count() == 0 && full.except(inc).count() == 0)
+    // per-day idempotent re-run of the middle slice
+    Pipeline.incrementalFactRun(spark, TestSpark.sf, out,
+      Seq(slices(1)), validateFirst = false, grain = "day")
+    val after = spark.read.parquet(s"$out/fact_sales")
+      .select(full.columns.map(col).toSeq: _*)
+    assert(after.count() == full.count() && after.except(full).count() == 0)
+    // day partitions prune on the partition column
+    val oneDay = spark.read.parquet(s"$out/fact_sales")
+      .filter(col("date_key") === 19950115L)
+    assert(oneDay.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("composed daily run: fact increments + shard dedup == one full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_wh_daily").toString
+    val nShards = 3
+    // the daily schedule: an empty leading day (no orders, no docs),
+    // then three days each bringing a date slice and a doc shard
+    val schedule = Seq(
+      Pipeline.DailySlice(19900101L, 19941231L, None),
+      Pipeline.DailySlice(0L, 19971231L, Some(0)),
+      Pipeline.DailySlice(19980101L, 19991231L, Some(1)),
+      Pipeline.DailySlice(20000101L, 99999999L, Some(2)))
+    val stats = Pipeline.dailyRun(spark, TestSpark.sf, out, schedule, nShards)
+    // 4 fact stats + 3 shard stats + the standing rollup
+    assert(stats.size == 8)
+    assert(stats.last.table == "dedup_removals_standing")
+    // fact side == full rebuild
+    val fullFact = graft.operators.Facts.factSales(spark, TestSpark.sf)
+    val fact = spark.read.parquet(s"$out/fact_sales").drop("month_key")
+    assert(fact.count() == fullFact.count() && fact.except(fullFact).count() == 0)
+    // dedup side == full-rebuild removal set
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val fullRemovals = graft.operators.Dedup.removalSetOf(docs)
+      .collect().map(_.getLong(0)).toSet
+    val standing = spark.read.parquet(s"$out/dedup_removals_standing")
+      .select(col("removed_doc_id")).collect().map(_.getLong(0)).toSet
+    assert(standing == fullRemovals)
+    // scheduler retry: re-running one tick (backfill) changes nothing —
+    // it overwrites only its own partitions and rediscovers only pairs
+    // other reports already hold
+    Pipeline.dailyRun(spark, TestSpark.sf, out,
+      Seq(Pipeline.DailySlice(19980101L, 19991231L, Some(1))), nShards,
+      validateFirst = false)
+    val factAfter = spark.read.parquet(s"$out/fact_sales").drop("month_key")
+    assert(factAfter.count() == fullFact.count())
+    val standingAfter = spark.read.parquet(s"$out/dedup_removals_standing")
+      .select(col("removed_doc_id")).collect().map(_.getLong(0)).toSet
+    assert(standingAfter == fullRemovals)
+  }
+
   test("pre-flight health check catches a missing source before any stage (task_health_check)") {
     val out = Files.createTempDirectory("graft_wh_hc").toString
     // an empty source dir: reachable, but the mode's tables are absent —
