@@ -531,6 +531,219 @@ object Similarity {
           lit(2.0) / col("n_cells")).as("is_hot"))
   }
 
+  // ─── q49/q50 IVF-PQ compression tier ─────────────────────────────────
+  /** Product-quantization parameters: M subspaces × ks codes. A PQ code
+    * is M small ints (here 4×4 bits) per vector instead of dims floats
+    * — at 100 TB the raw float[] corpus is what stops fitting storage-
+    * adjacent memory; IVF cells bound WHICH vectors a probe scans, PQ
+    * bounds the BYTES PER VECTOR that scan touches (64 dims × 4 B →
+    * 4 codes + cell id ≈ 40× smaller, plus one shared 4×16-row
+    * sub-codebook). Search reconstructs candidates from codes
+    * (centroid + per-subspace code vectors) and ranks on the
+    * reconstruction — the asymmetric-distance scheme with the lookup
+    * table inlined as a broadcast join.
+    */
+  private val pqSubspaces = 4
+  private val pqCodesPerSub = 16
+
+  /** Squared L2 via the dot-product identity — NOT elementwise
+    * (a-b)² folds: both engines must evaluate the SAME IEEE expression
+    * for the 4-dp rounding to agree, and `dot(a,a) − 2·dot(a,b) +
+    * dot(b,b)` is three index-ordered folds any engine replays.
+    */
+  private def d2R(a: Column, b: Column): Column =
+    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 4)
+
+  /** Per-vector residual subvectors (vec_id, m, rm): residual vs the
+    * PUBLISHED cell centroid (the c2 codebook — the mean of the cell's
+    * members, the best same-cell reference), split into M equal slices.
+    */
+  private def pqResidualSubs(e: DataFrame, assign: DataFrame,
+                             codebook: DataFrame): DataFrame = {
+    val r = e.join(assign, Seq("vec_id"))
+      .join(broadcast(codebook), Seq("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("r"))
+    val subLen = ceil(size(col("r")) / pqSubspaces).cast("int")
+    r.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        slice(col("r"), (col("m") * subLen + 1).cast("int"), subLen).as("rm"))
+  }
+
+  // nearest code per (vector, subspace): min (rounded d2, code) — the
+  // same windowless map-side argmax as assignTo, in min-distance form
+  private def pqAssignTo(subs: DataFrame, book: DataFrame): DataFrame =
+    subs.join(broadcast(book), Seq("m"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(first(col("rm")).as("rm"),
+        min(struct(d2R(col("rm"), col("code_emb")).as("d2"),
+          col("code").as("code"))).as("best"))
+      .select(col("vec_id"), col("m"), col("rm"), col("best.code").as("code"))
+
+  // one M-step: decimal-exact per-(subspace, code, dim) means; codes
+  // that captured no members keep their previous vector
+  private def pqMeansFrom(assigned: DataFrame, book: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("m"), col("code"), posexplode(col("rm")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("mu"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("new_emb"))
+    book.join(means, Seq("m", "code"), "left")
+      .select(col("m"), col("code"),
+        coalesce(col("new_emb"), col("code_emb")).as("code_emb"))
+  }
+
+  /** Hash-spread seeds per subspace — the seedCodebook rule applied to
+    * residual subvectors: bucket j = vec_id mod ks, seed = the bucket
+    * member with the smallest (md5(vec_id), vec_id).
+    */
+  private def pqSeeds(subs: DataFrame): DataFrame =
+    subs.groupBy(col("m"),
+        pmod(col("vec_id"), lit(pqCodesPerSub.toLong)).as("code"))
+      .agg(min(struct(
+        md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id").as("v"),
+        col("rm").as("e"))).as("s"))
+      .select(col("m"), col("code"), col("s.e").as("code_emb"))
+
+  private def pqCodebookPath(spark: SparkSession, dir: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/pq_codebook/v1pq${indexKey(spark, dir)}"
+
+  private def pqCodesPath(spark: SparkSession, dir: String): String =
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/pq_codes/v1pq${indexKey(spark, dir)}"
+
+  /** Build + publish the PQ tier (sub-codebooks and per-vector codes)
+    * over the standing IVF index — seed → E → M → final E, the
+    * ivfModel shape on residual subvectors, every step DECIMAL-exact
+    * or 4-dp-rounded so DuckDB replays the identical codes.
+    */
+  def pqBuild(spark: SparkSession, dir: String): DataFrame = {
+    ensureIndex(spark, dir)
+    val assign = spark.read.parquet(indexPath(spark, dir))
+      .select(col("vec_id"), col("centroid_id"))
+    val cb = spark.read.parquet(codebookPath(spark, dir))
+    val subs = pqResidualSubs(corpusEmb(spark, dir), assign, cb).persist()
+    try {
+      val s0 = pqSeeds(subs)
+      val b = pqMeansFrom(pqAssignTo(subs, s0), s0)
+      graft.sources.Sinks.stagePublish(b, pqCodebookPath(spark, dir))
+      val book = spark.read.parquet(pqCodebookPath(spark, dir))
+      val codes = pqAssignTo(subs, book)
+        .select(col("vec_id"), col("m"), col("code"))
+      val path = pqCodesPath(spark, dir)
+      graft.sources.Sinks.stagePublish(codes, path)
+      spark.read.parquet(path)
+    } finally subs.unpersist(false)
+  }
+
+  private def ensurePq(spark: SparkSession, dir: String): Unit = {
+    ensureIndex(spark, dir)
+    if (!indexExists(spark, pqCodebookPath(spark, dir)) ||
+        !indexExists(spark, pqCodesPath(spark, dir)))
+      pqBuild(spark, dir)
+  }
+
+  /** Candidate reconstructions from PQ codes: cell centroid + the M
+    * code vectors concatenated in subspace order. The scale payoff:
+    * this frame derives from the CODES table (4 small ints/vector) and
+    * two broadcast codebooks — the float corpus is never read at
+    * search time.
+    */
+  private def pqRecon(spark: SparkSession, dir: String): DataFrame = {
+    val b = spark.read.parquet(pqCodebookPath(spark, dir))
+    val assign = spark.read.parquet(indexPath(spark, dir))
+      .select(col("vec_id"), col("centroid_id"))
+    val cb = spark.read.parquet(codebookPath(spark, dir))
+    spark.read.parquet(pqCodesPath(spark, dir))
+      .join(broadcast(b), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("m"), col("code_emb")))),
+        s => s.getField("code_emb"))).as("cat"))
+      .join(assign, Seq("vec_id"))
+      .join(broadcast(cb), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("c_emb"), col("cat"), (a, b) => a + b).as("recon"))
+  }
+
+  /** q49: ANN search over the COMPRESSED tier — each query (its true,
+    * uncompressed embedding) probes its own coarse cell and ranks the
+    * cell's members by cosine to their PQ reconstructions (asymmetric
+    * distance). Same plan shape as q32; the member side is codes, not
+    * floats. Builds the tier iff missing (the q32 contract).
+    */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    ensurePq(spark, dir)
+    val e = corpusEmb(spark, dir)
+    val qs = e.join(
+        spark.read.parquet(indexPath(spark, dir))
+          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("centroid_id"), col("emb").as("q_emb"))
+    val scored = pqRecon(spark, dir)
+      .join(broadcast(qs), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosR(col("q_emb"), col("recon")).as("approx_cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  /** q50: the compression-tier recall report, in the q35 shape — per
+    * nprobe ∈ {1,2,4}, recall@5 of the PQ-reconstruction ranking
+    * against the exact brute-force top-5, plus the scan-cost axis.
+    * What q35 measures for the coarse quantizer (cells probed), this
+    * measures for the fine one (bytes per candidate): together they
+    * are the two knobs a production IVF-PQ deployment tunes.
+    */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensurePq(spark, dir)
+    val e = corpusEmb(spark, dir)
+    val codebook = spark.read.parquet(codebookPath(spark, dir))
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cell_cos").desc, col("centroid_id"))
+    val probes = qs.crossJoin(broadcast(codebook))
+      .select(col("q_id"), col("q_emb"), col("centroid_id"),
+        cosR(col("q_emb"), col("c_emb")).as("cell_cos"))
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= 4)
+      .select(col("q_id"), col("q_emb"), col("centroid_id"), col("cell_rank"))
+    val cand = pqRecon(spark, dir)
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cell_rank"),
+        cosR(col("q_emb"), col("recon")).as("approx_cos"))
+    val exact = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      .join(broadcast(qs), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosR(col("q_emb"), col("c_emb")).as("ex_cos"))
+      .withColumn("ex_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ex_cos").desc, col("c_id"))))
+      .filter(col("ex_rk") <= 5)
+      .select(col("q_id"), col("c_id"), lit(1L).as("is_exact"))
+    val levels = Seq(1L, 2L, 4L).toDF("nprobe")
+    val probed = cand.join(broadcast(levels), col("cell_rank") <= col("nprobe"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nprobe"), col("q_id"))
+          .orderBy(col("approx_cos").desc, col("c_id"))))
+      .join(broadcast(exact), Seq("q_id", "c_id"), "left")
+    probed.groupBy(col("nprobe"))
+      .agg(
+        sum(when(col("rk") <= 5 && col("is_exact") === 1L, 1L).otherwise(0L))
+          .as("total_hits"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("nprobe"), col("total_hits"),
+        round(col("total_hits").cast("double") / 100.0, 4).as("recall_at5"),
+        round(col("n_candidates").cast("double") / 20.0, 2).as("avg_candidates"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
     "d06_embedding_lsh" -> embeddingLsh,
@@ -539,7 +752,85 @@ object Similarity {
     "q32_ivf_search" -> ivfSearch,
     "q35_ivf_recall" -> ivfSearchRecall,
     "q45_ivf_cell_stats" -> ivfCellStats,
-    "q48_ivf_adaptive" -> ivfAssignAdaptive)
+    "q48_ivf_adaptive" -> ivfAssignAdaptive,
+    "q49_ivf_pq" -> pqSearch,
+    "q50_pq_recall" -> pqRecall)
+
+  /** Shared DuckDB replay of the PQ tier: the q24/q35 two-E-step IVF
+    * chain (e … fin, c2), then residuals → subspace slices → hash-
+    * spread seeds → one Lloyd step (DECIMAL means) → final code
+    * assignment → reconstructions. q49/q50 append their own search /
+    * report tail over `recon` (+ `fin`, `c2`, `e`).
+    */
+  private def pqOracle(tail: String): String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c0 AS (
+      |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+      |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
+      |a1 AS (
+      |  SELECT vec_id, emb, centroid_id,
+      |         round(list_dot_product(emb, c_emb)
+      |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+      |  FROM e CROSS JOIN c0
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+      |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+      |m1 AS (SELECT centroid_id, pos,
+      |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+      |       FROM x1 GROUP BY 1, 2),
+      |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+      |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+      |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+      |fin AS (
+      |  SELECT vec_id, emb, centroid_id,
+      |         round(list_dot_product(emb, c_emb)
+      |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+      |  FROM e CROSS JOIN c1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+      |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM fin),
+      |m2 AS (SELECT centroid_id, pos,
+      |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+      |       FROM x2 GROUP BY 1, 2),
+      |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
+      |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
+      |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
+      |resid AS (
+      |  SELECT f.vec_id, f.centroid_id,
+      |         list_transform(range(1, len(f.emb) + 1), i -> f.emb[i] - c2.c_emb[i]) AS r
+      |  FROM fin f JOIN c2 ON f.centroid_id = c2.centroid_id),
+      |ms AS (SELECT unnest(range(0, 4)) AS m),
+      |subs AS (
+      |  SELECT vec_id, m,
+      |         r[(m * CAST(ceil(len(r) / 4.0) AS BIGINT) + 1):((m + 1) * CAST(ceil(len(r) / 4.0) AS BIGINT))] AS rm
+      |  FROM resid CROSS JOIN ms),
+      |s0 AS (
+      |  SELECT m, vec_id % 16 AS code, rm AS code_emb FROM subs
+      |  QUALIFY row_number() OVER (PARTITION BY m, vec_id % 16
+      |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
+      |pa1 AS (
+      |  SELECT vec_id, m, rm, code FROM subs JOIN s0 USING (m)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
+      |    round(list_dot_product(rm, rm) - 2.0 * list_dot_product(rm, code_emb)
+      |          + list_dot_product(code_emb, code_emb), 4), code) = 1),
+      |px AS (SELECT m, code, unnest(range(1, len(rm) + 1)) AS pos, unnest(rm) AS v FROM pa1),
+      |pm AS (SELECT m, code, pos,
+      |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS mu
+      |       FROM px GROUP BY 1, 2, 3),
+      |bm AS (SELECT m, code, list(mu ORDER BY pos) AS new_emb FROM pm GROUP BY 1, 2),
+      |b AS (SELECT s0.m, s0.code, coalesce(bm.new_emb, s0.code_emb) AS code_emb
+      |      FROM s0 LEFT JOIN bm USING (m, code)),
+      |pcodes AS (
+      |  SELECT vec_id, m, code FROM subs JOIN b USING (m)
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
+      |    round(list_dot_product(rm, rm) - 2.0 * list_dot_product(rm, code_emb)
+      |          + list_dot_product(code_emb, code_emb), 4), code) = 1),
+      |cat AS (SELECT vec_id, flatten(list(code_emb ORDER BY m)) AS cat
+      |        FROM pcodes JOIN b USING (m, code) GROUP BY vec_id),
+      |recon AS (
+      |  SELECT c.vec_id, f.centroid_id,
+      |         list_transform(range(1, len(c2.c_emb) + 1), i -> c2.c_emb[i] + c.cat[i]) AS recon
+      |  FROM cat c JOIN fin f USING (vec_id) JOIN c2 ON f.centroid_id = c2.centroid_id),
+      |""".stripMargin + tail
 
   val oracle: Map[String, String] = Map(
     "q45_ivf_cell_stats" ->
@@ -738,6 +1029,51 @@ object Similarity {
         |       round(CAST(count(*) AS DOUBLE) / 20.0, 2) AS avg_candidates
         |FROM probed p LEFT JOIN exact ex ON p.q_id = ex.q_id AND p.c_id = ex.c_id
         |GROUP BY 1""".stripMargin,
+    "q49_ivf_pq" -> pqOracle(
+      """q AS (SELECT vec_id AS q_id, centroid_id, emb AS q_emb FROM fin WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.q_id, r.vec_id AS c_id,
+        |         round(list_dot_product(q.q_emb, r.recon)
+        |               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(r.recon, r.recon))), 4) AS approx_cos
+        |  FROM recon r JOIN q USING (centroid_id) WHERE r.vec_id <> q.q_id)
+        |SELECT q_id, c_id, approx_cos,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 5""".stripMargin),
+    "q50_pq_recall" -> pqOracle(
+      """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM fin WHERE vec_id < 20),
+        |cr AS (
+        |  SELECT q_id, q_emb, centroid_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY
+        |           round(list_dot_product(q_emb, c_emb)
+        |                 / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) DESC,
+        |           centroid_id) AS cell_rank
+        |  FROM q CROSS JOIN c2
+        |  QUALIFY cell_rank <= 4),
+        |cand AS (
+        |  SELECT cr.q_id, r.vec_id AS c_id, cr.cell_rank,
+        |         round(list_dot_product(cr.q_emb, r.recon)
+        |               / (sqrt(list_dot_product(cr.q_emb, cr.q_emb)) * sqrt(list_dot_product(r.recon, r.recon))), 4) AS approx_cos
+        |  FROM recon r JOIN cr ON r.centroid_id = cr.centroid_id
+        |  WHERE r.vec_id <> cr.q_id),
+        |exact AS (
+        |  SELECT q.q_id, c.vec_id AS c_id
+        |  FROM q JOIN e c ON q.q_id <> c.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |    round(list_dot_product(q.q_emb, c.emb)
+        |          / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) DESC,
+        |    c.vec_id) <= 5),
+        |levels AS (SELECT * FROM (VALUES (1), (2), (4)) t(nprobe)),
+        |probed AS (
+        |  SELECT l.nprobe, c.q_id, c.c_id,
+        |         row_number() OVER (PARTITION BY l.nprobe, c.q_id
+        |                            ORDER BY c.approx_cos DESC, c.c_id) AS rk
+        |  FROM cand c JOIN levels l ON c.cell_rank <= l.nprobe)
+        |SELECT CAST(p.nprobe AS BIGINT) AS nprobe,
+        |       CAST(sum(CASE WHEN p.rk <= 5 AND ex.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_hits,
+        |       round(CAST(sum(CASE WHEN p.rk <= 5 AND ex.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 100.0, 4) AS recall_at5,
+        |       round(CAST(count(*) AS DOUBLE) / 20.0, 2) AS avg_candidates
+        |FROM probed p LEFT JOIN exact ex ON p.q_id = ex.q_id AND p.c_id = ex.c_id
+        |GROUP BY 1""".stripMargin),
     "d05_embedding_knn" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

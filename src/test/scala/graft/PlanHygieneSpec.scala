@@ -106,6 +106,21 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"shard probe must not window:\n$p")
   }
 
+  test("q49 PQ search: codebooks broadcast, no cartesian, window only on the bounded query set") {
+    val p = plan(Similarity.pqSearch(spark, TestSpark.sf))
+    // the two codebooks and the query set ride broadcast joins; the
+    // codes/assignment side streams — a cartesian or nested-loop join
+    // would be the all-pairs scan the tier exists to avoid
+    assert(!p.contains("CartesianProduct"), s"PQ search went all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"codebooks must broadcast:\n$p")
+    // the only Window is the per-query top-k over in-cell candidates
+    // (bounded q_id partitions), never a corpus-wide one
+    assert("Window \\[[^\\]]*q_id".r.findFirstIn(p).isDefined,
+      s"expected the top-k window partitioned by q_id:\n$p")
+    assert(p.split("\n").count(_.contains("Window [")) == 1,
+      s"unexpected extra Window operators:\n$p")
+  }
+
   test("q48 adaptive assignment: windowless argmax, broadcast codebook") {
     val p = plan(Similarity.ivfAssignAdaptive(spark, TestSpark.sf))
     // nearest-centroid must stay a map-side max(struct) aggregation —

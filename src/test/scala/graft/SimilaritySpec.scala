@@ -60,6 +60,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a16.select("centroid_id").distinct().count() <= 16)
   }
 
+  test("PQ tier: codes are complete, search ranks reconstructions, recall beats chance and loses to uncompressed") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.embeddings(spark, TestSpark.sf).count()
+    // build-if-missing via the search entry (the q32 contract)
+    val top = Similarity.pqSearch(spark, TestSpark.sf)
+    // every query gets <=5 ranked candidates from its own cell
+    val perQ = top.groupBy("q_id").agg(count(lit(1)).as("c"),
+      max("rank").as("mr")).collect()
+    assert(perQ.length == 20)
+    perQ.foreach(r => assert(r.getAs[Long]("c") <= 5 &&
+      r.getAs[Long]("mr") == r.getAs[Long]("c")))
+    // the published tier: exactly M codes per vector, each in [0, ks)
+    val codes = Similarity.pqBuild(spark, TestSpark.sf)
+    assert(codes.count() == n * 4)
+    assert(codes.groupBy("vec_id").count().where("count <> 4").count() == 0)
+    assert(codes.where("code < 0 or code >= 16").count() == 0)
+    // recall: 3 monotone-in-nprobe rows; compression can only LOSE
+    // ordering information, so PQ recall stays within [chance, the
+    // uncompressed q35 recall] at every nprobe level
+    val pq = Similarity.pqRecall(spark, TestSpark.sf)
+      .orderBy("nprobe").collect()
+    val exact = Similarity.ivfSearchRecall(spark, TestSpark.sf)
+      .orderBy("nprobe").collect()
+    assert(pq.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    pq.zip(exact).foreach { case (p, x) =>
+      val pr = p.getAs[Double]("recall_at5")
+      assert(pr > 0.0 && pr <= x.getAs[Double]("recall_at5") + 1e-9,
+        s"PQ recall $pr vs uncompressed ${x.getAs[Double]("recall_at5")}")
+      // same candidate sets — the tiers differ only in scoring bytes
+      assert(p.getAs[Double]("avg_candidates") == x.getAs[Double]("avg_candidates"))
+    }
+    assert(pq(0).getAs[Double]("recall_at5") <= pq(2).getAs[Double]("recall_at5"))
+  }
+
   test("d05 guard: a query bound past the ceiling refuses to plan") {
     // the exact baseline is broadcast-queries × streamed-corpus; a wide
     // bound silently becomes the all-pairs scan ANN exists to avoid
