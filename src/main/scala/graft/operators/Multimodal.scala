@@ -61,6 +61,46 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM image codec over `javax.imageio` — the JDK's
+    * built-in readers (PNG/BMP/GIF/JPEG), no native libraries: decode
+    * actual image bytes to (mean luminance, 16-bucket luminance
+    * histogram), the same fixed-width feature shape as [[FakeCodec]],
+    * so it drops through every extraction stage unchanged
+    * (MultimodalSpec runs it over real PNG bytes per-cell and pins
+    * memo behavior). Luma is the integer ITU-R 601 weighting
+    * ((299·R + 587·G + 114·B) / 1000) — pure integer arithmetic, so
+    * features are bit-deterministic across JVMs; ImageIO.read itself
+    * is a strict format decoder (same bytes → same raster).
+    *
+    * Object-level (one per JVM) rather than per-call init — ImageIO's
+    * plugin registry scan is the "heavy native init" the per-partition
+    * factory contract exists for.
+    */
+  object ImageIoCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload (${payload.length} bytes)")
+      val hist = new Array[Long](FakeCodec.HIST_BUCKETS)
+      var sum = 0L
+      var n = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum / FakeCodec.HIST_BUCKETS) += 1
+          sum += lum
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      (if (n == 0) 0.0 else sum.toDouble / n, hist)
+    }
+  }
+
   /** Synthesize a media table from the documents corpus: payload =
     * UTF-8 bytes of the text (a deterministic opaque binary stand-in
     * for real image bytes).

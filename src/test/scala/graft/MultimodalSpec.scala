@@ -93,6 +93,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pidsInv > 17, s"injected codec must keep salted parallelism, got $pidsInv partitions")
   }
 
+  test("real JDK image codec decodes actual PNG bytes per-cell with memo hits preserved") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // real image bytes: 8 distinct deterministic 16x16 PNGs (javax.imageio
+    // round-trip — the same decoder family the codec uses), each duplicated
+    // 5x so the per-partition memo has something to hit
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, (seed * 2654435761L.toInt + y * 16 + x) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val payloads = (0 until 8).map(png)
+    val media = spark.createDataset((0 until 40).map { i =>
+      Multimodal.MediaRow(i.toLong, "image", "image/png", payloads(i % 8), 16L * 16L)
+    })
+    // cell derives from the PAYLOAD identity (i % 8), not the row id —
+    // the production invariant the memo guarantee rests on: identical
+    // payloads have identical embeddings, hence identical cells
+    val cells = (0 until 40).map(i => (i.toLong, ((i % 8) % 3).toLong))
+      .toDF("vec_id", "centroid_id")
+    val feats = Multimodal.extractFeaturesByCell(media, cells,
+      numPartitions = Some(8), codecFactory = () => Multimodal.ImageIoCodec)
+    val got = feats.collect().map(f => f.media_id -> f).toMap
+    assert(got.keySet == (0 until 40).map(_.toLong).toSet)
+    // features came from REAL pixel decode: match a driver-side reference
+    // decode of the same bytes, and the histogram censuses all 256 pixels
+    val ref = payloads.map(Multimodal.ImageIoCodec.decode)
+    got.foreach { case (id, f) =>
+      val (mean, hist) = ref((id % 8).toInt)
+      assert(f.mean_byte == mean && f.histogram.toSeq == hist.toSeq)
+      assert(f.histogram.sum == 256L)
+      assert(f.n_bytes == payloads((id % 8).toInt).length.toLong)
+    }
+    // duplicates agree with each other and land in ONE partition each
+    // (the memo can only hit on exact payload equality — splitting a
+    // payload across partitions forfeits its hits)
+    val split = feats.toDF().withColumn("pid", spark_partition_id())
+      .groupBy("payload_hash").agg(countDistinct("pid").as("n_parts"))
+      .where(col("n_parts") > 1).count()
+    assert(split == 0, "an identical payload was split across partitions")
+  }
+
   test("resize truncates payloads; frameSample strides bytes") {
     val m = Multimodal.mediaTable(spark, TestSpark.sf)
     val r = Multimodal.resize(m, 16)
