@@ -609,11 +609,20 @@ object Similarity {
         col("rm").as("e"))).as("s"))
       .select(col("m"), col("code"), col("s.e").as("code_emb"))
 
-  private def pqCodebookPath(spark: SparkSession, dir: String): String =
-    s"${spark.conf.get("spark.sql.warehouse.dir")}/pq_codebook/v1pq${indexKey(spark, dir)}"
-
-  private def pqCodesPath(spark: SparkSession, dir: String): String =
-    s"${spark.conf.get("spark.sql.warehouse.dir")}/pq_codes/v1pq${indexKey(spark, dir)}"
+  /** PQ tier paths, keyed by source fingerprint AND the active index's
+    * coarse k. The k matters: the tier quantizes residuals AGAINST the
+    * published codebook, so an index rebuilt at a different k (the q48
+    * adaptive path) must invalidate the codes — source+k pins it
+    * completely, because a same-source same-k rebuild is deterministic
+    * and reproduces byte-identical artifacts. Callers must ensureIndex
+    * first (the k is read from the published codebook).
+    */
+  private def pqPaths(spark: SparkSession, dir: String): (String, String) = {
+    val k = spark.read.parquet(codebookPath(spark, dir)).count()
+    val key = s"v1pq_k${k}_${indexKey(spark, dir)}"
+    (s"${spark.conf.get("spark.sql.warehouse.dir")}/pq_codebook/$key",
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/pq_codes/$key")
+  }
 
   /** Build + publish the PQ tier (sub-codebooks and per-vector codes)
     * over the standing IVF index — seed → E → M → final E, the
@@ -622,6 +631,7 @@ object Similarity {
     */
   def pqBuild(spark: SparkSession, dir: String): DataFrame = {
     ensureIndex(spark, dir)
+    val (bookPath, codesPath) = pqPaths(spark, dir)
     val assign = spark.read.parquet(indexPath(spark, dir))
       .select(col("vec_id"), col("centroid_id"))
     val cb = spark.read.parquet(codebookPath(spark, dir))
@@ -629,20 +639,19 @@ object Similarity {
     try {
       val s0 = pqSeeds(subs)
       val b = pqMeansFrom(pqAssignTo(subs, s0), s0)
-      graft.sources.Sinks.stagePublish(b, pqCodebookPath(spark, dir))
-      val book = spark.read.parquet(pqCodebookPath(spark, dir))
+      graft.sources.Sinks.stagePublish(b, bookPath)
+      val book = spark.read.parquet(bookPath)
       val codes = pqAssignTo(subs, book)
         .select(col("vec_id"), col("m"), col("code"))
-      val path = pqCodesPath(spark, dir)
-      graft.sources.Sinks.stagePublish(codes, path)
-      spark.read.parquet(path)
+      graft.sources.Sinks.stagePublish(codes, codesPath)
+      spark.read.parquet(codesPath)
     } finally subs.unpersist(false)
   }
 
   private def ensurePq(spark: SparkSession, dir: String): Unit = {
     ensureIndex(spark, dir)
-    if (!indexExists(spark, pqCodebookPath(spark, dir)) ||
-        !indexExists(spark, pqCodesPath(spark, dir)))
+    val (bookPath, codesPath) = pqPaths(spark, dir)
+    if (!indexExists(spark, bookPath) || !indexExists(spark, codesPath))
       pqBuild(spark, dir)
   }
 
@@ -653,11 +662,12 @@ object Similarity {
     * search time.
     */
   private def pqRecon(spark: SparkSession, dir: String): DataFrame = {
-    val b = spark.read.parquet(pqCodebookPath(spark, dir))
+    val (bookPath, codesPath) = pqPaths(spark, dir)
+    val b = spark.read.parquet(bookPath)
     val assign = spark.read.parquet(indexPath(spark, dir))
       .select(col("vec_id"), col("centroid_id"))
     val cb = spark.read.parquet(codebookPath(spark, dir))
-    spark.read.parquet(pqCodesPath(spark, dir))
+    spark.read.parquet(codesPath)
       .join(broadcast(b), Seq("m", "code"))
       .groupBy(col("vec_id"))
       .agg(flatten(transform(
