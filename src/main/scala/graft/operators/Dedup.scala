@@ -581,10 +581,9 @@ object Dedup {
     */
   def shardProbe(corpusDocs: DataFrame, shardDocs: DataFrame,
                  corpusBands: DataFrame,
-                 corpusSets: Option[DataFrame] = None,
-                 isShardDoc: Column => Column = id => pmod(id, lit(5L)) === 4): DataFrame = {
+                 corpusSets: Option[DataFrame] = None): DataFrame = {
     val (report, shSets) =
-      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets, isShardDoc)
+      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets)
     // the verify stage persists its per-doc shingle arrays (they feed
     // both join sides); the report is tiny, so materialize it eagerly
     // and release the intermediate before returning — the
@@ -603,10 +602,7 @@ object Dedup {
     */
   private[graft] def shardProbeFrame(corpusDocs: DataFrame, shardDocs: DataFrame,
                                      corpusBands: DataFrame,
-                                     corpusSets: Option[DataFrame] = None,
-                                     // shard membership of a doc-id column — the d19 demo's
-                                     // holdout-5 split by default; shardIngest passes its own
-                                     isShardDoc: Column => Column = id => pmod(id, lit(5L)) === 4): (DataFrame, DataFrame) = {
+                                     corpusSets: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val shardBands = minhashBandsOf(wordShinglesOf(shardDocs, dedup = false))
     // shard bands vs (corpus ∪ shard) bands: shard×corpus pairs appear
     // once, shard×shard twice (both orientations) — least/greatest +
@@ -637,8 +633,15 @@ object Dedup {
         min(col("doc_a")).as("kept_partner"),
         count(lit(1)).as("n_dup_pairs"),
         max(col("jaccard")).as("max_jaccard"))
-      .withColumn("is_shard_doc", isShardDoc(col("removed_doc_id")))
-    (report, shSets)
+    // the flag derives from the SHARD FRAME itself (a tiny-report ⋈
+    // shard-ids join), not a membership predicate the caller must
+    // duplicate — which is what lets a streaming micro-batch, whose
+    // membership IS "rows of this batch", ride the same probe
+    val shardIds = shardDocs
+      .select(col("doc_id").as("removed_doc_id"), lit(true).as("is_shard_doc"))
+    val flagged = report.join(shardIds, Seq("removed_doc_id"), "left")
+      .withColumn("is_shard_doc", coalesce(col("is_shard_doc"), lit(false)))
+    (flagged, shSets)
   }
 
   /** Removal-id set (distinct doc_b of keep-min-verified pairs) over an
@@ -743,39 +746,49 @@ object Dedup {
     require(nShards > 0 && shardId >= 0 && shardId < nShards,
       s"shard $shardId out of range for $nShards-way split")
     val docs = Tables.documents(spark, dir)
-    val shardOf = (id: Column) => pmod(id, lit(nShards.toLong))
-    val shard = docs.filter(shardOf(col("doc_id")) === shardId)
+    ingestShardCore(
+      docs.filter(pmod(col("doc_id"), lit(nShards.toLong)) === shardId),
+      indexDir, shardId.toString)
+  }
+
+  /** Shard-frame core of [[shardIngest]]: probe an ARBITRARY shard
+    * frame against every published shard partition except `shardKey`'s
+    * own, then publish the three tiers under that key. The corpus side
+    * is always the published artifacts (bands + shingle arrays) — the
+    * raw corpus docs frame is never needed, so any source of shards
+    * works: the batch scheduler's pmod split (integer keys) or a
+    * streaming micro-batch (the CurationStream "b<batchId>" keys).
+    */
+  private[graft] def ingestShardCore(shard: DataFrame, indexDir: String,
+                                     shardKey: String): DataFrame = {
+    val spark = shard.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    val fsRoot = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = fsRoot.getFileSystem(conf)
-    // published shards = the shard=<i> partitions already on disk,
-    // minus this tick's own (retry semantics)
     val bandsDir = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
-    val published: Seq[Int] =
+    val fs = bandsDir.getFileSystem(conf)
+    // published shards = the shard=<key> partitions already on disk,
+    // minus this tick's own (retry semantics)
+    val published: Seq[String] =
       if (!fs.exists(bandsDir)) Seq.empty
       else fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toInt)
-        .filter(_ != shardId).sorted
-    val corpus =
-      if (published.isEmpty) docs.filter(lit(false))
-      else docs.filter(shardOf(col("doc_id")).isin(published.map(_.toLong): _*))
+        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard="))
+        .filter(_ != shardKey).sorted
+    val emptyDocs = shard.filter(lit(false))
     val standingBands =
-      if (published.isEmpty) minhashBandsOf(wordShinglesOf(corpus, dedup = false))
-      else spark.read.parquet(published.map(i => s"$indexDir/bands/shard=$i"): _*)
+      if (published.isEmpty) minhashBandsOf(wordShinglesOf(emptyDocs, dedup = false))
+      else spark.read.parquet(published.map(k => s"$indexDir/bands/shard=$k"): _*)
     val standingSets =
       if (published.isEmpty) None
-      else Some(spark.read.parquet(published.map(i => s"$indexDir/sets/shard=$i"): _*))
-    val report = shardProbe(corpus, shard, standingBands, standingSets,
-      isShardDoc = id => shardOf(id) === shardId)
+      else Some(spark.read.parquet(published.map(k => s"$indexDir/sets/shard=$k"): _*))
+    val report = shardProbe(emptyDocs, shard, standingBands, standingSets)
     // publish this shard's index tiers + its report; the report is
     // already materialized (shardProbe checkpoints it), so the three
     // writes re-run nothing
     graft.sources.Sinks.stagePublish(
       minhashBandsOf(wordShinglesOf(shard, dedup = false)),
-      s"$indexDir/bands/shard=$shardId")
+      s"$indexDir/bands/shard=$shardKey")
     graft.sources.Sinks.stagePublish(
-      shingleSetsOf(shard), s"$indexDir/sets/shard=$shardId")
-    graft.sources.Sinks.stagePublish(report, s"$indexDir/removals/shard=$shardId")
+      shingleSetsOf(shard), s"$indexDir/sets/shard=$shardKey")
+    graft.sources.Sinks.stagePublish(report, s"$indexDir/removals/shard=$shardKey")
     report
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CurationStream
+
+/** The continuous curation ingest must converge to EXACTLY the batch
+  * full-rebuild removal set no matter how the stream is chopped into
+  * micro-batches, and a replayed batch (foreachBatch's at-least-once
+  * delivery after a crash) must change nothing — the batch-keyed
+  * overwrite is the exactly-once mechanism under test.
+  */
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streamed shard ingest == batch full-rebuild removal set, replay included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect().toSeq
+    assert(rows.size > 50)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_cur_stream").toString
+    val src = MemoryStream[(Long, String)]
+    val q = CurationStream.ingest(
+      src.toDF().toDF("doc_id", "text"), s"$out/index", s"$out/ckpt")
+    try {
+      // three arbitrary arrival chunks (id order — irrelevant to the
+      // removal SET, which is arrival-order-free by keep-min pairing)
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        src.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // stream == batch rebuild
+    val full = graft.operators.Dedup.removalSetOf(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(full.nonEmpty, "test corpus must contain near-dups")
+    def standing(): Set[Long] =
+      CurationStream.standingRemovals(spark, s"$out/index")
+        .select("removed_doc_id").collect().map(_.getLong(0)).toSet
+    assert(standing() == full)
+
+    // three batch-keyed partitions per tier
+    val bands = new java.io.File(s"$out/index/bands").list().toSeq
+      .filter(_.startsWith("shard=b"))
+    assert(bands.size == 3, s"expected 3 batch partitions, got $bands")
+
+    // crash-replay: re-deliver batch 1's rows under its own batchId —
+    // the tick overwrites only its own partitions, probes only the
+    // others, and the standing set is unchanged
+    val chunk1 = rows.grouped((rows.size + 2) / 3).toSeq(1)
+    CurationStream.ingestBatch(
+      chunk1.toDF("doc_id", "text"), s"$out/index", 1L)
+    assert(standing() == full)
+    // an empty replay publishes nothing new
+    CurationStream.ingestBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), s"$out/index", 99L)
+    assert(new java.io.File(s"$out/index/bands").list().toSeq
+      .count(_.startsWith("shard=")) == 3)
+    assert(standing() == full)
+  }
+}
