@@ -792,6 +792,60 @@ object Dedup {
     report
   }
 
+  /** Compact the growing shard index: fold every published shard
+    * partition (prior compactions included) into ONE generation-keyed
+    * partition per tier (`shard=c<n>`), then remove the sources — the
+    * quiet-hour maintenance a per-batch-growing index needs so probe
+    * cost stays O(index size), not O(index size + partition count).
+    * Returns the number of partitions folded (0 = nothing to do).
+    *
+    * Probe semantics are preserved EXACTLY: band rows merge as a set
+    * union and candidate generation distincts band-bucket pairs, so
+    * even the crash window where old and new partitions briefly
+    * coexist can only duplicate band rows, never change the pair set
+    * a future probe discovers; re-running compaction cleans the
+    * leftovers. The removal tier rolls up by keep-min (min
+    * kept_partner / max jaccard commute with the merge; n_dup_pairs
+    * sums, an upper bound when a replayed tick recorded a pair twice;
+    * is_shard_doc becomes "was ever a shard-side removal" —
+    * historical, like the rest of the report after its shard
+    * boundary dissolves). Single-writer like every artifact family:
+    * don't compact concurrently with an ingest tick.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = bandsDir.getFileSystem(conf)
+    if (!fs.exists(bandsDir)) return 0
+    val keys = fs.listStatus(bandsDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("shard=")).map(_.stripPrefix("shard="))
+    if (keys.size <= 1) return 0
+    val gen = 1 + keys.filter(_.matches("c[0-9]+")).map(_.tail.toInt)
+      .foldLeft(-1)(math.max)
+    val target = s"c$gen"
+    graft.sources.Sinks.stagePublish(
+      spark.read.parquet(keys.map(k => s"$indexDir/bands/shard=$k"): _*),
+      s"$indexDir/bands/shard=$target")
+    graft.sources.Sinks.stagePublish(
+      spark.read.parquet(keys.map(k => s"$indexDir/sets/shard=$k"): _*),
+      s"$indexDir/sets/shard=$target")
+    graft.sources.Sinks.stagePublish(
+      spark.read.parquet(keys.map(k => s"$indexDir/removals/shard=$k"): _*)
+        .groupBy(col("removed_doc_id"))
+        .agg(min(col("kept_partner")).as("kept_partner"),
+          sum(col("n_dup_pairs")).as("n_dup_pairs"),
+          max(col("max_jaccard")).as("max_jaccard"),
+          max(col("is_shard_doc")).as("is_shard_doc")),
+      s"$indexDir/removals/shard=$target")
+    // sources go only after all three consolidated tiers are live
+    keys.foreach { k =>
+      Seq("bands", "sets", "removals").foreach { tier =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$tier/shard=$k"), true)
+      }
+    }
+    keys.size
+  }
+
   /** The standing removal table a consumer reads after any number of
     * [[shardIngest]] ticks: keep-min rollup over every published
     * per-shard report (a re-run or backfill may record the same

@@ -64,5 +64,25 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/index/bands").list().toSeq
       .count(_.startsWith("shard=")) == 3)
     assert(standing() == full)
+
+    // quiet-hour compaction: three partitions fold into one, the
+    // standing set is untouched, and a post-compaction replay still
+    // converges (its rows now live inside the consolidated partition —
+    // duplicated band rows can only rediscover pairs, never add)
+    assert(graft.operators.Dedup.compactIndex(spark, s"$out/index") == 3)
+    val parts = new java.io.File(s"$out/index/bands").list().toSeq
+      .filter(_.startsWith("shard="))
+    assert(parts == Seq("shard=c0"), s"expected one compacted partition, got $parts")
+    assert(standing() == full)
+    CurationStream.ingestBatch(
+      chunk1.toDF("doc_id", "text"), s"$out/index", 1L)
+    assert(standing() == full)
+    // second compaction folds the replay back in under the next generation
+    assert(graft.operators.Dedup.compactIndex(spark, s"$out/index") == 2)
+    assert(new java.io.File(s"$out/index/bands").list().toSeq
+      .filter(_.startsWith("shard=")) == Seq("shard=c1"))
+    assert(standing() == full)
+    // idempotent floor: a single-partition index has nothing to fold
+    assert(graft.operators.Dedup.compactIndex(spark, s"$out/index") == 0)
   }
 }
