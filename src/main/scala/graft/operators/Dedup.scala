@@ -581,9 +581,10 @@ object Dedup {
     */
   def shardProbe(corpusDocs: DataFrame, shardDocs: DataFrame,
                  corpusBands: DataFrame,
-                 corpusSets: Option[DataFrame] = None): DataFrame = {
+                 corpusSets: Option[DataFrame] = None,
+                 shardPrebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val (report, shSets) =
-      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets)
+      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets, shardPrebuilt)
     // the verify stage persists its per-doc shingle arrays (they feed
     // both join sides); the report is tiny, so materialize it eagerly
     // and release the intermediate before returning — the
@@ -602,8 +603,14 @@ object Dedup {
     */
   private[graft] def shardProbeFrame(corpusDocs: DataFrame, shardDocs: DataFrame,
                                      corpusBands: DataFrame,
-                                     corpusSets: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val shardBands = minhashBandsOf(wordShinglesOf(shardDocs, dedup = false))
+                                     corpusSets: Option[DataFrame] = None,
+                                     // (bands, shingle arrays) ALREADY PUBLISHED for the shard —
+                                     // ingestShardCore publishes its tiers first and probes the
+                                     // read-back, so the shard's text is exploded twice per tick
+                                     // (once per tier write), not four times
+                                     shardPrebuilt: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame) = {
+    val shardBands = shardPrebuilt.map(_._1)
+      .getOrElse(minhashBandsOf(wordShinglesOf(shardDocs, dedup = false)))
     // shard bands vs (corpus ∪ shard) bands: shard×corpus pairs appear
     // once, shard×shard twice (both orientations) — least/greatest +
     // distinct normalizes to the same unordered pair set a full
@@ -624,9 +631,10 @@ object Dedup {
       case None => shingleSetsOf(
         corpusDocs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
     }
-    val shSets = corpusSide.unionByName(shingleSetsOf(
+    val shardSide = shardPrebuilt.map(_._2.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .getOrElse(shingleSetsOf(
         shardDocs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")))
-      .persist()
+    val shSets = corpusSide.unionByName(shardSide).persist()
     val (verified, _) = verifyWithSets(shSets, cand, minJaccard = 0.5)
     val report = verified.groupBy(col("doc_b").as("removed_doc_id"))
       .agg(
@@ -779,15 +787,20 @@ object Dedup {
     val standingSets =
       if (published.isEmpty) None
       else Some(spark.read.parquet(published.map(k => s"$indexDir/sets/shard=$k"): _*))
-    val report = shardProbe(emptyDocs, shard, standingBands, standingSets)
-    // publish this shard's index tiers + its report; the report is
-    // already materialized (shardProbe checkpoints it), so the three
-    // writes re-run nothing
+    // publish the shard's band + array tiers FIRST (one text explosion
+    // each), then probe the READ-BACK — the probe's shard side costs
+    // parquet reads instead of two more explosions. Crash between the
+    // tier writes and the report publish is the same retry story as
+    // before: stage-swap republish is idempotent, and another shard
+    // probing the half-ingested tiers can only DISCOVER pairs this
+    // shard's retried report would also hold.
+    val bandsP = s"$indexDir/bands/shard=$shardKey"
+    val setsP = s"$indexDir/sets/shard=$shardKey"
     graft.sources.Sinks.stagePublish(
-      minhashBandsOf(wordShinglesOf(shard, dedup = false)),
-      s"$indexDir/bands/shard=$shardKey")
-    graft.sources.Sinks.stagePublish(
-      shingleSetsOf(shard), s"$indexDir/sets/shard=$shardKey")
+      minhashBandsOf(wordShinglesOf(shard, dedup = false)), bandsP)
+    graft.sources.Sinks.stagePublish(shingleSetsOf(shard), setsP)
+    val report = shardProbe(emptyDocs, shard, standingBands, standingSets,
+      shardPrebuilt = Some((spark.read.parquet(bandsP), spark.read.parquet(setsP))))
     graft.sources.Sinks.stagePublish(report, s"$indexDir/removals/shard=$shardKey")
     report
   }

@@ -531,6 +531,54 @@ object Similarity {
           lit(2.0) / col("n_cells")).as("is_hot"))
   }
 
+  // ─── q51 incremental IVF append (assign-on-arrival) ──────────────────
+  /** Incremental ANN index maintenance — the d19/q47 shape for
+    * embeddings: newly arrived vectors are assigned to the PUBLISHED
+    * codebook (one broadcast E-step over the arrivals only — no
+    * retrain, no standing-corpus rescan) and served alongside the
+    * standing assignment, with cell sizes recomputed over the union.
+    * This is how a production IVF deployment actually operates between
+    * offline retrains (assign-on-arrival, retrain at a quiet hour);
+    * the appended vectors' recall is bounded by how far the corpus has
+    * drifted from the codebook — q45's health report is the signal to
+    * retrain.
+    *
+    * Demo split: standing corpus = vec_id % 5 ≠ 4 (its codebook +
+    * assignment publish iff missing under holdout-keyed paths — the
+    * standing index a previous run would have left), arrivals = the
+    * held-out fifth. DuckDB replays the whole flow (train on the
+    * holdout, assign arrivals against the trained codebook), so the
+    * oracle proves the incremental assignment exactly.
+    */
+  def ivfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusEmb(spark, dir)
+    val isNew = pmod(col("vec_id"), lit(5L)) === 4
+    val ip = s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_index/holdout5${indexKey(spark, dir)}"
+    val cp = s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_codebook/holdout5${indexKey(spark, dir)}"
+    if (!indexExists(spark, ip) || !indexExists(spark, cp)) {
+      val (c2, a2) = ivfModel(e.filter(!isNew), defaultCells)
+      a2.persist()
+      try {
+        graft.sources.Sinks.stagePublish(c2, cp)
+        // no cell_size column here: sizes are a property of the SERVED
+        // union, recomputed below, not of the frozen standing artifact
+        graft.sources.Sinks.stagePublish(
+          a2.select(col("vec_id"), col("centroid_id"),
+            col("cos_r").as("cos_to_centroid")), ip)
+      } finally a2.unpersist(false)
+    }
+    val standing = spark.read.parquet(ip)
+    val book = spark.read.parquet(cp)
+    val arrivals = assignTo(e.filter(isNew), book)
+      .select(col("vec_id"), col("centroid_id"), col("cos_r").as("cos_to_centroid"))
+    val union = standing.withColumn("is_new_vec", lit(false))
+      .unionByName(arrivals.withColumn("is_new_vec", lit(true)))
+    val sizes = union.groupBy(col("centroid_id")).agg(count(lit(1)).as("cell_size"))
+    union.join(broadcast(sizes), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"),
+        col("cell_size"), col("is_new_vec"))
+  }
+
   // ─── q49/q50 IVF-PQ compression tier ─────────────────────────────────
   /** Product-quantization parameters: M subspaces × ks codes. A PQ code
     * is M small ints (here 4×4 bits) per vector instead of dims floats
@@ -764,7 +812,8 @@ object Similarity {
     "q45_ivf_cell_stats" -> ivfCellStats,
     "q48_ivf_adaptive" -> ivfAssignAdaptive,
     "q49_ivf_pq" -> pqSearch,
-    "q50_pq_recall" -> pqRecall)
+    "q50_pq_recall" -> pqRecall,
+    "q51_ivf_append" -> ivfAppend)
 
   /** Shared DuckDB replay of the PQ tier: the q24/q35 two-E-step IVF
     * chain (e … fin, c2), then residuals → subspace slices → hash-
@@ -1039,6 +1088,52 @@ object Similarity {
         |       round(CAST(count(*) AS DOUBLE) / 20.0, 2) AS avg_candidates
         |FROM probed p LEFT JOIN exact ex ON p.q_id = ex.q_id AND p.c_id = ex.c_id
         |GROUP BY 1""".stripMargin,
+    "q51_ivf_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |t AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+        |c0 AS (
+        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM t
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM t CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM t CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x2 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM fin),
+        |m2 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x2 GROUP BY 1, 2),
+        |c2m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m2 GROUP BY 1),
+        |c2 AS (SELECT c1.centroid_id, coalesce(c2m.c_emb, c1.c_emb) AS c_emb
+        |       FROM c1 LEFT JOIN c2m USING (centroid_id)),
+        |arrivals AS (
+        |  SELECT vec_id, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_to_centroid
+        |  FROM (SELECT * FROM e WHERE vec_id % 5 = 4) CROSS JOIN c2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, centroid_id) = 1),
+        |unioned AS (
+        |  SELECT vec_id, centroid_id, cos_r AS cos_to_centroid, false AS is_new_vec FROM fin
+        |  UNION ALL
+        |  SELECT vec_id, centroid_id, cos_to_centroid, true AS is_new_vec FROM arrivals),
+        |sizes AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS cell_size FROM unioned GROUP BY 1)
+        |SELECT u.vec_id, u.centroid_id, u.cos_to_centroid, s.cell_size, u.is_new_vec
+        |FROM unioned u JOIN sizes s ON u.centroid_id = s.centroid_id""".stripMargin,
     "q49_ivf_pq" -> pqOracle(
       """q AS (SELECT vec_id AS q_id, centroid_id, emb AS q_emb FROM fin WHERE vec_id < 20),
         |scored AS (

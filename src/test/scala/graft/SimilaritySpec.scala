@@ -94,6 +94,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq(0).getAs[Double]("recall_at5") <= pq(2).getAs[Double]("recall_at5"))
   }
 
+  test("incremental IVF append: arrivals assign to the published codebook, no retrain") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.embeddings(spark, TestSpark.sf).count()
+    val a = Similarity.ivfAppend(spark, TestSpark.sf)
+    // every vector served, exactly one cell each, flag == the split
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    assert(a.where(col("is_new_vec") =!= (pmod(col("vec_id"), lit(5L)) === 4)).count() == 0)
+    // cell sizes are a property of the served union: they sum to n and
+    // agree with a direct recount
+    val bad = a.groupBy("centroid_id")
+      .agg(count(lit(1)).as("c"), max("cell_size").as("s"), min("cell_size").as("s2"))
+      .where(col("c") =!= col("s") || col("s") =!= col("s2")).count()
+    assert(bad == 0)
+    // the standing artifact froze: re-running append re-reads it (the
+    // build-once path), and the result is bit-stable
+    val again = Similarity.ivfAppend(spark, TestSpark.sf)
+    assert(again.except(a).count() == 0 && a.except(again).count() == 0)
+  }
+
   test("d05 guard: a query bound past the ceiling refuses to plan") {
     // the exact baseline is broadcast-queries × streamed-corpus; a wide
     // bound silently becomes the all-pairs scan ANN exists to avoid
