@@ -121,6 +121,18 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"unexpected extra Window operators:\n$p")
   }
 
+  test("q51 append: arrivals ride one broadcast E-step — no retrain in the plan") {
+    val p = plan(Similarity.ivfAppend(spark, TestSpark.sf))
+    // assign-on-arrival must not retrain: a Lloyd M-step would show as
+    // a posexplode (Generate) feeding decimal means — the build path's
+    // signature — and the arrivals' argmax is the map-side max(struct),
+    // never a per-vector window
+    assert(!p.contains("Generate"), s"append plan contains a retrain explode:\n$p")
+    assert(!p.contains("Window"), s"append must not window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"codebook must broadcast:\n$p")
+  }
+
   test("q48 adaptive assignment: windowless argmax, broadcast codebook") {
     val p = plan(Similarity.ivfAssignAdaptive(spark, TestSpark.sf))
     // nearest-centroid must stay a map-side max(struct) aggregation —
