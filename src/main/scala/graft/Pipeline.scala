@@ -242,10 +242,13 @@ object Pipeline {
   }
 
   /** One arriving slice of the composed daily schedule: a `date_key`
-    * range of new transactions and, optionally, the id of the document
-    * shard that arrived with it (None = a day with no new docs).
+    * range of new transactions and, optionally, the ids of the
+    * document and embedding shards that arrived with it (None = a day
+    * with no new docs / vectors).
     */
-  case class DailySlice(fromKey: Long, toKey: Long, docShard: Option[Int] = None)
+  case class DailySlice(fromKey: Long, toKey: Long,
+                        docShard: Option[Int] = None,
+                        vecShard: Option[Int] = None)
 
   /** The COMPOSED incremental scheduler — what the reference's daily
     * DAG actually executes end-to-end (dags/retail_etl_dag.py:1 daily
@@ -257,6 +260,9 @@ object Pipeline {
     *  2. a d19-style shard-dedup probe — the slice's document shard
     *     probing the GROWING standing index and publishing its band /
     *     shingle-array / removal tiers (Dedup.shardIngest),
+    *  3. a q51-style vector ingest — the slice's embedding shard
+    *     bootstrapping the codebook (first shard) or assigning to it
+    *     on arrival (Similarity.vecShardIngest),
     *
     * then refresh the published `dedup_removals_standing` curation
     * table (the keep-min union every downstream consumer reads). After
@@ -295,7 +301,16 @@ object Pipeline {
         LoadStat(s"shard_dedup[shard=$i/$nShards]", rows,
           (System.nanoTime() - t1) / 1e9)
       }
-      Seq(factStat) ++ dedupStat
+      // the vector side (q51's operating mode): first shard bootstraps
+      // the codebook, later shards assign-on-arrival — no retrain
+      val vecStat = s.vecShard.map { i =>
+        val t2 = System.nanoTime()
+        val rows = Similarity.vecShardIngest(
+          spark, sfDir, s"$outDir/vec_index", i, nShards).count()
+        LoadStat(s"vec_index[shard=$i/$nShards]", rows,
+          (System.nanoTime() - t2) / 1e9)
+      }
+      Seq(factStat) ++ dedupStat ++ vecStat
     }
     // the consumer-facing curation table: refreshed once per run, after
     // the last tick (each tick's own report is already published under

@@ -579,6 +579,60 @@ object Similarity {
         col("cell_size"), col("is_new_vec"))
   }
 
+  /** Growing-index embeddings ingest — one scheduler tick of the
+    * q51 operating mode (Pipeline.dailyRun's vector side): the FIRST
+    * arriving shard bootstraps the codebook (trains ivfModel on
+    * itself — the production bootstrap-then-serve sequence), and every
+    * later shard assigns to the PUBLISHED codebook in one broadcast
+    * E-step, publishing its assignment partition under `shard=<id>`.
+    * A retried tick overwrites only its own partition (deterministic
+    * content, stage-swap publish). The served index is
+    * [[vecStandingIndex]] — the union of all published partitions with
+    * cell sizes recomputed at read.
+    */
+  def vecShardIngest(spark: SparkSession, dir: String, indexDir: String,
+                     shardId: Int, nShards: Int): DataFrame = {
+    require(nShards > 0 && shardId >= 0 && shardId < nShards,
+      s"vector shard $shardId out of range for $nShards-way split")
+    val shard = corpusEmb(spark, dir)
+      .filter(pmod(col("vec_id"), lit(nShards.toLong)) === shardId)
+    val cbPath = s"$indexDir/codebook"
+    val outPath = s"$indexDir/assign/shard=$shardId"
+    if (!indexExists(spark, cbPath)) {
+      val (c2, a2) = ivfModel(shard, defaultCells)
+      a2.persist()
+      try {
+        graft.sources.Sinks.stagePublish(c2, cbPath)
+        graft.sources.Sinks.stagePublish(
+          a2.select(col("vec_id"), col("centroid_id"),
+            col("cos_r").as("cos_to_centroid")), outPath)
+      } finally a2.unpersist(false)
+    } else {
+      val book = spark.read.parquet(cbPath)
+      graft.sources.Sinks.stagePublish(
+        assignTo(shard, book).select(col("vec_id"), col("centroid_id"),
+          col("cos_r").as("cos_to_centroid")), outPath)
+    }
+    spark.read.parquet(outPath)
+  }
+
+  /** The served vector index after any number of ingest ticks: every
+    * published shard assignment, cell sizes recomputed over the union
+    * (sizes are a property of the SERVED set, not of any one tick).
+    */
+  def vecStandingIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val assignDir = new org.apache.hadoop.fs.Path(s"$indexDir/assign")
+    val fs = assignDir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(assignDir), s"no vector shards published under $indexDir")
+    val parts = fs.listStatus(assignDir).toSeq.map(_.getPath.toString)
+      .filter(_.contains("shard="))
+    val union = spark.read.parquet(parts: _*)
+    val sizes = union.groupBy(col("centroid_id")).agg(count(lit(1)).as("cell_size"))
+    union.join(broadcast(sizes), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"),
+        col("cell_size"))
+  }
+
   // ─── q49/q50 IVF-PQ compression tier ─────────────────────────────────
   /** Product-quantization parameters: M subspaces × ks codes. A PQ code
     * is M small ints (here 4×4 bits) per vector instead of dims floats

@@ -119,12 +119,12 @@ class PipelineSpec extends AnyFunSuite {
     // then three days each bringing a date slice and a doc shard
     val schedule = Seq(
       Pipeline.DailySlice(19900101L, 19941231L, None),
-      Pipeline.DailySlice(0L, 19971231L, Some(0)),
-      Pipeline.DailySlice(19980101L, 19991231L, Some(1)),
-      Pipeline.DailySlice(20000101L, 99999999L, Some(2)))
+      Pipeline.DailySlice(0L, 19971231L, Some(0), Some(0)),
+      Pipeline.DailySlice(19980101L, 19991231L, Some(1), Some(1)),
+      Pipeline.DailySlice(20000101L, 99999999L, Some(2), Some(2)))
     val stats = Pipeline.dailyRun(spark, TestSpark.sf, out, schedule, nShards)
-    // 4 fact stats + 3 shard stats + the standing rollup
-    assert(stats.size == 8)
+    // 4 fact stats + 3 doc-shard stats + 3 vec-shard stats + the rollup
+    assert(stats.size == 11)
     assert(stats.last.table == "dedup_removals_standing")
     // fact side == full rebuild
     val fullFact = graft.operators.Facts.factSales(spark, TestSpark.sf)
@@ -137,17 +137,40 @@ class PipelineSpec extends AnyFunSuite {
     val standing = spark.read.parquet(s"$out/dedup_removals_standing")
       .select(col("removed_doc_id")).collect().map(_.getLong(0)).toSet
     assert(standing == fullRemovals)
+    // vector side: the served index covers every embedding exactly once,
+    // with union-consistent cell sizes; the bootstrap codebook froze at
+    // the first tick
+    val nVecs = graft.sources.Tables.embeddings(spark, TestSpark.sf).count()
+    val vec0 = graft.operators.Similarity.vecStandingIndex(spark, s"$out/vec_index")
+    // materialize before the retry below swaps partitions under the plan
+    val vecRows = vec0.collect().map(_.toSeq).toSet
+    assert(vecRows.size.toLong == nVecs)
+    assert(vec0.select("vec_id").distinct().count() == nVecs)
+    assert(vec0.groupBy("centroid_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c"),
+        org.apache.spark.sql.functions.max("cell_size").as("s"))
+      .where(col("c") =!= col("s")).count() == 0)
+    val bookBefore = spark.read.parquet(s"$out/vec_index/codebook")
+      .collect().map(_.toSeq.toString).sorted.toSeq
     // scheduler retry: re-running one tick (backfill) changes nothing —
     // it overwrites only its own partitions and rediscovers only pairs
-    // other reports already hold
+    // other reports already hold; the vector retry re-assigns against
+    // the SAME frozen codebook and republishes identical content
     Pipeline.dailyRun(spark, TestSpark.sf, out,
-      Seq(Pipeline.DailySlice(19980101L, 19991231L, Some(1))), nShards,
+      Seq(Pipeline.DailySlice(19980101L, 19991231L, Some(1), Some(1))), nShards,
       validateFirst = false)
     val factAfter = spark.read.parquet(s"$out/fact_sales").drop("month_key")
     assert(factAfter.count() == fullFact.count())
     val standingAfter = spark.read.parquet(s"$out/dedup_removals_standing")
       .select(col("removed_doc_id")).collect().map(_.getLong(0)).toSet
     assert(standingAfter == fullRemovals)
+    val vecAfter = graft.operators.Similarity.vecStandingIndex(spark, s"$out/vec_index")
+      .collect().map(_.toSeq).toSet
+    assert(vecAfter == vecRows, "vector retry must republish identical content")
+    val bookAfter = spark.read.parquet(s"$out/vec_index/codebook")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(bookAfter == bookBefore, "a retry must not retrain the codebook")
   }
 
   test("pre-flight health check catches a missing source before any stage (task_health_check)") {
