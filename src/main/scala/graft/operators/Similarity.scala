@@ -594,10 +594,22 @@ object Similarity {
                      shardId: Int, nShards: Int): DataFrame = {
     require(nShards > 0 && shardId >= 0 && shardId < nShards,
       s"vector shard $shardId out of range for $nShards-way split")
-    val shard = corpusEmb(spark, dir)
-      .filter(pmod(col("vec_id"), lit(nShards.toLong)) === shardId)
+    vecIngestCore(
+      corpusEmb(spark, dir)
+        .filter(pmod(col("vec_id"), lit(nShards.toLong)) === shardId),
+      indexDir, shardId.toString)
+  }
+
+  /** Shard-frame core of [[vecShardIngest]]: bootstrap-or-assign an
+    * arbitrary (vec_id, emb) frame under a string shard key — shared
+    * by the batch scheduler's pmod split and the streaming twin's
+    * `b<batchId>` keys (the ingestShardCore pattern for vectors).
+    */
+  private[graft] def vecIngestCore(shard: DataFrame, indexDir: String,
+                                   shardKey: String): DataFrame = {
+    val spark = shard.sparkSession
     val cbPath = s"$indexDir/codebook"
-    val outPath = s"$indexDir/assign/shard=$shardId"
+    val outPath = s"$indexDir/assign/shard=$shardKey"
     if (!indexExists(spark, cbPath)) {
       val (c2, a2) = ivfModel(shard, defaultCells)
       a2.persist()

@@ -68,4 +68,32 @@ object CurationStream {
   def standingRemovals(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): DataFrame =
     Dedup.standingRemovals(spark, indexDir)
+
+  // ─── the vector side (q51's operating mode, continuously) ───────────
+  /** One micro-batch of embeddings = one vector ingest tick: the first
+    * non-empty batch bootstraps the codebook by training on itself,
+    * every later batch assigns to the frozen codebook in one broadcast
+    * E-step, publishing its batch-keyed assignment partition. Replay
+    * overwrites only its own partition with identical (deterministic)
+    * content — the same exactly-once story as the dedup side.
+    */
+  def ingestVectorBatch(batch: DataFrame, indexDir: String,
+                        batchId: Long): Unit = {
+    // an empty batch must not bootstrap an empty codebook (every later
+    // assignment would join against nothing) — skip it entirely
+    if (!batch.isEmpty)
+      graft.operators.Similarity.vecIngestCore(batch, indexDir, s"b$batchId")
+  }
+
+  /** Continuous vector ingest over a stream with columns
+    * (`vec_id`, `emb`).
+    */
+  def ingestVectors(vecs: DataFrame, indexDir: String,
+                    checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestVectorBatch(batch, indexDir, batchId)
+      }
+      .start()
 }
