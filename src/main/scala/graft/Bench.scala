@@ -76,7 +76,7 @@ object Bench {
       "q19_multi_source_conform", "q24_ivf_ann", "q31_dim_product",
       "q48_ivf_adaptive",
       "q33_corpus_stats", "t01_lang_id", "t02_quality_score",
-      "t03_token_count", "t04_fingerprint", "x05_ivf_compute")
+      "t03_token_count", "t04_fingerprint", "t14_pii_scrub", "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
       "d20_simhash_dedup", "d21_route_union",
@@ -90,7 +90,7 @@ object Bench {
       "q41_monthly_category_trend", "q42_heavy_hitters", "q43_category_trendline",
       "q45_ivf_cell_stats", "t05_hash_sample", "t06_repetition_stats",
       "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
-      "t11_mixture_resample")
+      "t11_mixture_resample", "t13_boilerplate")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
       "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",

@@ -491,7 +491,102 @@ object TextAnalysis {
       sum(col("n_chars")).as("total_chars"))
   }
 
+  // ─── t13 cross-doc boilerplate census ────────────────────────────────
+  /** Boilerplate detection — the crawl-cleaning stage that strips
+    * headers/footers/nav text repeated across pages (exact-substring
+    * dedup at segment grain, the Lee-et-al-style pass, re-expressed
+    * for a distributed engine at 8-token window grain): an 8-gram is
+    * BOILERPLATE when it appears in more than `minDocs` (10) distinct
+    * docs, and each doc reports how much of it is made of flagged
+    * windows. Complements t06 (within-doc repetition) and d13
+    * (benchmark-crossing grams): this is the corpus-internal
+    * cross-doc axis.
+    *
+    * Scale: one explode → one map-side-combining census groupBy; the
+    * FLAGGED subset (high-DF grams — small by construction at any
+    * corpus size: a gram in >minDocs docs is rare precisely because
+    * most text is unique) broadcast-joins back against the exploded
+    * grams, so the corpus-sized side is never shuffled twice.
+    * Determinism: integer counts; one per-row division at the end.
+    */
+  def boilerplateCensus(spark: SparkSession, dir: String,
+                        minDocs: Long = 10L): DataFrame =
+    boilerplateFrame(Tables.documents(spark, dir), minDocs)
+
+  /** Frame-level census — the spec drives synthetic boilerplate-bearing
+    * docs through it (the synthetic corpus's random word streams make
+    * 8-grams unique, so its census is all-zero: a clean report, which
+    * the oracle still verifies per-doc via the window counts).
+    */
+  def boilerplateFrame(docs: DataFrame, minDocs: Long = 10L): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+    val grams = toks.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 7)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until 8).map(o => element_at(col("t"), col("i") + o)): _*)
+          .as("gram"))
+    val flagged = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > minDocs)
+    val perDoc = grams.join(broadcast(flagged), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_boilerplate_grams"))
+    // every doc reports — short docs (< 8 tokens) have no windows and a
+    // zero fraction, the same "clean is a result" rule as d08
+    toks.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boilerplate_grams"), lit(0L)).as("n_boilerplate_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_boilerplate_grams").cast("double") / col("n_grams"))
+          .as("boilerplate_frac"))
+  }
+
+  // ─── t14 PII census + redaction ──────────────────────────────────────
+  /** PII scrubbing — the redaction pass a training corpus takes before
+    * release: per-doc counts of email / phone / IPv4 patterns and the
+    * redacted text ([EMAIL]/[PHONE]/[IP] placeholders, applied in a
+    * fixed order so overlapping digit patterns resolve identically in
+    * any engine). The synthetic corpus is clean, and proving it clean
+    * IS the report (the d08 rule); TextAnalysisSpec drives synthetic
+    * PII-bearing docs through the same operator for the positive
+    * cases. Pure per-row codegen'd regex — no shuffle at all.
+    */
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private val piiIp = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubFrame(Tables.documents(spark, dir))
+
+  /** Frame-level scrubber (the spec feeds synthetic PII through it). */
+  def piiScrubFrame(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    // order matters with overlapping digit runs: IP before phone would
+    // leave dotted phones half-redacted differently — fixed as
+    // email → phone → ip, identical in the oracle
+    val clean =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, piiEmail, "[EMAIL]"),
+          piiPhone, "[PHONE]"),
+        piiIp, "[IP]")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(piiEmail), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(piiPhone), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(piiIp), lit(0))).cast("long").as("n_ips"),
+      clean.as("clean_text"))
+      .withColumn("is_clean",
+        col("n_emails") + col("n_phones") + col("n_ips") === 0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_boilerplate" -> ((s: SparkSession, d: String) => boilerplateCensus(s, d)),
+    "t14_pii_scrub" -> piiScrub,
     "t01_lang_id" -> langId,
     "t02_quality_score" -> qualityScore,
     "t03_token_count" -> tokenCount,
@@ -516,6 +611,46 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t13_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8),
+        |grams AS (
+        |  SELECT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2]
+        |           || ' ' || t[CAST(i AS INT) + 3] || ' ' || t[CAST(i AS INT) + 4]
+        |           || ' ' || t[CAST(i AS INT) + 5] || ' ' || t[CAST(i AS INT) + 6]
+        |           || ' ' || t[CAST(i AS INT) + 7] AS gram
+        |  FROM pos),
+        |flagged AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+        |  WHERE df > 10),
+        |perdoc AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate_grams
+        |  FROM grams g LEFT JOIN flagged f USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(p.n_boilerplate_grams, 0) AS BIGINT) AS n_boilerplate_grams,
+        |       CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+        |            ELSE CAST(p.n_boilerplate_grams AS DOUBLE) / p.n_grams END AS boilerplate_frac
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+    "t14_pii_scrub" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |           '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS clean_text,
+        |       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |        + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+        |        + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) = 0 AS is_clean
+        |FROM documents""".stripMargin,
     "t09_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token

@@ -339,4 +339,58 @@ class TextEventsSpec extends AnyFunSuite {
     assert(ids == (0L to ids.max).toSet, s"holes in sequence ids: $ids")
     assert(got.values.forall { case (_, _, off) => off >= 0 && off < budget })
   }
+
+  test("t14 PII scrub redacts synthetic emails/phones/ips exactly; corpus reports clean") {
+    import spark.implicits._
+    // positive cases ride the SAME operator via the frame-level seam
+    val synth = Seq(
+      (1L, "contact me at jo.na+x@ex-ample.org or 555-123-4567 thanks"),
+      (2L, "server 10.0.255.3 and mirror 192.168.1.1 are up"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.io b@c.net 111.222.333.444")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrubFrame(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_emails") == 1 && got(1L).getAs[Long]("n_phones") == 1)
+    assert(got(1L).getAs[String]("clean_text") ==
+      "contact me at [EMAIL] or [PHONE] thanks")
+    assert(got(2L).getAs[Long]("n_ips") == 2 &&
+      got(2L).getAs[String]("clean_text") == "server [IP] and mirror [IP] are up")
+    assert(got(3L).getAs[Boolean]("is_clean") &&
+      got(3L).getAs[String]("clean_text") == "no pii here at all")
+    assert(got(4L).getAs[Long]("n_emails") == 2 && got(4L).getAs[Long]("n_ips") == 1)
+    assert(!got(4L).getAs[Boolean]("is_clean"))
+    // the synthetic corpus is clean, and proving it clean IS the report
+    val corpus = TextAnalysis.piiScrub(spark, TestSpark.sf)
+    assert(corpus.filter(!col("is_clean")).count() == 0)
+    assert(corpus.filter(col("clean_text") =!= col("text")).join(
+      graft.sources.Tables.documents(spark, TestSpark.sf), Seq("doc_id")).count() == 0)
+  }
+
+  test("t13 boilerplate census: fractions bounded, every doc reports, flags mean cross-doc mass") {
+    val b = TextAnalysis.boilerplateCensus(spark, TestSpark.sf)
+    val n = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(b.count() == n)
+    assert(b.filter(col("boilerplate_frac") < 0 || col("boilerplate_frac") > 1).count() == 0)
+    assert(b.filter(col("n_boilerplate_grams") > col("n_grams")).count() == 0)
+    // random word streams make 8-grams unique: the corpus census is a
+    // CLEAN report (the d08 rule), and the window counts still verify
+    assert(b.agg(sum(col("n_boilerplate_grams"))).head.getLong(0) == 0)
+    // positive case: a shared 10-token header across 12 docs flags, the
+    // unique tails do not
+    import spark.implicits._
+    val header = "terms of service apply to all content on this site"
+    val synth = (0 until 12).map(i => (i.toLong, s"$header unique$i tail$i words$i"))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.boilerplateFrame(synth, minDocs = 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    flagged.values.foreach { r =>
+      // 13 tokens -> 6 windows; the 3 windows fully inside the 10-token
+      // header are cross-doc (df=12 > 10), the 3 touching unique tails
+      // are not
+      assert(r.getAs[Long]("n_grams") == 6)
+      assert(r.getAs[Long]("n_boilerplate_grams") == 3)
+      assert(math.abs(r.getAs[Double]("boilerplate_frac") - 3.0 / 6.0) < 1e-12)
+    }
+  }
 }
