@@ -94,7 +94,8 @@ object Bench {
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
       "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",
-      "d17_simhash_pairs", "d19_shard_dedup", "e04_funnel", "e05_cohort_retention",
+      "d17_simhash_pairs", "d19_shard_dedup", "d22_semantic_dedup",
+      "e04_funnel", "e05_cohort_retention",
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
       "q32_ivf_search", "q34_api_catalog_ratings", "q35_ivf_recall",
@@ -102,7 +103,8 @@ object Bench {
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "t12_pack_sequences",
-      "e06_rolling_active_users", "e07_event_anomalies", "q08_quarterly_yoy",
+      "e06_rolling_active_users", "e07_event_anomalies", "e08_session_transitions",
+      "q08_quarterly_yoy",
       "q17_revenue_rank_window", "q26_segment_percentiles", "q28_moving_window",
       "q44_revenue_deciles", "q46_customer_growth", "t09_tfidf_keywords")
     (cpu.map(_ -> "p_cpu_sha") ++ shuffle.map(_ -> "p_shuffle_agg") ++

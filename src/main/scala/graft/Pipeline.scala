@@ -30,10 +30,12 @@ object Pipeline {
   case object SkipMarts extends Mode   // dims + fact only (≈ --skip-load)
   case object StagingOnly extends Mode // cleaned staging only (≈ --extract-only)
   /** The LLM-data curation warehouse: per-doc quality, the near-dup
-    * removal list, transitive clusters, the 13-gram decontamination
-    * keep-list, the post-dedup mixture table, and the per-source
-    * funnel — the tables a training-data build reads, published with
-    * the same stage/validate/notify machinery as the retail build.
+    * removal lists (Jaccard, SimHash, and embedding-space SemDeDup
+    * routes), transitive clusters, the 13-gram decontamination
+    * keep-list, the post-dedup mixture table, the per-source funnel,
+    * the boilerplate census, and the PII release gate — the tables a
+    * training-data build reads, published with the same
+    * stage/validate/notify machinery as the retail build.
     * (The LSH candidate and verified-pair artifacts these stages probe
     * are warehouse-level caches keyed to the source — built once by the
     * first stage that needs them, shared by the rest.)
@@ -68,7 +70,14 @@ object Pipeline {
       // per-shard incremental dedup report (the d19 probe on the demo
       // split) — the table an arriving crawl shard's keep decisions
       // read
-      "shard_dedup_report" -> (() => Dedup.shardDedup(spark, sfDir)))
+      "shard_dedup_report" -> (() => Dedup.shardDedup(spark, sfDir)),
+      // the embedding-space route (SemDeDup): paraphrase/translation
+      // near-dups the token-level routes structurally miss
+      "semantic_removals" -> (() => Similarity.semanticDedup(spark, sfDir)),
+      // crawl-cleaning census: cross-doc repeated 8-token windows
+      "boilerplate_census" -> (() => TextAnalysis.boilerplateCensus(spark, sfDir)),
+      // the release gate: PII match counts + redacted text per doc
+      "pii_scrub" -> (() => TextAnalysis.piiScrub(spark, sfDir)))
     mode match {
       case StagingOnly => staging
       case SkipMarts => staging ++ core
@@ -111,7 +120,8 @@ object Pipeline {
                   mode: Mode = FullRun): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val required = mode match {
-      case CurationRun => Seq("documents.parquet")
+      // embeddings feed the semantic (SemDeDup) removal stage
+      case CurationRun => Seq("documents.parquet", "embeddings.parquet")
       case StagingOnly => Seq("lineitem.parquet")
       case _ => Seq("lineitem.parquet", "orders.parquet",
         "customer.parquet", "part.parquet")

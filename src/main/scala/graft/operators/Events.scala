@@ -258,8 +258,53 @@ object Events {
           .otherwise(col("n_events").cast("double") =!= mean7).as("is_anomaly"))
   }
 
+  // ─── e08 in-session transition matrix ────────────────────────────────
+  /** Markov transition census over sessionized events: for each ordered
+    * in-session pair (A immediately followed by B), the transition count
+    * and its share of everything that follows A — "after a click, what
+    * happens next?". e04 fixes ONE path through the funnel; this table
+    * surfaces all of them (the next-action model behind recommendation
+    * heuristics and funnel-hypothesis mining).
+    *
+    * A successor belongs to the same session iff the NEXT row does not
+    * open a new one — lead(new_session) == 0 — so e01's gap flag is the
+    * only session machinery needed (no session ids materialize).
+    *
+    * Scale: lag/lead stack on e01's single user_id exchange (same
+    * partitioning, same ordering); transitions collapse map-side into a
+    * ≤|types|² frame, and the share window touches only that tiny
+    * post-agg frame (the q38 rule).
+    */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame =
+    sessionTransitionsFrame(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** Frame-level core of [[sessionTransitions]] — separated so the
+    * session-boundary exclusion is assertable on a synthetic stream.
+    */
+  private[graft] def sessionTransitionsFrame(e: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          epochS(col("ts")) - epochS(col("prev_ts")) > 1800, 1L).otherwise(0L))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_new", lead(col("new_session"), 1).over(byUser))
+    val trans = flagged
+      .filter(col("next_type").isNotNull && col("next_new") === 0L)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    trans
+      .withColumn("from_total",
+        sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("transition_share",
+        col("n_transitions").cast("double") / col("from_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> sessionize,
+    "e08_session_transitions" -> sessionTransitions,
     "e02_event_tumbling" -> tumblingWindows,
     "e03_json_props" -> jsonProps,
     "e04_funnel" -> funnel,
@@ -268,6 +313,30 @@ object Events {
     "e07_event_anomalies" -> eventAnomalies)
 
   val oracle: Map[String, String] = Map(
+    "e08_session_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |n AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER w AS next_type,
+        |         lead(new_session) OVER w AS next_new
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM n WHERE next_type IS NOT NULL AND next_new = 0
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |       CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |       CAST(n_transitions AS DOUBLE)
+        |         / sum(n_transitions) OVER (PARTITION BY from_type) AS transition_share
+        |FROM t""".stripMargin,
     "e07_event_anomalies" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS activity_date,

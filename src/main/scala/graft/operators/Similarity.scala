@@ -868,8 +868,74 @@ object Similarity {
         round(col("n_candidates").cast("double") / 20.0, 2).as("avg_candidates"))
   }
 
+  // ─── d22 semantic dedup (SemDeDup over IVF cells) ────────────────────
+  /** Embedding-space semantic dedup — the SemDeDup recipe (Abbas et al.
+    * 2023, arXiv:2303.09540): near-duplicate MEANING rather than
+    * near-duplicate TOKENS (translated copies, paraphrases, templated
+    * rewrites — the slice the Jaccard (d07) and SimHash (d20) routes
+    * structurally miss). Pairs are compared ONLY within their IVF cell
+    * (the persisted q24 assignment, build-if-missing like q32/q35): the
+    * coarse quantizer is the blocking key, so candidate generation is an
+    * equi-join on centroid_id — never all-pairs over the corpus. Within
+    * each above-τ pair the member EARLIER in the (cos_to_centroid,
+    * vec_id) order — i.e. FARTHER from its centroid — is the keeper
+    * (SemDeDup's diversity-preserving choice: low centroid-similarity
+    * members carry the cell's spread), so every removed vector has a
+    * kept justifier strictly earlier in that order — d20's keep-min
+    * argument with redundancy as the order instead of the id.
+    *
+    * Output: one row per REMOVED vector — its cell, its centroid
+    * cosine, how many earlier members justify the removal, the
+    * strongest pair cosine, and the minimal justifier (kept_vec).
+    *
+    * Scale: pair count is Σ|cell|²/2 — bounded by building the index
+    * with k ≈ √n cells ([[ivfBuildAdaptive]]), which caps expected cell
+    * size at √n and total pairs at ~n^1.5 (the SemDeDup cluster-then-
+    * pair cost model; the paper runs 50k clusters over 1B examples).
+    * The pair join is an equi-join on centroid_id, the fused codegen
+    * cosine scores candidates only, and the final rollup is one
+    * map-side-combining groupBy on the removed id. τ defaults to 0.40
+    * on this synthetic corpus (its within-cell cosine mass tops out
+    * near 0.5); a real embedding corpus tunes τ at its near-dup knee
+    * (the paper uses ~0.95+ on contrastive sentence embeddings).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, dir, 0.40)
+
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    ensureIndex(spark, dir)
+    val m = spark.read.parquet(indexPath(spark, dir))
+      .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb")), Seq("vec_id"))
+    val keep = m.select(col("centroid_id"), col("vec_id").as("k_id"),
+      col("cos_to_centroid").as("k_cos"), col("emb").as("k_emb"))
+    val rem = m.select(col("centroid_id"), col("vec_id").as("r_id"),
+      col("cos_to_centroid").as("r_cos"), col("emb").as("r_emb"))
+    // keeper strictly precedes the removed member in (cos_to_centroid,
+    // vec_id) — the 4-dp rounded cosine makes the order engine-stable
+    val precedes = col("k_cos") < col("r_cos") ||
+      (col("k_cos") === col("r_cos") && col("k_id") < col("r_id"))
+    keep.join(rem, Seq("centroid_id"))
+      .filter(precedes)
+      .select(col("centroid_id"), col("r_id"), col("r_cos"),
+        col("k_id"), col("k_cos"),
+        cosR(col("k_emb"), col("r_emb")).as("pair_cos"))
+      .filter(col("pair_cos") >= tau)
+      .groupBy(col("r_id").as("vec_id"), col("centroid_id"),
+        col("r_cos").as("cos_to_centroid"))
+      .agg(
+        count(lit(1)).as("n_dup_partners"),
+        max(col("pair_cos")).as("max_pair_cos"),
+        min(struct(col("k_cos"), col("k_id"))).as("kmin"))
+      .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"),
+        col("n_dup_partners"), col("max_pair_cos"),
+        col("kmin.k_id").as("kept_vec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
+    "d22_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "d06_embedding_lsh" -> embeddingLsh,
     "d11_embedding_neardup" -> embeddingNearDup,
     "q24_ivf_ann" -> ivfBuild,
@@ -958,6 +1024,48 @@ object Similarity {
       |""".stripMargin + tail
 
   val oracle: Map[String, String] = Map(
+    "d22_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_to_centroid
+        |  FROM e CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, centroid_id) = 1),
+        |p AS (
+        |  SELECT b.vec_id AS vec_id, b.centroid_id AS centroid_id,
+        |         b.cos_to_centroid AS cos_to_centroid,
+        |         a.vec_id AS k_id, a.cos_to_centroid AS k_cos,
+        |         round(list_dot_product(a.emb, b.emb)
+        |               / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS pair_cos
+        |  FROM fin a JOIN fin b ON a.centroid_id = b.centroid_id
+        |   AND (a.cos_to_centroid < b.cos_to_centroid OR
+        |        (a.cos_to_centroid = b.cos_to_centroid AND a.vec_id < b.vec_id))),
+        |q AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY k_cos, k_id) AS rn
+        |  FROM p WHERE pair_cos >= 0.40)
+        |SELECT vec_id, centroid_id, cos_to_centroid,
+        |       CAST(count(*) AS BIGINT) AS n_dup_partners,
+        |       max(pair_cos) AS max_pair_cos,
+        |       max(CASE WHEN rn = 1 THEN k_id END) AS kept_vec
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
     "q45_ivf_cell_stats" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c0 AS (

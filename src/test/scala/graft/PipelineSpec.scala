@@ -31,7 +31,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats.map(_.table) == Seq(
       "corpus_quality", "dedup_removals", "simhash_removals", "dup_clusters",
       "decontamination", "effective_mixture", "curation_funnel",
-      "shard_dedup_report"))
+      "shard_dedup_report", "semantic_removals", "boilerplate_census",
+      "pii_scrub"))
     assert(stats.forall(_.rows > 0))
     // the published funnel equals the operator's direct result
     val published = spark.read.parquet(s"$out/curation_funnel")

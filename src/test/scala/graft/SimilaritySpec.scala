@@ -114,6 +114,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.except(a).count() == 0 && a.except(again).count() == 0)
   }
 
+  test("d22 semantic dedup equals a driver-side brute force over the published cells") {
+    // pin the default-k index (earlier tests may have left a k=32 build)
+    val assign = Similarity.ivfBuild(spark, TestSpark.sf)
+      .select("vec_id", "centroid_id", "cos_to_centroid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // the Expression's exact fold: sequential dot/nx/ny, one division
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = assign.groupBy(_._2).values.flatMap { cell =>
+      val ordered = cell.sortBy(m => (m._3, m._1)) // (cos_to_centroid, id)
+      ordered.zipWithIndex.flatMap { case ((vid, cid, vcos), i) =>
+        val partners = ordered.take(i)
+          .map(k => (k._3, k._1, cos4(emb(k._1), emb(vid))))
+          .filter(_._3 >= 0.40)
+        if (partners.isEmpty) None
+        else Some((vid, cid, vcos, partners.size.toLong,
+          partners.map(_._3).max, partners.min._2))
+      }
+    }.toSet
+    val got = Similarity.semanticDedup(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(expected.nonEmpty, "threshold should remove something at this sf")
+    assert(got == expected)
+    // every keeper precedes its removed vector in the (cos, id) order
+    val byId = assign.map(m => m._1 -> m).toMap
+    assert(got.forall { case (vid, _, vcos, _, _, kept) =>
+      val k = byId(kept)
+      k._3 < vcos || (k._3 == vcos && k._1 < vid)
+    })
+  }
+
   test("d05 guard: a query bound past the ceiling refuses to plan") {
     // the exact baseline is broadcast-queries × streamed-corpus; a wide
     // bound silently becomes the all-pairs scan ANN exists to avoid

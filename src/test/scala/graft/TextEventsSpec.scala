@@ -269,6 +269,37 @@ class TextEventsSpec extends AnyFunSuite {
     assert(sess.agg(sum("n_events")).collect().head.getLong(0) == nEvents)
   }
 
+  test("e08 transitions: session boundaries excluded, shares sum to 1 per from_type") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    // user 1: [signup→click→purchase], 2000s silence, [view→click];
+    // user 2: a lone event (no successor); user 3: [click→view]
+    val e = Seq(
+      (1L, ts(0), 1L, "signup"), (1L, ts(60), 2L, "click"),
+      (1L, ts(120), 3L, "purchase"),
+      (1L, ts(2120), 4L, "view"), (1L, ts(2180), 5L, "click"),
+      (2L, ts(0), 6L, "view"),
+      (3L, ts(0), 7L, "click"), (3L, ts(30), 8L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Events.sessionTransitionsFrame(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // purchase→view spans the 2000s gap and must NOT appear
+    assert(!rows.contains(("purchase", "view")))
+    assert(rows(("signup", "click")) == ((1L, 1L, 1.0)))
+    assert(rows(("click", "purchase")) == ((1L, 2L, 0.5)))
+    assert(rows(("click", "view")) == ((1L, 2L, 0.5)))
+    assert(rows(("view", "click")) == ((1L, 1L, 1.0)))
+    assert(rows.size == 4)
+    // real corpus: per-from shares always sum to 1
+    val real = Events.sessionTransitions(spark, TestSpark.sf)
+    val badShare = real.groupBy("from_type")
+      .agg(sum("transition_share").as("s"))
+      .filter(abs(col("s") - 1.0) > 1e-9).count()
+    assert(badShare == 0)
+  }
+
   test("e05 cohort retention: offset-0 rows are full cohorts covering every user") {
     import graft.operators.Events
     val ret = Events.cohortRetention(spark, TestSpark.sf)
