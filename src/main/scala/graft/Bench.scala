@@ -76,7 +76,8 @@ object Bench {
       "q19_multi_source_conform", "q24_ivf_ann", "q31_dim_product",
       "q48_ivf_adaptive",
       "q33_corpus_stats", "t01_lang_id", "t02_quality_score",
-      "t03_token_count", "t04_fingerprint", "t14_pii_scrub", "x05_ivf_compute")
+      "t03_token_count", "t04_fingerprint", "t14_pii_scrub", "t15_hash_split",
+      "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
       "d20_simhash_dedup", "d21_route_union",

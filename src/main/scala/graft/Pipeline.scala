@@ -77,7 +77,9 @@ object Pipeline {
       // crawl-cleaning census: cross-doc repeated 8-token windows
       "boilerplate_census" -> (() => TextAnalysis.boilerplateCensus(spark, sfDir)),
       // the release gate: PII match counts + redacted text per doc
-      "pii_scrub" -> (() => TextAnalysis.piiScrub(spark, sfDir)))
+      "pii_scrub" -> (() => TextAnalysis.piiScrub(spark, sfDir)),
+      // fingerprint-keyed train/val/test stamp: exact dups co-split
+      "corpus_splits" -> (() => TextAnalysis.hashSplit(spark, sfDir)))
     mode match {
       case StagingOnly => staging
       case SkipMarts => staging ++ core

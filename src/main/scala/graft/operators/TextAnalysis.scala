@@ -584,9 +584,41 @@ object TextAnalysis {
         col("n_emails") + col("n_phones") + col("n_ips") === 0L)
   }
 
+  // ─── t15 contamination-safe train/val/test split ─────────────────────
+  /** Deterministic 98/1/1 train/validation/test split keyed on the
+    * CONTENT fingerprint, not the doc id: byte-identical documents
+    * hash to the same per-mille bucket, so an exact duplicate can
+    * never straddle the held-out boundary — a doc_id-keyed split leaks
+    * every exact dup across it, handing eval rows the model saw
+    * verbatim in train. (Near-dup leakage across the boundary is the
+    * decontamination family's job — d08's near-dup and d13's 13-gram
+    * screens run against whatever the test fold feeds.) The gate is
+    * t05's discipline — an integer per-mille bucket from an md5
+    * prefix — so re-runs, retried stages, and other engines assign
+    * the SAME split.
+    *
+    * Scale: pure per-row projection, zero shuffle, absorbed by the
+    * scan — the split stamp is read by every downstream stage, so it
+    * costing nothing is the point.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitFrame(Tables.documents(spark, dir))
+
+  /** Frame-level core (the spec feeds dup-bearing corpora through it). */
+  def hashSplitFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        fingerprint(col("text")).as("fingerprint"))
+      .withColumn("bucket",
+        conv(substring(col("fingerprint"), 1, 4), 16, 10).cast("long") % 1000)
+      .withColumn("split",
+        when(col("bucket") < 980, "train")
+          .when(col("bucket") < 990, "validation")
+          .otherwise("test"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_boilerplate" -> ((s: SparkSession, d: String) => boilerplateCensus(s, d)),
     "t14_pii_scrub" -> piiScrub,
+    "t15_hash_split" -> hashSplit,
     "t01_lang_id" -> langId,
     "t02_quality_score" -> qualityScore,
     "t03_token_count" -> tokenCount,
@@ -799,6 +831,19 @@ object TextAnalysis {
         |SELECT r.source, r.n_docs, r.tokens_total, r.target_tokens,
         |       r.rate_permille, s.n_sampled, s.tokens_sampled
         |FROM rates r JOIN s USING (source)""".stripMargin,
+    "t15_hash_split" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang, source,
+        |         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, CAST(('0x' || substr(fingerprint, 1, 4)) AS BIGINT) % 1000 AS bucket
+        |  FROM fp)
+        |SELECT doc_id, lang, source, fingerprint, bucket,
+        |       CASE WHEN bucket < 980 THEN 'train'
+        |            WHEN bucket < 990 THEN 'validation'
+        |            ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     "t05_hash_sample" ->
       """SELECT doc_id, lang, source,
         |       CAST(('0x' || substr(md5(concat_ws('_', doc_id, lang)), 1, 4)) AS BIGINT) % 1000 AS bucket,

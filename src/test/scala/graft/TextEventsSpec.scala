@@ -269,6 +269,36 @@ class TextEventsSpec extends AnyFunSuite {
     assert(sess.agg(sum("n_events")).collect().head.getLong(0) == nEvents)
   }
 
+  test("t15 split: exact dups co-split, buckets bounded, corpus partitions") {
+    import spark.implicits._
+    // same normalized content under different punctuation/casing must
+    // land in the same split — the contamination-safety property
+    val docs = Seq(
+      (1L, "The Quick, Brown Fox!", "en", "web"),
+      (2L, "the quick brown fox", "en", "books"),
+      (3L, "ein ganz anderer text", "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val s = TextAnalysis.hashSplitFrame(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4), r.getString(5))).toMap
+    assert(s(1L) == s(2L).copy(), "identical normalized content must co-split")
+    assert(s(1L)._1 == s(2L)._1) // same fingerprint
+    // real corpus: every doc stamped exactly once, buckets in [0, 1000),
+    // and the boundary arithmetic matches the split label
+    val real = TextAnalysis.hashSplit(spark, TestSpark.sf)
+    val n = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").count()
+    assert(real.count() == n)
+    val bad = real.filter(
+      col("bucket") < 0 || col("bucket") >= 1000 ||
+        (col("bucket") < 980 && col("split") =!= "train") ||
+        (col("bucket") >= 980 && col("bucket") < 990 && col("split") =!= "validation") ||
+        (col("bucket") >= 990 && col("split") =!= "test")).count()
+    assert(bad == 0)
+    // no fingerprint straddles two splits anywhere in the corpus
+    val straddle = real.groupBy("fingerprint")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddle == 0)
+  }
+
   test("e08 transitions: session boundaries excluded, shares sum to 1 per from_type") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
