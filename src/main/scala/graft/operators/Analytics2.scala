@@ -400,7 +400,72 @@ object Analytics2 {
           .as("skew_vs_mean"))
   }
 
+  // ─── q52 RFM customer segmentation ───────────────────────────────────
+  /** The classic CRM segmentation table: per customer, days since the
+    * last order (Recency), order count (Frequency), lifetime spend
+    * (Monetary), each scored 1–5 against the customer base's exact
+    * quintile boundaries, and the score triple mapped to the named
+    * segment a campaign targets (champion / loyal / recent / at_risk /
+    * hibernating / regular). The reference's customer segmentation
+    * (analytical_queries.sql:48-62) buckets on static thresholds; RFM
+    * is the data-derived version every retail stack grows into.
+    *
+    * Scale: one map-side-combining groupBy(o_custkey) collapses orders
+    * to the customer frame; the three quintile boundary arrays come
+    * from ONE aggregation over that post-agg frame and broadcast back
+    * (the q44 pattern — never ntile's global single-task sort); each
+    * customer then scores map-side via counting filters. `approx =
+    * true` swaps the exact percentile for the sketch-merging
+    * approx_percentile where the customer frame's single-task exact
+    * buffer would matter (the q26/q44 scale path). Monetary stays in
+    * the exact DECIMAL domain until one final round (parallelism-
+    * independent); recency counts whole days against the corpus's own
+    * max order date, so the table is reproducible from the data alone.
+    */
+  def rfmSegmentation(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentation(spark, dir, approx = false)
+
+  def rfmSegmentation(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val dmax = o.agg(max(to_date(col("o_orderdate"))).as("dmax"))
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(m3(col("o_totalprice"))), 2).cast("decimal(18,2)").as("mon_d"))
+      .crossJoin(broadcast(dmax))
+      .select(col("o_custkey").as("customer_id"),
+        datediff(col("dmax"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"),
+        col("mon_d").cast("double").as("monetary"))
+    def pct(c: String) =
+      if (approx) expr(s"approx_percentile($c, array(0.2,0.4,0.6,0.8), 10000)")
+      else expr(s"percentile($c, array(0.2,0.4,0.6,0.8))")
+    val bounds = perCust.agg(
+      pct("recency_days").as("rb"), pct("frequency").as("fb"),
+      pct("monetary").as("mb"))
+    perCust.crossJoin(broadcast(bounds))
+      .withColumn("r_score",
+        (lit(5) - size(filter(col("rb"),
+          t => col("recency_days").cast("double") > t))).cast("long"))
+      .withColumn("f_score",
+        (size(filter(col("fb"),
+          t => col("frequency").cast("double") > t)) + 1).cast("long"))
+      .withColumn("m_score",
+        (size(filter(col("mb"), t => col("monetary") > t)) + 1).cast("long"))
+      .drop("rb", "fb", "mb")
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_rfm_segmentation" -> ((s: SparkSession, d: String) => rfmSegmentation(s, d)),
     "q25_region_rollup" -> regionRollup,
     "q26_segment_percentiles" -> segmentPercentiles,
     "q27_segment_existence" -> segmentExistence,
@@ -415,6 +480,37 @@ object Analytics2 {
     "q44_revenue_deciles" -> revenueDeciles)
 
   val oracle: Map[String, String] = Map(
+    "q52_rfm_segmentation" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+        |  FROM orders),
+        |mx AS (SELECT max(d) AS dmax FROM o),
+        |pc AS (
+        |  SELECT o_custkey AS customer_id,
+        |         CAST(date_diff('day', max(d), (SELECT dmax FROM mx)) AS BIGINT) AS recency_days,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,3))), 2) AS DOUBLE) AS monetary
+        |  FROM o GROUP BY 1),
+        |b AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM pc),
+        |s AS (
+        |  SELECT customer_id, recency_days, frequency, monetary,
+        |         CAST(5 - len(list_filter(rb, t -> recency_days > t)) AS BIGINT) AS r_score,
+        |         CAST(1 + len(list_filter(fb, t -> frequency > t)) AS BIGINT) AS f_score,
+        |         CAST(1 + len(list_filter(mb, t -> monetary > t)) AS BIGINT) AS m_score
+        |  FROM pc CROSS JOIN b)
+        |SELECT customer_id, recency_days, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        |            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |            WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+        |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |            ELSE 'regular' END AS segment
+        |FROM s""".stripMargin,
     "q44_revenue_deciles" ->
       """WITH pc AS (
         |  SELECT o_custkey,

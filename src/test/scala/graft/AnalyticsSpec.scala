@@ -102,6 +102,33 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q52 RFM: every customer scored 1-5, segments consistent with scores") {
+    val rfm = Analytics2.rfmSegmentation(spark, TestSpark.sf)
+    val rows = rfm.collect()
+    val nCust = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.length == nCust)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"),
+        r.getAs[Long]("f_score"), r.getAs[Long]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(r.getAs[Long]("recency_days") >= 0)
+      assert(r.getAs[Double]("monetary") > 0)
+      val expected =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 3 && fs >= 3) "loyal"
+        else if (rs >= 4 && fs <= 2) "recent"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(r.getAs[String]("segment") == expected)
+    }
+    // quintile boundaries actually spread the base: recency and monetary
+    // are near-continuous, so no single score may swallow everyone
+    val mCounts = rows.groupBy(_.getAs[Long]("m_score")).view.mapValues(_.size)
+    assert(mCounts.size == 5 && mCounts.values.max <= rows.length * 0.3)
+  }
+
   test("q26 percentiles are ordered within every segment") {
     val p = Analytics2.segmentPercentiles(spark, TestSpark.sf)
     assert(p.filter(col("p25") > col("median") || col("median") > col("p75") ||

@@ -60,6 +60,24 @@ class ApproxPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("q52 approx: same schema, every customer scored, m-score spread held") {
+    val approx = Analytics2.rfmSegmentation(spark, TestSpark.sf, approx = true)
+    val exact = Analytics2.rfmSegmentation(spark, TestSpark.sf)
+    assert(approx.schema.map(f => (f.name, f.dataType)).toSeq ==
+      exact.schema.map(f => (f.name, f.dataType)).toSeq)
+    assert(approx.count() == exact.count())
+    val rows = approx.collect()
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Long](c); assert(s >= 1 && s <= 5)
+      }
+    }
+    // sketch boundaries stay near the exact quintiles on the
+    // near-continuous monetary axis — no score bucket swallows the base
+    val mCounts = rows.groupBy(_.getAs[Long]("m_score")).view.mapValues(_.size)
+    assert(mCounts.size == 5 && mCounts.values.max <= rows.length * 0.3)
+  }
+
   test("t07 approx: same keep semantics, per-language keep rate near 75%") {
     val approx = TextAnalysis.qualityPrune(spark, TestSpark.sf, approx = true)
     val exact = TextAnalysis.qualityPrune(spark, TestSpark.sf)
