@@ -97,6 +97,7 @@ object Bench {
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
       "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",
       "d17_simhash_pairs", "d19_shard_dedup", "d22_semantic_dedup",
+      "d23_semantic_contamination",
       "e04_funnel", "e05_cohort_retention",
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",

@@ -933,9 +933,67 @@ object Similarity {
         col("kmin.k_id").as("kept_vec"))
   }
 
+  // ─── d23 semantic decontamination ────────────────────────────────────
+  /** Embedding-space benchmark decontamination — the third rung of the
+    * contamination ladder: d13/d18 catch verbatim 13-gram overlap, d08
+    * catches shingle-level near-dups, and this catches PARAPHRASED
+    * benchmark items (reworded eval questions, translated answers)
+    * that share no tokens with the original. Each benchmark vector
+    * probes its own IVF cell (nprobe=1 — the q32 search shape) and
+    * counts corpus members above the d22 similarity knee; one
+    * zero-safe row per benchmark vector, max_cos NULL when its cell
+    * holds no corpus member (exactly d08's reporting contract).
+    *
+    * Demo boundary: benchmark = vec_id % 10 == 0 (the d08 trick — the
+    * crossing filter commutes with the pair measure, so building the
+    * index over the union changes nothing). Scale: benchmark sets are
+    * small by nature (thousands of eval items vs a 100 TB corpus), so
+    * the probe side broadcasts; the corpus-sized side streams through
+    * ONE equi-join on centroid_id and only probed cells reach the
+    * fused cosine. A miss is bounded by coarse-cell recall — q35's
+    * multi-probe curve says what nprobe buys if the screen must
+    * tighten.
+    */
+  def semanticContamination(spark: SparkSession, dir: String): DataFrame =
+    semanticContamination(spark, dir, 0.40)
+
+  def semanticContamination(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    ensureIndex(spark, dir)
+    val m = spark.read.parquet(indexPath(spark, dir))
+      .select(col("vec_id"), col("centroid_id"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb")), Seq("vec_id"))
+    val isBench = pmod(col("vec_id"), lit(10L)) === 0
+    val bench = m.filter(isBench)
+      .select(col("vec_id").as("bench_vec_id"), col("centroid_id"),
+        col("emb").as("b_emb"))
+    val corpus = m.filter(!isBench)
+      .select(col("centroid_id"), col("emb").as("c_emb"))
+    // inner probe join with the bench side broadcast (a left-outer can't
+    // broadcast its preserved side); the zero-safe rows come from the
+    // bounded join-back below, where the aggregated side broadcasts
+    val perBench = corpus.join(broadcast(bench), Seq("centroid_id"))
+      .select(col("bench_vec_id"), col("centroid_id"),
+        cosR(col("b_emb"), col("c_emb")).as("pair_cos"))
+      .groupBy(col("bench_vec_id"), col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("pair_cos") >= tau, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("pair_cos")).as("max_cos"))
+    bench.select(col("bench_vec_id"), col("centroid_id"))
+      .join(broadcast(perBench), Seq("bench_vec_id", "centroid_id"), "left")
+      .select(col("bench_vec_id"), col("centroid_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        col("max_cos"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0L).as("is_contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d05_embedding_knn" -> embeddingKnn,
     "d22_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "d23_semantic_contamination" ->
+      ((s: SparkSession, d: String) => semanticContamination(s, d)),
     "d06_embedding_lsh" -> embeddingLsh,
     "d11_embedding_neardup" -> embeddingNearDup,
     "q24_ivf_ann" -> ivfBuild,
@@ -1066,6 +1124,45 @@ object Similarity {
         |       max(pair_cos) AS max_pair_cos,
         |       max(CASE WHEN rn = 1 THEN k_id END) AS kept_vec
         |FROM q GROUP BY 1, 2, 3""".stripMargin,
+    "d23_semantic_contamination" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
+        |a1 AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+        |m1 AS (SELECT centroid_id, pos,
+        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+        |       FROM x1 GROUP BY 1, 2),
+        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+        |fin AS (
+        |  SELECT vec_id, emb, centroid_id,
+        |         round(list_dot_product(emb, c_emb)
+        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+        |  FROM e CROSS JOIN c1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+        |p AS (
+        |  SELECT b.vec_id AS bench_vec_id, b.centroid_id AS centroid_id,
+        |         c.vec_id AS c_id,
+        |         round(list_dot_product(b.emb, c.emb)
+        |               / (sqrt(list_dot_product(b.emb, b.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) AS pair_cos
+        |  FROM (SELECT * FROM fin WHERE vec_id % 10 = 0) b
+        |  LEFT JOIN (SELECT * FROM fin WHERE vec_id % 10 <> 0) c
+        |    ON b.centroid_id = c.centroid_id)
+        |SELECT bench_vec_id, centroid_id,
+        |       CAST(count(c_id) AS BIGINT) AS n_candidates,
+        |       CAST(coalesce(sum(CASE WHEN pair_cos >= 0.40 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+        |       max(pair_cos) AS max_cos,
+        |       coalesce(sum(CASE WHEN pair_cos >= 0.40 THEN 1 ELSE 0 END), 0) > 0 AS is_contaminated
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q45_ivf_cell_stats" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c0 AS (

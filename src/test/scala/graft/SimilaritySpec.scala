@@ -155,6 +155,37 @@ class SimilaritySpec extends AnyFunSuite {
     })
   }
 
+  test("d23 semantic contamination: zero-safe per-bench rows, flags match brute force") {
+    val assign = Similarity.ivfBuild(spark, TestSpark.sf)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val corpusByCell = assign.filter(_._1 % 10 != 0).groupBy(_._2)
+    val expected = assign.filter(_._1 % 10 == 0).map { case (bid, cell) =>
+      val cands = corpusByCell.getOrElse(cell, Array.empty)
+        .map(c => cos4(emb(bid), emb(c._1)))
+      (bid, cell, cands.length.toLong,
+        cands.count(_ >= 0.40).toLong,
+        if (cands.isEmpty) None else Some(cands.max),
+        cands.exists(_ >= 0.40))
+    }.toSet
+    val got = Similarity.semanticContamination(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5))).toSet
+    assert(got == expected)
+    assert(got.size == assign.count(_._1 % 10 == 0), "one row per benchmark vector")
+  }
+
   test("d05 guard: a query bound past the ceiling refuses to plan") {
     // the exact baseline is broadcast-queries × streamed-corpus; a wide
     // bound silently becomes the all-pairs scan ANN exists to avoid
