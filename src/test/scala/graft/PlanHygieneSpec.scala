@@ -336,6 +336,42 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"e07's trailing windows must partition by event_type over daily rows:\n$l"))
   }
 
+  test("q52 RFM: no window anywhere — scores assign via broadcast counting filters") {
+    // ntile/rank quintiles would global-sort the customer frame through
+    // one task; the boundary-broadcast form must survive refactors
+    val p = plan(Analytics2.rfmSegmentation(spark, TestSpark.sf))
+    assert(!p.contains("Window"), s"q52 must not window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quintile boundaries must broadcast:\n$p")
+  }
+
+  test("d22/d23: cell-blocked pair joins — equi on centroid_id, never a cartesian") {
+    val p22 = plan(Similarity.semanticDedup(spark, TestSpark.sf))
+    assert(!p22.contains("CartesianProduct"),
+      s"d22 pairs must block on the cell key:\n$p22")
+    assert(!p22.contains("BroadcastNestedLoopJoin"),
+      s"d22's pair join must be an equi-join:\n$p22")
+    val p23 = plan(Similarity.semanticContamination(spark, TestSpark.sf))
+    assert(!p23.contains("CartesianProduct"),
+      s"d23 probe must block on the cell key:\n$p23")
+    assert(p23.contains("BroadcastHashJoin"),
+      s"d23's bounded bench set must broadcast into the probe join:\n$p23")
+  }
+
+  test("t15 split stamp is a pure narrow projection: no shuffle, no window") {
+    val p = plan(TextAnalysis.hashSplit(spark, TestSpark.sf))
+    assert(!p.contains("Exchange"), s"t15 must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"t15 must not window:\n$p")
+  }
+
+  test("e08 transitions: corpus windows partition by user_id; share by from_type") {
+    val p = plan(Events.sessionTransitions(spark, TestSpark.sf))
+    val ws = p.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty, s"expected the lag/lead and share windows in:\n$p")
+    ws.foreach(l => assert(l.contains("user_id") || l.contains("from_type"),
+      s"every e08 window must partition by user_id or from_type:\n$l"))
+  }
+
   test("approx-percentile paths partial-aggregate a bounded sketch (no whole-group buffer)") {
     // the 100×-scale variants of the four exact-percentile sites: the
     // sketch must partial-aggregate map-side — an aggregate whose only
