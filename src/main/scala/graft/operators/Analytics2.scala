@@ -464,8 +464,60 @@ object Analytics2 {
           .otherwise("regular"))
   }
 
+  // ─── q53 market-basket brand affinity ────────────────────────────────
+  /** Association census over order baskets: for every brand pair that
+    * co-occurs in at least one order, the co-occurrence count, each
+    * brand's own order reach, the pair's support, and its lift
+    * (observed co-occurrence over the independence expectation) — the
+    * cross-sell table behind "customers who bought X also bought Y".
+    * The reference's category performance query
+    * (sql/analytical_queries.sql:29-44) profiles categories one at a
+    * time; affinity is the pairwise extension a retail mart grows into.
+    *
+    * Scale: NO self-join of the fact table. Baskets collapse to one
+    * bounded `collect_set(p_brand)` per order (≤ |brands| = 25
+    * elements, partial-aggregable), pairs explode MAP-SIDE from the
+    * sorted set (i < j, so each unordered pair emits once), and the
+    * pair census is a map-side-combining groupBy onto ≤ C(25,2) keys.
+    * The classic `oc JOIN oc ON same order` plan shuffles the exploded
+    * fact twice and is quadratic in basket size at the join; this shape
+    * pays one fact shuffle (the order groupBy) and the quadratic term
+    * stays inside a per-row array expression. Brand reach (25 rows) and
+    * the order total (1 row) broadcast back into the pair frame.
+    * Support/lift are exact integer ratios evaluated in one double
+    * division each — parallelism-independent.
+    */
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+    val total = baskets.agg(count(lit(1)).as("n_orders"))
+    val reach = baskets
+      .select(explode(col("brands")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(brands,
+          |  (x, i) -> transform(slice(brands, i + 2, size(brands)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.a").as("brand_a"), col("pr.b").as("brand_b"))
+      .agg(count(lit(1)).as("pair_orders"))
+    pairs
+      .join(broadcast(reach.select(col("brand").as("brand_a"), col("n").as("orders_a"))), "brand_a")
+      .join(broadcast(reach.select(col("brand").as("brand_b"), col("n").as("orders_b"))), "brand_b")
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"),
+        (col("pair_orders").cast("double") / col("n_orders")).as("support"),
+        ((col("pair_orders") * col("n_orders")).cast("double")
+          / (col("orders_a") * col("orders_b")).cast("double")).as("lift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_rfm_segmentation" -> ((s: SparkSession, d: String) => rfmSegmentation(s, d)),
+    "q53_basket_affinity" -> basketAffinity,
     "q25_region_rollup" -> regionRollup,
     "q26_segment_percentiles" -> segmentPercentiles,
     "q27_segment_existence" -> segmentExistence,
@@ -480,6 +532,27 @@ object Analytics2 {
     "q44_revenue_deciles" -> revenueDeciles)
 
   val oracle: Map[String, String] = Map(
+    "q53_basket_affinity" ->
+      """WITH oc AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM oc),
+        |bc AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM oc GROUP BY 1),
+        |pr AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |         CAST(count(*) AS BIGINT) AS pair_orders
+        |  FROM oc a JOIN oc b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, pair_orders,
+        |       ba.n AS orders_a, bb.n AS orders_b,
+        |       CAST(pair_orders AS DOUBLE) / t.n_orders AS support,
+        |       CAST(pair_orders * t.n_orders AS DOUBLE)
+        |         / CAST(ba.n * bb.n AS DOUBLE) AS lift
+        |FROM pr
+        |JOIN bc ba ON pr.brand_a = ba.p_brand
+        |JOIN bc bb ON pr.brand_b = bb.p_brand
+        |CROSS JOIN tot t""".stripMargin,
     "q52_rfm_segmentation" ->
       """WITH o AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice

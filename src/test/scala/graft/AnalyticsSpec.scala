@@ -129,6 +129,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mCounts.size == 5 && mCounts.values.max <= rows.length * 0.3)
   }
 
+  test("q53 basket affinity matches the naive self-join census") {
+    val aff = Analytics2.basketAffinity(spark, TestSpark.sf).collect()
+    assert(aff.nonEmpty)
+    // naive reference: distinct (order, brand) self-joined on the order
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val p = spark.read.parquet(s"${TestSpark.sf}/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    val oc = li.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val nOrders = oc.select("l_orderkey").distinct().count()
+    val reach = oc.groupBy("p_brand").count().collect()
+      .map(r => r.getAs[String]("p_brand") -> r.getAs[Long]("count")).toMap
+    val a = oc.toDF("k", "ba")
+    val b = oc.toDF("k", "bb")
+    val expected = a.join(b, "k").filter(col("ba") < col("bb"))
+      .groupBy("ba", "bb").count().collect()
+      .map(r => (r.getAs[String]("ba"), r.getAs[String]("bb")) -> r.getAs[Long]("count")).toMap
+    assert(aff.length == expected.size)
+    aff.foreach { r =>
+      val (ba, bb) = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      assert(ba < bb)
+      val n = r.getAs[Long]("pair_orders")
+      assert(n == expected((ba, bb)))
+      assert(r.getAs[Long]("orders_a") == reach(ba) && r.getAs[Long]("orders_b") == reach(bb))
+      assert(n <= math.min(reach(ba), reach(bb)))
+      assert(math.abs(r.getAs[Double]("support") - n.toDouble / nOrders) < 1e-12)
+      assert(math.abs(r.getAs[Double]("lift") -
+        (n * nOrders).toDouble / (reach(ba) * reach(bb)).toDouble) < 1e-12)
+    }
+  }
+
   test("q26 percentiles are ordered within every segment") {
     val p = Analytics2.segmentPercentiles(spark, TestSpark.sf)
     assert(p.filter(col("p25") > col("median") || col("median") > col("p75") ||

@@ -358,6 +358,18 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"d23's bounded bench set must broadcast into the probe join:\n$p23")
   }
 
+  test("q53 basket pairs explode map-side: one fact aggregation, no self-join") {
+    val p = plan(Analytics2.basketAffinity(spark, TestSpark.sf))
+    assert(!p.contains("Window"), s"q53 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q53 must not go cartesian:\n$p")
+    // pair expansion must come from the per-order array (generate/explode
+    // over the grouped baskets), never a second shuffle-join of the fact:
+    // reach + total join back as broadcasts
+    assert(p.contains("Generate explode"), s"expected the array pair explosion:\n$p")
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj == 0, s"q53's joins must all broadcast (got $smj SMJ):\n$p")
+  }
+
   test("t15 split stamp is a pure narrow projection: no shuffle, no window") {
     val p = plan(TextAnalysis.hashSplit(spark, TestSpark.sf))
     assert(!p.contains("Exchange"), s"t15 must not shuffle:\n$p")
