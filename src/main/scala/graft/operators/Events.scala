@@ -302,8 +302,73 @@ object Events {
         col("n_transitions").cast("double") / col("from_total"))
   }
 
+  // ─── e09 session path census ─────────────────────────────────────────
+  /** Entry-path distribution: for every session (e01's 30-min gap
+    * rule), the ordered first-≤3 event types joined as "a>b>c", then
+    * the census over paths — how sessions BEGIN (n_sessions, mean
+    * session length, share). e04 checks one fixed funnel; e08 gives
+    * single-step transitions; this is the k-step opening-path view that
+    * ranks real entry flows (the landing-path report of every product
+    * analytics stack).
+    *
+    * Scale: ONE exchange and ONE sort. Every window function stacks on
+    * e01's user_id window; the within-session row number needs no
+    * (user, session) re-sort because it is arithmetic on that same
+    * window — rn_sess = rn_user − rn_user@session_start + 1, where the
+    * session start's rn carries forward as a running max. The session
+    * collapse then groups on (user_id, session_seq), which the
+    * window's existing hash(user_id) partitioning already satisfies
+    * (no exchange; map-side combine), and the path census collapses
+    * map-side onto ≤|types|³ keys. The share denominator is a global
+    * window over that tiny census frame — safe ONLY there (the q38
+    * rule), and cheaper than a broadcast re-aggregation, which would
+    * re-run the whole fact pass for one number.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPathsFrame(Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** Frame-level core of [[sessionPaths]] — separated so path
+    * construction across a session boundary is assertable on a
+    * synthetic stream (the e08 pattern).
+    */
+  private[graft] def sessionPathsFrame(e: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          epochS(col("ts")) - epochS(col("prev_ts")) > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(run))
+      .withColumn("rn_user", row_number().over(byUser))
+      .withColumn("rn_sess",
+        col("rn_user")
+          - max(when(col("new_session") === 1L, col("rn_user"))).over(run) + 1L)
+    val sessions = flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        max(when(col("rn_sess") === 1L, col("event_type"))).as("t1"),
+        max(when(col("rn_sess") === 2L, col("event_type"))).as("t2"),
+        max(when(col("rn_sess") === 3L, col("event_type"))).as("t3"),
+        count(lit(1)).as("n_events"))
+    val census = sessions
+      .groupBy(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("sum_events"))
+    // share denominator via a window over the ≤|types|³ census — NOT a
+    // broadcast re-aggregation, which would recompute the whole fact
+    // pass a second time (the census frame is the one place a global
+    // window is safe — the q38 tiny-post-agg rule)
+    census
+      .select(col("path"), col("n_sessions"),
+        (col("sum_events").cast("double") / col("n_sessions")).as("avg_events"),
+        (col("n_sessions").cast("double")
+          / sum(col("n_sessions")).over(Window.partitionBy())).as("pct_sessions"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_sessionize" -> sessionize,
+    "e09_session_paths" -> sessionPaths,
     "e08_session_transitions" -> sessionTransitions,
     "e02_event_tumbling" -> tumblingWindows,
     "e03_json_props" -> jsonProps,
@@ -313,6 +378,41 @@ object Events {
     "e07_event_anomalies" -> eventAnomalies)
 
   val oracle: Map[String, String] = Map(
+    "e09_session_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *,
+        |         sum(new_session) OVER wr AS session_seq,
+        |         row_number() OVER w AS rn_user,
+        |         max(CASE WHEN new_session = 1 THEN rnu END) OVER wr AS rn_start
+        |  FROM (SELECT *, row_number() OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) AS rnu FROM s)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING)),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |         max(CASE WHEN rnu - rn_start + 1 = 1 THEN event_type END) AS t1,
+        |         max(CASE WHEN rnu - rn_start + 1 = 2 THEN event_type END) AS t2,
+        |         max(CASE WHEN rnu - rn_start + 1 = 3 THEN event_type END) AS t3,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2),
+        |census AS (
+        |  SELECT concat_ws('>', t1, t2, t3) AS path,
+        |         CAST(count(*) AS BIGINT) AS n_sessions,
+        |         CAST(sum(n_events) AS BIGINT) AS sum_events
+        |  FROM sess GROUP BY 1)
+        |SELECT path, n_sessions,
+        |       CAST(sum_events AS DOUBLE) / n_sessions AS avg_events,
+        |       CAST(n_sessions AS DOUBLE)
+        |         / (SELECT sum(n_sessions) FROM census) AS pct_sessions
+        |FROM census""".stripMargin,
     "e08_session_transitions" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id, event_type,

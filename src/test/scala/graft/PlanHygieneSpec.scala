@@ -384,6 +384,24 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"every e08 window must partition by user_id or from_type:\n$l"))
   }
 
+  test("e09 paths: one fact pass — session collapse rides the user window's partitioning") {
+    val p = plan(Events.sessionPaths(spark, TestSpark.sf))
+    // the fact windows all partition by user_id; the one exception is
+    // the share window over the tiny post-agg census (q38 rule)
+    val ws = p.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty, s"expected windows in:\n$p")
+    assert(ws.count(!_.contains("user_id")) <= 1,
+      s"only the census share window may leave user_id partitioning:\n$p")
+    // exactly 2 hash exchanges: the user window's, and the tiny
+    // partial-aggregated path census — never a (user, session)
+    // re-shuffle, and never a second fact pass for the denominator
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n$p")
+    val exLines = p.split("\n").filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.forall(!_.contains("session_seq")),
+      s"session collapse must not re-shuffle on (user_id, session_seq):\n$p")
+  }
+
   test("approx-percentile paths partial-aggregate a bounded sketch (no whole-group buffer)") {
     // the 100×-scale variants of the four exact-percentile sites: the
     // sketch must partial-aggregate map-side — an aggregate whose only

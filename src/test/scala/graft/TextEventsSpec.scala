@@ -330,6 +330,42 @@ class TextEventsSpec extends AnyFunSuite {
     assert(badShare == 0)
   }
 
+  test("e09 paths: gap starts a new path, short sessions truncate, shares sum to 1") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(s: Long) = new java.sql.Timestamp(t0 + s * 1000)
+    // user 1: [signup→click→purchase→view] then a gap then [view→click];
+    // user 2: a 1-event session; user 3: [click→view]
+    val e = Seq(
+      (1L, ts(0), 1L, "signup"), (1L, ts(60), 2L, "click"),
+      (1L, ts(120), 3L, "purchase"), (1L, ts(180), 4L, "view"),
+      (1L, ts(2180), 5L, "view"), (1L, ts(2240), 6L, "click"),
+      (2L, ts(0), 7L, "view"),
+      (3L, ts(0), 8L, "click"), (3L, ts(30), 9L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Events.sessionPathsFrame(e).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Double]("avg_events"),
+          r.getAs[Double]("pct_sessions"))).toMap
+    // 4 sessions: the 4-event path truncates at 3 steps; the post-gap
+    // view→click must NOT extend the first session's path
+    assert(rows.size == 4)
+    assert(rows("signup>click>purchase") == ((1L, 4.0, 0.25)))
+    assert(rows("view>click") == ((1L, 2.0, 0.25)))
+    assert(rows("view") == ((1L, 1.0, 0.25)))
+    assert(rows("click>view") == ((1L, 2.0, 0.25)))
+    // real corpus: census conserves e01's session count and event total
+    val census = Events.sessionPaths(spark, TestSpark.sf)
+    val sess = Events.sessionize(spark, TestSpark.sf)
+    assert(census.agg(sum("n_sessions")).collect().head.getLong(0) == sess.count())
+    val evTotal = census.agg(sum(col("avg_events") * col("n_sessions")))
+      .collect().head.getDouble(0)
+    val expected = sess.agg(sum("n_events")).collect().head.getLong(0)
+    assert(math.abs(evTotal - expected) < 1e-6 * expected)
+    val shareSum = census.agg(sum("pct_sessions")).collect().head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
+
   test("e05 cohort retention: offset-0 rows are full cohorts covering every user") {
     import graft.operators.Events
     val ret = Events.cohortRetention(spark, TestSpark.sf)
