@@ -615,7 +615,76 @@ object TextAnalysis {
           .when(col("bucket") < 990, "validation")
           .otherwise("test"))
 
+  // ─── t16 DSIR-style importance weights ───────────────────────────────
+  /** Data-selection importance weights via hashed-n-gram likelihood
+    * ratios (the DSIR recipe — Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): word bigrams hash
+    * into 1024 buckets, a target slice (here lang='en' — stand-in for
+    * "looks like the high-quality corpus") and the full raw corpus
+    * each yield a bucket distribution, and every document scores by
+    * how target-like its own bucket counts are. Downstream, t05/t08/
+    * t11-style samplers resample by this weight — together they are
+    * the quality-targeted data-selection loop.
+    *
+    * Deviation from the paper, deliberately: the per-bucket statistic
+    * is the SAME Laplace-smoothed ratio p̂_target(b)/p̂_raw(b), but the
+    * document score sums `count·ratio` instead of `count·log(ratio)`
+    * — log is transcendental (libm vs JVM last-bit drift would flip
+    * the driver's hash), while the ratio form stays in exact integer
+    * arithmetic end-to-end: each bucket's ratio is fixed-pointed to 6
+    * dp by half-up INTEGER division ((2·num·10⁶+den) div (2·den)),
+    * per-doc terms and sums are BIGINT (order-independent), and the
+    * single final double division is IEEE-exact. Same ranking
+    * direction, bit-stable on any engine at any parallelism.
+    *
+    * Scale: explode → one map-side-combining (doc, bucket) count; the
+    * 1024-row census + 1-row totals broadcast back; per-doc collapse
+    * is a second bounded shuffle. The corpus explodes twice (census
+    * pass + scoring pass) — at 100 TB the census is the artifact
+    * you'd publish once (the d03 band-table pattern) and re-read per
+    * scoring run; 1024 longs is the entire model. BIGINT fixed-point
+    * holds to ~10¹² bigram counts; past that the same expressions
+    * widen to DECIMAL(38,0).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrame(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[dsirWeights]] — separated so the formula is
+    * assertable exactly on a hand-computable corpus.
+    */
+  private[graft] def dsirWeightsFrame(docs: DataFrame): DataFrame = {
+    val B = 1024L
+    val feats = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_target"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"), col("is_target"),
+        concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1)).as("ng"))
+      .withColumn("bucket",
+        conv(substring(md5(col("ng")), 1, 4), 16, 10).cast("long") % B)
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val census = feats.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("r_b"),
+        sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_b"))
+    val totals = census.agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
+    val scored = census.crossJoin(broadcast(totals))
+      .withColumn("num", (col("t_b") + 1L) * (col("rr") + B))
+      .withColumn("den", (col("r_b") + 1L) * (col("tt") + B))
+      .withColumn("r6", expr("(num * 2000000 + den) div (2 * den)"))
+      .select(col("bucket"), col("r6"))
+    feats.join(broadcast(scored), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("r6")).as("wfp"), sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("wfp").cast("double") / 1000000.0d).as("weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_dsir_weights" -> dsirWeights,
     "t13_boilerplate" -> ((s: SparkSession, d: String) => boilerplateCensus(s, d)),
     "t14_pii_scrub" -> piiScrub,
     "t15_hash_split" -> hashSplit,
@@ -643,6 +712,36 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t16_dsir_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, is_target,
+        |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' '
+        |                || t[CAST(i AS INT) + 1]), 1, 4)) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, is_target, t, unnest(range(1, len(t))) AS i
+        |        FROM w WHERE len(t) >= 2)),
+        |cf AS (
+        |  SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1, 2, 3),
+        |census AS (
+        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS r_b,
+        |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_b
+        |  FROM cf GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(r_b) AS BIGINT) AS rr, CAST(sum(t_b) AS BIGINT) AS tt
+        |  FROM census),
+        |scored AS (
+        |  SELECT bucket,
+        |         ((t_b + 1) * (rr + 1024) * 2000000 + (r_b + 1) * (tt + 1024))
+        |           // (2 * (r_b + 1) * (tt + 1024)) AS r6
+        |  FROM census CROSS JOIN tot)
+        |SELECT cf.doc_id, CAST(sum(cf.c) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(cf.c * s.r6) AS DOUBLE) / 1000000.0 AS weight
+        |FROM cf JOIN scored s USING (bucket)
+        |GROUP BY 1""".stripMargin,
     "t13_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

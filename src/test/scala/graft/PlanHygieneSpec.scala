@@ -384,6 +384,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"every e08 window must partition by user_id or from_type:\n$l"))
   }
 
+  test("t16 DSIR: census and scores broadcast back — no SMJ, no window, no cartesian") {
+    val p = plan(TextAnalysis.dsirWeights(spark, TestSpark.sf))
+    assert(!p.contains("Window"), s"t16 must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t16 must not go cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1024-row census must broadcast into the scoring join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected the broadcast scoring join:\n$p")
+    assert(p.contains("Generate explode"), s"expected the bigram explosion:\n$p")
+  }
+
   test("e09 paths: one fact pass — session collapse rides the user window's partitioning") {
     val p = plan(Events.sessionPaths(spark, TestSpark.sf))
     // the fact windows all partition by user_id; the one exception is

@@ -330,6 +330,56 @@ class TextEventsSpec extends AnyFunSuite {
     assert(badShare == 0)
   }
 
+  test("t16 DSIR weights: exact match with a driver-side integer replay") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b a b"),   // target
+      (2L, "fr", "a b c"),
+      (3L, "fr", "x y"),
+      (4L, "de", "z"))         // 1 token → excluded
+      .toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis.dsirWeightsFrame(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("weight"))).toMap
+    // driver-side replay in exact integer arithmetic
+    def bucket(ng: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(ng.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024L
+    }
+    def bigrams(s: String) = s.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+    val corpus = Seq((1L, true, "a b a b"), (2L, false, "a b c"), (3L, false, "x y"))
+    val cf = corpus.flatMap { case (id, tgt, txt) =>
+      bigrams(txt).groupBy(identity).map { case (ng, os) => (id, tgt, bucket(ng), os.size.toLong) }
+    }
+    val census = cf.groupBy(_._3).map { case (b, rows) =>
+      b -> (rows.map(_._4).sum, rows.filter(_._2).map(_._4).sum)
+    }
+    val rr = census.values.map(_._1).sum
+    val tt = census.values.map(_._2).sum
+    val r6 = census.map { case (b, (rB, tB)) =>
+      val num = BigInt(tB + 1) * BigInt(rr + 1024)
+      val den = BigInt(rB + 1) * BigInt(tt + 1024)
+      b -> ((num * 2000000 + den) / (den * 2)).toLong
+    }
+    val expected = cf.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.map(_._4).sum, rows.map(r => r._4 * r6(r._3)).sum.toDouble / 1e6)
+    }
+    assert(got.keySet == Set(1L, 2L, 3L)) // doc 4 excluded
+    expected.foreach { case (id, (n, w)) =>
+      assert(got(id)._1 == n, s"doc $id n_bigrams")
+      assert(got(id)._2 == w, s"doc $id weight: ${got(id)._2} vs $w")
+    }
+    // real corpus: every multi-token doc scored, bigram count conserved
+    val real = graft.operators.TextAnalysis.dsirWeights(spark, TestSpark.sf)
+    val toks = graft.operators.TextAnalysis.tokenCount(spark, TestSpark.sf)
+      .select(col("doc_id"), col("ws_tokens"))
+    val joined = real.join(toks, "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("ws_tokens") - 1).count() == 0)
+    assert(real.filter(col("weight") <= 0).count() == 0)
+    assert(real.count() == toks.filter(col("ws_tokens") >= 2).count())
+  }
+
   test("e09 paths: gap starts a new path, short sessions truncate, shares sum to 1") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
