@@ -90,6 +90,7 @@ object Bench {
       "q38_amount_histogram", "q39_kpi_tiles", "q40_filtered_summary",
       "q41_monthly_category_trend", "q42_heavy_hitters", "q43_category_trendline",
       "q45_ivf_cell_stats", "q52_rfm_segmentation", "q53_basket_affinity",
+      "q54_supplier_scorecard",
       "t05_hash_sample", "t06_repetition_stats", "t16_dsir_weights",
       "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
       "t11_mixture_resample", "t13_boilerplate")

@@ -305,8 +305,51 @@ object Analytics {
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
 
+  // ─── q54 supplier scorecard ──────────────────────────────────────────
+  /** Supply-side rollup — the vendor counterpart of q21's customer
+    * geography: per supplier, nation/region, shipped lines, net
+    * revenue, return rate (share of 'R' returnflag lines), and the
+    * supplier's revenue rank within its nation (procurement's
+    * "who do we actually depend on, and where" table). Completes fact
+    * coverage of the supplier dimension.
+    *
+    * Scale: one map-side-combining groupBy(l_suppkey) collapses the
+    * fact (integer + DECIMAL sums only); supplier/nation/region dims
+    * broadcast into the POST-AGG frame (supplier-sized, ~0.01% of the
+    * fact). The rank window partitions that small frame by nation —
+    * ~25 partitions is fine for a dim-sized frame, never for a fact
+    * (the q17 rule). Return rate divides two exact longs once.
+    */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir)
+    val perSupp = li.groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        out2(sum(net(col("l_extendedprice"), col("l_discount")))).as("net_revenue"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+    perSupp
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_suppkey").as("supplier_key"), col("s_name").as("supplier_name"),
+        col("n_name").as("nation"), col("r_name").as("region"),
+        col("s_acctbal"), col("n_lines"), col("net_revenue"),
+        (col("n_returned").cast("double") / col("n_lines")).as("return_rate"))
+      .withColumn("nation_rank", row_number().over(
+        Window.partitionBy(col("nation"))
+          .orderBy(col("net_revenue").desc, col("supplier_key"))).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_monthly_sales_trend" -> monthlySalesTrend,
+    "q54_supplier_scorecard" -> supplierScorecard,
     "q02_category_performance" -> categoryPerformance,
     "q03_customer_segmentation" -> customerSegmentation,
     "q04_segment_category_analysis" -> segmentCategoryAnalysis,
@@ -329,6 +372,23 @@ object Analytics {
   private def oraw(x: String) = s"CAST($x AS DOUBLE)"
 
   val oracle: Map[String, String] = Map(
+    "q54_supplier_scorecard" ->
+      s"""WITH ps AS (
+        |  SELECT l_suppkey,
+        |         CAST(count(*) AS BIGINT) AS n_lines,
+        |         ${o2(NET)} AS net_revenue,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey AS supplier_key, s_name AS supplier_name,
+        |       n_name AS nation, r_name AS region,
+        |       s_acctbal, n_lines, net_revenue,
+        |       CAST(n_returned AS DOUBLE) / n_lines AS return_rate,
+        |       CAST(row_number() OVER (PARTITION BY n_name
+        |              ORDER BY net_revenue DESC, l_suppkey) AS BIGINT) AS nation_rank
+        |FROM ps
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q01_monthly_sales_trend" ->
       s"""WITH m AS (
         |  SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,

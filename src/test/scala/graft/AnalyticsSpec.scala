@@ -161,6 +161,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q54 supplier scorecard: dense nation ranks, conserved lines and revenue") {
+    import graft.functions.Money.{net, out2}
+    val sc = Analytics.supplierScorecard(spark, TestSpark.sf)
+    assert(sc.count() > 0)
+    // ranks are dense 1..k within every nation
+    val badRank = sc.groupBy("nation")
+      .agg(count(lit(1)).as("k"), min("nation_rank").as("mn"), max("nation_rank").as("mx"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("k")).count()
+    assert(badRank == 0)
+    assert(sc.filter(col("return_rate") < 0 || col("return_rate") > 1).count() == 0)
+    // every shipped line and every cent lands on exactly one supplier
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    assert(sc.agg(sum("n_lines")).collect().head.getLong(0) == li.count())
+    val expRev = li.agg(out2(sum(net(col("l_extendedprice"), col("l_discount")))))
+      .collect().head.getDouble(0)
+    val gotRev = sc.agg(round(sum("net_revenue"), 2)).collect().head.getDouble(0)
+    assert(math.abs(gotRev - expRev) < 0.01 * sc.count(),
+      s"per-supplier rounding drift only: $gotRev vs $expRev")
+  }
+
   test("q26 percentiles are ordered within every segment") {
     val p = Analytics2.segmentPercentiles(spark, TestSpark.sf)
     assert(p.filter(col("p25") > col("median") || col("median") > col("p75") ||

@@ -384,6 +384,19 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"every e08 window must partition by user_id or from_type:\n$l"))
   }
 
+  test("q54 scorecard: dims broadcast into the post-agg frame; rank window off the fact") {
+    val p = plan(Analytics.supplierScorecard(spark, TestSpark.sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"supplier/nation/region must broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3,
+      s"expected 3 broadcast dim joins:\n$p")
+    // the rank window partitions the supplier-sized frame by nation —
+    // it must sit ABOVE the fact aggregation, not under it
+    val ws = p.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("windowspecdefinition(nation#")),
+      s"rank window must partition by nation:\n$p")
+  }
+
   test("t16 DSIR: census and scores broadcast back — no SMJ, no window, no cartesian") {
     val p = plan(TextAnalysis.dsirWeights(spark, TestSpark.sf))
     assert(!p.contains("Window"), s"t16 must not window:\n$p")
