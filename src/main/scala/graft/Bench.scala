@@ -104,6 +104,7 @@ object Bench {
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
       "q32_ivf_search", "q34_api_catalog_ratings", "q35_ivf_recall",
       "q47_incremental_fact", "q49_ivf_pq", "q50_pq_recall", "q51_ivf_append",
+      "q55_lead_time",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "t12_pack_sequences",

@@ -33,7 +33,8 @@ object Pipeline {
     * removal lists (Jaccard, SimHash, and embedding-space SemDeDup
     * routes), transitive clusters, the 13-gram decontamination
     * keep-list, the post-dedup mixture table, the per-source funnel,
-    * the boilerplate census, and the PII release gate — the tables a
+    * the boilerplate census, the PII release gate, the train/val/test
+    * stamp, and the DSIR selection weights — the tables a
     * training-data build reads, published with the same
     * stage/validate/notify machinery as the retail build.
     * (The LSH candidate and verified-pair artifacts these stages probe
@@ -79,7 +80,10 @@ object Pipeline {
       // the release gate: PII match counts + redacted text per doc
       "pii_scrub" -> (() => TextAnalysis.piiScrub(spark, sfDir)),
       // fingerprint-keyed train/val/test stamp: exact dups co-split
-      "corpus_splits" -> (() => TextAnalysis.hashSplit(spark, sfDir)))
+      "corpus_splits" -> (() => TextAnalysis.hashSplit(spark, sfDir)),
+      // DSIR importance weights: the quality-targeted selection signal
+      // the mixture/budget samplers resample by
+      "dsir_weights" -> (() => TextAnalysis.dsirWeights(spark, sfDir)))
     mode match {
       case StagingOnly => staging
       case SkipMarts => staging ++ core

@@ -515,9 +515,54 @@ object Analytics2 {
           / (col("orders_a") * col("orders_b")).cast("double")).as("lift"))
   }
 
+  // ─── q55 fulfillment lead time ───────────────────────────────────────
+  /** Ship-lag distribution per order priority: days from order to each
+    * line's ship date — n_lines, mean, exact p50/p90, max. The ops
+    * question behind every "are urgent orders actually faster?" SLA
+    * review, and the one headline query whose join is genuinely
+    * fact-to-fact (lineitem⋈orders on the order key).
+    *
+    * Scale: the fact-to-fact join is the x03/x04 A/B's real-world
+    * instance — co-partitioned SMJ, and the pair to pre-bucket by
+    * order key at 100 TB (x04 measures that win; Sinks.bucketed is
+    * the writer). Only 3 columns survive to the join; lead-day math is
+    * integer. Mean is exact-integer-sum / count. Percentiles group
+    * into ≤5 priorities, so the exact single-buffer form is the
+    * default and `approx = true` swaps in the sketch-merging
+    * approx_percentile (the q26/q52 scale rule).
+    */
+  def leadTime(spark: SparkSession, dir: String): DataFrame =
+    leadTime(spark, dir, approx = false)
+
+  def leadTime(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val pct =
+      if (approx) expr("approx_percentile(lead_days, array(0.5, 0.9), 10000)")
+      else expr("percentile(lead_days, array(0.5, 0.9))")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("lead_days"))
+      .groupBy(col("priority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(col("lead_days")).cast("double") / count(lit(1))).as("avg_lead_days"),
+        pct.as("p"),
+        max(col("lead_days")).cast("long").as("max_days"))
+      // cast: approx_percentile preserves the INT input type while
+      // percentile returns DOUBLE — both paths must publish one schema
+      .select(col("priority"), col("n_lines"), col("avg_lead_days"),
+        element_at(col("p"), 1).cast("double").as("p50_days"),
+        element_at(col("p"), 2).cast("double").as("p90_days"),
+        col("max_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_rfm_segmentation" -> ((s: SparkSession, d: String) => rfmSegmentation(s, d)),
     "q53_basket_affinity" -> basketAffinity,
+    "q55_lead_time" -> ((s: SparkSession, d: String) => leadTime(s, d)),
     "q25_region_rollup" -> regionRollup,
     "q26_segment_percentiles" -> segmentPercentiles,
     "q27_segment_existence" -> segmentExistence,
@@ -532,6 +577,19 @@ object Analytics2 {
     "q44_revenue_deciles" -> revenueDeciles)
 
   val oracle: Map[String, String] = Map(
+    "q55_lead_time" ->
+      """WITH lead AS (
+        |  SELECT o_orderpriority AS priority,
+        |         date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) AS lead_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT priority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(lead_days) AS DOUBLE) / count(*) AS avg_lead_days,
+        |       quantile_cont(lead_days, 0.5) AS p50_days,
+        |       quantile_cont(lead_days, 0.9) AS p90_days,
+        |       CAST(max(lead_days) AS BIGINT) AS max_days
+        |FROM lead GROUP BY 1""".stripMargin,
     "q53_basket_affinity" ->
       """WITH oc AS (
         |  SELECT DISTINCT l_orderkey, p_brand

@@ -181,6 +181,43 @@ class AnalyticsSpec extends AnyFunSuite {
       s"per-supplier rounding drift only: $gotRev vs $expRev")
   }
 
+  test("q55 lead time matches a driver-side percentile recompute; approx tracks exact") {
+    val got = Analytics2.leadTime(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val leads = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def pct(xs: Seq[Int], p: Double): Double = {
+      val rank = p * (xs.length - 1)
+      val lo = rank.toInt
+      if (lo + 1 >= xs.length) xs.last.toDouble
+      else xs(lo) + (rank - lo) * (xs(lo + 1) - xs(lo))
+    }
+    assert(got.keySet == leads.keySet)
+    leads.foreach { case (pr, xs) =>
+      val r = got(pr)
+      assert(r.getAs[Long]("n_lines") == xs.length)
+      assert(math.abs(r.getAs[Double]("avg_lead_days") -
+        xs.map(_.toLong).sum.toDouble / xs.length) < 1e-9)
+      assert(math.abs(r.getAs[Double]("p50_days") - pct(xs, 0.5)) < 1e-9, s"$pr p50")
+      assert(math.abs(r.getAs[Double]("p90_days") - pct(xs, 0.9)) < 1e-9, s"$pr p90")
+      assert(r.getAs[Long]("max_days") == xs.max.toLong)
+    }
+    // the sketch scale path lands within a couple of days of exact
+    val approx = Analytics2.leadTime(spark, TestSpark.sf, approx = true).collect()
+      .map(r => r.getAs[String]("priority") -> r).toMap
+    leads.keys.foreach { pr =>
+      assert(math.abs(approx(pr).getAs[Double]("p50_days") -
+        got(pr).getAs[Double]("p50_days")) <= 2.0)
+    }
+  }
+
   test("q26 percentiles are ordered within every segment") {
     val p = Analytics2.segmentPercentiles(spark, TestSpark.sf)
     assert(p.filter(col("p25") > col("median") || col("median") > col("p75") ||

@@ -384,6 +384,18 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"every e08 window must partition by user_id or from_type:\n$l"))
   }
 
+  test("q55 lead time: both fact scans pruned to the join's 3 columns; no window") {
+    val p = plan(Analytics2.leadTime(spark, TestSpark.sf))
+    assert(!p.contains("Window"), s"q55 must not window:\n$p")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    val liSchema = readSchemas.find(_.contains("l_shipdate")).get
+    assert(!liSchema.contains("l_extendedprice") && !liSchema.contains("l_quantity"),
+      s"lineitem scan not pruned: $liSchema")
+    val oSchema = readSchemas.find(_.contains("o_orderdate")).get
+    assert(!oSchema.contains("o_totalprice") && !oSchema.contains("o_custkey"),
+      s"orders scan not pruned: $oSchema")
+  }
+
   test("q54 scorecard: dims broadcast into the post-agg frame; rank window off the fact") {
     val p = plan(Analytics.supplierScorecard(spark, TestSpark.sf))
     assert(!p.contains("SortMergeJoin"),
