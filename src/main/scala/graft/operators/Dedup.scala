@@ -193,6 +193,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  // ─── d24 LSH calibration report ──────────────────────────────────────
+  /** Banding-parameter calibration — q45's index-health analog for the
+    * Jaccard route: per exact-Jaccard decile (d02's ground truth,
+    * J ≥ 0.2), how many true pairs the d03 candidate artifact caught
+    * (empirical recall), the mean shared-band count among caught
+    * pairs, and the 6-band × 3-row theory values at the bucket
+    * midpoint (per-band match p = J³ → E[bands] = 6·J³, recall =
+    * 1−(1−J³)⁶). Divergence between the observed and theoretical
+    * columns is how an operator decides the band/row split needs
+    * retuning before a production sweep.
+    *
+    * Determinism: all comparisons are integer counts; recall and mean
+    * divide two exact longs once; the theory columns are scalar
+    * per-row double chains evaluated in one fixed order — no
+    * data-dependent double summation anywhere.
+    *
+    * Scale: the observed side is pair-frame joins over the published
+    * candidate artifact (build-if-missing). The exact baseline IS the
+    * expensive leg — by design this report runs on a SAMPLE corpus to
+    * tune banding before the full-corpus candidate sweep, exactly how
+    * production LSH parameters are chosen; the sample bound is the
+    * caller's via `dir`.
+    */
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = candidates(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands").as("nb"))
+    val agg = exact
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j_bucket", least(lit(9L), floor(col("jaccard") * 10)))
+      .groupBy(col("j_bucket"))
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        sum(when(col("nb").isNotNull, 1L).otherwise(0L)).as("n_caught"),
+        sum(coalesce(col("nb"), lit(0L))).as("sum_bands"))
+    // theory at the bucket midpoint, in the same scalar op order as the
+    // oracle (left-associated products — bit-identical doubles)
+    val jMid = (col("j_bucket").cast("double") + 0.5) / 10.0
+    agg
+      .withColumn("j_mid", jMid)
+      .withColumn("p3", col("j_mid") * col("j_mid") * col("j_mid"))
+      .withColumn("q3",
+        (lit(1.0) - col("p3")) * (lit(1.0) - col("p3")) * (lit(1.0) - col("p3")))
+      .select(col("j_bucket"), col("j_mid"), col("n_true_pairs"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true_pairs")).as("lsh_recall"),
+        when(col("n_caught") > 0,
+          col("sum_bands").cast("double") / col("n_caught")).as("avg_bands_caught"),
+        (lit(6.0) * col("p3")).as("expected_bands"),
+        (lit(1.0) - col("q3") * col("q3")).as("theoretical_recall"))
+  }
+
   // ─── d04 SimHash fingerprint + hamming bands ─────────────────────────
   /** 64-bit weighted SimHash as FOUR 16-bit hamming bands in ONE corpus
     * aggregation: each token occurrence contributes ±1 per bit position
@@ -1367,6 +1418,7 @@ object Dedup {
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
+    "d24_lsh_calibration" -> lshCalibration,
     "d04_simhash" -> simhash,
     "d17_simhash_pairs" -> simhashPairs,
     "d20_simhash_dedup" -> simhashDedup,
@@ -1384,6 +1436,66 @@ object Dedup {
     "d16_containment_dedup" -> containmentDedup)
 
   val oracle: Map[String, String] = Map(
+    "d24_lsh_calibration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM pos),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+        |       AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |  FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.2),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM (SELECT DISTINCT doc_id, shingle FROM sh)),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS nb
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT least(9, CAST(floor(e.jaccard * 10) AS BIGINT)) AS j_bucket, c.nb
+        |  FROM exact e LEFT JOIN cand c USING (doc_a, doc_b)),
+        |agg AS (
+        |  SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |         CAST(sum(CASE WHEN nb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        |         CAST(sum(coalesce(nb, 0)) AS BIGINT) AS sum_bands
+        |  FROM cal GROUP BY 1),
+        |m1 AS (SELECT *, (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS j_mid FROM agg),
+        |m2 AS (SELECT *, j_mid * j_mid * j_mid AS p3 FROM m1),
+        |m3 AS (SELECT *, (1.0 - p3) * (1.0 - p3) * (1.0 - p3) AS q3 FROM m2)
+        |SELECT j_bucket, j_mid, n_true_pairs, n_caught,
+        |       CAST(n_caught AS DOUBLE) / n_true_pairs AS lsh_recall,
+        |       CASE WHEN n_caught > 0
+        |            THEN CAST(sum_bands AS DOUBLE) / n_caught END AS avg_bands_caught,
+        |       6.0 * p3 AS expected_bands,
+        |       1.0 - q3 * q3 AS theoretical_recall
+        |FROM m3""".stripMargin,
     "d16_containment_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

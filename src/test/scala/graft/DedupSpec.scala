@@ -372,6 +372,33 @@ class DedupSpec extends AnyFunSuite {
     assert(union.exists(r => r.getAs[Boolean]("by_simhash") && !r.getAs[Boolean]("by_jaccard")))
   }
 
+  test("d24 calibration reconciles with d02, and high-J buckets recall near 1") {
+    val cal = Dedup.lshCalibration(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("j_bucket") -> r).toMap
+    assert(cal.nonEmpty)
+    val nExact = Dedup.ngramJaccard(spark, TestSpark.sf).count()
+    assert(cal.values.map(_.getAs[Long]("n_true_pairs")).sum == nExact)
+    cal.foreach { case (b, r) =>
+      assert(b >= 2 && b <= 9) // d02's floor is J >= 0.2
+      val (nt, nc) = (r.getAs[Long]("n_true_pairs"), r.getAs[Long]("n_caught"))
+      assert(nc <= nt && nt > 0)
+      assert(r.getAs[Double]("lsh_recall") == nc.toDouble / nt)
+      if (nc > 0) assert(r.getAs[Double]("avg_bands_caught") <= 6.0)
+      // theory columns recompute exactly driver-side
+      val mid = (b + 0.5) / 10.0
+      val p3 = mid * mid * mid
+      val q3 = (1.0 - p3) * (1.0 - p3) * (1.0 - p3)
+      assert(r.getAs[Double]("j_mid") == mid)
+      assert(r.getAs[Double]("expected_bands") == 6.0 * p3)
+      assert(r.getAs[Double]("theoretical_recall") == 1.0 - q3 * q3)
+      // the 6x3 banding's own pinned property: near-identical pairs
+      // (J >= 0.8) must be caught at ~theory (>= 0.99 there)
+      if (b >= 8) assert(r.getAs[Double]("lsh_recall") >= 0.9,
+        s"bucket $b recall ${r.getAs[Double]("lsh_recall")}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("d19 shard-incremental keep-set == full-rebuild keep-set on a split corpus") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
     val isShard = pmod(col("doc_id"), lit(5L)) === 4

@@ -409,6 +409,14 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"rank window must partition by nation:\n$p")
   }
 
+  test("d24 calibration: pair-keyed equi-joins only — no cartesian, no window") {
+    val p = plan(Dedup.lshCalibration(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"), s"d24 must not go cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the candidate probe must be an equi-join on the pair key:\n$p")
+    assert(!p.contains("Window"), s"d24 must not window:\n$p")
+  }
+
   test("t16 DSIR: census and scores broadcast back — no SMJ, no window, no cartesian") {
     val p = plan(TextAnalysis.dsirWeights(spark, TestSpark.sf))
     assert(!p.contains("Window"), s"t16 must not window:\n$p")
