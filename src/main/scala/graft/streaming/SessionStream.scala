@@ -72,4 +72,62 @@ object SessionStream {
           }
       }
   }
+
+  case class OpenPath(start_epoch: Long, end_epoch: Long, n_events: Long,
+                      t1: String, t2: String, t3: String)
+
+  case class PathOut(user_id: Long, session_start_epoch: Long, path: String,
+                     n_events: Long)
+
+  /** Streaming twin of the batch entry-path census's per-session stage
+    * (graft.operators.Events.sessionPaths): emits one (user, start,
+    * "a>b>c" leading path, session length) row per CLOSED session,
+    * under the same 30-minute gap rule and watermark-closure mechanics
+    * as [[sessionize]]. State per user stays one open session — the
+    * first ≤3 event types ride in three fixed fields, so state is
+    * bounded regardless of session length. The census itself
+    * (groupBy(path)) is a plain downstream aggregation of this stream.
+    */
+  def sessionPaths(events: Dataset[Event]): Dataset[PathOut] = {
+    import events.sparkSession.implicits._
+    def close(userId: Long, s: OpenPath): PathOut =
+      PathOut(userId, s.start_epoch,
+        Seq(s.t1, s.t2, s.t3).filter(_.nonEmpty).mkString(">"), s.n_events)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenPath, PathOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenPath]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(close(userId, s))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[PathOut]
+            sorted.foreach { e =>
+              val epoch = e.ts.getTime / 1000
+              open match {
+                case Some(s) if epoch - s.end_epoch <= GapSeconds =>
+                  val n = s.n_events + 1
+                  open = Some(s.copy(end_epoch = epoch, n_events = n,
+                    t2 = if (n == 2) e.event_type else s.t2,
+                    t3 = if (n == 3) e.event_type else s.t3))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  open = Some(OpenPath(epoch, epoch, 1L, e.event_type, "", ""))
+                case None =>
+                  open = Some(OpenPath(epoch, epoch, 1L, e.event_type, "", ""))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end_epoch + GapSeconds) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

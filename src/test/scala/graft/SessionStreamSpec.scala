@@ -43,6 +43,67 @@ class SessionStreamSpec extends AnyFunSuite {
     assert(out.contains((42L, 1L, 5.0, 0L)))
   }
 
+  test("stream paths truncate at 3 steps and never cross a gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = SessionStream.sessionPaths(src.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("paths").start()
+    // 4-event session (path truncates), 2h gap, then a 1-event session
+    src.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 42, "signup", 0),
+      Event(2, ts("2024-01-01 10:05:00"), 42, "click", 0),
+      Event(3, ts("2024-01-01 10:10:00"), 42, "purchase", 0),
+      Event(4, ts("2024-01-01 10:15:00"), 42, "view", 0))
+    q.processAllAvailable()
+    src.addData(Event(5, ts("2024-01-01 13:00:00"), 42, "view", 0))
+    q.processAllAvailable()
+    src.addData(Event(9, ts("2024-01-02 00:00:00"), 7, "click", 0))
+    q.processAllAvailable()
+    src.addData(Event(10, ts("2024-01-03 00:00:00"), 7, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("paths").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("path"),
+        r.getAs[Long]("n_events")))
+    assert(out.contains((42L, "signup>click>purchase", 4L)))
+    assert(out.contains((42L, "view", 1L)))
+    assert(!out.exists(_._2.contains("view>view")), s"gap crossed: ${out.toSeq}")
+  }
+
+  test("stream path census == batch e09 census on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Events.sessionPaths(spark, TestSpark.sf).collect()
+      .map { r =>
+        val n = r.getAs[Long]("n_sessions")
+        (r.getAs[String]("path"), n,
+          math.round(r.getAs[Double]("avg_events") * n))
+      }.toSet
+    val events = graft.sources.Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val src = MemoryStream[Event]
+    val q = SessionStream.sessionPaths(src.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("paths2").start()
+    src.addData(events: _*)
+    q.processAllAvailable()
+    src.addData(Event(-1, ts("2100-01-01 00:00:00"), -1, "flush", 0.0))
+    q.processAllAvailable()
+    src.addData(Event(-2, ts("2101-01-01 00:00:00"), -1, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("paths2").where("user_id >= 0").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_events")))
+      .groupBy(_._1).map { case (p, rows) =>
+        (p, rows.size.toLong, rows.map(_._2).sum)
+      }.toSet
+    assert(stream == batch,
+      s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+  }
+
   test("streaming sessions match the batch operator on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
