@@ -566,10 +566,56 @@ object Analytics2 {
         col("max_days"))
   }
 
+  // ─── q56 purchase-cadence per segment ────────────────────────────────
+  /** Inter-purchase interval profile per market segment: how often
+    * customers come back — repeat-customer share, gap count, mean /
+    * exact-median / max days between consecutive orders. The lifecycle
+    * complement of q52's RFM snapshot (RFM says who is lapsing NOW;
+    * cadence says what "normal" return time looks like per segment,
+    * the reorder-point input).
+    *
+    * Scale: ONE pass over the orders fact — gaps come from a lag on
+    * the o_custkey window (bounded per-customer history, the e01
+    * class), the segment arrives via a broadcast dim join, and one
+    * groupBy(segment) computes everything including both distinct
+    * customer counts (5 segments — the distinct expansion is bounded).
+    * Median is the exact single-buffer form by default (gaps ≈ order
+    * rows; fine to ~10⁶ per segment) with `approx = true` swapping in
+    * the sketch-merging approx_percentile for the 100 TB run (the
+    * q26/q52 rule).
+    */
+  def purchaseIntervals(spark: SparkSession, dir: String): DataFrame =
+    purchaseIntervals(spark, dir, approx = false)
+
+  def purchaseIntervals(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+    val pct =
+      if (approx) expr("approx_percentile(gap, 0.5, 10000)").cast("double")
+      else expr("percentile(gap, 0.5)")
+    o.withColumn("gap", datediff(col("od"), lag(col("od"), 1).over(w)))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(when(col("gap").isNotNull, col("o_custkey")))
+          .as("n_repeat_customers"),
+        count(col("gap")).as("n_gaps"),
+        (sum(col("gap")).cast("double") / count(col("gap"))).as("avg_gap_days"),
+        pct.as("p50_gap_days"),
+        max(col("gap")).cast("long").as("max_gap_days"))
+      .withColumn("repeat_share",
+        col("n_repeat_customers").cast("double") / col("n_customers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_rfm_segmentation" -> ((s: SparkSession, d: String) => rfmSegmentation(s, d)),
     "q53_basket_affinity" -> basketAffinity,
     "q55_lead_time" -> ((s: SparkSession, d: String) => leadTime(s, d)),
+    "q56_purchase_intervals" -> ((s: SparkSession, d: String) => purchaseIntervals(s, d)),
     "q25_region_rollup" -> regionRollup,
     "q26_segment_percentiles" -> segmentPercentiles,
     "q27_segment_existence" -> segmentExistence,
@@ -584,6 +630,28 @@ object Analytics2 {
     "q44_revenue_deciles" -> revenueDeciles)
 
   val oracle: Map[String, String] = Map(
+    "q56_purchase_intervals" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+        |                   CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+        |j AS (
+        |  SELECT c_mktsegment AS segment, o_custkey, gap
+        |  FROM g JOIN customer ON o_custkey = c_custkey)
+        |SELECT segment,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |       CAST(count(DISTINCT CASE WHEN gap IS NOT NULL THEN o_custkey END) AS BIGINT)
+        |         AS n_repeat_customers,
+        |       CAST(count(gap) AS BIGINT) AS n_gaps,
+        |       CAST(sum(gap) AS DOUBLE) / count(gap) AS avg_gap_days,
+        |       quantile_cont(gap, 0.5) AS p50_gap_days,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_days,
+        |       CAST(count(DISTINCT CASE WHEN gap IS NOT NULL THEN o_custkey END) AS DOUBLE)
+        |         / count(DISTINCT o_custkey) AS repeat_share
+        |FROM j GROUP BY 1""".stripMargin,
     "q55_lead_time" ->
       """WITH lead AS (
         |  SELECT o_orderpriority AS priority,

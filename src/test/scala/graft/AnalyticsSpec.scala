@@ -218,6 +218,42 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q56 purchase cadence matches a driver-side gap recompute") {
+    val got = Analytics2.purchaseIntervals(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val seg = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orders = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val bySeg = orders.groupBy(o => seg(o._1))
+    assert(got.keySet == bySeg.keySet)
+    bySeg.foreach { case (s, os) =>
+      val gaps = os.groupBy(_._1).values.flatMap { cust =>
+        val sorted = cust.sortBy(o => (o._3.toEpochDay, o._2))
+        sorted.sliding(2).collect { case Array(a, b) =>
+          (b._3.toEpochDay - a._3.toEpochDay, b._1)
+        }
+      }.toSeq
+      val r = got(s)
+      assert(r.getAs[Long]("n_customers") == os.map(_._1).distinct.length)
+      assert(r.getAs[Long]("n_repeat_customers") == gaps.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_gaps") == gaps.length)
+      assert(math.abs(r.getAs[Double]("avg_gap_days") -
+        gaps.map(_._1).sum.toDouble / gaps.length) < 1e-9)
+      assert(r.getAs[Long]("max_gap_days") == gaps.map(_._1).max)
+      val sortedGaps = gaps.map(_._1).sorted
+      val rank = 0.5 * (sortedGaps.length - 1)
+      val lo = rank.toInt
+      val med = if (lo + 1 >= sortedGaps.length) sortedGaps.last.toDouble
+        else sortedGaps(lo) + (rank - lo) * (sortedGaps(lo + 1) - sortedGaps(lo))
+      assert(math.abs(r.getAs[Double]("p50_gap_days") - med) < 1e-9, s"$s p50")
+      assert(math.abs(r.getAs[Double]("repeat_share") -
+        gaps.map(_._2).distinct.length.toDouble / os.map(_._1).distinct.length) < 1e-12)
+    }
+  }
+
   test("q26 percentiles are ordered within every segment") {
     val p = Analytics2.segmentPercentiles(spark, TestSpark.sf)
     assert(p.filter(col("p25") > col("median") || col("median") > col("p75") ||

@@ -396,6 +396,16 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"orders scan not pruned: $oSchema")
   }
 
+  test("q56 cadence: gaps from the customer window, dim broadcast, no cartesian") {
+    val p = plan(Analytics2.purchaseIntervals(spark, TestSpark.sf))
+    val ws = p.split("\n").filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("o_custkey")),
+      s"the gap window must partition by o_custkey:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the customer dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no extra fact shuffles:\n$p")
+  }
+
   test("q54 scorecard: dims broadcast into the post-agg frame; rank window off the fact") {
     val p = plan(Analytics.supplierScorecard(spark, TestSpark.sf))
     assert(!p.contains("SortMergeJoin"),
