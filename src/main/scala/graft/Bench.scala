@@ -110,7 +110,7 @@ object Bench {
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "t12_pack_sequences",
       "e06_rolling_active_users", "e07_event_anomalies", "e08_session_transitions",
-      "e09_session_paths", "q56_purchase_intervals",
+      "e09_session_paths", "q56_purchase_intervals", "t17_dsir_select",
       "q08_quarterly_yoy",
       "q17_revenue_rank_window", "q26_segment_percentiles", "q28_moving_window",
       "q44_revenue_deciles", "q46_customer_growth", "t09_tfidf_keywords")

@@ -683,8 +683,64 @@ object TextAnalysis {
         (col("wfp").cast("double") / 1000000.0d).as("weight"))
   }
 
+  // ─── t17 DSIR-weighted budget selection ──────────────────────────────
+  /** The selection step that closes the DSIR loop: order the corpus by
+    * t16's importance weight (descending, doc_id tiebreak) and keep
+    * documents until half the corpus tokens are spent — "fill the
+    * training budget with the most target-like data first" (the
+    * deterministic greedy variant of the paper's weight-proportional
+    * resampling; same selection pressure, replayable on any engine).
+    * t08 fills a budget in neutral hash order; this is its
+    * quality-TARGETED counterpart.
+    *
+    * Scale: the naive form is one GLOBAL running-sum window ordered by
+    * weight — the whole corpus through a single task. The t08/t12
+    * two-phase trick applies because the weight is already a 6-dp
+    * fixed-point integer (t16): VALUE buckets `wfp div 8192` are
+    * monotone in the weight, so bucket order == selection order —
+    * per-bucket token totals (tiny frame) classify every non-boundary
+    * bucket with no window; only the boundary bucket pays a running
+    * sum, seeded with its cumulative start. Weight ties land in one
+    * bucket by construction, so the doc_id tiebreak stays local.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = dsirWeightsFrame(docs).select(col("doc_id"), col("weight"))
+    val toks = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"))
+    // round(weight·10⁶) recovers t16's exact fixed-point integer: the
+    // double is within 1e-10 of it, far inside the .5 rounding margin
+    val d = w.join(toks, "doc_id")
+      .withColumn("wfp", round(col("weight") * 1000000).cast("long"))
+      .withColumn("vb", expr("wfp div 8192"))
+    val wcum = Window.orderBy(col("vb").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val meta = d.groupBy(col("vb")).agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum_end", sum(col("btok")).over(wcum))
+      .withColumn("cum_start", col("cum_end") - col("btok"))
+      .withColumn("budget",
+        shiftright(sum(col("btok")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 1))
+      .select(col("vb"), col("cum_start"), col("cum_end"), col("budget"))
+    val classified = d.join(broadcast(meta), Seq("vb"))
+    val outCols = Seq(col("doc_id"), col("n_tokens"), col("weight"))
+    val clear = classified
+      .filter(col("cum_end") <= col("budget") || col("cum_start") >= col("budget"))
+      .select(outCols :+ (col("cum_end") <= col("budget")).as("is_selected"): _*)
+    val wb = Window.partitionBy(col("vb"))
+      .orderBy(col("wfp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = classified
+      .filter(col("cum_start") < col("budget") && col("budget") < col("cum_end"))
+      .withColumn("run", col("cum_start") + sum(col("n_tokens")).over(wb))
+      .select(outCols :+ (col("run") <= col("budget")).as("is_selected"): _*)
+    clear.union(boundary)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_dsir_weights" -> dsirWeights,
+    "t17_dsir_select" -> dsirSelect,
     "t13_boilerplate" -> ((s: SparkSession, d: String) => boilerplateCensus(s, d)),
     "t14_pii_scrub" -> piiScrub,
     "t15_hash_split" -> hashSplit,
@@ -711,37 +767,66 @@ object TextAnalysis {
       |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stopword_count
       |  FROM documents""".stripMargin
 
+  // shared DSIR oracle CTEs (t16 scoring machinery, through `scored`)
+  private val dsirCte =
+    """WITH w AS (
+      |  SELECT doc_id, lang = 'en' AS is_target,
+      |         regexp_extract_all(text, '\S+') AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, is_target,
+      |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' '
+      |                || t[CAST(i AS INT) + 1]), 1, 4)) AS BIGINT) % 1024 AS bucket
+      |  FROM (SELECT doc_id, is_target, t, unnest(range(1, len(t))) AS i
+      |        FROM w WHERE len(t) >= 2)),
+      |cf AS (
+      |  SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM f GROUP BY 1, 2, 3),
+      |census AS (
+      |  SELECT bucket, CAST(sum(c) AS BIGINT) AS r_b,
+      |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_b
+      |  FROM cf GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(r_b) AS BIGINT) AS rr, CAST(sum(t_b) AS BIGINT) AS tt
+      |  FROM census),
+      |scored AS (
+      |  SELECT bucket,
+      |         ((t_b + 1) * (rr + 1024) * 2000000 + (r_b + 1) * (tt + 1024))
+      |           // (2 * (r_b + 1) * (tt + 1024)) AS r6
+      |  FROM census CROSS JOIN tot)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t16_dsir_weights" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang = 'en' AS is_target,
-        |         regexp_extract_all(text, '\S+') AS t
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, is_target,
-        |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' '
-        |                || t[CAST(i AS INT) + 1]), 1, 4)) AS BIGINT) % 1024 AS bucket
-        |  FROM (SELECT doc_id, is_target, t, unnest(range(1, len(t))) AS i
-        |        FROM w WHERE len(t) >= 2)),
-        |cf AS (
-        |  SELECT doc_id, is_target, bucket, CAST(count(*) AS BIGINT) AS c
-        |  FROM f GROUP BY 1, 2, 3),
-        |census AS (
-        |  SELECT bucket, CAST(sum(c) AS BIGINT) AS r_b,
-        |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_b
-        |  FROM cf GROUP BY 1),
-        |tot AS (
-        |  SELECT CAST(sum(r_b) AS BIGINT) AS rr, CAST(sum(t_b) AS BIGINT) AS tt
-        |  FROM census),
-        |scored AS (
-        |  SELECT bucket,
-        |         ((t_b + 1) * (rr + 1024) * 2000000 + (r_b + 1) * (tt + 1024))
-        |           // (2 * (r_b + 1) * (tt + 1024)) AS r6
-        |  FROM census CROSS JOIN tot)
+      (dsirCte +
+      """
         |SELECT cf.doc_id, CAST(sum(cf.c) AS BIGINT) AS n_bigrams,
         |       CAST(sum(cf.c * s.r6) AS DOUBLE) / 1000000.0 AS weight
         |FROM cf JOIN scored s USING (bucket)
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin),
+    "t17_dsir_select" ->
+      (dsirCte +
+      """,
+        |wts AS (
+        |  SELECT cf.doc_id,
+        |         CAST(sum(cf.c * s.r6) AS DOUBLE) / 1000000.0 AS weight
+        |  FROM cf JOIN scored s USING (bucket)
+        |  GROUP BY 1),
+        |tk AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (
+        |  SELECT wts.doc_id, tk.n_tokens, wts.weight,
+        |         CAST(round(wts.weight * 1000000) AS BIGINT) AS wfp
+        |  FROM wts JOIN tk USING (doc_id)),
+        |o AS (
+        |  SELECT *,
+        |         sum(n_tokens) OVER (ORDER BY wfp DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS run,
+        |         (SELECT sum(n_tokens) FROM d) // 2 AS budget
+        |  FROM d)
+        |SELECT doc_id, n_tokens, weight, run <= budget AS is_selected
+        |FROM o""".stripMargin),
     "t13_boilerplate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

@@ -274,6 +274,21 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"expected the boundary-bucket running sum:\n$p")
   }
 
+  test("t17 selection: the doc-facing running sum windows by value bucket, never globally") {
+    val p = plan(TextAnalysis.dsirSelect(spark, TestSpark.sf))
+    // a global weight-ordered running sum serializes the corpus through
+    // one task; only the tiny bucket frame (summing btok) may window
+    // without the vb partition key
+    val windowLines = p.split("\n").filter(_.contains("Window "))
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(_.contains("n_tokens")),
+      s"expected the boundary-bucket running sum:\n$p")
+    windowLines.filter(_.contains("n_tokens")).foreach { l =>
+      assert("windowspecdefinition\\(vb".r.findFirstIn(l).isDefined,
+        s"doc-row running sum must partition by the value bucket:\n$l")
+    }
+  }
+
   test("q42 heavy hitters: top-20 via TakeOrderedAndProject, windows on the slice only") {
     val p = plan(Analytics2.heavyHitters(spark, TestSpark.sf))
     assert(p.contains("TakeOrderedAndProject"),

@@ -380,6 +380,29 @@ class TextEventsSpec extends AnyFunSuite {
     assert(real.count() == toks.filter(col("ws_tokens") >= 2).count())
   }
 
+  test("t17 DSIR selection equals the driver-side global greedy prefix") {
+    val sel = graft.operators.TextAnalysis.dsirSelect(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"),
+          r.getAs[Boolean]("is_selected"))).toMap
+    // greedy replay: order by (fixed-point weight desc, doc_id), take
+    // while the running token total stays inside half the corpus tokens
+    val ordered = sel.toSeq
+      .map { case (id, (n, w, s)) => (id, n, math.round(w * 1e6), s) }
+      .sortBy { case (id, _, wfp, _) => (-wfp, id) }
+    val budget = ordered.map(_._2).sum / 2
+    var run = 0L
+    ordered.foreach { case (id, n, _, isSel) =>
+      run += n
+      assert(isSel == (run <= budget), s"doc $id: got $isSel at run=$run budget=$budget")
+    }
+    // the split is real on this corpus: both sides populated
+    assert(sel.values.exists(_._3) && sel.values.exists(!_._3))
+    // selection favors target-likeness: mean weight of kept > dropped
+    val (kept, dropped) = sel.values.partition(_._3)
+    assert(kept.map(_._2).sum / kept.size > dropped.map(_._2).sum / dropped.size)
+  }
+
   test("e09 paths: gap starts a new path, short sessions truncate, shares sum to 1") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
