@@ -83,7 +83,10 @@ object Pipeline {
       "corpus_splits" -> (() => TextAnalysis.hashSplit(spark, sfDir)),
       // DSIR importance weights: the quality-targeted selection signal
       // the mixture/budget samplers resample by
-      "dsir_weights" -> (() => TextAnalysis.dsirWeights(spark, sfDir)))
+      "dsir_weights" -> (() => TextAnalysis.dsirWeights(spark, sfDir)),
+      // the end product: non-bench docs surviving every gate, stamped
+      // with fold + token count — what a training run reads
+      "training_corpus" -> (() => Dedup.trainingCorpus(spark, sfDir)))
     mode match {
       case StagingOnly => staging
       case SkipMarts => staging ++ core

@@ -193,6 +193,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  // ─── d25 training-corpus export ──────────────────────────────────────
+  /** The end product of the curation pipeline: the document set a
+    * training run actually reads. Starts from the non-benchmark corpus
+    * (the d13 convention: src0/src1 ARE the benchmark and never train),
+    * drops every doc the dual-route dedup union removes (d21) and every
+    * doc the exact 13-gram decontamination flags (d13), and stamps each
+    * survivor with its contamination-safe fold (t15) and token count —
+    * one row per trainable doc: (doc_id, source, lang, split,
+    * n_tokens). Everything upstream is an oracle-checked gate; this row
+    * makes the COMPOSITION itself oracle-checked, so a gate wiring bug
+    * (wrong join side, missed flag) can't hide between green tables.
+    *
+    * Scale: projections plus two anti-joins against removal lists that
+    * are orders smaller than the corpus (broadcast-able); the heavy
+    * work lives in the published artifacts the gate queries probe
+    * (build-if-missing), not here.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(!col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+    val splits = TextAnalysis.hashSplit(spark, dir).select(col("doc_id"), col("split"))
+    val removed = dedupRouteUnion(spark, dir)
+      .select(col("removed_doc_id").as("doc_id"))
+    val contaminated = ngramContamination(spark, dir)
+      .filter(col("is_contaminated")).select(col("doc_id"))
+    d.join(splits, "doc_id")
+      .join(removed, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   // ─── d24 LSH calibration report ──────────────────────────────────────
   /** Banding-parameter calibration — q45's index-health analog for the
     * Jaccard route: per exact-Jaccard decile (d02's ground truth,
@@ -1419,6 +1452,7 @@ object Dedup {
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
     "d24_lsh_calibration" -> lshCalibration,
+    "d25_training_corpus" -> trainingCorpus,
     "d04_simhash" -> simhash,
     "d17_simhash_pairs" -> simhashPairs,
     "d20_simhash_dedup" -> simhashDedup,
@@ -1436,6 +1470,98 @@ object Dedup {
     "d16_containment_dedup" -> containmentDedup)
 
   val oracle: Map[String, String] = Map(
+    "d25_training_corpus" ->
+      (simhash64OracleCte +
+      """,
+        |lf AS (
+        |  SELECT doc_id, b.band, b.val
+        |  FROM sh, LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) b(band, val)),
+        |scand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM lf a JOIN lf b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |srem AS (
+        |  SELECT c.doc_b AS removed_doc_id
+        |  FROM scand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+        |  WHERE bit_count(xor(x.band0, y.band0)) + bit_count(xor(x.band1, y.band1))
+        |      + bit_count(xor(x.band2, y.band2)) + bit_count(xor(x.band3, y.band3)) <= 3
+        |  GROUP BY 1),
+        |jt AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |jp AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM jt WHERE len(t) >= 3),
+        |jsh AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+        |  FROM jp),
+        |ks AS (SELECT unnest(range(0, 18)) AS k),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+        |  FROM jsh),
+        |sig AS (
+        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, k // 3 AS band_j,
+        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |jcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id),
+        |jcd AS (SELECT doc_a AS doc_id FROM jcand UNION SELECT doc_b FROM jcand),
+        |jcs AS (SELECT jsh.* FROM jsh JOIN jcd USING (doc_id)),
+        |jsz AS (SELECT doc_id, count(*) AS n FROM jcs GROUP BY 1),
+        |jin AS (
+        |  SELECT jcand.doc_a, jcand.doc_b, count(*) AS inter
+        |  FROM jcand
+        |  JOIN jcs a ON jcand.doc_a = a.doc_id
+        |  JOIN jcs b ON jcand.doc_b = b.doc_id AND a.shingle = b.shingle
+        |  GROUP BY 1, 2),
+        |jrem AS (
+        |  SELECT jcand.doc_b AS removed_doc_id
+        |  FROM jcand
+        |  LEFT JOIN jin ON jcand.doc_a = jin.doc_a AND jcand.doc_b = jin.doc_b
+        |  JOIN jsz sa ON jcand.doc_a = sa.doc_id
+        |  JOIN jsz sb ON jcand.doc_b = sb.doc_id
+        |  WHERE CAST(coalesce(jin.inter, 0) AS DOUBLE)
+        |          / CAST(sa.n + sb.n - coalesce(jin.inter, 0) AS DOUBLE) >= 0.5
+        |  GROUP BY 1),
+        |rem AS (SELECT removed_doc_id AS doc_id FROM jrem
+        |        UNION SELECT removed_doc_id FROM srem),
+        |dw AS (
+        |  SELECT doc_id, source IN ('src0','src1') AS is_bench,
+        |         regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, is_bench,
+        |         md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 12], ' ')) AS h
+        |  FROM (SELECT doc_id, is_bench, t, unnest(range(1, len(t) - 11)) AS i
+        |        FROM dw WHERE len(t) >= 13)),
+        |gbench AS (SELECT DISTINCT h FROM grams WHERE is_bench),
+        |cont AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM grams g JOIN gbench USING (h)
+        |  WHERE NOT g.is_bench),
+        |fp AS (
+        |  SELECT doc_id, lang, source,
+        |         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE source NOT IN ('src0', 'src1')),
+        |fb AS (
+        |  SELECT *, CAST(('0x' || substr(fingerprint, 1, 4)) AS BIGINT) % 1000 AS bucket
+        |  FROM fp)
+        |SELECT fb.doc_id, fb.source, fb.lang, fb.n_tokens,
+        |       CASE WHEN bucket < 980 THEN 'train'
+        |            WHEN bucket < 990 THEN 'validation'
+        |            ELSE 'test' END AS split
+        |FROM fb
+        |LEFT JOIN rem ON fb.doc_id = rem.doc_id
+        |LEFT JOIN cont ON fb.doc_id = cont.doc_id
+        |WHERE rem.doc_id IS NULL AND cont.doc_id IS NULL""".stripMargin),
     "d24_lsh_calibration" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents),

@@ -399,6 +399,34 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d25 training corpus == non-bench docs minus d21 removals minus d13 contamination") {
+    val corpus = Dedup.trainingCorpus(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[String]("split"))).toMap
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nonBench = docs.filter { case (_, s) => s != "src0" && s != "src1" }.keySet
+    val removed = Dedup.dedupRouteUnion(spark, TestSpark.sf)
+      .select("removed_doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = Dedup.ngramContamination(spark, TestSpark.sf)
+      .filter(col("is_contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpus.keySet == nonBench -- removed -- contaminated,
+      s"extra=${(corpus.keySet -- (nonBench -- removed -- contaminated)).take(3)} " +
+        s"missing=${((nonBench -- removed -- contaminated) -- corpus.keySet).take(3)}")
+    // gates actually bit on this corpus, and the stamp matches t15
+    assert(corpus.size < nonBench.size)
+    val splits = graft.operators.TextAnalysis.hashSplit(spark, TestSpark.sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    corpus.foreach { case (id, (s, split)) =>
+      assert(s != "src0" && s != "src1")
+      assert(split == splits(id))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("d19 shard-incremental keep-set == full-rebuild keep-set on a split corpus") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
     val isShard = pmod(col("doc_id"), lit(5L)) === 4

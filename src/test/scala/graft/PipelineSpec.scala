@@ -32,7 +32,7 @@ class PipelineSpec extends AnyFunSuite {
       "corpus_quality", "dedup_removals", "simhash_removals", "dup_clusters",
       "decontamination", "effective_mixture", "curation_funnel",
       "shard_dedup_report", "semantic_removals", "boilerplate_census",
-      "pii_scrub", "corpus_splits", "dsir_weights"))
+      "pii_scrub", "corpus_splits", "dsir_weights", "training_corpus"))
     assert(stats.forall(_.rows > 0))
     // the published funnel equals the operator's direct result
     val published = spark.read.parquet(s"$out/curation_funnel")

@@ -442,6 +442,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"d24 must not window:\n$p")
   }
 
+  test("d25 export: removal gates anti-join as broadcasts; corpus scan filters bench at source") {
+    val p = plan(Dedup.trainingCorpus(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"), s"d25 must not go cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"removal/contamination lists must broadcast anti-join:\n$p")
+    // the bench-source exclusion must push to the documents scan
+    assert(p.contains("Not(In(source") || p.contains("PushedFilters: [Not(In(source"),
+      s"bench-source filter must push down:\n$p")
+  }
+
   test("t16 DSIR: census and scores broadcast back — no SMJ, no window, no cartesian") {
     val p = plan(TextAnalysis.dsirWeights(spark, TestSpark.sf))
     assert(!p.contains("Window"), s"t16 must not window:\n$p")
