@@ -84,8 +84,15 @@ object Pipeline {
       // DSIR importance weights: the quality-targeted selection signal
       // the mixture/budget samplers resample by
       "dsir_weights" -> (() => TextAnalysis.dsirWeights(spark, sfDir)),
-      // the end product: non-bench docs surviving every gate, stamped
-      // with fold + token count — what a training run reads
+      // the end product: non-bench docs surviving the dual-route dedup
+      // union (d21) and the 13-gram decontamination (d13), stamped with
+      // the t15 fold + raw-text token count — what a training run
+      // reads. The semantic route and the PII gate publish alongside
+      // but deliberately do NOT feed this export: semantic_removals is
+      // keyed by vec_id (the embeddings table's id space, joined to
+      // docs only where a vector exists), and pii_scrub is a read-time
+      // redaction gate — consumers read clean_text, so the export's
+      // token counts stay raw-text and stable across regex revisions
       "training_corpus" -> (() => Dedup.trainingCorpus(spark, sfDir)))
     mode match {
       case StagingOnly => staging

@@ -484,8 +484,10 @@ object Analytics2 {
     * pays one fact shuffle (the order groupBy) and the quadratic term
     * stays inside a per-row array expression. Brand reach (25 rows) and
     * the order total (1 row) broadcast back into the pair frame.
-    * Support/lift are exact integer ratios evaluated in one double
-    * division each — parallelism-independent.
+    * Support/lift evaluate from exact integer counts in a fixed
+    * scalar op order — parallelism-independent — with lift's two
+    * products taken in the DOUBLE domain (a long·long intermediate
+    * wraps silently once counts reach the ~10¹¹-order regime).
     *
     * Measured (tools.Scratch A/B at sf0.1, identical outputs): the
     * self-join plan shuffles 1,112,203 records / 11 MiB per run vs
@@ -518,8 +520,12 @@ object Analytics2 {
       .select(col("brand_a"), col("brand_b"), col("pair_orders"),
         col("orders_a"), col("orders_b"),
         (col("pair_orders").cast("double") / col("n_orders")).as("support"),
-        ((col("pair_orders") * col("n_orders")).cast("double")
-          / (col("orders_a") * col("orders_b")).cast("double")).as("lift"))
+        // both lift products run in the double domain: long·long first
+        // would wrap silently once pair_orders·n_orders crosses 2⁶³
+        // (~10¹¹ orders squared — the 100 TB regime), and the doubles
+        // stay exact below 2⁵³ so small-scale hashes are unchanged
+        (col("pair_orders").cast("double") * col("n_orders")
+          / (col("orders_a").cast("double") * col("orders_b"))).as("lift"))
   }
 
   // ─── q55 fulfillment lead time ───────────────────────────────────────
@@ -680,8 +686,8 @@ object Analytics2 {
         |SELECT brand_a, brand_b, pair_orders,
         |       ba.n AS orders_a, bb.n AS orders_b,
         |       CAST(pair_orders AS DOUBLE) / t.n_orders AS support,
-        |       CAST(pair_orders * t.n_orders AS DOUBLE)
-        |         / CAST(ba.n * bb.n AS DOUBLE) AS lift
+        |       CAST(pair_orders AS DOUBLE) * t.n_orders
+        |         / (CAST(ba.n AS DOUBLE) * bb.n) AS lift
         |FROM pr
         |JOIN bc ba ON pr.brand_a = ba.p_brand
         |JOIN bc bb ON pr.brand_b = bb.p_brand

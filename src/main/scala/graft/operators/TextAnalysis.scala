@@ -429,13 +429,23 @@ object TextAnalysis {
     * Scale: the corpus aggregates ONCE into the (token, occurrences,
     * doc_freq) vocab frame — `count` + `count_distinct` over the token
     * explode, both partial-aggregating map-side (distinct doc counting
-    * expands per-key, bounded by vocab × docs-per-token). The rank and
-    * cumulative-share windows run over the VOCAB frame only — post-agg
-    * rows, orders of magnitude smaller than the corpus — and the grand
-    * total rides a broadcast 1-row frame. An unpartitioned window is the
-    * documented exception for tiny post-agg frames (SURVEY §5); a real
-    * 100 TB vocab (millions of types) would range-partition the rank by
-    * a count-bucket prefix before the final merge.
+    * expands per-key, bounded by vocab × docs-per-token). The global
+    * rank and cumulative share then apply the t08/t12/t17 two-phase
+    * trick to the VOCAB frame, because at 100 TB a vocab census is
+    * 10⁷–10⁹ types and a bare `Window.orderBy` would funnel all of
+    * them through ONE task: the bucket key is the rank ordering's own
+    * prefix — (occurrences, first-2-chars-of-token) — which is
+    * monotone in (occurrences desc, token asc), so bucket order IS
+    * rank order and every tie stays inside one bucket's partition.
+    * The bucket-meta frame (one row per distinct (count, prefix) pair
+    * — orders of magnitude below the vocab, Zipf guarantees few
+    * distinct counts and the prefix only splits the huge low-count
+    * ties) takes the global row/occurrence offsets and the grand
+    * total in one tiny unpartitioned window (the documented post-agg
+    * exception, SURVEY §5); vocab rows then rank/cum-sum in a window
+    * PARTITIONED by the bucket key — the join and the window share
+    * one (occurrences, pfx) exchange, and AQE broadcasts the meta
+    * side at any realistic scale.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
@@ -444,16 +454,29 @@ object TextAnalysis {
     val vocab = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col("doc_id")).as("doc_freq"))
-    val total = vocab.agg(sum(col("occurrences")).as("total_occ"))
-    val w = Window.orderBy(col("occurrences").desc, col("token"))
-    vocab.crossJoin(broadcast(total))
-      .withColumn("freq_rank", row_number().over(w).cast("long"))
-      .withColumn("share", col("occurrences").cast("double") / col("total_occ"))
-      .withColumn("cum_share",
-        sum(col("occurrences")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast("double") / col("total_occ"))
+      .withColumn("pfx", substring(col("token"), 1, 2))
+    val meta = vocab.groupBy(col("occurrences"), col("pfx"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("occurrences")).as("b_occ"))
+    val wm = Window.orderBy(col("occurrences").desc, col("pfx"))
+    val meta2 = meta.select(
+      col("occurrences"), col("pfx"),
+      coalesce(sum(col("n_rows"))
+        .over(wm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("rank_start"),
+      coalesce(sum(col("b_occ"))
+        .over(wm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("occ_start"),
+      sum(col("b_occ"))
+        .over(wm.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .as("total_occ"))
+    val wb = Window.partitionBy(col("occurrences"), col("pfx")).orderBy(col("token"))
+    vocab.join(meta2, Seq("occurrences", "pfx"))
+      .withColumn("freq_rank",
+        (col("rank_start") + row_number().over(wb)).cast("long"))
+      .withColumn("cum_occ",
+        col("occ_start") + sum(col("occurrences"))
+          .over(wb.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("freq_rank"), col("token"), col("occurrences"), col("doc_freq"),
-        col("share"), col("cum_share"))
+        (col("occurrences").cast("double") / col("total_occ")).as("share"),
+        (col("cum_occ").cast("double") / col("total_occ")).as("cum_share"))
   }
 
   // ─── q33 per-language corpus statistics ──────────────────────────────
@@ -642,9 +665,13 @@ object TextAnalysis {
     * is a second bounded shuffle. The corpus explodes twice (census
     * pass + scoring pass) — at 100 TB the census is the artifact
     * you'd publish once (the d03 band-table pattern) and re-read per
-    * scoring run; 1024 longs is the entire model. BIGINT fixed-point
-    * holds to ~10¹² bigram counts; past that the same expressions
-    * widen to DECIMAL(38,0).
+    * scoring run; 1024 longs is the entire model. The ratio's
+    * num/den products run in DECIMAL(38,0): in BIGINT the
+    * intermediate (t_b+1)·(rr+B)·2·10⁶ wraps silently once
+    * (t_b+1)·(rr+B) passes ~4.6·10¹² — with t_b ≈ rr/1024 that is
+    * only ~10⁸–10⁹ total bigrams. The decimal form holds until
+    * num·2·10⁶ itself passes 10³⁸, i.e. rr ≳ 10¹⁷ bigrams — beyond
+    * any real corpus (100 TB of text is ~10¹³ tokens).
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeightsFrame(Tables.documents(spark, dir))
@@ -672,8 +699,12 @@ object TextAnalysis {
         sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_b"))
     val totals = census.agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
     val scored = census.crossJoin(broadcast(totals))
-      .withColumn("num", (col("t_b") + 1L) * (col("rr") + B))
-      .withColumn("den", (col("r_b") + 1L) * (col("tt") + B))
+      .withColumn("num",
+        (col("t_b") + 1L).cast("decimal(38,0)") * (col("rr") + B).cast("decimal(38,0)"))
+      .withColumn("den",
+        (col("r_b") + 1L).cast("decimal(38,0)") * (col("tt") + B).cast("decimal(38,0)"))
+      // integral div of the DECIMAL(38,0) pair returns BIGINT — r6 is a
+      // 6-dp ratio (≤ ~10⁹ in any real mix), far inside long range
       .withColumn("r6", expr("(num * 2000000 + den) div (2 * den)"))
       .select(col("bucket"), col("r6"))
     feats.join(broadcast(scored), "bucket")
@@ -702,6 +733,11 @@ object TextAnalysis {
     * bucket with no window; only the boundary bucket pays a running
     * sum, seeded with its cumulative start. Weight ties land in one
     * bucket by construction, so the doc_id tiebreak stays local.
+    * Boundary classification is half-open on purpose: the bucket with
+    * cum_start == budget routes through the running-sum path, because
+    * a ZERO-token document at its head has run == budget — selected
+    * under the global running sum's `run <= budget` rule — while the
+    * closed-form "clear rejected" branch would drop it.
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -726,13 +762,13 @@ object TextAnalysis {
     val classified = d.join(broadcast(meta), Seq("vb"))
     val outCols = Seq(col("doc_id"), col("n_tokens"), col("weight"))
     val clear = classified
-      .filter(col("cum_end") <= col("budget") || col("cum_start") >= col("budget"))
+      .filter(col("cum_end") <= col("budget") || col("cum_start") > col("budget"))
       .select(outCols :+ (col("cum_end") <= col("budget")).as("is_selected"): _*)
     val wb = Window.partitionBy(col("vb"))
       .orderBy(col("wfp").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val boundary = classified
-      .filter(col("cum_start") < col("budget") && col("budget") < col("cum_end"))
+      .filter(col("cum_start") <= col("budget") && col("budget") < col("cum_end"))
       .withColumn("run", col("cum_start") + sum(col("n_tokens")).over(wb))
       .select(outCols :+ (col("run") <= col("budget")).as("is_selected"): _*)
     clear.union(boundary)
@@ -791,8 +827,9 @@ object TextAnalysis {
       |  FROM census),
       |scored AS (
       |  SELECT bucket,
-      |         ((t_b + 1) * (rr + 1024) * 2000000 + (r_b + 1) * (tt + 1024))
-      |           // (2 * (r_b + 1) * (tt + 1024)) AS r6
+      |         (CAST(t_b + 1 AS HUGEINT) * (rr + 1024) * 2000000
+      |            + CAST(r_b + 1 AS HUGEINT) * (tt + 1024))
+      |           // (2 * CAST(r_b + 1 AS HUGEINT) * (tt + 1024)) AS r6
       |  FROM census CROSS JOIN tot)""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -332,10 +332,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     val p10 = plan(TextAnalysis.vocabCoverage(spark, TestSpark.sf))
     val w10 = p10.split("\n").filter(_.contains("windowspecdefinition")).toSeq
     assert(w10.nonEmpty, s"expected rank/coverage windows in:\n$p10")
-    // the unpartitioned windows are the tiny-post-agg exception (SURVEY
-    // §5): they must rank aggregated vocab rows, never corpus tokens
-    w10.foreach(l => assert(l.contains("occurrences"),
-      s"t10's windows must consume the aggregated vocab frame:\n$l"))
+    // vocab-facing windows (rank + running share — they order by token
+    // within a bucket) must PARTITION by the (occurrences, pfx) bucket
+    // key: a bare global orderBy would funnel a 10⁹-type vocab through
+    // one task. Only the bucket-meta offsets frame (summing n_rows /
+    // b_occ) may window unpartitioned (the tiny-post-agg exception).
+    val vocabFacing = w10.filter(_.contains("token#"))
+    assert(vocabFacing.nonEmpty, s"expected the bucketed rank window in:\n$p10")
+    vocabFacing.foreach(l =>
+      assert("windowspecdefinition\\(occurrences#\\d+L?, pfx#".r.findFirstIn(l).isDefined,
+        s"t10's vocab-row windows must partition by (occurrences, pfx):\n$l"))
+    w10.filterNot(_.contains("token#")).foreach(l =>
+      assert(l.contains("n_rows") || l.contains("b_occ"),
+        s"only the bucket-meta frame may window unpartitioned:\n$l"))
   }
 
   test("q46/e07: running-sum windows partition by their small keys, never a bare global") {
