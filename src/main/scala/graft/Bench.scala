@@ -72,7 +72,8 @@ object Bench {
     */
   private[graft] val queryClass: Map[String, String] = {
     val cpu = Seq("d01_exact_dedup", "d05_embedding_knn", "e03_json_props",
-      "q09_dim_date", "q10_dim_customer", "q15_clean_lineitem",
+      "q09_dim_date", "q10_dim_customer", "q57_dim_customer_hashed",
+      "q15_clean_lineitem",
       "q19_multi_source_conform", "q24_ivf_ann", "q31_dim_product",
       "q48_ivf_adaptive",
       "q33_corpus_stats", "t01_lang_id", "t02_quality_score",

@@ -126,9 +126,12 @@ object Dimensions {
   def dimCustomer(spark: SparkSession, dir: String): DataFrame =
     dimCustomerWithKey(spark, dir, surrogateKey("customer_id"))
 
-  /** Scale form: hash surrogate key, matching the FK that
+  /** Scale form (q57): hash surrogate key, matching the FK that
     * [[Facts.factSales]] derives inline from the natural key — no global
-    * window anywhere in the warehouse build.
+    * window anywhere in the warehouse build. Oracle-checked in its own
+    * right (the DuckDB oracle recomputes the identical 60-bit key), so
+    * the scale path's key arithmetic is hash-verified, not just
+    * plan-pinned.
     */
   def dimCustomerHashed(spark: SparkSession, dir: String): DataFrame =
     dimCustomerWithKey(spark, dir, hashKey(col("customer_id")))
@@ -276,6 +279,7 @@ object Dimensions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_dim_date" -> dimDate,
     "q10_dim_customer" -> dimCustomer,
+    "q57_dim_customer_hashed" -> dimCustomerHashed,
     "q11_scd2_merge" -> scd2MergeDemo,
     "q31_dim_product" -> dimProduct,
     "q46_customer_growth" -> customerGrowth)
@@ -400,6 +404,33 @@ object Dimensions {
         |       first_purchase_date, last_purchase_date,
         |       total_transactions, total_spend,
         |       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key,
+        |       coalesce(first_purchase_date, TIMESTAMP '1990-01-01') AS effective_start_date,
+        |       TIMESTAMP '9999-12-31' AS effective_end_date,
+        |       TRUE AS is_current,
+        |       CAST(1 AS BIGINT) AS version,
+        |       md5(concat_ws('_', c_custkey, c_mktsegment, c_name)) AS row_hash
+        |FROM snap""".stripMargin,
+    "q57_dim_customer_hashed" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+        |         min(o_orderdate) AS first_purchase_date,
+        |         max(o_orderdate) AS last_purchase_date,
+        |         count(o_orderkey) AS total_transactions,
+        |         CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(14,3))), CAST(0 AS DECIMAL(14,3))), 2) AS DOUBLE) AS total_spend
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_custkey AS customer_id, c_name AS customer_name,
+        |       c_mktsegment AS segment_attr, c_acctbal AS acctbal,
+        |       CASE WHEN c_acctbal < 0 THEN 'Debt' WHEN c_acctbal < 2500 THEN 'Low'
+        |            WHEN c_acctbal < 5000 THEN 'Mid' WHEN c_acctbal < 7500 THEN 'High'
+        |            ELSE 'Premium' END AS balance_band,
+        |       CASE WHEN total_transactions <= 1 THEN 'New'
+        |            WHEN total_transactions <= 3 THEN 'Occasional'
+        |            WHEN total_transactions <= 5 THEN 'Regular'
+        |            ELSE 'Loyal' END AS customer_segment,
+        |       first_purchase_date, last_purchase_date,
+        |       total_transactions, total_spend,
+        |       CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS customer_key,
         |       coalesce(first_purchase_date, TIMESTAMP '1990-01-01') AS effective_start_date,
         |       TIMESTAMP '9999-12-31' AS effective_end_date,
         |       TRUE AS is_current,

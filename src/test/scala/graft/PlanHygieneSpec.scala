@@ -489,6 +489,37 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"session collapse must not re-shuffle on (user_id, session_seq):\n$p")
   }
 
+  test("scd2 merge on a big dim: one sort-merge full-outer, single shuffle per side") {
+    import org.apache.spark.sql.functions._
+    // SURVEY §2 claims "sort-merge at scale" for q11/Scd2.merge: with
+    // broadcast off (the 10⁹-row-dim regime — neither side fits), the
+    // current-slice ⋈ batch full-outer must plan as ONE SortMergeJoin
+    // with exactly one hash exchange per side, and the change-type
+    // expansion must ride the join output (no re-join per change type)
+    def side(n: Long) = TestSpark.spark.range(0, n)
+      .select(col("id").as("k"), concat(lit("attr"), col("id")).as("attr"),
+        md5(concat_ws("_", col("id"), col("id") % 7)).as("row_hash"))
+    val existing = side(1000)
+      .withColumn("version", lit(1L))
+      .withColumn("is_current", lit(true))
+      .withColumn("effective_start_date", lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+      .withColumn("effective_end_date", lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+    val incoming = side(1200)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(operators.Scd2.merge(existing, incoming, "k",
+        lit("2000-01-01 00:00:00").cast("timestamp_ntz")))
+      assert("SortMergeJoin .*FullOuter".r.findFirstIn(p).isDefined,
+        s"expected a full-outer sort-merge join:\n$p")
+      assert("SortMergeJoin".r.findAllIn(p).size == 1,
+        s"the merge must join exactly once:\n$p")
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(ex == 2, s"expected one shuffle per join side, got $ex:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"broadcast was disabled:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("approx-percentile paths partial-aggregate a bounded sketch (no whole-group buffer)") {
     // the 100×-scale variants of the four exact-percentile sites: the
     // sketch must partial-aggregate map-side — an aggregate whose only
