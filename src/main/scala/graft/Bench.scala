@@ -93,6 +93,7 @@ object Bench {
       "q45_ivf_cell_stats", "q52_rfm_segmentation", "q53_basket_affinity",
       "q54_supplier_scorecard",
       "t05_hash_sample", "t06_repetition_stats", "t16_dsir_weights",
+      "t18_dsir_per_source",
       "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
       "t11_mixture_resample", "t13_boilerplate")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",

@@ -774,8 +774,65 @@ object TextAnalysis {
     clear.union(boundary)
   }
 
+  // ─── t18 per-source DSIR targets ─────────────────────────────────────
+  /** Multi-target DSIR (the production variant of Xie et al.'s recipe):
+    * one target distribution per SOURCE domain — each document scores
+    * against ITS OWN source's target slice (lang='en' within the
+    * source), so a code-heavy domain's exemplar doesn't drag down a
+    * prose domain's ratios (the single-global-target failure mode when
+    * domains have different token statistics). Identical fixed-point
+    * discipline to t16 — per-(source, bucket) Laplace ratios, half-up
+    * integer division to 6 dp, BIGINT doc sums, one final IEEE
+    * division — so the oracle replays the arithmetic bit-for-bit.
+    *
+    * Scale: the census aggregation gains only the source key — the
+    * broadcast grows from 1024 longs to #sources × 1024 (still bytes
+    * per source), the per-source totals ride a second tiny broadcast
+    * join, and the corpus-side plan is unchanged from t16: explode →
+    * one map-side-combining (doc, source, bucket) count → broadcast
+    * scoring join → bounded per-doc collapse.
+    */
+  def dsirWeightsPerSource(spark: SparkSession, dir: String): DataFrame =
+    dsirPerSourceFrame(Tables.documents(spark, dir))
+
+  /** Frame-level core of [[dsirWeightsPerSource]] (spec-replayable). */
+  private[graft] def dsirPerSourceFrame(docs: DataFrame): DataFrame = {
+    val B = 1024L
+    val feats = docs
+      .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_target"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), col("is_target"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"), col("source"), col("is_target"),
+        concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1)).as("ng"))
+      .withColumn("bucket",
+        conv(substring(md5(col("ng")), 1, 4), 16, 10).cast("long") % B)
+      .groupBy(col("doc_id"), col("source"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val census = feats.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("c")).as("r_b"),
+        sum(when(col("is_target"), col("c")).otherwise(0L)).as("t_b"))
+    val totals = census.groupBy(col("source"))
+      .agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
+    val scored = census.join(broadcast(totals), "source")
+      .withColumn("num",
+        (col("t_b") + 1L).cast("decimal(38,0)") * (col("rr") + B).cast("decimal(38,0)"))
+      .withColumn("den",
+        (col("r_b") + 1L).cast("decimal(38,0)") * (col("tt") + B).cast("decimal(38,0)"))
+      .withColumn("r6", expr("(num * 2000000 + den) div (2 * den)"))
+      .select(col("source"), col("bucket"), col("r6"))
+    feats.join(broadcast(scored), Seq("source", "bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c") * col("r6")).as("wfp"), sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        (col("wfp").cast("double") / 1000000.0d).as("weight"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_dsir_weights" -> dsirWeights,
+    "t18_dsir_per_source" -> dsirWeightsPerSource,
     "t17_dsir_select" -> dsirSelect,
     "t13_boilerplate" -> ((s: SparkSession, d: String) => boilerplateCensus(s, d)),
     "t14_pii_scrub" -> piiScrub,
@@ -833,6 +890,37 @@ object TextAnalysis {
       |  FROM census CROSS JOIN tot)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t18_dsir_per_source" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang = 'en' AS is_target,
+        |         regexp_extract_all(text, '\S+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, is_target,
+        |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' '
+        |                || t[CAST(i AS INT) + 1]), 1, 4)) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, source, is_target, t, unnest(range(1, len(t))) AS i
+        |        FROM w WHERE len(t) >= 2)),
+        |cf AS (
+        |  SELECT doc_id, source, is_target, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1, 2, 3, 4),
+        |census AS (
+        |  SELECT source, bucket, CAST(sum(c) AS BIGINT) AS r_b,
+        |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_b
+        |  FROM cf GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(r_b) AS BIGINT) AS rr, CAST(sum(t_b) AS BIGINT) AS tt
+        |  FROM census GROUP BY 1),
+        |scored AS (
+        |  SELECT source, bucket,
+        |         (CAST(t_b + 1 AS HUGEINT) * (rr + 1024) * 2000000
+        |            + CAST(r_b + 1 AS HUGEINT) * (tt + 1024))
+        |           // (2 * CAST(r_b + 1 AS HUGEINT) * (tt + 1024)) AS r6
+        |  FROM census JOIN tot USING (source))
+        |SELECT cf.doc_id, cf.source, CAST(sum(cf.c) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(cf.c * s.r6) AS DOUBLE) / 1000000.0 AS weight
+        |FROM cf JOIN scored s USING (source, bucket)
+        |GROUP BY 1, 2""".stripMargin,
     "t16_dsir_weights" ->
       (dsirCte +
       """

@@ -380,6 +380,64 @@ class TextEventsSpec extends AnyFunSuite {
     assert(real.count() == toks.filter(col("ws_tokens") >= 2).count())
   }
 
+  test("t18 per-source DSIR: domain-local targets; collapses to t16 on one source") {
+    import spark.implicits._
+    // identical text "a b c" lands in two domains whose target slices
+    // differ: web's exemplar repeats (a b), code's repeats (x y) — the
+    // same document must score HIGHER against web's target than code's
+    val docs = Seq(
+      (1L, "en", "web", "a b a b"),
+      (2L, "fr", "web", "a b c"),
+      (3L, "en", "code", "x y x y"),
+      (4L, "fr", "code", "a b c"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = graft.operators.TextAnalysis.dsirPerSourceFrame(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Long]("n_bigrams"), r.getAs[Double]("weight")))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L)._2 == 2L && got(4L)._2 == 2L)
+    assert(got(2L)._3 > got(4L)._3,
+      s"same text must be more web-target-like than code-target-like: $got")
+    // driver-side exact integer replay, keyed by source
+    def bucket(ng: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(ng.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024L
+    }
+    def bigrams(s: String) = s.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+    val corpus = Seq((1L, true, "web", "a b a b"), (2L, false, "web", "a b c"),
+      (3L, true, "code", "x y x y"), (4L, false, "code", "a b c"))
+    val cf = corpus.flatMap { case (id, tgt, src, txt) =>
+      bigrams(txt).groupBy(identity).map { case (ng, os) =>
+        (id, tgt, src, bucket(ng), os.size.toLong) }
+    }
+    corpus.map(_._3).distinct.foreach { src =>
+      val rows = cf.filter(_._3 == src)
+      val census = rows.groupBy(_._4).map { case (b, rs) =>
+        b -> (rs.map(_._5).sum, rs.filter(_._2).map(_._5).sum)
+      }
+      val rr = census.values.map(_._1).sum
+      val tt = census.values.map(_._2).sum
+      val r6 = census.map { case (b, (rB, tB)) =>
+        val num = BigInt(tB + 1) * BigInt(rr + 1024)
+        val den = BigInt(rB + 1) * BigInt(tt + 1024)
+        b -> ((num * 2000000 + den) / (den * 2)).toLong
+      }
+      rows.groupBy(_._1).foreach { case (id, rs) =>
+        val w = rs.map(r => r._5 * r6(r._4)).sum.toDouble / 1e6
+        assert(got(id)._3 == w, s"doc $id weight: ${got(id)._3} vs $w")
+      }
+    }
+    // a single-source corpus collapses to the global t16 weights
+    val single = docs.filter(col("source") === "web")
+    val perSrc = graft.operators.TextAnalysis.dsirPerSourceFrame(single).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    val global = graft.operators.TextAnalysis.dsirWeightsFrame(single).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    assert(perSrc == global, s"per-source must equal t16 on one source: $perSrc vs $global")
+  }
+
   test("t17 DSIR selection equals the driver-side global greedy prefix") {
     val sel = graft.operators.TextAnalysis.dsirSelect(spark, TestSpark.sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
