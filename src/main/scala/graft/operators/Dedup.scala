@@ -165,19 +165,31 @@ object Dedup {
     * standing index a new shard probes (d19) — per-doc rows, so a
     * subset corpus yields exactly the matching subset of bands.
     */
-  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBandsOf(sh: DataFrame): DataFrame =
+    minhashBandsOf(sh, 6, 3)
+
+  /** Parameterized banding — the seam the d26 retune feeds: any
+    * (nBands, rowsPerBand) with nBands·rowsPerBand ≤ 18 stays inside
+    * the k ≤ 17 double-hashing overflow bound (h1 + 17·h2 < 2^62).
+    * The published d03/d19 artifact stays on the shipped 6×3 default;
+    * a retuned sweep builds its own artifact from
+    * [[chosenBanding]]'s pair.
+    */
+  private[graft] def minhashBandsOf(sh: DataFrame, nBands: Int,
+                                    rowsPerBand: Int): DataFrame = {
+    require(nBands * rowsPerBand <= 18,
+      s"banding $nBands x $rowsPerBand exceeds the 18-hash signature family")
     val m = md5(col("shingle"))
     val h1 = conv(substring(m, 1, 15), 16, 10).cast("long")
     val h2 = conv(substring(m, 17, 14), 16, 10).cast("long")
-    val ks = 0 until 18
+    val ks = 0 until (nBands * rowsPerBand)
     val sigCols = ks.map(k => min(h1 + lit(k.toLong) * h2).as(s"sig_$k"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     sig.select(col("doc_id"),
-      explode(array((0 until 6).map(j => struct(
+      explode(array((0 until nBands).map(j => struct(
         lit(j.toLong).as("band_j"),
-        md5(concat_ws("",
-          col(s"sig_${3 * j}").cast("string"), col(s"sig_${3 * j + 1}").cast("string"),
-          col(s"sig_${3 * j + 2}").cast("string")))
+        md5(concat_ws("", (0 until rowsPerBand).map(i =>
+          col(s"sig_${rowsPerBand * j + i}").cast("string")): _*))
           .as("band_hash"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_j").as("band_j"), col("b.band_hash").as("band_hash"))
@@ -250,17 +262,7 @@ object Dedup {
     * caller's via `dir`.
     */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val exact = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val cand = candidates(spark, dir)
-      .select(col("doc_a"), col("doc_b"), col("n_shared_bands").as("nb"))
-    val agg = exact
-      .join(cand, Seq("doc_a", "doc_b"), "left")
-      .withColumn("j_bucket", least(lit(9L), floor(col("jaccard") * 10)))
-      .groupBy(col("j_bucket"))
-      .agg(
-        count(lit(1)).as("n_true_pairs"),
-        sum(when(col("nb").isNotNull, 1L).otherwise(0L)).as("n_caught"),
-        sum(coalesce(col("nb"), lit(0L))).as("sum_bands"))
+    val agg = calibrationMix(spark, dir)
     // theory at the bucket midpoint, in the same scalar op order as the
     // oracle (left-associated products — bit-identical doubles)
     val jMid = (col("j_bucket").cast("double") + 0.5) / 10.0
@@ -276,6 +278,122 @@ object Dedup {
         (lit(6.0) * col("p3")).as("expected_bands"),
         (lit(1.0) - col("q3") * col("q3")).as("theoretical_recall"))
   }
+
+  /** Shared observed-mixture stage for d24/d26: per exact-Jaccard
+    * decile, the true-pair count plus what the published candidate
+    * artifact caught. The exact d02 leg is the expensive part and is
+    * sample-corpus-by-design (see [[lshCalibration]]).
+    */
+  private def calibrationMix(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = candidates(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands").as("nb"))
+    exact
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j_bucket", least(lit(9L), floor(col("jaccard") * 10)))
+      .groupBy(col("j_bucket"))
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        sum(when(col("nb").isNotNull, 1L).otherwise(0L)).as("n_caught"),
+        sum(coalesce(col("nb"), lit(0L))).as("sum_bands"))
+  }
+
+  // ─── d26 automated band retune ───────────────────────────────────────
+  /** Conditional fixed-length power chain: base^n as maxN left-
+    * associated multiplications where factors beyond n multiply by an
+    * exact 1.0 — the only way to keep a data-dependent exponent
+    * bit-identical between Spark and the DuckDB oracle (`pow()` is not
+    * correctly-rounded in either engine, and a loop would need a
+    * data-dependent plan).
+    */
+  private def condPow(base: Column, n: Column, maxN: Int): Column =
+    (1 to maxN).foldLeft(lit(1.0)) { (acc, k) =>
+      acc * when(lit(k.toLong) <= n, base).otherwise(lit(1.0))
+    }
+
+  /** d24-driven banding selection — turns the calibration report's
+    * operator decision into arithmetic: over every (bands, rows) split
+    * of the 18-hash signature family (b·r ≤ 18, the k ≤ 17
+    * Kirsch–Mitzenmacher overflow bound), score the theoretical S-curve
+    * against the OBSERVED true-pair Jaccard mixture and choose the
+    * cheapest banding that clears both gates:
+    *
+    *  - recall gate: mixture-weighted recall over the near-dup target
+    *    zone (J ≥ 0.5 buckets) ≥ 0.9;
+    *  - precision gate: mixture-weighted catch over the below-target
+    *    buckets (J < 0.5) ≤ 0.25 — without it, 1-row-per-band always
+    *    wins on recall while its candidate set degenerates toward the
+    *    cross product.
+    *
+    * Cost = hash count b·r, then band count b (shuffle rows per doc),
+    * then r — a total order, so `is_chosen` marks exactly one row when
+    * any banding passes. The chosen (b, r) is what
+    * [[minhashBandsOf(sh:org\.apache\.spark\.sql\.DataFrame,nBands:Int,rowsPerBand:Int)* minhashBandsOf]]
+    * consumes to build the d03 artifact (see [[chosenBanding]]).
+    *
+    * Determinism: recall curves are fixed-order double chains
+    * ([[condPow]]); each bucket's contribution is floored to an integer
+    * parts-per-billion weight BEFORE summation, so every aggregate is
+    * an order-independent long sum, and both gate comparisons are pure
+    * integer arithmetic (exact to ~10⁹ true pairs — far beyond any
+    * calibration sample). The two report-only ratio columns divide two
+    * exact longs once.
+    *
+    * Scale: the grid is 47 rows; everything downstream of the shared
+    * mixture stage is arithmetic on a broadcast-sized frame. The
+    * expensive leg is [[calibrationMix]]'s exact-Jaccard baseline,
+    * which runs on a sample corpus by design (the d24 contract).
+    */
+  def bandRetune(spark: SparkSession, dir: String): DataFrame = {
+    val mix = calibrationMix(spark, dir).select(col("j_bucket"), col("n_true_pairs"))
+    val grid = spark.range(1, 19).select(col("id").as("n_bands"))
+      .crossJoin(spark.range(1, 9).select(col("id").as("n_rows")))
+      .filter(col("n_bands") * col("n_rows") <= 18L)
+    val scored = grid.crossJoin(broadcast(mix))
+      .withColumn("j_mid", (col("j_bucket").cast("double") + 0.5) / 10.0)
+      .withColumn("p", condPow(col("j_mid"), col("n_rows"), 8))
+      .withColumn("miss", condPow(lit(1.0) - col("p"), col("n_bands"), 18))
+      .withColumn("recall_ppb",
+        floor((lit(1.0) - col("miss")) * lit(1000000000.0)).cast("long"))
+    val sel = scored.groupBy(col("n_bands"), col("n_rows")).agg(
+      sum(when(col("j_bucket") >= 5, col("n_true_pairs") * col("recall_ppb"))
+        .otherwise(0L)).as("num_t"),
+      sum(when(col("j_bucket") >= 5, col("n_true_pairs")).otherwise(0L)).as("den_t"),
+      sum(when(col("j_bucket") < 5, col("n_true_pairs") * col("recall_ppb"))
+        .otherwise(0L)).as("num_l"),
+      sum(when(col("j_bucket") < 5, col("n_true_pairs")).otherwise(0L)).as("den_l"))
+    val flagged = sel.withColumn("passes",
+      col("den_t") > 0L &&
+        col("num_t") * 10L >= col("den_t") * 9000000000L &&
+        (col("den_l") === 0L || col("num_l") * 4L <= col("den_l") * 1000000000L))
+    // rank on the 47-row candidate frame — the q38 tiny-frame rule
+    val byCost = Window.orderBy(col("passes").desc,
+      (col("n_bands") * col("n_rows")).asc, col("n_bands").asc, col("n_rows").asc)
+    flagged
+      .withColumn("rk", row_number().over(byCost))
+      .select(
+        col("n_bands"), col("n_rows"),
+        (col("n_bands") * col("n_rows")).as("n_hashes"),
+        col("den_t").as("n_target_pairs"),
+        when(col("den_t") > 0L,
+          col("num_t").cast("double") / (col("den_t").cast("double") * lit(1.0e9)))
+          .as("target_recall"),
+        when(col("den_l") > 0L,
+          col("num_l").cast("double") / (col("den_l").cast("double") * lit(1.0e9)))
+          .as("low_j_catch"),
+        col("passes"),
+        (col("passes") && col("rk") === 1).as("is_chosen"))
+  }
+
+  /** The banding d26 selects, as plain ints for the artifact builder —
+    * a 1-row gate read (the Pipeline.scala idiom), falling back to the
+    * shipped 6×3 when no candidate clears both gates.
+    */
+  def chosenBanding(spark: SparkSession, dir: String): (Int, Int) =
+    bandRetune(spark, dir).filter(col("is_chosen"))
+      .select(col("n_bands"), col("n_rows")).collect()
+      .headOption.map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+      .getOrElse((6, 3))
 
   // ─── d04 SimHash fingerprint + hamming bands ─────────────────────────
   /** 64-bit weighted SimHash as FOUR 16-bit hamming bands in ONE corpus
@@ -1452,6 +1570,7 @@ object Dedup {
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
     "d24_lsh_calibration" -> lshCalibration,
+    "d26_band_retune" -> bandRetune,
     "d25_training_corpus" -> trainingCorpus,
     "d04_simhash" -> simhash,
     "d17_simhash_pairs" -> simhashPairs,
@@ -1468,6 +1587,68 @@ object Dedup {
     "d14_curation_funnel" -> curationFunnel,
     "d15_quality_dedup" -> qualityDedup,
     "d16_containment_dedup" -> containmentDedup)
+
+  /** Oracle twin of [[condPow]] — the same fixed-length left-associated
+    * conditional product, so the data-dependent exponent stays
+    * bit-identical between engines (SQL `*` is left-associative).
+    */
+  private def condPowSql(base: String, n: String, maxN: Int): String =
+    (1 to maxN).map(k => s"(CASE WHEN $k <= $n THEN $base ELSE 1.0 END)")
+      .mkString("1.0 * ", " * ", "")
+
+  /** Shared d24/d26 oracle prefix: exact-Jaccard pairs, the 6×3 LSH
+    * candidate replay, and the per-decile mixture `agg`.
+    */
+  private val calibrationMixCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang,
+      |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+      |  FROM pos),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+      |  FROM pairs
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.2),
+      |ks AS (SELECT unnest(range(0, 18)) AS k),
+      |hs AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |  FROM (SELECT DISTINCT doc_id, shingle FROM sh)),
+      |sig AS (
+      |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+      |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, k // 3 AS band_j,
+      |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+      |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+      |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS nb
+      |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT least(9, CAST(floor(e.jaccard * 10) AS BIGINT)) AS j_bucket, c.nb
+      |  FROM exact e LEFT JOIN cand c USING (doc_a, doc_b)),
+      |agg AS (
+      |  SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_true_pairs,
+      |         CAST(sum(CASE WHEN nb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+      |         CAST(sum(coalesce(nb, 0)) AS BIGINT) AS sum_bands
+      |  FROM cal GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d25_training_corpus" ->
@@ -1563,55 +1744,8 @@ object Dedup {
         |LEFT JOIN cont ON fb.doc_id = cont.doc_id
         |WHERE rem.doc_id IS NULL AND cont.doc_id IS NULL""".stripMargin),
     "d24_lsh_calibration" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents),
-        |pos AS (
-        |  SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, lang,
-        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
-        |  FROM pos),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
-        |       AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |exact AS (
-        |  SELECT doc_a, doc_b,
-        |         CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-        |  FROM pairs
-        |  JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.2),
-        |ks AS (SELECT unnest(range(0, 18)) AS k),
-        |hs AS (
-        |  SELECT doc_id,
-        |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
-        |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
-        |  FROM (SELECT DISTINCT doc_id, shingle FROM sh)),
-        |sig AS (
-        |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
-        |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, k // 3 AS band_j,
-        |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
-        |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
-        |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS nb
-        |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
-        |       AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |cal AS (
-        |  SELECT least(9, CAST(floor(e.jaccard * 10) AS BIGINT)) AS j_bucket, c.nb
-        |  FROM exact e LEFT JOIN cand c USING (doc_a, doc_b)),
-        |agg AS (
-        |  SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_true_pairs,
-        |         CAST(sum(CASE WHEN nb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
-        |         CAST(sum(coalesce(nb, 0)) AS BIGINT) AS sum_bands
-        |  FROM cal GROUP BY 1),
+      (calibrationMixCte +
+      """,
         |m1 AS (SELECT *, (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS j_mid FROM agg),
         |m2 AS (SELECT *, j_mid * j_mid * j_mid AS p3 FROM m1),
         |m3 AS (SELECT *, (1.0 - p3) * (1.0 - p3) * (1.0 - p3) AS q3 FROM m2)
@@ -1621,7 +1755,48 @@ object Dedup {
         |            THEN CAST(sum_bands AS DOUBLE) / n_caught END AS avg_bands_caught,
         |       6.0 * p3 AS expected_bands,
         |       1.0 - q3 * q3 AS theoretical_recall
-        |FROM m3""".stripMargin,
+        |FROM m3""".stripMargin),
+    "d26_band_retune" ->
+      (calibrationMixCte +
+      s""",
+        |grid AS (
+        |  SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS n_rows
+        |  FROM (SELECT unnest(range(1, 19)) AS b), (SELECT unnest(range(1, 9)) AS r)
+        |  WHERE b * r <= 18),
+        |cr AS (
+        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
+        |         (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS j_mid
+        |  FROM grid, agg),
+        |p1 AS (SELECT *, ${condPowSql("j_mid", "n_rows", 8)} AS p FROM cr),
+        |p2 AS (SELECT *, ${condPowSql("(1.0 - p)", "n_bands", 18)} AS miss FROM p1),
+        |t AS (
+        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
+        |         CAST(floor((1.0 - miss) * 1000000000.0) AS BIGINT) AS recall_ppb
+        |  FROM p2),
+        |sel AS (
+        |  SELECT n_bands, n_rows,
+        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_t,
+        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_t,
+        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_l,
+        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_l
+        |  FROM t GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT *,
+        |         (den_t > 0 AND num_t * 10 >= den_t * 9000000000
+        |          AND (den_l = 0 OR num_l * 4 <= den_l * 1000000000)) AS passes
+        |  FROM sel),
+        |rk AS (
+        |  SELECT *, row_number() OVER
+        |           (ORDER BY passes DESC, n_bands * n_rows, n_bands, n_rows) AS rk
+        |  FROM fl)
+        |SELECT n_bands, n_rows, n_bands * n_rows AS n_hashes,
+        |       den_t AS n_target_pairs,
+        |       CASE WHEN den_t > 0
+        |            THEN CAST(num_t AS DOUBLE) / (CAST(den_t AS DOUBLE) * 1000000000.0) END AS target_recall,
+        |       CASE WHEN den_l > 0
+        |            THEN CAST(num_l AS DOUBLE) / (CAST(den_l AS DOUBLE) * 1000000000.0) END AS low_j_catch,
+        |       passes, (passes AND rk = 1) AS is_chosen
+        |FROM rk""".stripMargin),
     "d16_containment_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
