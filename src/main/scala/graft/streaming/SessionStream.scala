@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import EventsStream.Event
@@ -129,5 +129,40 @@ object SessionStream {
             closed.result().iterator
           }
       }
+  }
+
+  /** Continuous e09 census: a streaming aggregation stacked on the
+    * closed-session path stream — each trigger folds newly closed
+    * sessions into the standing per-path counts, so the census is
+    * always current without ever re-reading history (update mode emits
+    * only the paths a trigger touched; complete mode serves the full
+    * snapshot for a dashboard read). The batch operator's
+    * `pct_sessions` is intentionally absent — a second global
+    * aggregate is not expressible in the same incremental query, and
+    * the share is one division the READER does over the snapshot
+    * (spec-pinned equal to batch e09 that way).
+    *
+    * Scale: state is one row per distinct path (≤ |event types|³) plus
+    * one open session per user inside [[sessionPaths]] — both bounded
+    * regardless of stream length.
+    */
+  def pathCensus(paths: Dataset[PathOut]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // Spark's global-watermark check rejects ANY stateful op downstream
+    // of flatMapGroupsWithState because timeout-emitted rows carry event
+    // times behind the watermark. That risk is real only when the
+    // downstream operator EVICTS by event time (windowed agg, dedup,
+    // interval join). This census groups on `path` alone — no event-time
+    // predicate anywhere downstream, so a late-emitted session folds
+    // into its path's standing count instead of being dropped; the
+    // documented escape hatch is the correct call for this topology
+    // (and the stream==batch spec pins the equality).
+    paths.sparkSession.conf
+      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    paths.toDF()
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("sum_events"))
+      .select(col("path"), col("n_sessions"),
+        (col("sum_events").cast("double") / col("n_sessions")).as("avg_events"))
   }
 }

@@ -104,6 +104,63 @@ class SessionStreamSpec extends AnyFunSuite {
       s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
   }
 
+  test("continuous path census across triggers == batch e09 census") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Events.sessionPaths(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"),
+        r.getAs[Double]("avg_events"), r.getAs[Double]("pct_sessions"))).toSet
+    // feed in 3 time-ordered chunks so triggers genuinely fold new
+    // closed sessions into standing counts (no late-data drops: each
+    // chunk's min ts >= the previous chunk's max ts)
+    val events = graft.sources.Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val src = MemoryStream[Event]
+    val q = SessionStream.pathCensus(SessionStream.sessionPaths(src.toDS()))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("census").start()
+    events.grouped((events.length + 2) / 3).foreach { chunk =>
+      src.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    src.addData(Event(-1, ts("2100-01-01 00:00:00"), -1, "flush", 0.0))
+    q.processAllAvailable()
+    src.addData(Event(-2, ts("2101-01-01 00:00:00"), -1, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.table("census").where("path <> 'flush'").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"),
+        r.getAs[Double]("avg_events")))
+    val total = snap.map(_._2).sum.toDouble
+    // pct_sessions is the reader's one division over the snapshot
+    val stream = snap.map { case (p, n, avg) => (p, n, avg, n.toDouble / total) }.toSet
+    assert(stream == batch,
+      s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+  }
+
+  test("path census supports update output mode (incremental emission)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = SessionStream.pathCensus(SessionStream.sessionPaths(src.toDS()))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("census_upd").start()
+    src.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 42, "click", 0),
+      Event(2, ts("2024-01-01 10:05:00"), 42, "view", 0))
+    q.processAllAvailable()
+    // closing flush: the session emits, the census row updates
+    src.addData(Event(9, ts("2024-01-02 00:00:00"), 7, "click", 0))
+    q.processAllAvailable()
+    src.addData(Event(10, ts("2024-01-03 00:00:00"), 7, "click", 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("census_upd").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions")))
+    assert(rows.contains(("click>view", 1L)), s"got ${rows.toSeq}")
+  }
+
   test("streaming sessions match the batch operator on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
