@@ -658,6 +658,14 @@ object Similarity {
     * table inlined as a broadcast join.
     */
   private val pqSubspaces = 4
+  // 16 codes (4-bit) per subspace is corpus-size-gated, not a design
+  // ceiling: the k-means++-style seeding needs ≥ codes distinct
+  // residual subvectors PER CELL to avoid degenerate (empty/duplicate)
+  // codewords, and the sf0.1 holdout cells hold hundreds of vectors —
+  // 256 codes (8-bit, the production default) or an OPQ rotation slot
+  // in HERE by raising this constant / rotating the residual frame once
+  // a corpus large enough to populate the codebooks exists; the q49/q50
+  // oracles extend by swapping the same constant.
   private val pqCodesPerSub = 16
 
   /** Squared L2 via the dot-product identity — NOT elementwise

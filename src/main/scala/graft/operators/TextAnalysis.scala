@@ -830,10 +830,64 @@ object TextAnalysis {
         (col("wfp").cast("double") / 1000000.0d).as("weight"))
   }
 
+  // ─── t19 per-source budget selection ─────────────────────────────────
+  /** The per-source selection step closing the multi-target loop
+    * (t18 → t19 as t16 → t17): each SOURCE fills its own token budget
+    * (half that source's scored tokens) in its own weight order, so
+    * the output is a per-domain mixture with every domain's most
+    * target-like half — the mixture builder's production shape, where
+    * domain token shares are a design decision and selection pressure
+    * applies within the domain (a global budget would let one
+    * high-ratio domain starve the rest).
+    *
+    * Scale: strictly better-shaped than t17 — the same two-phase
+    * value-bucket trick, but every window is ALREADY partitioned (by
+    * source for the bucket cumsum, by (source, value-bucket) for the
+    * boundary running sum), so nothing funnels through one task even
+    * before the trick applies; the bucket-meta frame is
+    * #sources × buckets (broadcast), and each source pays exactly one
+    * boundary bucket. Boundary classification is half-open exactly as
+    * t17 (cum_start == budget routes through the running sum) so
+    * zero-token ties resolve like the per-source global running sum.
+    */
+  def dsirSelectPerSource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = dsirPerSourceFrame(docs).select(col("doc_id"), col("source"), col("weight"))
+    val toks = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"))
+    val d = w.join(toks, "doc_id")
+      .withColumn("wfp", round(col("weight") * 1000000).cast("long"))
+      .withColumn("vb", expr("wfp div 8192"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("vb").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val meta = d.groupBy(col("source"), col("vb")).agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum_end", sum(col("btok")).over(wcum))
+      .withColumn("cum_start", col("cum_end") - col("btok"))
+      .withColumn("budget",
+        shiftright(sum(col("btok")).over(Window.partitionBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 1))
+      .select(col("source"), col("vb"), col("cum_start"), col("cum_end"), col("budget"))
+    val classified = d.join(broadcast(meta), Seq("source", "vb"))
+    val outCols = Seq(col("doc_id"), col("source"), col("n_tokens"), col("weight"))
+    val clear = classified
+      .filter(col("cum_end") <= col("budget") || col("cum_start") > col("budget"))
+      .select(outCols :+ (col("cum_end") <= col("budget")).as("is_selected"): _*)
+    val wb = Window.partitionBy(col("source"), col("vb"))
+      .orderBy(col("wfp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = classified
+      .filter(col("cum_start") <= col("budget") && col("budget") < col("cum_end"))
+      .withColumn("run", col("cum_start") + sum(col("n_tokens")).over(wb))
+      .select(outCols :+ (col("run") <= col("budget")).as("is_selected"): _*)
+    clear.union(boundary)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_dsir_weights" -> dsirWeights,
     "t18_dsir_per_source" -> dsirWeightsPerSource,
     "t17_dsir_select" -> dsirSelect,
+    "t19_dsir_select_per_source" -> dsirSelectPerSource,
     "t13_boilerplate" -> ((s: SparkSession, d: String) => boilerplateCensus(s, d)),
     "t14_pii_scrub" -> piiScrub,
     "t15_hash_split" -> hashSplit,
@@ -861,6 +915,37 @@ object TextAnalysis {
       |  FROM documents""".stripMargin
 
   // shared DSIR oracle CTEs (t16 scoring machinery, through `scored`)
+  /** Shared t18/t19 oracle prefix: per-(source, bucket) Laplace-ratio
+    * scoring replayed in HUGEINT fixed point.
+    */
+  private val dsirPerSourceCte =
+    """WITH w AS (
+      |  SELECT doc_id, source, lang = 'en' AS is_target,
+      |         regexp_extract_all(text, '\S+') AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source, is_target,
+      |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' '
+      |                || t[CAST(i AS INT) + 1]), 1, 4)) AS BIGINT) % 1024 AS bucket
+      |  FROM (SELECT doc_id, source, is_target, t, unnest(range(1, len(t))) AS i
+      |        FROM w WHERE len(t) >= 2)),
+      |cf AS (
+      |  SELECT doc_id, source, is_target, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM f GROUP BY 1, 2, 3, 4),
+      |census AS (
+      |  SELECT source, bucket, CAST(sum(c) AS BIGINT) AS r_b,
+      |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_b
+      |  FROM cf GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(sum(r_b) AS BIGINT) AS rr, CAST(sum(t_b) AS BIGINT) AS tt
+      |  FROM census GROUP BY 1),
+      |scored AS (
+      |  SELECT source, bucket,
+      |         (CAST(t_b + 1 AS HUGEINT) * (rr + 1024) * 2000000
+      |            + CAST(r_b + 1 AS HUGEINT) * (tt + 1024))
+      |           // (2 * CAST(r_b + 1 AS HUGEINT) * (tt + 1024)) AS r6
+      |  FROM census JOIN tot USING (source))""".stripMargin
+
   private val dsirCte =
     """WITH w AS (
       |  SELECT doc_id, lang = 'en' AS is_target,
@@ -891,36 +976,36 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t18_dsir_per_source" ->
-      """WITH w AS (
-        |  SELECT doc_id, source, lang = 'en' AS is_target,
-        |         regexp_extract_all(text, '\S+') AS t
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, source, is_target,
-        |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' '
-        |                || t[CAST(i AS INT) + 1]), 1, 4)) AS BIGINT) % 1024 AS bucket
-        |  FROM (SELECT doc_id, source, is_target, t, unnest(range(1, len(t))) AS i
-        |        FROM w WHERE len(t) >= 2)),
-        |cf AS (
-        |  SELECT doc_id, source, is_target, bucket, CAST(count(*) AS BIGINT) AS c
-        |  FROM f GROUP BY 1, 2, 3, 4),
-        |census AS (
-        |  SELECT source, bucket, CAST(sum(c) AS BIGINT) AS r_b,
-        |         CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS t_b
-        |  FROM cf GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT source, CAST(sum(r_b) AS BIGINT) AS rr, CAST(sum(t_b) AS BIGINT) AS tt
-        |  FROM census GROUP BY 1),
-        |scored AS (
-        |  SELECT source, bucket,
-        |         (CAST(t_b + 1 AS HUGEINT) * (rr + 1024) * 2000000
-        |            + CAST(r_b + 1 AS HUGEINT) * (tt + 1024))
-        |           // (2 * CAST(r_b + 1 AS HUGEINT) * (tt + 1024)) AS r6
-        |  FROM census JOIN tot USING (source))
+      (dsirPerSourceCte +
+      """
         |SELECT cf.doc_id, cf.source, CAST(sum(cf.c) AS BIGINT) AS n_bigrams,
         |       CAST(sum(cf.c * s.r6) AS DOUBLE) / 1000000.0 AS weight
         |FROM cf JOIN scored s USING (source, bucket)
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2""".stripMargin),
+    "t19_dsir_select_per_source" ->
+      (dsirPerSourceCte +
+      """,
+        |wts AS (
+        |  SELECT cf.doc_id, cf.source,
+        |         CAST(sum(cf.c * s.r6) AS DOUBLE) / 1000000.0 AS weight
+        |  FROM cf JOIN scored s USING (source, bucket)
+        |  GROUP BY 1, 2),
+        |tk AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (
+        |  SELECT wts.doc_id, wts.source, tk.n_tokens, wts.weight,
+        |         CAST(round(wts.weight * 1000000) AS BIGINT) AS wfp
+        |  FROM wts JOIN tk USING (doc_id)),
+        |o AS (
+        |  SELECT *,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY wfp DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS run,
+        |         sum(n_tokens) OVER (PARTITION BY source) // 2 AS budget
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, weight, run <= budget AS is_selected
+        |FROM o""".stripMargin),
     "t16_dsir_weights" ->
       (dsirCte +
       """

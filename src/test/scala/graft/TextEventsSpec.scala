@@ -461,6 +461,31 @@ class TextEventsSpec extends AnyFunSuite {
     assert(kept.map(_._2).sum / kept.size > dropped.map(_._2).sum / dropped.size)
   }
 
+  test("t19 per-source selection equals each source's own greedy prefix") {
+    val rows = graft.operators.TextAnalysis.dsirSelectPerSource(spark, TestSpark.sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"),
+        r.getAs[Boolean]("is_selected")))
+    assert(rows.map(_._2).distinct.length > 1, "needs a multi-source corpus")
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      // per-source greedy replay: that source's weight order against
+      // half of THAT source's tokens — no cross-source leakage
+      val ordered = docs
+        .map { case (id, _, n, w, s) => (id, n, math.round(w * 1e6), s) }
+        .sortBy { case (id, _, wfp, _) => (-wfp, id) }
+      val budget = ordered.map(_._2).sum / 2
+      var run = 0L
+      ordered.foreach { case (id, n, _, isSel) =>
+        run += n
+        assert(isSel == (run <= budget),
+          s"source $src doc $id: got $isSel at run=$run budget=$budget")
+      }
+      // each source's split is real: both sides populated
+      assert(docs.exists(_._5) && docs.exists(!_._5), s"degenerate split in $src")
+    }
+  }
+
   test("e09 paths: gap starts a new path, short sessions truncate, shares sum to 1") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
