@@ -97,12 +97,12 @@ object Bench {
       "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
       "t11_mixture_resample", "t13_boilerplate")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
-      "d24_lsh_calibration", "d25_training_corpus",
+      "d24_lsh_calibration", "d25_training_corpus", "d26_band_retune",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
       "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",
       "d17_simhash_pairs", "d19_shard_dedup", "d22_semantic_dedup",
       "d23_semantic_contamination",
-      "e04_funnel", "e05_cohort_retention",
+      "e04_funnel", "e05_cohort_retention", "e10_click_attribution",
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
       "q32_ivf_search", "q34_api_catalog_ratings", "q35_ivf_recall",
@@ -113,6 +113,7 @@ object Bench {
     val window = Seq("d15_quality_dedup", "e01_sessionize", "t12_pack_sequences",
       "e06_rolling_active_users", "e07_event_anomalies", "e08_session_transitions",
       "e09_session_paths", "q56_purchase_intervals", "t17_dsir_select",
+      "t19_dsir_select_per_source",
       "q08_quarterly_yoy",
       "q17_revenue_rank_window", "q26_segment_percentiles", "q28_moving_window",
       "q44_revenue_deciles", "q46_customer_growth", "t09_tfidf_keywords")

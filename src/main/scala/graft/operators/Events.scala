@@ -366,7 +366,65 @@ object Events {
           / sum(col("n_sessions")).over(Window.partitionBy())).as("pct_sessions"))
   }
 
+  // ─── e10 click→purchase attribution (bucketed interval join) ────────
+  /** For every purchase event, the count of same-user clicks in the
+    * closed hour before it ([p-3600s, p]) and the gap to the most
+    * recent such click — last-touch attribution, the event pipeline's
+    * canonical INTERVAL join (equi user key + time-range predicate;
+    * cf. the reference's session-attribution reporting surface,
+    * streamlit_app.py's conversion panels). The interval bounds match
+    * [[graft.streaming.EventsStream.purchaseClickJoin]] exactly — that
+    * watermarked stream-stream join is this operator's continuous twin
+    * (pairs == these counts, asserted in StreamingSpec), and e10 gives
+    * the pair semantics the SQL oracle the streaming spec can't.
+    *
+    * Scale: the naive plan — equi-join on user_id alone, then filter the
+    * range — pairs every click with every purchase of that user across
+    * ALL history (per-user quadratic, and a hot user is an unsplittable
+    * key). Here both sides carry a compound (user_id, hour-bucket) key:
+    * each click is exploded to exactly 2 buckets (its own and the next —
+    * the only buckets whose purchases its 1-h window can reach, since
+    * the window length equals the bucket width), purchases keep their
+    * single bucket, and the equi-join on the compound key bounds every
+    * join group to one hour of one user's clicks. 2× click duplication
+    * buys per-key work independent of history length, and hot users
+    * re-spread over time buckets (the x02 salt argument, but
+    * data-driven). The exact range predicate then filters inside the
+    * bounded group — lossless. A click at an exact hour boundary whose
+    * window tail [c, c+3600] touches bucket b+1 only at its first
+    * second still lands in both buckets — the explode is derived from
+    * the window span, so no reachable purchase bucket is missed.
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // the range predicate compares RAW timestamps (microsecond-exact,
+    // matching the streaming twin); the floored epochs exist for the
+    // bucket key and the reported gap only. The floored window contains
+    // the exact window, so bucket reachability still holds.
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("purchase_epoch", epochS(col("p_ts")))
+      .withColumn("bucket", floor(col("purchase_epoch") / 3600L))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withColumn("c_epoch", epochS(col("c_ts")))
+      .withColumn("bucket",
+        explode(array(floor(col("c_epoch") / 3600L),
+          floor(col("c_epoch") / 3600L) + 1L)))
+    purchases.join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        col("c_ts").isNotNull &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .groupBy(col("event_id"), col("user_id"), col("purchase_epoch"))
+      .agg(
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_clicks_1h"),
+        min(when(col("hit"), col("purchase_epoch") - col("c_epoch")))
+          .as("last_gap_sec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_click_attribution" -> clickAttribution,
     "e01_sessionize" -> sessionize,
     "e09_session_paths" -> sessionPaths,
     "e08_session_transitions" -> sessionTransitions,
@@ -378,6 +436,23 @@ object Events {
     "e07_event_anomalies" -> eventAnomalies)
 
   val oracle: Map[String, String] = Map(
+    "e10_click_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts AS p_ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts AS c_ts,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS c_epoch
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.purchase_epoch,
+        |       CAST(count(c.c_ts) AS BIGINT) AS n_clicks_1h,
+        |       CAST(min(p.purchase_epoch - c.c_epoch) AS BIGINT) AS last_gap_sec
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id
+        | AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        | AND c.c_ts <= p.p_ts
+        |GROUP BY 1, 2, 3""".stripMargin,
     "e09_session_paths" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -106,6 +106,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"shard probe must not window:\n$p")
   }
 
+  test("e10 interval join: compound-key equi join, no cartesian, no window") {
+    val p = plan(Events.clickAttribution(spark, TestSpark.sf))
+    // the range predicate must ride a (user, hour-bucket) equi join —
+    // a nested-loop range join pairs every click with every purchase
+    assert(!p.contains("CartesianProduct"), s"e10 went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"e10 went all-pairs:\n$p")
+    assert(!p.contains("Window"), s"e10 must aggregate, not window:\n$p")
+    // the join key must carry the bucket, not user_id alone
+    assert("Join [^\\n]*bucket".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\([^\\n]*bucket".r.findFirstIn(p).isDefined,
+      s"bucket key missing from the join:\n$p")
+  }
+
   test("q49 PQ search: codebooks broadcast, no cartesian, window only on the bounded query set") {
     val p = plan(Similarity.pqSearch(spark, TestSpark.sf))
     // the two codebooks and the query set ride broadcast joins; the

@@ -92,6 +92,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("purchaseClickJoin pairs reproduce the batch e10 counts on a replayed feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val feed = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(feed.filter(_.event_type == "click"): _*)
+    purchases.addData(feed.filter(_.event_type == "purchase"): _*)
+    val out = EventsStream.runToMemory(
+      EventsStream.purchaseClickJoin(clicks.toDF(), purchases.toDF()),
+      "pcj_replay", OutputMode.Append())
+    val streamCounts = out.groupBy("purchase_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the batch interval join is the system of record (oracle-checked);
+    // its zero-click rows are the stream's non-emissions
+    val batch = graft.operators.Events.clickAttribution(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_clicks_1h")))
+      .filter(_._2 > 0).toMap
+    assert(streamCounts === batch)
+  }
+
   test("runningUserStats keeps per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -8,6 +8,38 @@ import graft.operators.{Events, TextAnalysis}
 class TextEventsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("e10 bucketed interval join equals the naive range join; zero-click purchases kept") {
+    val e = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    // naive oracle plan: equi-join on user alone, range filter after —
+    // correct but per-user quadratic (what e10's compound key avoids)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        unix_timestamp(col("ts")).as("p_epoch"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        unix_timestamp(col("ts")).as("c_epoch"))
+    val naive = p.join(c,
+        p("user_id") === c("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"), "left")
+      .groupBy(p("user_id").as("user_id"), col("event_id"), col("p_epoch"))
+      .agg(sum(when(col("c_ts").isNotNull, 1L).otherwise(0L)).as("n_naive"),
+        min(col("p_epoch") - col("c_epoch")).as("gap_naive"))
+    val got = Events.clickAttribution(spark, TestSpark.sf)
+    assert(got.count() == p.count()) // every purchase exactly once
+    val cmp = got.join(naive, Seq("event_id"))
+    assert(cmp.count() == got.count())
+    assert(cmp.filter(col("n_clicks_1h") =!= col("n_naive")).count() == 0)
+    assert(cmp.filter(
+      coalesce(col("last_gap_sec"), lit(-1L)) =!=
+        coalesce(col("gap_naive"), lit(-1L))).count() == 0)
+    // the zero-click branch is exercised and carries a null gap
+    assert(got.filter(col("n_clicks_1h") === 0L &&
+      col("last_gap_sec").isNull).count() > 0)
+    assert(got.filter(col("n_clicks_1h") === 0L &&
+      col("last_gap_sec").isNotNull).count() == 0)
+  }
+
   test("token counts: bpe-ish >= whitespace tokens, ratios sane") {
     TextAnalysis.tokenCount(spark, TestSpark.sf).collect().foreach { r =>
       assert(r.getAs[Long]("bpe_ish_tokens") >= r.getAs[Long]("ws_tokens"))
