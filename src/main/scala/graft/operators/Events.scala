@@ -395,8 +395,13 @@ object Events {
     * second still lands in both buckets — the explode is derived from
     * the window span, so no reachable purchase bucket is missed.
     */
-  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame =
+    clickAttributionFrame(Tables.events(spark, dir))
+
+  /** Frame-level core (any (event_id, user_id, ts, event_type) frame) —
+    * the seam the property spec drives with generated event sets.
+    */
+  def clickAttributionFrame(e: DataFrame): DataFrame = {
     // the range predicate compares RAW timestamps (microsecond-exact,
     // matching the streaming twin); the floored epochs exist for the
     // bucket key and the reported gap only. The floored window contains

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Events, TextAnalysis}
+
+/** Property-based checks over the frame-level operator seams: scalacheck
+  * generators drive randomized inputs through the SAME code the
+  * dir-based queries run, and a plain-Scala reference model adjudicates.
+  * Complements the fixed differential specs: generators deliberately
+  * concentrate mass on the edges those specs enumerate by hand (exact
+  * hour boundaries, ties, duplicate payloads, empty frames).
+  *
+  * Cases are drawn with FIXED seeds (pureApply) — a failure names its
+  * seed and replays bit-identically; no flaky-test surface.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val baseEpochUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+
+  // offsets mix free millisecond positions with exact hour-boundary hits
+  // (the bucket-edge cases e10's explode must cover losslessly)
+  private val offsetGen: Gen[Long] = Gen.oneOf(
+    Gen.choose(0L, 3L * 3600L * 1000L),              // free, millis
+    Gen.choose(0L, 3L).map(_ * 3600L * 1000L),       // exact hour edge
+    Gen.choose(0L, 3L).map(h => h * 3600L * 1000L + 1L) // 1 ms past it
+  )
+
+  private case class Ev(id: Long, user: Long, typ: String, ms: Long)
+
+  private val eventsGen: Gen[List[Ev]] =
+    Gen.choose(0, 50).flatMap { n =>
+      Gen.listOfN(n,
+        for {
+          user <- Gen.choose(1L, 4L)
+          typ <- Gen.oneOf("click", "purchase", "view")
+          off <- offsetGen
+        } yield (user, typ, off))
+        .map(_.zipWithIndex.map { case ((u, t, o), i) => Ev(i.toLong, u, t, o) })
+    }
+
+  private def cases[T](gen: Gen[T], n: Int): Seq[(Long, T)] =
+    (1L to n.toLong).map { seed =>
+      seed -> gen.pureApply(Gen.Parameters.default, Seed(seed))
+    }
+
+  test("e10 interval join equals a plain-Scala reference on generated event sets") {
+    import spark.implicits._
+    cases(eventsGen, 12).foreach { case (seed, evs) =>
+      val df = evs.map(e => (e.id, new Timestamp(baseEpochUs / 1000L + e.ms),
+          e.user, e.typ, 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = Events.clickAttributionFrame(df).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("n_clicks_1h"),
+            Option(r.getAs[java.lang.Long]("last_gap_sec")).map(_.toLong)))
+        .toMap
+      val clicks = evs.filter(_.typ == "click")
+      val wantMap = evs.filter(_.typ == "purchase").map { p =>
+        val inWin = clicks.filter(c => c.user == p.user &&
+          c.ms >= p.ms - 3600L * 1000L && c.ms <= p.ms)
+        val pSec = math.floorDiv(baseEpochUs / 1000L + p.ms, 1000L)
+        val gap = inWin
+          .map(c => pSec - math.floorDiv(baseEpochUs / 1000L + c.ms, 1000L))
+          .sorted.headOption
+        p.id -> (inWin.size.toLong, gap)
+      }.toMap
+      assert(got === wantMap, s"seed $seed")
+    }
+  }
+
+  test("t15 split: identical texts always co-split on generated corpora") {
+    import spark.implicits._
+    // few distinct payloads over many docs → guaranteed exact dups
+    val docsGen = Gen.choose(1, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(0, 5)).map(_.zipWithIndex.map {
+        case (payload, i) => (i.toLong, s"payload text $payload", "en", "web")
+      })
+    }
+    cases(docsGen, 8).foreach { case (seed, docs) =>
+      val df = docs.toDF("doc_id", "text", "lang", "source")
+      val textById = docs.map(d => d._1 -> d._2).toMap
+      val out = TextAnalysis.hashSplitFrame(df)
+        .select("doc_id", "split").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split")))
+      assert(out.length === docs.length, s"seed $seed: not total")
+      out.groupBy(kv => textById(kv._1)).foreach { case (_, rows) =>
+        assert(rows.map(_._2).distinct.size === 1,
+          s"seed $seed: exact dups split apart: ${rows.toSeq}")
+      }
+      assert(out.map(_._2).toSet.subsetOf(Set("train", "validation", "test")),
+        s"seed $seed")
+    }
+  }
+}
