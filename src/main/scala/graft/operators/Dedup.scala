@@ -54,8 +54,14 @@ object Dedup {
     * sparse — a char n-gram from a common vocabulary co-occurs in nearly
     * every doc pair and turns the candidate join quadratic in practice.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = wordShingles(spark, dir, withLang = true)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, dir))
+
+  /** Frame-level core — d24/d26's sampled calibration leg feeds a
+    * filtered corpus through the identical pair plan.
+    */
+  private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    val sh = wordShinglesOf(docs, withLang = true, dedup = true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shN = sh.join(sizes, Seq("doc_id"))
     shN.as("a").join(shN.as("b"),
@@ -258,8 +264,15 @@ object Dedup {
     * candidate artifact (build-if-missing). The exact baseline IS the
     * expensive leg — by design this report runs on a SAMPLE corpus to
     * tune banding before the full-corpus candidate sweep, exactly how
-    * production LSH parameters are chosen; the sample bound is the
-    * caller's via `dir`.
+    * production LSH parameters are chosen. Two bounds compose: the
+    * caller's via `dir`, and [[calibSample]]'s deterministic 500‰
+    * document gate (t05's md5-bucket discipline, salted "cal" so it is
+    * independent of every other sampler) — pair work is quadratic in
+    * group size, so the half-sample cuts the exact leg ~4× while the
+    * decile mixture it estimates is unbiased. The permille constant is
+    * the knob a production run would lower further; the candidate
+    * artifact side stays FULL (recall is measured against the real
+    * index, on the sampled pairs).
     */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
     val agg = calibrationMix(spark, dir)
@@ -284,8 +297,17 @@ object Dedup {
     * artifact caught. The exact d02 leg is the expensive part and is
     * sample-corpus-by-design (see [[lshCalibration]]).
     */
+  /** Deterministic 500‰ calibration sample (t05's md5-permille gate,
+    * salted so it is independent of every other hash sampler).
+    */
+  private[graft] def calibSample(docs: DataFrame): DataFrame =
+    docs.filter(
+      conv(substring(md5(concat_ws("_", col("doc_id"), lit("cal"))), 1, 4), 16, 10)
+        .cast("long") % 1000 < 500)
+
   private def calibrationMix(spark: SparkSession, dir: String): DataFrame = {
-    val exact = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val exact = ngramJaccardOf(calibSample(Tables.documents(spark, dir)))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val cand = candidates(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands").as("nb"))
     exact
@@ -1601,7 +1623,9 @@ object Dedup {
     */
   private val calibrationMixCte: String =
     """WITH toks AS (
-      |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents
+      |  WHERE CAST(('0x' || substr(md5(concat_ws('_', doc_id, 'cal')), 1, 4)) AS BIGINT)
+      |        % 1000 < 500),
       |pos AS (
       |  SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
       |sh AS (

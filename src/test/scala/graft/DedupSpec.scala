@@ -376,7 +376,10 @@ class DedupSpec extends AnyFunSuite {
     val cal = Dedup.lshCalibration(spark, TestSpark.sf).collect()
       .map(r => r.getAs[Long]("j_bucket") -> r).toMap
     assert(cal.nonEmpty)
-    val nExact = Dedup.ngramJaccard(spark, TestSpark.sf).count()
+    // the calibration leg runs on the deterministic 500‰ doc sample —
+    // reconcile against the identical sampled pair frame
+    val nExact = Dedup.ngramJaccardOf(Dedup.calibSample(
+      graft.sources.Tables.documents(spark, TestSpark.sf))).count()
     assert(cal.values.map(_.getAs[Long]("n_true_pairs")).sum == nExact)
     cal.foreach { case (b, r) =>
       assert(b >= 2 && b <= 9) // d02's floor is J >= 0.2
