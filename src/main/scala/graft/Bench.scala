@@ -95,7 +95,7 @@ object Bench {
       "t05_hash_sample", "t06_repetition_stats", "t16_dsir_weights",
       "t18_dsir_per_source",
       "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
-      "t11_mixture_resample", "t13_boilerplate")
+      "t11_mixture_resample", "t13_boilerplate", "t20_alpha_mixture")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d24_lsh_calibration", "d25_training_corpus", "d26_band_retune",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",

@@ -170,6 +170,58 @@ object TextAnalysis {
         col("n_sampled"), col("tokens_sampled"))
   }
 
+  // ─── t20 temperature-scaled mixture (α-sampling) ─────────────────────
+  /** Temperature-scaled source mixture — the multilingual α-sampling
+    * recipe (XLM-R / mT5: sample source s ∝ p_s^α, α < 1, flattening
+    * the mixture so low-resource sources keep representation without
+    * letting the head dominate). t11 caps every source at the median
+    * (a hard ceiling); this keeps a CONTINUOUS re-weighting: in the
+    * downsample-only regime the keep rate is q_s/p_s normalized so the
+    * smallest source keeps everything — rate_s = (p_min/p_s)^(1−α).
+    *
+    * α is fixed at 1/2 deliberately: the rate becomes
+    * √(tokens_min/tokens_s), and IEEE-754 `sqrt` is CORRECTLY ROUNDED
+    * in both engines (unlike `pow`, which is why a free α would break
+    * the oracle hash — the t09/t16 no-transcendentals discipline).
+    * The rate is one exact-integer division → one sqrt → one multiply
+    * → floor: four deterministic roundings, bit-identical anywhere.
+    * Keep/drop is t05's md5-permille gate (salted "a": independent of
+    * t05/t11/t15/the calibration sampler).
+    *
+    * Scale: identical shape to t11 — narrow corpus projection,
+    * map-side-combining per-source totals, the 1-row min frame
+    * broadcast back (never a collected literal), rates broadcast
+    * against the streamed projection. Zero corpus-sized windows.
+    */
+  def alphaMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"),
+      (conv(substring(md5(concat_ws("_", col("doc_id"), col("source"), lit("a"))), 1, 4), 16, 10)
+        .cast("long") % 1000).as("bucket"))
+    val totals = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
+    val mn = totals.agg(min(col("tokens_total")).as("tokens_min"))
+    // ≥1‰ floor: t11's contract — flatten the dominant source, never
+    // delete it
+    val rates = totals.crossJoin(broadcast(mn))
+      .withColumn("rate_permille",
+        greatest(lit(1L), least(lit(1000L),
+          floor(lit(1000.0) * sqrt(
+            col("tokens_min").cast("double") / col("tokens_total").cast("double"))))))
+    val sampled = d
+      .join(broadcast(rates.select(col("source"), col("rate_permille"))), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("bucket") < col("rate_permille"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("bucket") < col("rate_permille"), col("n_tokens")).otherwise(0L))
+          .as("tokens_sampled"))
+    rates.join(sampled, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("rate_permille"), col("n_sampled"), col("tokens_sampled"))
+  }
+
   // ─── t06 repetition quality rules (Gopher-style) ─────────────────────
   /** The repetition family of corpus-quality rules: duplicate-word
     * fraction, the character share of the single most frequent word
@@ -900,6 +952,7 @@ object TextAnalysis {
     "t07_quality_prune" -> qualityPrune,
     "t08_token_budget_sample" -> tokenBudgetSample,
     "t11_mixture_resample" -> mixtureResample,
+    "t20_alpha_mixture" -> alphaMixture,
     "t12_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "t09_tfidf_keywords" -> tfidfKeywords,
     "t10_vocab_coverage" -> vocabCoverage,
@@ -1238,6 +1291,32 @@ object TextAnalysis {
         |            WHEN bucket < 990 THEN 'validation'
         |            ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "t20_alpha_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(('0x' || substr(md5(concat_ws('_', doc_id, source, 'a')), 1, 4)) AS BIGINT)
+        |           % 1000 AS bucket
+        |  FROM documents),
+        |totals AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |  FROM d GROUP BY 1),
+        |mn AS (SELECT min(tokens_total) AS tokens_min FROM totals),
+        |rates AS (
+        |  SELECT t.source, t.n_docs, t.tokens_total,
+        |         greatest(CAST(1 AS BIGINT), least(CAST(1000 AS BIGINT),
+        |           CAST(floor(1000.0 * sqrt(CAST(m.tokens_min AS DOUBLE)
+        |                / CAST(t.tokens_total AS DOUBLE))) AS BIGINT))) AS rate_permille
+        |  FROM totals t CROSS JOIN mn m),
+        |s AS (
+        |  SELECT d.source,
+        |         CAST(sum(CASE WHEN d.bucket < r.rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |         CAST(sum(CASE WHEN d.bucket < r.rate_permille THEN d.n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
+        |  FROM d JOIN rates r USING (source) GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.tokens_total, r.rate_permille,
+        |       s.n_sampled, s.tokens_sampled
+        |FROM rates r JOIN s USING (source)""".stripMargin,
     "t05_hash_sample" ->
       """SELECT doc_id, lang, source,
         |       CAST(('0x' || substr(md5(concat_ws('_', doc_id, lang)), 1, 4)) AS BIGINT) % 1000 AS bucket,

@@ -77,6 +77,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "t09_tfidf_keywords" -> "1-row N-docs frame (never a collected literal)",
     "t11_mixture_resample" -> "1-row median-source-size frame",
     "t16_dsir_weights" -> "1-row census-totals frame",
+    "t20_alpha_mixture" -> "1-row min-source-tokens frame",
     "t17_dsir_select" -> "1-row token-budget frame")
 
   test("no query plans an unpartitioned window or all-pairs join without a written justification") {

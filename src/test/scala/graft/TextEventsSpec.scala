@@ -40,6 +40,27 @@ class TextEventsSpec extends AnyFunSuite {
       col("last_gap_sec").isNotNull).count() == 0)
   }
 
+  test("t20 alpha mixture: smallest source keeps all, rates replay sqrt form, monotone") {
+    val rows = TextAnalysis.alphaMixture(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val minTok = rows.map(_.getAs[Long]("tokens_total")).min
+    rows.foreach { r =>
+      val (tot, rate) = (r.getAs[Long]("tokens_total"), r.getAs[Long]("rate_permille"))
+      // driver-side replay of the four-rounding rate
+      val expect = math.max(1L, math.min(1000L,
+        math.floor(1000.0 * math.sqrt(minTok.toDouble / tot.toDouble)).toLong))
+      assert(rate == expect, s"${r.getAs[String]("source")}: $rate vs $expect")
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_sampled") <= tot)
+    }
+    // the smallest source keeps everything; rates never increase with size
+    val bySize = rows.sortBy(_.getAs[Long]("tokens_total"))
+    assert(bySize.head.getAs[Long]("rate_permille") == 1000L)
+    bySize.map(_.getAs[Long]("rate_permille")).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("token counts: bpe-ish >= whitespace tokens, ratios sane") {
     TextAnalysis.tokenCount(spark, TestSpark.sf).collect().foreach { r =>
       assert(r.getAs[Long]("bpe_ish_tokens") >= r.getAs[Long]("ws_tokens"))
