@@ -661,11 +661,14 @@ object Similarity {
   // 16 codes (4-bit) per subspace is corpus-size-gated, not a design
   // ceiling: the k-means++-style seeding needs ≥ codes distinct
   // residual subvectors PER CELL to avoid degenerate (empty/duplicate)
-  // codewords, and the sf0.1 holdout cells hold hundreds of vectors —
-  // 256 codes (8-bit, the production default) or an OPQ rotation slot
-  // in HERE by raising this constant / rotating the residual frame once
-  // a corpus large enough to populate the codebooks exists; the q49/q50
-  // oracles extend by swapping the same constant.
+  // codewords, and the sf0.1 holdout cells hold hundreds of vectors.
+  // The 8-bit production width itself is NOT gated on test data any
+  // more: [[pqTrain]] is width-parameterized and PqWideSpec drives it
+  // at ks=256 on a generated 4k-vector corpus (codebooks populate,
+  // error strictly tightens vs 16 codes). Raising this constant swaps
+  // the published tier to 8-bit; the q49/q50 oracles extend by
+  // swapping the same constant. An OPQ rotation would slot in as one
+  // orthogonal transform of the residual frame before [[pqResidualSubs]].
   private val pqCodesPerSub = 16
 
   /** Squared L2 via the dot-product identity — NOT elementwise
@@ -722,14 +725,32 @@ object Similarity {
     * residual subvectors: bucket j = vec_id mod ks, seed = the bucket
     * member with the smallest (md5(vec_id), vec_id).
     */
-  private def pqSeeds(subs: DataFrame): DataFrame =
+  private def pqSeeds(subs: DataFrame, ks: Int = pqCodesPerSub): DataFrame =
     subs.groupBy(col("m"),
-        pmod(col("vec_id"), lit(pqCodesPerSub.toLong)).as("code"))
+        pmod(col("vec_id"), lit(ks.toLong)).as("code"))
       .agg(min(struct(
         md5(col("vec_id").cast("string")).as("h"),
         col("vec_id").as("v"),
         col("rm").as("e"))).as("s"))
       .select(col("m"), col("code"), col("s.e").as("code_emb"))
+
+  /** Code-width-parameterized trainer over any residual-subvector frame
+    * (vec_id, m, rm) — seed → E → M → final E, the pqBuild recipe
+    * without the artifact plumbing. This is where the 8-bit production
+    * default lives: the shipped q49/q50 tier stays at ks=16 because the
+    * sf0.1 holdout cells hold only hundreds of vectors (256 codes would
+    * be degenerate there — see [[pqCodesPerSub]]), but the trainer is
+    * width-blind and PqWideSpec drives it at ks=256 on a generated
+    * corpus large enough to populate every codeword. Returns
+    * (sub-codebooks, codes).
+    */
+  private[graft] def pqTrain(subs: DataFrame, ks: Int): (DataFrame, DataFrame) = {
+    val s0 = pqSeeds(subs, ks)
+    val book = pqMeansFrom(pqAssignTo(subs, s0), s0)
+    val codes = pqAssignTo(subs, book)
+      .select(col("vec_id"), col("m"), col("code"))
+    (book, codes)
+  }
 
   /** PQ tier paths, keyed by source fingerprint AND the active index's
     * coarse k. The k matters: the tier quantizes residuals AGAINST the
