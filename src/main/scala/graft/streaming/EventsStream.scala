@@ -105,6 +105,60 @@ object EventsStream {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Gap-bucket projection shared by the continuous census and its
+    * batch twin — attribution latency quantized to a 4-value key
+    * (≤5 min / ≤15 / ≤30 / ≤60: the join window bounds the gap).
+    */
+  private[graft] def gapBuckets(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("gap_sec",
+        unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+      .withColumn("gap_bucket",
+        when(col("gap_sec") <= 300L, "<=5m")
+          .when(col("gap_sec") <= 900L, "<=15m")
+          .when(col("gap_sec") <= 1800L, "<=30m")
+          .otherwise("<=60m"))
+
+  /** Continuous attribution-latency census over [[purchaseClickJoin]]
+    * — the live "how stale was the click that converted" distribution.
+    * A stream-stream join may only run in Append mode, and a
+    * time-interval join is exactly the shape Spark's global-watermark
+    * check refuses to chain a stateful aggregation behind (matched
+    * pairs can surface with event times behind the downstream
+    * watermark). So the census rides the CurationStream pattern
+    * instead: foreachBatch folds each micro-batch's pairs into
+    * per-batch bucket counts keyed `batch=<id>` — a replayed batch
+    * overwrites only its own partition (at-least-once replay is
+    * idempotent), and [[servedAttributionCensus]] serves the standing
+    * census as the sum over partitions. No chained stateful operator,
+    * no correctness escape hatch, bounded 4-row state per batch.
+    */
+  def attributionCensusStart(clicks: DataFrame, purchases: DataFrame,
+                             outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    purchaseClickJoin(clicks, purchases)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$outDir/_ckpt")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          gapBuckets(batch.toDF())
+            .groupBy(col("gap_bucket"))
+            .agg(count(lit(1)).as("n_pairs"))
+            .write.mode("overwrite").parquet(s"$outDir/census/batch=$id")
+      }
+      .start()
+
+  /** The standing census after any number of triggers. */
+  def servedAttributionCensus(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/census")
+      .groupBy(col("gap_bucket"))
+      .agg(sum(col("n_pairs")).as("n_pairs"))
+
+  /** Batch twin: identical census from static frames in one shot. */
+  def attributionCensusBatch(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    gapBuckets(purchaseClickJoin(clicks, purchases))
+      .groupBy(col("gap_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Run a streaming query over `df` into an in-memory sink and block
     * until the source drains — the local smoke harness.
     */

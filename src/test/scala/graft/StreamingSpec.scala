@@ -92,6 +92,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("continuous attribution census == batch twin across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_census").toString
+    val clickData = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),   // 50 min before
+      Event(2, ts("2024-01-01 10:47:00"), 1, "click", 0),   // 3 min before
+      Event(3, ts("2024-01-01 10:40:00"), 2, "click", 0),   // 12 min before
+      Event(4, ts("2024-01-01 10:45:30"), 1, "click", 0))   // 4.5 min before
+    val purchaseData = Seq(
+      Event(10, ts("2024-01-01 10:50:00"), 1, "purchase", 1.0),
+      Event(11, ts("2024-01-01 10:52:00"), 2, "purchase", 2.0))
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventsStream.attributionCensusStart(
+      clicks.toDF(), purchases.toDF(), dir)
+    clicks.addData(clickData.take(3): _*)
+    purchases.addData(purchaseData.head)
+    q.processAllAvailable()
+    // second trigger: user 2 converts; a late click for user 1 joins the
+    // already-buffered purchase and lands in a NEW batch partition
+    purchases.addData(purchaseData(1))
+    clicks.addData(clickData(3))
+    q.processAllAvailable()
+    q.stop()
+    val got = EventsStream.servedAttributionCensus(spark, dir).collect()
+      .map(r => r.getAs[String]("gap_bucket") -> r.getAs[Long]("n_pairs")).toMap
+    // pairs: u1 p10 <- clicks at 3 min, 4.5 min (<=5m), 50 min (<=60m);
+    // u2 p11 <- click at 12 min (<=15m)
+    assert(got === Map("<=5m" -> 2L, "<=15m" -> 1L, "<=60m" -> 1L))
+    // the batch twin over the full static feed is identical
+    val batch = EventsStream.attributionCensusBatch(
+      clickData.toDF(), purchaseData.toDF())
+      .collect().map(r => r.getAs[String]("gap_bucket") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    assert(batch === got)
+  }
+
   test("purchaseClickJoin pairs reproduce the batch e10 counts on a replayed feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
