@@ -98,6 +98,7 @@ object Bench {
       "t11_mixture_resample", "t13_boilerplate", "t20_alpha_mixture")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d24_lsh_calibration", "d25_training_corpus", "d26_band_retune",
+      "d27_retuned_calibration",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
       "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",
       "d17_simhash_pairs", "d19_shard_dedup", "d22_semantic_dedup",

@@ -411,11 +411,83 @@ object Dedup {
     * a 1-row gate read (the Pipeline.scala idiom), falling back to the
     * shipped 6×3 when no candidate clears both gates.
     */
-  def chosenBanding(spark: SparkSession, dir: String): (Int, Int) =
-    bandRetune(spark, dir).filter(col("is_chosen"))
-      .select(col("n_bands"), col("n_rows")).collect()
+  /** The retune decision as a published 1-row artifact (build-if-missing,
+    * fingerprint-keyed like lsh_candidates — bandRetune is deterministic,
+    * so a rebuild is byte-identical and staleness impossible): consumers
+    * (d27's A/B, an alternate-banding sweep) read the choice without
+    * re-running the calibration mixture. Falls back to the shipped 6×3
+    * when no banding clears both gates (the artifact is then empty).
+    */
+  def chosenBanding(spark: SparkSession, dir: String): (Int, Int) = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/band_choice/" +
+      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      graft.sources.Sinks.stagePublish(
+        bandRetune(spark, dir).filter(col("is_chosen"))
+          .select(col("n_bands"), col("n_rows")), path)
+    spark.read.parquet(path).collect()
       .headOption.map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
       .getOrElse((6, 3))
+  }
+
+  // ─── d27 retuned-banding A/B calibration ─────────────────────────────
+  /** Closes the retune loop operationally: build candidates with the
+    * d26-CHOSEN banding and report, per exact-Jaccard decile of the
+    * SAME sampled mixture, how the chosen banding's empirical recall
+    * compares with the shipped 6×3 artifact's — the side-by-side an
+    * operator reads before swapping the production banding. Today's
+    * synthetic mixture chooses 6×3 itself (d26's gates), so the report
+    * also acts as a self-check: when chosen == default the two catch
+    * columns must be IDENTICAL (pair candidacy is pairwise — signatures
+    * depend only on a doc's own shingles — so the full-corpus artifact
+    * and the sampled-corpus rebuild agree on sampled pairs; RetuneSpec
+    * pins this).
+    *
+    * Determinism: the chosen (b, r) is collected from [[bandRetune]]
+    * (a ≤47-row decision frame — the Pipeline-gate bounded-read rule);
+    * both engines derive the identical choice (the d26 oracle proves
+    * the selection arithmetic), and the dynamic-banding replay
+    * concatenates sig strings in ascending k order exactly like
+    * [[minhashBandsOf]].
+    *
+    * Scale: chosen-banding candidates are built from the SAMPLED
+    * corpus only (the d24 sample contract) — band blocking, never
+    * all-pairs; the default side probes the published artifact.
+    */
+  def retunedCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val (nb, nr) = chosenBanding(spark, dir)
+    val sampled = calibSample(Tables.documents(spark, dir))
+    val exact = ngramJaccardOf(sampled)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val candDef = candidates(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit_d"))
+    val bandsC = minhashBandsOf(
+      wordShinglesOf(sampled, withLang = false, dedup = false), nb, nr)
+    val candC = bandsC.as("a").join(bandsC.as("b"),
+        col("a.band_j") === col("b.band_j") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(lit(1L)).as("hit_c"))
+    exact
+      .join(candDef, Seq("doc_a", "doc_b"), "left")
+      .join(candC, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j_bucket", least(lit(9L), floor(col("jaccard") * 10)))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("hit_d"), lit(0L))).as("caught_default"),
+        sum(coalesce(col("hit_c"), lit(0L))).as("caught_chosen"))
+      .select(col("j_bucket"),
+        lit(nb.toLong).as("n_bands"), lit(nr.toLong).as("n_rows"),
+        col("n_true_pairs"), col("caught_default"), col("caught_chosen"),
+        (col("caught_default").cast("double") / col("n_true_pairs"))
+          .as("recall_default"),
+        (col("caught_chosen").cast("double") / col("n_true_pairs"))
+          .as("recall_chosen"))
+  }
 
   // ─── d04 SimHash fingerprint + hamming bands ─────────────────────────
   /** 64-bit weighted SimHash as FOUR 16-bit hamming bands in ONE corpus
@@ -1593,6 +1665,7 @@ object Dedup {
     "d03_minhash_lsh" -> minhashLsh,
     "d24_lsh_calibration" -> lshCalibration,
     "d26_band_retune" -> bandRetune,
+    "d27_retuned_calibration" -> retunedCalibration,
     "d25_training_corpus" -> trainingCorpus,
     "d04_simhash" -> simhash,
     "d17_simhash_pairs" -> simhashPairs,
@@ -1821,6 +1894,70 @@ object Dedup {
         |            THEN CAST(num_l AS DOUBLE) / (CAST(den_l AS DOUBLE) * 1000000000.0) END AS low_j_catch,
         |       passes, (passes AND rk = 1) AS is_chosen
         |FROM rk""".stripMargin),
+    "d27_retuned_calibration" ->
+      (calibrationMixCte +
+      s""",
+        |grid AS (
+        |  SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS n_rows
+        |  FROM (SELECT unnest(range(1, 19)) AS b), (SELECT unnest(range(1, 9)) AS r)
+        |  WHERE b * r <= 18),
+        |cr AS (
+        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
+        |         (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS j_mid
+        |  FROM grid, agg),
+        |p1 AS (SELECT *, ${condPowSql("j_mid", "n_rows", 8)} AS p FROM cr),
+        |p2 AS (SELECT *, ${condPowSql("(1.0 - p)", "n_bands", 18)} AS miss FROM p1),
+        |t AS (
+        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
+        |         CAST(floor((1.0 - miss) * 1000000000.0) AS BIGINT) AS recall_ppb
+        |  FROM p2),
+        |sel AS (
+        |  SELECT n_bands, n_rows,
+        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_t,
+        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_t,
+        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_l,
+        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_l
+        |  FROM t GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT *,
+        |         (den_t > 0 AND num_t * 10 >= den_t * 9000000000
+        |          AND (den_l = 0 OR num_l * 4 <= den_l * 1000000000)) AS passes
+        |  FROM sel),
+        |rk AS (
+        |  SELECT *, row_number() OVER
+        |           (ORDER BY passes DESC, n_bands * n_rows, n_bands, n_rows) AS rnk
+        |  FROM fl),
+        |ch AS (
+        |  SELECT n_bands, n_rows FROM rk WHERE passes AND rnk = 1
+        |  UNION ALL
+        |  SELECT CAST(6 AS BIGINT), CAST(3 AS BIGINT)
+        |  WHERE NOT EXISTS (SELECT 1 FROM rk WHERE passes)),
+        |cb AS (
+        |  SELECT s.doc_id, s.k // CAST(ch.n_rows AS INT) AS band_j,
+        |         md5(string_agg(CAST(s.sig AS VARCHAR), '' ORDER BY s.k)) AS band_hash
+        |  FROM sig s CROSS JOIN ch
+        |  WHERE s.k < ch.n_bands * ch.n_rows
+        |  GROUP BY 1, 2),
+        |ccand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM cb a JOIN cb b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+        |       AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |calc AS (
+        |  SELECT least(9, CAST(floor(e.jaccard * 10) AS BIGINT)) AS j_bucket,
+        |         (d.doc_a IS NOT NULL) AS hit_d,
+        |         (c.doc_a IS NOT NULL) AS hit_c
+        |  FROM exact e
+        |  LEFT JOIN cand d USING (doc_a, doc_b)
+        |  LEFT JOIN ccand c USING (doc_a, doc_b))
+        |SELECT x.j_bucket, ch.n_bands, ch.n_rows, x.n_true_pairs,
+        |       x.caught_default, x.caught_chosen,
+        |       CAST(x.caught_default AS DOUBLE) / x.n_true_pairs AS recall_default,
+        |       CAST(x.caught_chosen AS DOUBLE) / x.n_true_pairs AS recall_chosen
+        |FROM (SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |             CAST(sum(CASE WHEN hit_d THEN 1 ELSE 0 END) AS BIGINT) AS caught_default,
+        |             CAST(sum(CASE WHEN hit_c THEN 1 ELSE 0 END) AS BIGINT) AS caught_chosen
+        |      FROM calc GROUP BY 1) x CROSS JOIN ch""".stripMargin),
     "d16_containment_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

@@ -70,6 +70,38 @@ class RetuneSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Boolean]("is_chosen")) == expectChosen.size)
   }
 
+  test("d27 A/B reconciles with d24 on the default side; chosen==default catches agree") {
+    val ab = Dedup.retunedCalibration(spark, TestSpark.sf).collect()
+    assert(ab.nonEmpty)
+    val (b, r) = Dedup.chosenBanding(spark, TestSpark.sf)
+    ab.foreach { row =>
+      assert(row.getAs[Long]("n_bands") == b.toLong &&
+        row.getAs[Long]("n_rows") == r.toLong)
+      val (nt, cd, cc) = (row.getAs[Long]("n_true_pairs"),
+        row.getAs[Long]("caught_default"), row.getAs[Long]("caught_chosen"))
+      assert(cd <= nt && cc <= nt && nt > 0)
+      assert(row.getAs[Double]("recall_default") == cd.toDouble / nt)
+      assert(row.getAs[Double]("recall_chosen") == cc.toDouble / nt)
+    }
+    // default side must reconcile with d24's report (same sampled mixture)
+    val d24 = Dedup.lshCalibration(spark, TestSpark.sf).collect()
+      .map(x => x.getAs[Long]("j_bucket") ->
+        (x.getAs[Long]("n_true_pairs"), x.getAs[Long]("n_caught"))).toMap
+    ab.foreach { row =>
+      val (nt, nc) = d24(row.getAs[Long]("j_bucket"))
+      assert(row.getAs[Long]("n_true_pairs") == nt)
+      assert(row.getAs[Long]("caught_default") == nc)
+    }
+    // pairwise-signature argument: when the retune picks the shipped
+    // banding, the sampled rebuild must catch EXACTLY the artifact's pairs
+    if ((b, r) == (6, 3))
+      ab.foreach { row =>
+        assert(row.getAs[Long]("caught_chosen") ==
+          row.getAs[Long]("caught_default"), s"bucket ${row.getAs[Long]("j_bucket")}")
+      }
+    spark.catalog.clearCache()
+  }
+
   test("chosen banding drives the parameterized band builder") {
     val (b, r) = Dedup.chosenBanding(spark, TestSpark.sf)
     assert(b * r <= 18 && b >= 1 && r >= 1)
