@@ -734,6 +734,39 @@ object Similarity {
         col("rm").as("e"))).as("s"))
       .select(col("m"), col("code"), col("s.e").as("code_emb"))
 
+  /** OPQ-lite rotation: a deterministic SIGNED PERMUTATION of the
+    * residual dimensions, applied before subspace slicing. A signed
+    * permutation is orthogonal (L2 exactly preserved — each coordinate
+    * moves and flips sign, nothing mixes), and it is the cheap member
+    * of the OPQ family: when a few adjacent dimensions carry most of
+    * the variance, plain slicing concentrates them in one subspace
+    * whose 2^bits codewords then absorb all the quantization error;
+    * spreading dimensions hash-uniformly re-balances per-subspace
+    * variance (the Faiss "random rotation" pre-transform, made
+    * deterministic). A learned OPQ rotation (PCA + Procrustes) would
+    * slot in at the same seam but is data-dependent and iterative —
+    * this transform is a pure function of the dimension count, so
+    * re-runs, retried stages, and the DuckDB oracle replay it exactly
+    * (position j reads source dim perm(j) with sign s(j), both derived
+    * from md5("rot_<j>")).
+    *
+    * Returns, for each target position, (source dim, sign).
+    */
+  private[graft] def signedPermOf(dim: Int): Seq[(Int, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Int): String =
+      md.digest(s"rot_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = (0 until dim).map(i => (hex(i), i)).sorted.map(_._2)
+    order.map(src => (src, if (hex(src).charAt(16) < '8') 1 else -1))
+  }
+
+  /** Rotated residual column — [[signedPermOf]] applied to an
+    * array<double> of known length.
+    */
+  private[graft] def rotateResidual(r: Column, dim: Int): Column =
+    array(signedPermOf(dim).map { case (src, sgn) =>
+      element_at(r, src + 1) * lit(sgn.toDouble) }: _*)
+
   /** Code-width-parameterized trainer over any residual-subvector frame
     * (vec_id, m, rm) — seed → E → M → final E, the pqBuild recipe
     * without the artifact plumbing. This is where the 8-bit production

@@ -39,6 +39,51 @@ class PqWideSpec extends AnyFunSuite {
         lit(0.0), (acc, x) => acc + x).as("d2"))
       .agg(avg(col("d2"))).head().getDouble(0)
 
+  test("signed-perm rotation preserves norms and re-balances a variance-skewed corpus") {
+    import spark.implicits._
+    // dims 0-3 carry almost all the variance; 4-15 are near-constant —
+    // the shape plain slicing handles worst (one subspace absorbs all
+    // quantization error) and OPQ-style rotation exists to fix
+    val dim = 16
+    val full = spark.range(0L, 2000L).toDF("vec_id")
+      .withColumn("r", transform(sequence(lit(0), lit(dim - 1)), p =>
+        when(p < 4,
+          (pmod(col("vec_id") * 2654435761L + p.cast("long") * 7919L, lit(1000L))
+            .cast("double") / 500.0) - 1.0)
+          .otherwise(
+            ((pmod(col("vec_id") * 104729L + p.cast("long") * 31L, lit(1000L))
+              .cast("double") / 500.0) - 1.0) / 1000.0)))
+    val rotated = full.withColumn("rot", Similarity.rotateResidual(col("r"), dim))
+    // orthogonality: the squared norm survives the transform exactly up
+    // to summation order (each term is v^2 — sign flips vanish)
+    val normDiff = rotated.select(abs(
+        aggregate(col("r"), lit(0.0), (a, x) => a + x * x) -
+          aggregate(col("rot"), lit(0.0), (a, x) => a + x * x)).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(normDiff < 1e-9, s"rotation changed norms by $normDiff")
+
+    def toSubs(c: String) = rotated.select(col("vec_id"), col(c).as("v"))
+      .withColumn("m", explode(sequence(lit(0L), lit(3L))))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), (col("m") * 4 + 1).cast("int"), lit(4)).as("rm"))
+    val plain = toSubs("r").persist()
+    val rot = toSubs("rot").persist()
+    try {
+      val (bp, cp) = Similarity.pqTrain(plain, 16)
+      val (br, cr) = Similarity.pqTrain(rot, 16)
+      val (ep, er) = (meanErr(plain, bp, cp), meanErr(rot, br, cr))
+      // the rotation spread the 4 hot dims across subspaces: every
+      // subspace quantizes ~1 of them with its 16 codes instead of one
+      // subspace quantizing all 4
+      assert(er < ep, s"rotated error $er not under plain $ep")
+      // determinism: the permutation is a pure function of dim
+      assert(Similarity.signedPermOf(dim) == Similarity.signedPermOf(dim))
+      assert(Similarity.signedPermOf(dim).map(_._1).sorted == (0 until dim))
+    } finally {
+      plain.unpersist(false); rot.unpersist(false); spark.catalog.clearCache()
+    }
+  }
+
   test("ks=256 codebooks populate on a large-enough corpus and beat ks=16 error") {
     val s = subs.persist()
     try {
