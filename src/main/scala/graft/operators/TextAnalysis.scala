@@ -399,9 +399,13 @@ object TextAnalysis {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(spark, dir, budget = 2048L)
 
-  def packSequences(spark: SparkSession, dir: String, budget: Long): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String, budget: Long): DataFrame =
+    packSequencesFrame(Tables.documents(spark, dir), budget)
+
+  /** Frame-level core (the property spec replays generated corpora). */
+  private[graft] def packSequencesFrame(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"sequence token budget must be positive, got $budget")
-    val d = Tables.documents(spark, dir).select(
+    val d = docs.select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
           .cast("long").as("tokens"),

@@ -74,6 +74,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("t12 two-phase packing equals the sequential pack on generated corpora") {
+    import spark.implicits._
+    // docs with 0..9 single-char tokens; zero-token docs and exact
+    // budget-boundary landings are the edges the two-phase form must
+    // not reorder
+    val docsGen = Gen.choose(1, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(0, 9)).map(_.zipWithIndex.map {
+        case (k, i) => (i.toLong, Seq.fill(k)("w").mkString(" "), "en", "web")
+      })
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    cases(docsGen, 8).foreach { case (seed, docs) =>
+      val budget = 7L
+      val got = TextAnalysis.packSequencesFrame(
+          docs.toDF("doc_id", "text", "lang", "source"), budget)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("tokens"), r.getAs[Long]("seq_id"),
+            r.getAs[Long]("seq_offset"))).toMap
+      // sequential reference: md5(doc_id) order, exclusive running sum
+      var pre = 0L
+      val want = docs.map { case (id, text, _, _) =>
+        (id, text.split("\\s+").count(_.nonEmpty).toLong)
+      }.sortBy { case (id, _) => (h(id), id) }.map { case (id, toks) =>
+        val out = id -> (toks, pre / budget, pre % budget)
+        pre += toks
+        out
+      }.toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("t15 split: identical texts always co-split on generated corpora") {
     import spark.implicits._
     // few distinct payloads over many docs → guaranteed exact dups
