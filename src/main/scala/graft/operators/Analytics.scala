@@ -290,6 +290,39 @@ object Analytics {
   }
 
   // ─── q21 region/nation revenue rollup: broadcast join chain ──────────
+  // ─── q58 segment × priority CUBE (all four grains, one pass) ─────────
+  /** The dashboard-subtotal variant of q04: the same segment × priority
+    * measures at ALL FOUR grains — leaf, per-segment subtotal,
+    * per-priority subtotal, grand total — in ONE pass (the reference's
+    * pivot panels render exactly these margins, streamlit_app.py's
+    * segment/priority breakdowns). q25's rollup covers the hierarchical
+    * ladder (region→nation→total); CUBE emits the non-hierarchical
+    * cross grains a rollup cannot.
+    *
+    * Scale: one cube = one Expand (each fact row replicated 4×, one per
+    * grouping set) feeding ONE map-side-combining aggregation — vs four
+    * separate groupBys, which would scan and shuffle the fact four
+    * times. The 4× pre-shuffle inflation collapses to the grain
+    * cardinalities at the combiner, so the exchange carries ~|segments|
+    * × |priorities| × 4 rows. grouping() flags disambiguate real NULL
+    * keys from subtotal rows (none here, but the contract matters).
+    */
+  def segmentPriorityCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(m3(col("o_totalprice"))).as("rev_dec"),
+        grouping(col("c_mktsegment")).cast("long").as("gr_segment"),
+        grouping(col("o_orderpriority")).cast("long").as("gr_priority"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"),
+        col("n_orders"), out2(col("rev_dec")).as("total_revenue"),
+        col("gr_segment"), col("gr_priority"))
+  }
+
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
@@ -361,7 +394,8 @@ object Analytics {
     "q17_revenue_rank_window" -> revenueRankWindow,
     "q18_priority_status_matrix" -> priorityStatusMatrix,
     "q20_pricing_summary" -> pricingSummary,
-    "q21_region_revenue" -> regionRevenue)
+    "q21_region_revenue" -> regionRevenue,
+    "q58_segment_priority_cube" -> segmentPriorityCube)
 
   // oracle building blocks (DuckDB dialect, mirroring functions.Money)
   private val TP = "sum(CAST(o_totalprice AS DECIMAL(14,3)))"
@@ -469,6 +503,14 @@ object Analytics {
         |       ${o2("rev_dec")} / n AS avg_order_value,
         |       ${o2("bal_dec")} / n AS avg_acctbal
         |FROM m""".stripMargin,
+    "q58_segment_priority_cube" ->
+      s"""SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |       count(*) AS n_orders,
+        |       ${o2(TP)} AS total_revenue,
+        |       CAST(grouping(c_mktsegment) AS BIGINT) AS gr_segment,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS gr_priority
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
     "q05_weekend_weekday" ->
       s"""WITH m AS (
         |  SELECT CASE WHEN isodow(o_orderdate) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS day_type,
