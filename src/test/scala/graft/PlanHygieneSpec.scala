@@ -106,6 +106,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"shard probe must not window:\n$p")
   }
 
+  test("q58 cube: one Expand, one aggregation exchange, dim broadcast") {
+    val p = plan(Analytics.segmentPriorityCube(spark, TestSpark.sf))
+    // all four grains must ride ONE Expand into one combining agg — four
+    // separate groupBys would scan and shuffle the fact four times
+    assert("Expand".r.findAllIn(p).size == 1, s"expected exactly one Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"expected ≤1 aggregation exchange, saw $shuffles:\n$p")
+  }
+
   test("e10 interval join: compound-key equi join, no cartesian, no window") {
     val p = plan(Events.clickAttribution(spark, TestSpark.sf))
     // the range predicate must ride a (user, hour-bucket) equi join —
