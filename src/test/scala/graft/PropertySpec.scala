@@ -2,11 +2,12 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Events, TextAnalysis}
+import graft.operators.{AsOf, Events, TextAnalysis}
 
 /** Property-based checks over the frame-level operator seams: scalacheck
   * generators drive randomized inputs through the SAME code the
@@ -71,6 +72,41 @@ class PropertySpec extends AnyFunSuite {
         p.id -> (inWin.size.toLong, gap)
       }.toMap
       assert(got === wantMap, s"seed $seed")
+    }
+  }
+
+  test("as-of join equals a per-row reference; ties resolve by (ts, payload)") {
+    import spark.implicits._
+    // tiny ts range forces same-instant collisions — the tie-break edge
+    val rowsGen = for {
+      nl <- Gen.choose(0, 15)
+      nr <- Gen.choose(0, 15)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20L),
+        Gen.choose(0, 9)))
+    } yield (ls, rs)
+    cases(rowsGen, 10).foreach { case (seed, (ls, rs)) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new Timestamp(baseEpochUs / 1000L + t * 1000L))
+      }.toDF("id", "k", "ts")
+      val right = rs.map { case (k, t, v) =>
+        (k, new Timestamp(baseEpochUs / 1000L + t * 1000L), v)
+      }.toDF("k", "ts", "v")
+      val got = AsOf.asOfJoin(left, right, key = "k", ts = "ts", payload = Seq("v"))
+        .select(col("id"),
+          col("prior.ts").as("pts"), col("prior.v").as("pv"))
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          (Option(r.getAs[Timestamp]("pts")).map(_.getTime),
+            Option(r.getAs[java.lang.Integer]("pv")).map(_.toInt)))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, lt), i) =>
+        val elig = rs.filter { case (rk, rt, _) => rk == k && rt <= lt }
+        val best = elig.sortBy { case (_, rt, v) => (rt, v) }.lastOption
+        i.toLong -> (best.map { case (_, rt, _) => baseEpochUs / 1000L + rt * 1000L },
+          best.map(_._3))
+      }.toMap
+      assert(got === want, s"seed $seed")
     }
   }
 
