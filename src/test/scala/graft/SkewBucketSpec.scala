@@ -46,6 +46,40 @@ class SkewBucketSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a dim filter prunes the partitioned fact at runtime (dynamic partition pruning)") {
+    // the 100 TB star-join shape: the fact is partitioned on the join
+    // key's column, the dim carries the selective filter, and Catalyst
+    // must push a dynamicpruning subquery into the fact SCAN — only the
+    // partitions the filtered dim admits are read, decided at runtime
+    // from the dim's rows (static pruning can't see through the join)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_extendedprice"))
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(s"$dir/fact")
+    li.select(col("ship_month")).distinct()
+      .withColumn("quarter",
+        concat(substring(col("ship_month"), 1, 4), lit("-Q"),
+          ((substring(col("ship_month"), 6, 2).cast("int") - 1) / 3 + 1).cast("string")))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q1 = dim.agg(min(col("quarter"))).collect().head.getString(0)
+    val joined = fact.join(dim.filter(col("quarter") === q1), "ship_month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).as("rev"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$p")
+    // and the pruned join agrees with the direct month-list filter
+    val months = dim.filter(col("quarter") === q1)
+      .select("ship_month").collect().map(_.getString(0)).toSeq
+    val direct = fact.filter(col("ship_month").isin(months: _*))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).as("rev"))
+    assert(joined.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("month-partitioned layout prunes partitions and matches the flat scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
