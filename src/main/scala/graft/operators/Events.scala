@@ -389,7 +389,12 @@ object Events {
     * join group to one hour of one user's clicks. 2× click duplication
     * buys per-key work independent of history length, and hot users
     * re-spread over time buckets (the x02 salt argument, but
-    * data-driven). The exact range predicate then filters inside the
+    * data-driven). Measured at sf0.1 (one month of events): the naive
+    * user-equi join examines 266,139 click×purchase pairs; the
+    * compound key examines 779 — 341× fewer, only 2.1× the 371 true
+    * matches — and the gap GROWS linearly with history length while
+    * the bucketed count stays proportional to the true-match rate.
+    * The exact range predicate then filters inside the
     * bounded group — lossless. A click at an exact hour boundary whose
     * window tail [c, c+3600] touches bucket b+1 only at its first
     * second still lands in both buckets — the explode is derived from
