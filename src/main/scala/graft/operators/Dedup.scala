@@ -418,20 +418,13 @@ object Dedup {
     * re-running the calibration mixture. Falls back to the shipped 6×3
     * when no banding clears both gates (the artifact is then empty).
     */
-  def chosenBanding(spark: SparkSession, dir: String): (Int, Int) = {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/band_choice/" +
-      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
-      graft.sources.Sinks.stagePublish(
-        bandRetune(spark, dir).filter(col("is_chosen"))
-          .select(col("n_bands"), col("n_rows")), path)
-    spark.read.parquet(path).collect()
+  def chosenBanding(spark: SparkSession, dir: String): (Int, Int) =
+    graft.sources.Sinks.ensureArtifact(spark, "band_choice", dir) {
+      bandRetune(spark, dir).filter(col("is_chosen"))
+        .select(col("n_bands"), col("n_rows"))
+    }.collect()
       .headOption.map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
       .getOrElse((6, 3))
-  }
 
   // ─── d27 retuned-banding A/B calibration ─────────────────────────────
   /** Closes the retune loop operationally: build candidates with the
@@ -1691,6 +1684,44 @@ object Dedup {
     (1 to maxN).map(k => s"(CASE WHEN $k <= $n THEN $base ELSE 1.0 END)")
       .mkString("1.0 * ", " * ", "")
 
+  /** Shared d26/d27 oracle mid-section: the (bands, rows) grid scored
+    * against `agg`'s mixture through the ranked selection (`rnk = 1` on
+    * a passing row = the chosen banding). ONE definition so the two
+    * oracles can never replay different gate arithmetic — d27's A/B is
+    * meaningful only if it derives the identical choice d26 publishes.
+    */
+  private def selectionCte: String =
+    s"""grid AS (
+      |  SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS n_rows
+      |  FROM (SELECT unnest(range(1, 19)) AS b), (SELECT unnest(range(1, 9)) AS r)
+      |  WHERE b * r <= 18),
+      |cr AS (
+      |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
+      |         (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS j_mid
+      |  FROM grid, agg),
+      |p1 AS (SELECT *, ${condPowSql("j_mid", "n_rows", 8)} AS p FROM cr),
+      |p2 AS (SELECT *, ${condPowSql("(1.0 - p)", "n_bands", 18)} AS miss FROM p1),
+      |t AS (
+      |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
+      |         CAST(floor((1.0 - miss) * 1000000000.0) AS BIGINT) AS recall_ppb
+      |  FROM p2),
+      |sel AS (
+      |  SELECT n_bands, n_rows,
+      |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_t,
+      |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_t,
+      |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_l,
+      |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_l
+      |  FROM t GROUP BY 1, 2),
+      |fl AS (
+      |  SELECT *,
+      |         (den_t > 0 AND num_t * 10 >= den_t * 9000000000
+      |          AND (den_l = 0 OR num_l * 4 <= den_l * 1000000000)) AS passes
+      |  FROM sel),
+      |rk AS (
+      |  SELECT *, row_number() OVER
+      |           (ORDER BY passes DESC, n_bands * n_rows, n_bands, n_rows) AS rnk
+      |  FROM fl)""".stripMargin
+
   /** Shared d24/d26 oracle prefix: exact-Jaccard pairs, the 6×3 LSH
     * candidate replay, and the per-decile mixture `agg`.
     */
@@ -1854,79 +1885,19 @@ object Dedup {
         |       1.0 - q3 * q3 AS theoretical_recall
         |FROM m3""".stripMargin),
     "d26_band_retune" ->
-      (calibrationMixCte +
-      s""",
-        |grid AS (
-        |  SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS n_rows
-        |  FROM (SELECT unnest(range(1, 19)) AS b), (SELECT unnest(range(1, 9)) AS r)
-        |  WHERE b * r <= 18),
-        |cr AS (
-        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
-        |         (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS j_mid
-        |  FROM grid, agg),
-        |p1 AS (SELECT *, ${condPowSql("j_mid", "n_rows", 8)} AS p FROM cr),
-        |p2 AS (SELECT *, ${condPowSql("(1.0 - p)", "n_bands", 18)} AS miss FROM p1),
-        |t AS (
-        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
-        |         CAST(floor((1.0 - miss) * 1000000000.0) AS BIGINT) AS recall_ppb
-        |  FROM p2),
-        |sel AS (
-        |  SELECT n_bands, n_rows,
-        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_t,
-        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_t,
-        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_l,
-        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_l
-        |  FROM t GROUP BY 1, 2),
-        |fl AS (
-        |  SELECT *,
-        |         (den_t > 0 AND num_t * 10 >= den_t * 9000000000
-        |          AND (den_l = 0 OR num_l * 4 <= den_l * 1000000000)) AS passes
-        |  FROM sel),
-        |rk AS (
-        |  SELECT *, row_number() OVER
-        |           (ORDER BY passes DESC, n_bands * n_rows, n_bands, n_rows) AS rk
-        |  FROM fl)
+      (calibrationMixCte + ",\n" + selectionCte +
+      """
         |SELECT n_bands, n_rows, n_bands * n_rows AS n_hashes,
         |       den_t AS n_target_pairs,
         |       CASE WHEN den_t > 0
         |            THEN CAST(num_t AS DOUBLE) / (CAST(den_t AS DOUBLE) * 1000000000.0) END AS target_recall,
         |       CASE WHEN den_l > 0
         |            THEN CAST(num_l AS DOUBLE) / (CAST(den_l AS DOUBLE) * 1000000000.0) END AS low_j_catch,
-        |       passes, (passes AND rk = 1) AS is_chosen
+        |       passes, (passes AND rnk = 1) AS is_chosen
         |FROM rk""".stripMargin),
     "d27_retuned_calibration" ->
-      (calibrationMixCte +
-      s""",
-        |grid AS (
-        |  SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS n_rows
-        |  FROM (SELECT unnest(range(1, 19)) AS b), (SELECT unnest(range(1, 9)) AS r)
-        |  WHERE b * r <= 18),
-        |cr AS (
-        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
-        |         (CAST(j_bucket AS DOUBLE) + 0.5) / 10.0 AS j_mid
-        |  FROM grid, agg),
-        |p1 AS (SELECT *, ${condPowSql("j_mid", "n_rows", 8)} AS p FROM cr),
-        |p2 AS (SELECT *, ${condPowSql("(1.0 - p)", "n_bands", 18)} AS miss FROM p1),
-        |t AS (
-        |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
-        |         CAST(floor((1.0 - miss) * 1000000000.0) AS BIGINT) AS recall_ppb
-        |  FROM p2),
-        |sel AS (
-        |  SELECT n_bands, n_rows,
-        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_t,
-        |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_t,
-        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_l,
-        |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_l
-        |  FROM t GROUP BY 1, 2),
-        |fl AS (
-        |  SELECT *,
-        |         (den_t > 0 AND num_t * 10 >= den_t * 9000000000
-        |          AND (den_l = 0 OR num_l * 4 <= den_l * 1000000000)) AS passes
-        |  FROM sel),
-        |rk AS (
-        |  SELECT *, row_number() OVER
-        |           (ORDER BY passes DESC, n_bands * n_rows, n_bands, n_rows) AS rnk
-        |  FROM fl),
+      (calibrationMixCte + ",\n" + selectionCte +
+      """,
         |ch AS (
         |  SELECT n_bands, n_rows FROM rk WHERE passes AND rnk = 1
         |  UNION ALL

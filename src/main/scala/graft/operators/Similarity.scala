@@ -684,11 +684,27 @@ object Similarity {
     * members, the best same-cell reference), split into M equal slices.
     */
   private def pqResidualSubs(e: DataFrame, assign: DataFrame,
-                             codebook: DataFrame): DataFrame = {
-    val r = e.join(assign, Seq("vec_id"))
+                             codebook: DataFrame): DataFrame =
+    pqResidualSubs(e, assign, codebook, rotateDim = None)
+
+  /** `rotateDim = Some(d)` applies the OPQ-lite [[rotateResidual]]
+    * transform (d = embedding dimension) to the residual BEFORE slicing
+    * — the seam a variance-skewed corpus turns on (PqWideSpec drives it
+    * end-to-end). The shipped q49/q50 tier stays unrotated: its oracle
+    * replays unrotated residuals, and the sf0.1 corpus is not skewed
+    * enough for the rotation to pay for the oracle complexity.
+    */
+  private[graft] def pqResidualSubs(e: DataFrame, assign: DataFrame,
+                                    codebook: DataFrame,
+                                    rotateDim: Option[Int]): DataFrame = {
+    val resid = e.join(assign, Seq("vec_id"))
       .join(broadcast(codebook), Seq("centroid_id"))
       .select(col("vec_id"),
         zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("r"))
+    val r = rotateDim match {
+      case Some(d) => resid.select(col("vec_id"), rotateResidual(col("r"), d).as("r"))
+      case None => resid
+    }
     val subLen = ceil(size(col("r")) / pqSubspaces).cast("int")
     r.select(col("vec_id"),
         explode(sequence(lit(0), lit(pqSubspaces - 1))).as("m"), col("r"))

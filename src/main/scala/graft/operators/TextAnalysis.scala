@@ -797,23 +797,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         (col("wfp").cast("double") / 1000000.0d).as("weight"))
 
-  /** Published-model path, keyed by the documents source fingerprint
-    * (the candidatesPath rule: a corpus change invalidates the model;
-    * a same-corpus rebuild is deterministic and byte-identical, so
-    * staleness is impossible).
-    */
-  private def dsirModelPath(spark: SparkSession, dir: String, family: String): String = {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${spark.conf.get("spark.sql.warehouse.dir")}/$family/" +
-      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
-  }
-
-  private def artifactExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
-
-  /** Build-if-missing published DSIR model (the q32 contract): the
+  /** Build-if-missing published DSIR model (the q32 contract, via the
+    * canonical [[graft.sources.Sinks.ensureArtifact]] keying): the
     * census pass — the SECOND corpus explosion every t16/t17 run used
     * to pay — runs once per corpus and lands in the warehouse; every
     * weighting/selection run after it is one explosion + a broadcast
@@ -821,13 +806,10 @@ object TextAnalysis {
     * publish once" note made real (and what the t17/t19 docs mean by
     * "production reads the published weights table").
     */
-  private def ensureDsirModel(spark: SparkSession, dir: String): DataFrame = {
-    val path = dsirModelPath(spark, dir, "dsir_model")
-    if (!artifactExists(spark, path))
-      graft.sources.Sinks.stagePublish(
-        dsirModelFrame(dsirFeats(Tables.documents(spark, dir))), path)
-    spark.read.parquet(path)
-  }
+  private def ensureDsirModel(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Sinks.ensureArtifact(spark, "dsir_model", dir) {
+      dsirModelFrame(dsirFeats(Tables.documents(spark, dir)))
+    }
 
   // ─── t17 DSIR-weighted budget selection ──────────────────────────────
   /** The selection step that closes the DSIR loop: order the corpus by
@@ -848,11 +830,15 @@ object TextAnalysis {
     * bucket with no window; only the boundary bucket pays a running
     * sum, seeded with its cumulative start. Weight ties land in one
     * bucket by construction, so the doc_id tiebreak stays local.
-    * Boundary classification is half-open on purpose: the bucket with
-    * cum_start == budget routes through the running-sum path, because
-    * a ZERO-token document at its head has run == budget — selected
-    * under the global running sum's `run <= budget` rule — while the
-    * closed-form "clear rejected" branch would drop it.
+    * Boundary classification is half-open as a CONVENTION pin, not a
+    * live edge: a zero-token doc at the head of the cum_start == budget
+    * bucket would diverge between the two branches (run == budget is
+    * selected by the running sum, rejected by the closed form) — but
+    * zero-token docs cannot reach this frame, because the weights join
+    * is inner and t16's feats filter requires ≥ 2 tokens. Routing the
+    * bucket through the running sum keeps the code's convention
+    * textually identical to the oracle's global running sum anyway, so
+    * the equivalence argument never depends on the upstream filter.
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -963,13 +949,10 @@ object TextAnalysis {
         (col("wfp").cast("double") / 1000000.0d).as("weight"))
 
   /** Per-source twin of [[ensureDsirModel]]. */
-  private def ensureDsirModelPs(spark: SparkSession, dir: String): DataFrame = {
-    val path = dsirModelPath(spark, dir, "dsir_model_ps")
-    if (!artifactExists(spark, path))
-      graft.sources.Sinks.stagePublish(
-        dsirModelPsFrame(dsirFeatsPs(Tables.documents(spark, dir))), path)
-    spark.read.parquet(path)
-  }
+  private def ensureDsirModelPs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Sinks.ensureArtifact(spark, "dsir_model_ps", dir) {
+      dsirModelPsFrame(dsirFeatsPs(Tables.documents(spark, dir)))
+    }
 
   // ─── t19 per-source budget selection ─────────────────────────────────
   /** The per-source selection step closing the multi-target loop
@@ -988,8 +971,9 @@ object TextAnalysis {
     * before the trick applies; the bucket-meta frame is
     * #sources × buckets (broadcast), and each source pays exactly one
     * boundary bucket. Boundary classification is half-open exactly as
-    * t17 (cum_start == budget routes through the running sum) so
-    * zero-token ties resolve like the per-source global running sum.
+    * t17 — the same convention pin (zero-token docs cannot reach this
+    * frame; see the t17 note), kept so the running-sum convention
+    * matches the oracle's per-source running sum textually.
     */
   def dsirSelectPerSource(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -16,6 +16,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sinks {
 
+  /** Build-if-missing warehouse artifact under ONE canonical keying
+    * scheme: `warehouse/<family>/src<dirKey>_<sourceKey(keyFile)>` —
+    * dirKey is the shell-safe dir path, sourceKey the (length, mtime)
+    * fingerprint of the keying file, so a corpus change invalidates the
+    * artifact and a same-corpus rebuild (all builders are deterministic)
+    * is byte-identical, making staleness impossible. The single
+    * definition exists so a future change to the fingerprint rule
+    * touches every artifact family at once; route new families through
+    * here rather than hand-rolling the exists-then-build-then-read
+    * idiom (band_choice and the DSIR models already do; the older
+    * families predate this helper and keep their in-place copies to
+    * avoid key churn on published artifacts).
+    */
+  def ensureArtifact(spark: SparkSession, family: String, dir: String,
+                     keyFile: String = "documents.parquet")
+                    (build: => DataFrame): DataFrame = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/$family/" +
+      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/$keyFile")}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      stagePublish(build, path)
+    spark.read.parquet(path)
+  }
+
   /** WRITE_TRUNCATE equivalent (load.py:200: full refresh). */
   def truncateLoad(df: DataFrame, path: String,
                    partitionedBy: Seq[String] = Nil,

@@ -139,19 +139,32 @@ object EventsStream {
       .writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty)
-          gapBuckets(batch.toDF())
-            .groupBy(col("gap_bucket"))
-            .agg(count(lit(1)).as("n_pairs"))
-            .write.mode("overwrite").parquet(s"$outDir/census/batch=$id")
+        // written unconditionally: an isEmpty pre-check would execute the
+        // joined micro-batch TWICE per trigger (once for the probe, once
+        // for the write), and skipping empty batches would leave the
+        // census path nonexistent until the first conversion — an empty
+        // per-batch frame writes its schema and folds to zero rows
+        gapBuckets(batch.toDF())
+          .groupBy(col("gap_bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .write.mode("overwrite").parquet(s"$outDir/census/batch=$id")
       }
       .start()
 
-  /** The standing census after any number of triggers. */
-  def servedAttributionCensus(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/census")
-      .groupBy(col("gap_bucket"))
-      .agg(sum(col("n_pairs")).as("n_pairs"))
+  /** The standing census after any number of triggers — an EMPTY census
+    * (zero rows) before the first trigger has committed, never an error.
+    */
+  def servedAttributionCensus(spark: SparkSession, outDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/census")
+    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    if (!exists) {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("gap_bucket", "n_pairs")
+    } else
+      spark.read.parquet(s"$outDir/census")
+        .groupBy(col("gap_bucket"))
+        .agg(sum(col("n_pairs")).as("n_pairs"))
+  }
 
   /** Batch twin: identical census from static frames in one shot. */
   def attributionCensusBatch(clicks: DataFrame, purchases: DataFrame): DataFrame =

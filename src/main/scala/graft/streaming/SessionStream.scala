@@ -157,6 +157,15 @@ object SessionStream {
     // into its path's standing count instead of being dropped; the
     // documented escape hatch is the correct call for this topology
     // (and the stream==batch spec pins the equality).
+    //
+    // SESSION-GLOBAL, deliberately: the checker is consulted when each
+    // query STARTS, so the flag must still be off when the caller calls
+    // .start() on this frame — it cannot be scoped-and-restored here.
+    // Disabling the checker changes NO runtime behavior (topologies it
+    // would accept run identically); the cost is that a LATER query in
+    // the same session with a genuinely unsafe chained-stateful topology
+    // loses the static rejection and must justify its own correctness,
+    // as this one and attributionCensusStart's foreachBatch form do.
     paths.sparkSession.conf
       .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     paths.toDF()

@@ -62,12 +62,15 @@ class PqWideSpec extends AnyFunSuite {
       .agg(max(col("d"))).head().getDouble(0)
     assert(normDiff < 1e-9, s"rotation changed norms by $normDiff")
 
-    def toSubs(c: String) = rotated.select(col("vec_id"), col(c).as("v"))
-      .withColumn("m", explode(sequence(lit(0L), lit(3L))))
-      .select(col("vec_id"), col("m"),
-        slice(col("v"), (col("m") * 4 + 1).cast("int"), lit(4)).as("rm"))
-    val plain = toSubs("r").persist()
-    val rot = toSubs("rot").persist()
+    // drive the PRODUCTION residual seam end-to-end: a zero codebook
+    // makes the residual the vector itself, so pqResidualSubs owns the
+    // (rotate →) slice path for both variants
+    val e = full.select(col("vec_id"), col("r").as("emb"))
+    val assign = full.select(col("vec_id"), lit(0L).as("centroid_id"))
+    val cb = spark.range(1).select(lit(0L).as("centroid_id"),
+      transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0)).as("c_emb"))
+    val plain = Similarity.pqResidualSubs(e, assign, cb, rotateDim = None).persist()
+    val rot = Similarity.pqResidualSubs(e, assign, cb, rotateDim = Some(dim)).persist()
     try {
       val (bp, cp) = Similarity.pqTrain(plain, 16)
       val (br, cr) = Similarity.pqTrain(rot, 16)
