@@ -133,13 +133,8 @@ object Dedup {
     spark.read.parquet(path)
   }
 
-  private def candidatesPath(spark: SparkSession, dir: String): String = {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    // "src" prefix: see Similarity.indexKey — underscore-prefixed dirs
-    // are "hidden" to Spark's file listing
-    s"${spark.conf.get("spark.sql.warehouse.dir")}/lsh_candidates/" +
-      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
-  }
+  private def candidatesPath(spark: SparkSession, dir: String): String =
+    graft.sources.Sinks.artifactPath(spark, "lsh_candidates", dir)
 
   /** Published candidate pairs, building the artifact iff missing (a
     * fresh session running a consumer standalone).
@@ -201,15 +196,19 @@ object Dedup {
       .select(col("doc_id"), col("b.band_j").as("band_j"), col("b.band_hash").as("band_hash"))
   }
 
-  private def minhashLshFrom(sh: DataFrame): DataFrame = {
-    val bands = minhashBandsOf(sh)
+  /** Candidate pairs from any band table — the ≥1-shared-band blocking
+    * join (shared by the d03 build and d27's chosen-banding rebuild).
+    */
+  private def bandPairs(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band_j") === col("b.band_j") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-  }
+
+  private def minhashLshFrom(sh: DataFrame): DataFrame =
+    bandPairs(minhashBandsOf(sh))
 
   // ─── d25 training-corpus export ──────────────────────────────────────
   /** The end product of the curation pipeline: the document set a
@@ -457,14 +456,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val candDef = candidates(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit_d"))
-    val bandsC = minhashBandsOf(
-      wordShinglesOf(sampled, withLang = false, dedup = false), nb, nr)
-    val candC = bandsC.as("a").join(bandsC.as("b"),
-        col("a.band_j") === col("b.band_j") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(min(lit(1L)).as("hit_c"))
+    val candC = bandPairs(minhashBandsOf(
+        wordShinglesOf(sampled, withLang = false, dedup = false), nb, nr))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit_c"))
     exact
       .join(candDef, Seq("doc_a", "doc_b"), "left")
       .join(candC, Seq("doc_a", "doc_b"), "left")

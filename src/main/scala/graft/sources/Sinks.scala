@@ -32,13 +32,23 @@ object Sinks {
   def ensureArtifact(spark: SparkSession, family: String, dir: String,
                      keyFile: String = "documents.parquet")
                     (build: => DataFrame): DataFrame = {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/$family/" +
-      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/$keyFile")}"
+    val path = artifactPath(spark, family, dir, keyFile)
     val p = new org.apache.hadoop.fs.Path(path)
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       stagePublish(build, path)
     spark.read.parquet(path)
+  }
+
+  /** The canonical key alone — for always-republish builders (d03's
+    * contract) that share a family with build-if-missing probes.
+    * The "src" prefix matters: underscore-prefixed dirs are "hidden"
+    * to Spark's file listing.
+    */
+  def artifactPath(spark: SparkSession, family: String, dir: String,
+                   keyFile: String = "documents.parquet"): String = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${spark.conf.get("spark.sql.warehouse.dir")}/$family/" +
+      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/$keyFile")}"
   }
 
   /** WRITE_TRUNCATE equivalent (load.py:200: full refresh). */
