@@ -96,6 +96,8 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_attr_census").toString
+    // before any trigger commits, the served census is EMPTY, not an error
+    assert(EventsStream.servedAttributionCensus(spark, dir).count() == 0)
     val clickData = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0),   // 50 min before
       Event(2, ts("2024-01-01 10:47:00"), 1, "click", 0),   // 3 min before
