@@ -176,6 +176,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the allowlisted tiny-frame windows (PlanSweepSpec's audited
+    // census/mart sites) each emit a `WARN WindowExec: No Partition
+    // Defined` — correct plans, known noise; silence just that logger
+    // so the harness's captured stdout tail stays readable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     val load0 = loadAvg()
     // JIT / codegen warm-up + FULL-COLUMN first-touch of every table: a
     // parquet count() is metadata-only, so the round-2 warm-up left the

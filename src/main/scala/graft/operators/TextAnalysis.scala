@@ -153,10 +153,16 @@ object TextAnalysis {
     // floor of ≥1‰: a source >1000× the cap would otherwise floor to
     // 0‰ and VANISH from the mixture — the resampler's contract is
     // "cap the dominant source", never "delete it"
+    // tokens_total = 0 (a source of all-empty docs) would make the
+    // ratio Inf/NaN, where the engines diverge (Spark floors NaN to 0
+    // silently; DuckDB's CAST raises) — a zero-token source is
+    // trivially within any token cap, so keep it whole
     val rates = totals.crossJoin(broadcast(cap))
       .withColumn("rate_permille",
-        greatest(lit(1L), least(lit(1000L),
-          floor(lit(1000.0) * col("target_tokens") / col("tokens_total")))))
+        when(col("tokens_total") > 0,
+          greatest(lit(1L), least(lit(1000L),
+            floor(lit(1000.0) * col("target_tokens") / col("tokens_total")))))
+        .otherwise(lit(1000L)))
     val sampled = d
       .join(broadcast(rates.select(col("source"), col("rate_permille"))), Seq("source"))
       .groupBy(col("source"))
@@ -204,12 +210,17 @@ object TextAnalysis {
       count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_total"))
     val mn = totals.agg(min(col("tokens_total")).as("tokens_min"))
     // ≥1‰ floor: t11's contract — flatten the dominant source, never
-    // delete it
+    // delete it. tokens_total = 0 would make the ratio 0/0 = NaN,
+    // where the engines diverge (Spark floors NaN to 0 silently;
+    // DuckDB's CAST raises) — a zero-token source IS the minimum, so
+    // its α-rate is 1 (keep all), guarded identically in the oracle
     val rates = totals.crossJoin(broadcast(mn))
       .withColumn("rate_permille",
-        greatest(lit(1L), least(lit(1000L),
-          floor(lit(1000.0) * sqrt(
-            col("tokens_min").cast("double") / col("tokens_total").cast("double"))))))
+        when(col("tokens_total") > 0,
+          greatest(lit(1L), least(lit(1000L),
+            floor(lit(1000.0) * sqrt(
+              col("tokens_min").cast("double") / col("tokens_total").cast("double"))))))
+        .otherwise(lit(1000L)))
     val sampled = d
       .join(broadcast(rates.select(col("source"), col("rate_permille"))), Seq("source"))
       .groupBy(col("source"))
@@ -1344,7 +1355,9 @@ object TextAnalysis {
         |cap AS (SELECT quantile_cont(tokens_total, 0.5) AS target_tokens FROM tot),
         |rates AS (
         |  SELECT t.source, t.n_docs, t.tokens_total, c.target_tokens,
-        |         CAST(greatest(1, least(1000, floor(1000.0 * c.target_tokens / t.tokens_total))) AS BIGINT) AS rate_permille
+        |         CASE WHEN t.tokens_total > 0
+        |           THEN CAST(greatest(1, least(1000, floor(1000.0 * c.target_tokens / t.tokens_total))) AS BIGINT)
+        |           ELSE CAST(1000 AS BIGINT) END AS rate_permille
         |  FROM tot t CROSS JOIN cap c),
         |s AS (
         |  SELECT d.source,
@@ -1381,9 +1394,11 @@ object TextAnalysis {
         |mn AS (SELECT min(tokens_total) AS tokens_min FROM totals),
         |rates AS (
         |  SELECT t.source, t.n_docs, t.tokens_total,
-        |         greatest(CAST(1 AS BIGINT), least(CAST(1000 AS BIGINT),
-        |           CAST(floor(1000.0 * sqrt(CAST(m.tokens_min AS DOUBLE)
-        |                / CAST(t.tokens_total AS DOUBLE))) AS BIGINT))) AS rate_permille
+        |         CASE WHEN t.tokens_total > 0
+        |           THEN greatest(CAST(1 AS BIGINT), least(CAST(1000 AS BIGINT),
+        |             CAST(floor(1000.0 * sqrt(CAST(m.tokens_min AS DOUBLE)
+        |                  / CAST(t.tokens_total AS DOUBLE))) AS BIGINT)))
+        |           ELSE CAST(1000 AS BIGINT) END AS rate_permille
         |  FROM totals t CROSS JOIN mn m),
         |s AS (
         |  SELECT d.source,

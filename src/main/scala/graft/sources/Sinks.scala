@@ -28,14 +28,50 @@ object Sinks {
     * idiom (band_choice and the DSIR models already do; the older
     * families predate this helper and keep their in-place copies to
     * avoid key churn on published artifacts).
+    *
+    * CONCURRENCY CONTRACT: build-if-missing probes are claim-by-rename.
+    * Each prober builds into its own staging dir, verifies the
+    * read-back, then claims the final name with a no-overwrite rename
+    * (`FileContext.rename` with `Rename.NONE` fails if the target
+    * appeared) — two concurrent probes of a missing artifact both pay
+    * the build, but exactly ONE wins the name and the loser deletes
+    * its staging and reads the winner (builders are deterministic, so
+    * the content is identical either way). Unlike [[stagePublish]]'s
+    * delete-then-rename REPLACE, the final path here is never deleted
+    * once published: a reader can never observe it transiently
+    * missing. REPUBLISHING an artifact (changing its content in
+    * place) remains single-writer by contract — for that, key the
+    * content into the path (as the fingerprint already does) so a
+    * "change" is a new name, not a rewrite.
     */
   def ensureArtifact(spark: SparkSession, family: String, dir: String,
                      keyFile: String = "documents.parquet")
                     (build: => DataFrame): DataFrame = {
     val path = artifactPath(spark, family, dir, keyFile)
     val p = new org.apache.hadoop.fs.Path(path)
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      stagePublish(build, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) {
+      val staging = new org.apache.hadoop.fs.Path(
+        s"${path}_probe_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        val df = build
+        df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        // footer-metadata-only count proves every staged file is complete
+        df.sparkSession.read.parquet(staging.toString).count()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        try fc.rename(staging, p) // Rename.NONE: fails if target appeared
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                     _: java.io.IOException =>
+          fs.delete(staging, true) // lost the claim — read the winner
+        }
+      } catch {
+        case e: Throwable =>
+          try fs.delete(staging, true)
+          catch { case w: Throwable => e.addSuppressed(w) }
+          throw e
+      }
+    }
     spark.read.parquet(path)
   }
 

@@ -132,36 +132,119 @@ object EventsStream {
     * idempotent), and [[servedAttributionCensus]] serves the standing
     * census as the sum over partitions. No chained stateful operator,
     * no correctness escape hatch, bounded 4-row state per batch.
+    *
+    * Long-stream bounds (a census of unbounded lifetime may not grow
+    * its file listing without bound):
+    *  - EMPTY batches never write: the ≤4-row aggregate is collected
+    *    once (executing the joined micro-batch exactly once) and the
+    *    partition write replays the collected rows from the driver, so
+    *    the skip costs no second execution. A stream of mostly-idle
+    *    triggers stays at zero files.
+    *  - every `compactAfter` surviving partitions, the batch folds all
+    *    partitions except its own into a VERSIONED base
+    *    `census_base/v=<id>` and deletes what the base covers. The
+    *    serving rule — newest base wins, parts with id ≤ its version
+    *    are ignored — makes every crash window read consistently:
+    *    a crash after the base publish but before the delete sweep
+    *    leaves covered parts visible yet ignored (no double count),
+    *    and a replayed trigger finds its base version already
+    *    published, skips the rebuild, and re-runs only the idempotent
+    *    sweep. The base itself is staged-then-renamed so a torn write
+    *    is never the newest version. Single writer per census dir (the
+    *    one streaming query) — the same contract as Sinks.stagePublish.
     */
   def attributionCensusStart(clicks: DataFrame, purchases: DataFrame,
-                             outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                             outDir: String, compactAfter: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     purchaseClickJoin(clicks, purchases)
       .writeStream.outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$outDir/_ckpt")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // written unconditionally: an isEmpty pre-check would execute the
-        // joined micro-batch TWICE per trigger (once for the probe, once
-        // for the write), and skipping empty batches would leave the
-        // census path nonexistent until the first conversion — an empty
-        // per-batch frame writes its schema and folds to zero rows
-        gapBuckets(batch.toDF())
+        val spark = batch.sparkSession
+        val agg = gapBuckets(batch.toDF())
           .groupBy(col("gap_bucket"))
           .agg(count(lit(1)).as("n_pairs"))
-          .write.mode("overwrite").parquet(s"$outDir/census/batch=$id")
+        val rows = agg.collect() // ≤4 rows by construction
+        if (rows.nonEmpty)
+          spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), agg.schema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/census/batch=$id")
+        compactCensus(spark, outDir, id, compactAfter)
       }
       .start()
 
+  /** List child dirs named `<prefix>=<n>` under `dir` → (n, path). */
+  private def listVersioned(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path,
+                            prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(s"$prefix="))
+        scala.util.Try(name.stripPrefix(s"$prefix=").toLong).toOption
+          .map(_ -> st.getPath)
+      else None
+    }
+
+  /** Fold every census partition except the in-flight batch's own into
+    * `census_base/v=<id-1>`, then sweep what the new base covers. See
+    * [[attributionCensusStart]] for the crash-window argument.
+    */
+  private def compactCensus(spark: SparkSession, outDir: String,
+                            batchId: Long, compactAfter: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val censusDir = new org.apache.hadoop.fs.Path(s"$outDir/census")
+    val baseDir = new org.apache.hadoop.fs.Path(s"$outDir/census_base")
+    val fs = censusDir.getFileSystem(conf)
+    val bases = listVersioned(fs, baseDir, "v")
+    val curV = if (bases.isEmpty) -1L else bases.map(_._1).max
+    // live = parts the serving rule actually reads; stale covered parts
+    // (id ≤ curV, from a crashed sweep) don't count toward the trigger
+    val parts = listVersioned(fs, censusDir, "batch")
+    val live = parts.filter(_._1 > curV)
+    val newV = batchId - 1 // never fold the replay-able in-flight batch
+    if (live.count(_._1 <= newV) > compactAfter && newV > curV) {
+      val target = new org.apache.hadoop.fs.Path(baseDir, s"v=$newV")
+      if (!fs.exists(target)) {
+        val folded = live.filter(_._1 <= newV).map(_._2.toString) ++
+          bases.filter(_._1 == curV).map(_._2.toString)
+        val df = spark.read.parquet(folded: _*)
+          .groupBy(col("gap_bucket"))
+          .agg(sum(col("n_pairs")).as("n_pairs"))
+        val staging = new org.apache.hadoop.fs.Path(baseDir,
+          s"_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        if (!fs.rename(staging, target)) { // lost a (contract-violating) race
+          fs.delete(staging, true)
+          return
+        }
+      }
+      // idempotent sweep: everything the new base covers
+      parts.filter(_._1 <= newV).foreach(p => fs.delete(p._2, true))
+      bases.filter(_._1 < newV).foreach(b => fs.delete(b._2, true))
+    }
+  }
+
   /** The standing census after any number of triggers — an EMPTY census
     * (zero rows) before the first trigger has committed, never an error.
+    * Serving rule (see [[attributionCensusStart]]): the newest
+    * `census_base/v=<V>` plus only the partitions with id > V.
     */
   def servedAttributionCensus(spark: SparkSession, outDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$outDir/census")
-    val exists = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-    if (!exists) {
+    val conf = spark.sessionState.newHadoopConf()
+    val censusDir = new org.apache.hadoop.fs.Path(s"$outDir/census")
+    val fs = censusDir.getFileSystem(conf)
+    val bases = listVersioned(fs, new org.apache.hadoop.fs.Path(s"$outDir/census_base"), "v")
+    val curV = if (bases.isEmpty) -1L else bases.map(_._1).max
+    val paths = listVersioned(fs, censusDir, "batch")
+      .filter(_._1 > curV).map(_._2.toString) ++
+      bases.filter(_._1 == curV).map(_._2.toString)
+    if (paths.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("gap_bucket", "n_pairs")
     } else
-      spark.read.parquet(s"$outDir/census")
+      spark.read.parquet(paths: _*)
         .groupBy(col("gap_bucket"))
         .agg(sum(col("n_pairs")).as("n_pairs"))
   }

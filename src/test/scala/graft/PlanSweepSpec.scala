@@ -22,6 +22,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * A new query that trips either check fails HERE with its name — the
   * author either fixes the plan or adds an allowlist entry with the
   * justification, which the next judge pass can audit line by line.
+  *
+  * COST NOTE (deliberate): several query constructors are eager — d03
+  * publishes the LSH candidate artifact, the banding/DSIR consumers
+  * build-if-missing their model artifacts — so this sweep's first run
+  * on a cold warehouse performs those builds as a side effect. That is
+  * intentional, not incidental: the sweep audits the plan each query
+  * HANDS ITS CONSUMERS, which for artifact-backed queries is the plan
+  * over the published artifact — exactly what production reads. The
+  * builds are build-if-missing and keyed to the sf0.001 fixture, so
+  * every later run (and every other spec in the same JVM) reuses them;
+  * the one-time cost is the price of sweeping real plans rather than
+  * synthetic ones.
   */
 class PlanSweepSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark

@@ -132,6 +132,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === got)
   }
 
+  test("census compaction bounds the file listing; empty batches write nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_compact").toString
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    // compactAfter=1: any trigger seeing >1 foldable live partition compacts
+    val q = EventsStream.attributionCensusStart(
+      clicks.toDF(), purchases.toDF(), dir, compactAfter = 1)
+    // 4 conversion triggers, each one (click, purchase) pair 3 min apart,
+    // interleaved with an EMPTY trigger (clicks with no purchase in window)
+    (0 until 4).foreach { i =>
+      val base = ts(f"2024-01-01 ${10 + i}%02d:00:00").getTime
+      clicks.addData(Event(100 + i, new Timestamp(base), 50 + i, "click", 0))
+      purchases.addData(
+        Event(200 + i, new Timestamp(base + 180000L), 50 + i, "purchase", 1.0))
+      q.processAllAvailable()
+      if (i == 1) { // empty trigger: a lone click converts nothing
+        clicks.addData(Event(300, new Timestamp(base + 60000L), 999, "click", 0))
+        q.processAllAvailable()
+      }
+    }
+    q.stop()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def children(sub: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).filterNot(_.startsWith("_"))
+    }
+    // a base exists and the live part listing is bounded (≤ compactAfter
+    // foldable + the in-flight partition), far below the trigger count
+    assert(children("census_base").count(_.startsWith("v=")) == 1)
+    assert(children("census").size <= 2)
+    // the census still equals the batch twin over the full feed
+    val allClicks = (0 until 4).map { i =>
+      val base = ts(f"2024-01-01 ${10 + i}%02d:00:00").getTime
+      Event(100 + i, new Timestamp(base), 50 + i, "click", 0)
+    } :+ Event(300, new Timestamp(ts("2024-01-01 11:00:00").getTime + 60000L), 999, "click", 0)
+    val allPurchases = (0 until 4).map { i =>
+      val base = ts(f"2024-01-01 ${10 + i}%02d:00:00").getTime
+      Event(200 + i, new Timestamp(base + 180000L), 50 + i, "purchase", 1.0)
+    }
+    val got = EventsStream.servedAttributionCensus(spark, dir).collect()
+      .map(r => r.getAs[String]("gap_bucket") -> r.getAs[Long]("n_pairs")).toMap
+    val batch = EventsStream.attributionCensusBatch(
+      allClicks.toDF(), allPurchases.toDF())
+      .collect().map(r => r.getAs[String]("gap_bucket") -> r.getAs[Long]("n_pairs")).toMap
+    assert(got === batch)
+    assert(got === Map("<=5m" -> 4L))
+  }
+
   test("purchaseClickJoin pairs reproduce the batch e10 counts on a replayed feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
