@@ -54,6 +54,10 @@ object Pipeline {
       "dim_date" -> (() => Dimensions.dimDate(spark, sfDir)),
       "dim_customer" -> (() => Dimensions.dimCustomerHashed(spark, sfDir)),
       "dim_category" -> (() => Facts.dimCategory(spark, sfDir)),
+      // the SCD2 product dim (load.py loads dim_product alongside the
+      // other dims; the catalog-overview report reads it) — published
+      // so the reference's product SQL has its table
+      "dim_product" -> (() => Dimensions.dimProduct(spark, sfDir)),
       "fact_sales" -> (() => Facts.factSales(spark, sfDir)))
     val marts: Seq[(String, () => DataFrame)] = Seq(
       "mart_sales_performance" -> (() => Marts.martSalesPerformance(spark, sfDir)),
@@ -100,6 +104,39 @@ object Pipeline {
       case FullRun => staging ++ core ++ marts
       case CurationRun => curation
     }
+  }
+
+  /** Register every published artifact under `outDir` as a temp view
+    * named after its table, so the reference's SQL surface
+    * (sql/analytical_queries.sql — its users consume the warehouse
+    * through `SELECT ... FROM fact_sales` etc., not through a builder
+    * API) works out of the box:
+    * `Pipeline.registerWarehouse(spark, outDir)` then
+    * `spark.sql("SELECT ... FROM fact_sales JOIN dim_date ...")`.
+    *
+    * Scope: session-scoped temp views over the parquet paths — a
+    * metadata-only operation (no scan happens until a query runs, and
+    * Catalyst still prunes columns/partitions through the view).
+    * Internal non-table directories (`_run_logs`, the `dedup_index`
+    * artifact family) are skipped: underscore-prefixed names by rule,
+    * anything else by a read-probe of its parquet footer. Returns the
+    * registered names in sorted order.
+    */
+  def registerWarehouse(spark: SparkSession, outDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root),
+      s"registerWarehouse: warehouse dir unreachable: $outDir")
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("_"))
+      .sorted
+      .filter { n =>
+        scala.util.Try {
+          spark.read.parquet(s"$outDir/$n").createOrReplaceTempView(n)
+        }.isSuccess
+      }
   }
 
   /** Pre-run gate for the curation build (validate_extract analog over
@@ -190,32 +227,124 @@ object Pipeline {
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 
-  case class LoadCheck(table: String, expected_rows: Long, actual_rows: Long, ok: Boolean)
+  case class LoadCheck(table: String, expected_rows: Long, actual_rows: Long,
+                       ok: Boolean, schema_ok: Boolean = true,
+                       schema_diff: String = "")
+
+  /** Declared (column → type) contract per published retail-star table
+    * — the analog of the reference's bigquery_schema.sql:1-172, which
+    * pins every warehouse column's name and type at load time. The
+    * row-count gate alone cannot catch a silent type drift (a builder
+    * change narrowing a key to int, a timestamp becoming a string):
+    * the drifted table re-reads with the same count and every
+    * downstream join quietly miscompares. [[validateLoad]] checks each
+    * published table against its contract ORDER-SENSITIVELY (a
+    * reordered column list is also drift — position-based consumers
+    * exist). Scope matches the reference schema file: the retail star
+    * + staging; the curation tables' schemas are pinned per-query by
+    * the oracle discipline instead.
+    */
+  val schemaContracts: Map[String, Seq[(String, String)]] = Map(
+    "stg_lineitem_clean" -> Seq(
+      "l_orderkey" -> "bigint", "line_number" -> "bigint",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "discount_clipped" -> "double", "net_price" -> "double",
+      "return_flag" -> "string", "line_status" -> "string",
+      "ship_date" -> "date", "row_hash" -> "string"),
+    "dim_date" -> Seq(
+      "date_key" -> "bigint", "full_date" -> "date", "year" -> "bigint",
+      "quarter" -> "bigint", "month" -> "bigint", "month_name" -> "string",
+      "week_of_year" -> "bigint", "day_of_month" -> "bigint",
+      "day_of_week" -> "bigint", "day_name" -> "string",
+      "is_weekend" -> "boolean", "fiscal_year" -> "bigint",
+      "fiscal_quarter" -> "bigint"),
+    "dim_customer" -> Seq(
+      "customer_id" -> "bigint", "customer_name" -> "string",
+      "segment_attr" -> "string", "acctbal" -> "double",
+      "balance_band" -> "string", "customer_segment" -> "string",
+      "first_purchase_date" -> "timestamp_ntz",
+      "last_purchase_date" -> "timestamp_ntz",
+      "total_transactions" -> "bigint", "total_spend" -> "double",
+      "customer_key" -> "bigint",
+      "effective_start_date" -> "timestamp_ntz",
+      "effective_end_date" -> "timestamp_ntz",
+      "is_current" -> "boolean", "version" -> "bigint",
+      "row_hash" -> "string"),
+    "dim_category" -> Seq(
+      "category_name" -> "string", "category_key" -> "bigint",
+      "category_group" -> "string"),
+    "dim_product" -> Seq(
+      "product_id" -> "bigint", "product_name" -> "string",
+      "product_category" -> "string", "price" -> "double",
+      "version" -> "bigint", "is_current" -> "boolean",
+      "effective_start_date" -> "timestamp_ntz",
+      "effective_end_date" -> "timestamp_ntz",
+      "change_type" -> "string", "row_hash" -> "string"),
+    "fact_sales" -> Seq(
+      "sales_key" -> "bigint", "transaction_id" -> "bigint",
+      "line_number" -> "bigint", "date_key" -> "bigint",
+      "customer_key" -> "bigint", "category_key" -> "bigint",
+      "part_key" -> "bigint", "quantity" -> "double",
+      "price" -> "double", "discount" -> "double",
+      "net_amount" -> "double", "customer_id" -> "bigint",
+      "product_category" -> "string", "_source" -> "string"),
+    "mart_sales_performance" -> Seq(
+      "year" -> "bigint", "month" -> "bigint", "month_name" -> "string",
+      "total_revenue" -> "double", "total_quantity" -> "double",
+      "total_lines" -> "bigint", "unique_parts" -> "bigint",
+      "avg_line_value" -> "double", "revenue_prev_month" -> "double",
+      "revenue_growth_pct" -> "double"),
+    "mart_category_analysis" -> Seq(
+      "product_category" -> "string", "total_revenue" -> "double",
+      "revenue_share_pct" -> "double", "total_transactions" -> "bigint",
+      "total_quantity" -> "double", "avg_price" -> "double",
+      "unique_customers" -> "bigint", "avg_acctbal" -> "double",
+      "automobile_revenue_pct" -> "double",
+      "building_revenue_pct" -> "double"))
 
   /** Post-load validation — the reference DAG's `validate_load` task
     * (dags/retail_etl_dag.py:394-441), which re-reads the LOADED tables
     * and compares their row counts against what transform produced:
-    * re-read each PUBLISHED artifact and compare against the write-time
-    * counts. The pre-write gate proves the INPUT was sound; this proves
-    * the warehouse actually serves what the run claims it wrote (a
-    * partial or clobbered publish passes every pre-write check).
+    * re-read each PUBLISHED artifact, compare against the write-time
+    * counts, AND check the served schema against [[schemaContracts]].
+    * The pre-write gate proves the INPUT was sound; this proves the
+    * warehouse actually serves what the run claims it wrote (a partial
+    * or clobbered publish passes every pre-write check; a type drift
+    * passes even the row-count re-read).
     */
   def validateLoad(spark: SparkSession, outDir: String,
                    stats: Seq[LoadStat]): Seq[LoadCheck] =
     stats.map { s =>
-      val actual =
-        try spark.read.parquet(s"$outDir/${s.table}").count()
-        catch { case _: Throwable => -1L }
-      LoadCheck(s.table, s.rows, actual, actual == s.rows)
+      try {
+        val df = spark.read.parquet(s"$outDir/${s.table}")
+        val got = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+        val (schemaOk, diff) = schemaContracts.get(s.table) match {
+          case Some(want) if got != want =>
+            val bad = (want.diff(got) ++ got.diff(want)).map {
+              case (n, t) => s"$n:$t"
+            }.distinct
+            (false, s"drifted columns: ${bad.mkString(", ")}")
+          case _ => (true, "")
+        }
+        val actual = df.count()
+        LoadCheck(s.table, s.rows, actual, actual == s.rows, schemaOk, diff)
+      } catch {
+        case _: Throwable =>
+          LoadCheck(s.table, s.rows, -1L, ok = false,
+            schema_ok = false, schema_diff = "unreadable")
+      }
     }
 
   private def requireLoadsValid(spark: SparkSession, outDir: String,
                                 stats: Seq[LoadStat]): Unit = {
-    val bad = validateLoad(spark, outDir, stats).filterNot(_.ok)
+    val bad = validateLoad(spark, outDir, stats)
+      .filterNot(c => c.ok && c.schema_ok)
     require(bad.isEmpty,
       "post-load validation failed (dag: validate_load): " +
-        bad.map(c => s"${c.table} expected=${c.expected_rows} actual=${c.actual_rows}")
-          .mkString("; "))
+        bad.map { c =>
+          val rows = s"${c.table} expected=${c.expected_rows} actual=${c.actual_rows}"
+          if (c.schema_ok) rows else s"$rows [schema: ${c.schema_diff}]"
+        }.mkString("; "))
   }
 
   /** Build the whole warehouse under `outDir`. Returns load stats in

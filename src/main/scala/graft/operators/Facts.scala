@@ -26,12 +26,18 @@ object Facts {
 
   /** Category dimension: distinct p_type with a deterministic hash
     * surrogate key (transform.py:283-306 analog — tiny dim, broadcast
-    * everywhere; hashKey keeps even this 6-row build window-free).
+    * everywhere; hashKey keeps even this 6-row build window-free), plus
+    * the conformed `category_group` rollup the reference's
+    * dim_product_category carries (analytical_queries.sql:34,40-41
+    * joins it for the category-performance report) — same shared
+    * classification as the cleaning layer, so the dim and the q02/q19
+    * conformance agree by construction.
     */
   def dimCategory(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .select(col("p_type").as("category_name")).distinct()
       .withColumn("category_key", Dimensions.hashKey(col("category_name")))
+      .withColumn("category_group", Cleaning.categoryGroup(col("category_name")))
 
   // ─── q12 fact_sales ──────────────────────────────────────────────────
   def factSales(spark: SparkSession, dir: String): DataFrame =

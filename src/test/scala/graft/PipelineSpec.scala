@@ -12,7 +12,8 @@ class PipelineSpec extends AnyFunSuite {
     val stats = Pipeline.run(spark, TestSpark.sf, out)
     assert(stats.map(_.table) == Seq(
       "stg_lineitem_clean", "dim_date", "dim_customer", "dim_category",
-      "fact_sales", "mart_sales_performance", "mart_category_analysis"))
+      "dim_product", "fact_sales",
+      "mart_sales_performance", "mart_category_analysis"))
     assert(stats.forall(_.rows > 0))
     // published tables are readable and consistent
     val fact = spark.read.parquet(s"$out/fact_sales")
@@ -289,6 +290,28 @@ class PipelineSpec extends AnyFunSuite {
     // a missing artifact is also a failed check, not an exception
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     assert(!Pipeline.validateLoad(spark, out, stats).forall(_.ok))
+  }
+
+  test("validate_load catches a silent column-type drift (schema contract)") {
+    val out = Files.createTempDirectory("graft_wh_schema").toString
+    val stats = Pipeline.run(spark, TestSpark.sf, out)
+    // every published table matches its declared contract on a clean run
+    val clean = Pipeline.validateLoad(spark, out, stats)
+    assert(clean.forall(c => c.ok && c.schema_ok))
+    // drift the published dim behind the run's back: the surrogate key
+    // becomes a string — SAME row count, silently different type (the
+    // drift every stringly-typed export bug produces)
+    val drifted = spark.read.parquet(s"$out/dim_category")
+      .withColumn("category_key",
+        org.apache.spark.sql.functions.col("category_key").cast("string"))
+    graft.sources.Sinks.stagePublish(drifted, s"$out/dim_category")
+    val checks = Pipeline.validateLoad(spark, out, stats)
+    val dc = checks.find(_.table == "dim_category").get
+    assert(dc.ok, "row count still matches — exactly why the count gate misses this")
+    assert(!dc.schema_ok && dc.schema_diff.contains("category_key"))
+    // every other table still passes both gates
+    assert(checks.filterNot(_.table == "dim_category")
+      .forall(c => c.ok && c.schema_ok))
   }
 
   test("successful notified run clears the failure artifact") {
