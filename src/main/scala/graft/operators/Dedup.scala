@@ -127,23 +127,41 @@ object Dedup {
     * (dedup, decontamination, clustering) probes the same pair set.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val path = candidatesPath(spark, dir)
+    // the standing artifact is built at the d26-CHOSEN banding (the
+    // decision artifact, build-if-missing) — the retune loop is closed
+    // operationally, not just reported. The banding is part of the
+    // artifact NAME, so a changed decision is a new path and the stale
+    // banding's artifact can never be served (rebuild-on-change via
+    // the key, the same staleness argument as the source fingerprint).
+    // On this corpus the retune derives the shipped 6×3 (the d26
+    // oracle proves the selection arithmetic), which is the (b, r) the
+    // d03/d19/d24 DuckDB oracles replay; a corpus whose retune chooses
+    // differently changes the oracle constants WITH the artifact.
+    val (nb, nr) = chosenBanding(spark, dir)
+    val path = candidatesPath(spark, dir, nb, nr)
     graft.sources.Sinks.stagePublish(
-      minhashLshFrom(wordShingles(spark, dir, dedup = false)), path)
+      bandPairs(minhashBandsOf(
+        wordShingles(spark, dir, dedup = false), nb, nr)), path)
     spark.read.parquet(path)
   }
 
-  private def candidatesPath(spark: SparkSession, dir: String): String =
-    graft.sources.Sinks.artifactPath(spark, "lsh_candidates", dir)
+  private def candidatesPath(spark: SparkSession, dir: String,
+                             nBands: Int, rowsPerBand: Int): String =
+    graft.sources.Sinks.artifactPath(spark, "lsh_candidates", dir) +
+      s"_b${nBands}r$rowsPerBand"
 
-  /** Published candidate pairs, building the artifact iff missing (a
-    * fresh session running a consumer standalone).
+  /** Published candidate pairs at the CHOSEN banding, building the
+    * artifact iff missing (a fresh session running a consumer
+    * standalone, or a banding decision that changed since the last
+    * publish).
     */
   private def candidates(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(candidatesPath(spark, dir))
+    val (nb, nr) = chosenBanding(spark, dir)
+    val path = candidatesPath(spark, dir, nb, nr)
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) minhashLsh(spark, dir)
-    else spark.read.parquet(candidatesPath(spark, dir))
+    else spark.read.parquet(path)
   }
 
   /** LSH candidate pairs from a prebuilt (doc_id, shingle) frame — lets
@@ -172,9 +190,11 @@ object Dedup {
   /** Parameterized banding — the seam the d26 retune feeds: any
     * (nBands, rowsPerBand) with nBands·rowsPerBand ≤ 18 stays inside
     * the k ≤ 17 double-hashing overflow bound (h1 + 17·h2 < 2^62).
-    * The published d03/d19 artifact stays on the shipped 6×3 default;
-    * a retuned sweep builds its own artifact from
-    * [[chosenBanding]]'s pair.
+    * The published d03/d19 artifacts are built at [[chosenBanding]]'s
+    * pair (banding-keyed paths, so a changed decision rebuilds); the
+    * 6×3 no-arg overload is the shipped default — what a corpus gets
+    * before any calibration has run, and the creation banding of the
+    * streaming curation index.
     */
   private[graft] def minhashBandsOf(sh: DataFrame, nBands: Int,
                                     rowsPerBand: Int): DataFrame = {
@@ -206,9 +226,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-
-  private def minhashLshFrom(sh: DataFrame): DataFrame =
-    bandPairs(minhashBandsOf(sh))
 
   // ─── d25 training-corpus export ──────────────────────────────────────
   /** The end product of the curation pipeline: the document set a
@@ -319,6 +336,21 @@ object Dedup {
         sum(coalesce(col("nb"), lit(0L))).as("sum_bands"))
   }
 
+  /** The exact true-pair Jaccard mixture of the calibration sample,
+    * with NO artifact probe — the leg [[bandRetune]] selects on. The
+    * split matters structurally: the standing candidate artifact is
+    * built at the chosen banding, so the selection must not read the
+    * artifact (choice → artifact → choice would be circular). The
+    * retune scores THEORY curves against this observed mixture;
+    * [[calibrationMix]] (d24/d27) then measures what the published
+    * artifact actually caught.
+    */
+  private def trueMixture(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(calibSample(Tables.documents(spark, dir)))
+      .withColumn("j_bucket", least(lit(9L), floor(col("jaccard") * 10)))
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_true_pairs"))
+
   // ─── d26 automated band retune ───────────────────────────────────────
   /** Conditional fixed-length power chain: base^n as maxN left-
     * associated multiplications where factors beyond n multiply by an
@@ -344,7 +376,12 @@ object Dedup {
     *  - precision gate: mixture-weighted catch over the below-target
     *    buckets (J < 0.5) ≤ 0.25 — without it, 1-row-per-band always
     *    wins on recall while its candidate set degenerates toward the
-    *    cross product.
+    *    cross product;
+    *  - design-floor gates (mixture-independent; see the inline note):
+    *    theoretical catch ≥ 0.95 at the J = 0.75 design point and
+    *    ≤ 0.20 at the J = 0.30 background point — the S-curve SHAPE
+    *    contract that holds even when the observed mixture is
+    *    degenerate (all-dup or all-background samples).
     *
     * Cost = hash count b·r, then band count b (shuffle rows per doc),
     * then r — a total order, so `is_chosen` marks exactly one row when
@@ -366,7 +403,7 @@ object Dedup {
     * which runs on a sample corpus by design (the d24 contract).
     */
   def bandRetune(spark: SparkSession, dir: String): DataFrame = {
-    val mix = calibrationMix(spark, dir).select(col("j_bucket"), col("n_true_pairs"))
+    val mix = trueMixture(spark, dir)
     val grid = spark.range(1, 19).select(col("id").as("n_bands"))
       .crossJoin(spark.range(1, 9).select(col("id").as("n_rows")))
       .filter(col("n_bands") * col("n_rows") <= 18L)
@@ -383,10 +420,36 @@ object Dedup {
       sum(when(col("j_bucket") < 5, col("n_true_pairs") * col("recall_ppb"))
         .otherwise(0L)).as("num_l"),
       sum(when(col("j_bucket") < 5, col("n_true_pairs")).otherwise(0L)).as("den_l"))
-    val flagged = sel.withColumn("passes",
+    // DESIGN-FLOOR gates (mixture-INDEPENDENT, pure S-curve theory at
+    // two fixed operating points): the mixture gates alone degenerate
+    // on a dup-heavy corpus — when every observed true pair sits at
+    // J≈1 and none below 0.5, the weighted-recall gate passes even a
+    // 1-hash banding (catch = J: no superlinear low-J suppression at
+    // all) and the precision gate is vacuously true, so "cheapest
+    // passing" selects r=1 and the standing index's J=0.75 recall
+    // silently drops to 75%. The floor pins the curve SHAPE the
+    // near-dup contract needs regardless of what the sample happened
+    // to contain: ≥95% catch at the J=0.75 design point, ≤20% catch at
+    // the J=0.30 background point. Same condPow fixed-order chains →
+    // ppb floor → integer compares as the mixture leg (bit-identical
+    // in the oracle); both floors together eliminate every r=1 banding
+    // and every r=2 banding wide enough to clear the recall floor, so
+    // the cheapest survivor of the 18-hash family is the shipped 6×3.
+    val withFloor = sel
+      .withColumn("p75", condPow(lit(0.75), col("n_rows"), 8))
+      .withColumn("rec75_ppb",
+        floor((lit(1.0) - condPow(lit(1.0) - col("p75"), col("n_bands"), 18))
+          * lit(1000000000.0)).cast("long"))
+      .withColumn("p30", condPow(lit(0.3), col("n_rows"), 8))
+      .withColumn("catch30_ppb",
+        floor((lit(1.0) - condPow(lit(1.0) - col("p30"), col("n_bands"), 18))
+          * lit(1000000000.0)).cast("long"))
+    val flagged = withFloor.withColumn("passes",
       col("den_t") > 0L &&
         col("num_t") * 10L >= col("den_t") * 9000000000L &&
-        (col("den_l") === 0L || col("num_l") * 4L <= col("den_l") * 1000000000L))
+        (col("den_l") === 0L || col("num_l") * 4L <= col("den_l") * 1000000000L) &&
+        col("rec75_ppb") >= 950000000L &&
+        col("catch30_ppb") <= 200000000L)
     // rank on the 47-row candidate frame — the q38 tiny-frame rule
     val byCost = Window.orderBy(col("passes").desc,
       (col("n_bands") * col("n_rows")).asc, col("n_bands").asc, col("n_rows").asc)
@@ -402,6 +465,8 @@ object Dedup {
         when(col("den_l") > 0L,
           col("num_l").cast("double") / (col("den_l").cast("double") * lit(1.0e9)))
           .as("low_j_catch"),
+        (col("rec75_ppb").cast("double") / lit(1.0e9)).as("design_recall_75"),
+        (col("catch30_ppb").cast("double") / lit(1.0e9)).as("design_catch_30"),
         col("passes"),
         (col("passes") && col("rk") === 1).as("is_chosen"))
   }
@@ -454,7 +519,13 @@ object Dedup {
     val sampled = calibSample(Tables.documents(spark, dir))
     val exact = ngramJaccardOf(sampled)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val candDef = candidates(spark, dir)
+    // the default side is an explicit sampled-corpus 6×3 rebuild (NOT
+    // the published artifact — that is now built at the CHOSEN banding,
+    // which would make the A/B compare chosen against itself). On
+    // sampled pairs this equals what a full 6×3 artifact would catch:
+    // pair candidacy is pairwise (RetuneSpec pins the property)
+    val candDef = bandPairs(minhashBandsOf(
+        wordShinglesOf(sampled, withLang = false, dedup = false), 6, 3))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit_d"))
     val candC = bandPairs(minhashBandsOf(
         wordShinglesOf(sampled, withLang = false, dedup = false), nb, nr))
@@ -762,21 +833,24 @@ object Dedup {
     * the round-3 shape, where d08/d09 each re-paid the verify pass d07
     * had just run. Fingerprint-keyed to the source like the candidates.
     */
-  private def verifiedPath(spark: SparkSession, dir: String): String = {
+  private def verifiedPath(spark: SparkSession, dir: String,
+                           nBands: Int, rowsPerBand: Int): String = {
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${spark.conf.get("spark.sql.warehouse.dir")}/verified_pairs/" +
-      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+      s"src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}" +
+      s"_b${nBands}r$rowsPerBand" // derived from the candidates: same key rule
   }
 
   /** Build + publish the verified-pair artifact: candidate pairs (their
-    * artifact, build-if-missing) → exact Jaccard on the candidate slice
-    * → pairs with jaccard ≥ 0.5, stage-published. Carries the whole
-    * verification cost; returns the published frame.
+    * artifact, build-if-missing, at the chosen banding) → exact Jaccard
+    * on the candidate slice → pairs with jaccard ≥ 0.5, stage-published.
+    * Carries the whole verification cost; returns the published frame.
     */
   private def buildVerified(spark: SparkSession, dir: String): DataFrame = {
+    val (nb, nr) = chosenBanding(spark, dir)
     val cand = candidates(spark, dir).persist()
     val (verified, shSets) = verifyPairs(spark, dir, cand, minJaccard = 0.5)
-    val path = verifiedPath(spark, dir)
+    val path = verifiedPath(spark, dir, nb, nr)
     graft.sources.Sinks.stagePublish(
       verified.select(col("doc_a"), col("doc_b"), col("jaccard")), path)
     cand.unpersist(false)
@@ -785,13 +859,16 @@ object Dedup {
   }
 
   /** Published verified pairs, building the artifact iff missing (a
-    * fresh session running d08/d09 standalone).
+    * fresh session running d08/d09 standalone, or a changed banding
+    * decision — the banding keys this path like the candidates').
     */
   private def verifiedPairsArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(verifiedPath(spark, dir))
+    val (nb, nr) = chosenBanding(spark, dir)
+    val path = verifiedPath(spark, dir, nb, nr)
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) buildVerified(spark, dir)
-    else spark.read.parquet(verifiedPath(spark, dir))
+    else spark.read.parquet(path)
   }
 
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -865,9 +942,11 @@ object Dedup {
   def shardProbe(corpusDocs: DataFrame, shardDocs: DataFrame,
                  corpusBands: DataFrame,
                  corpusSets: Option[DataFrame] = None,
-                 shardPrebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                 shardPrebuilt: Option[(DataFrame, DataFrame)] = None,
+                 banding: (Int, Int) = (6, 3)): DataFrame = {
     val (report, shSets) =
-      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets, shardPrebuilt)
+      shardProbeFrame(corpusDocs, shardDocs, corpusBands, corpusSets,
+        shardPrebuilt, banding)
     // the verify stage persists its per-doc shingle arrays (they feed
     // both join sides); the report is tiny, so materialize it eagerly
     // and release the intermediate before returning — the
@@ -891,9 +970,14 @@ object Dedup {
                                      // ingestShardCore publishes its tiers first and probes the
                                      // read-back, so the shard's text is exploded twice per tick
                                      // (once per tier write), not four times
-                                     shardPrebuilt: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame) = {
+                                     shardPrebuilt: Option[(DataFrame, DataFrame)] = None,
+                                     // MUST match the banding `corpusBands` was built with —
+                                     // bands of different (b, r) never bucket-collide, so a
+                                     // mismatch silently probes nothing
+                                     banding: (Int, Int) = (6, 3)): (DataFrame, DataFrame) = {
     val shardBands = shardPrebuilt.map(_._1)
-      .getOrElse(minhashBandsOf(wordShinglesOf(shardDocs, dedup = false)))
+      .getOrElse(minhashBandsOf(wordShinglesOf(shardDocs, dedup = false),
+        banding._1, banding._2))
     // shard bands vs (corpus ∪ shard) bands: shard×corpus pairs appear
     // once, shard×shard twice (both orientations) — least/greatest +
     // distinct normalizes to the same unordered pair set a full
@@ -939,9 +1023,12 @@ object Dedup {
     * arbitrary documents frame — the full-rebuild reference DedupSpec
     * compares the incremental shard path against.
     */
-  private[graft] def removalSetOf(docs: DataFrame): DataFrame = {
+  private[graft] def removalSetOf(docs: DataFrame,
+                                  banding: (Int, Int) = (6, 3)): DataFrame = {
     val (verified, shSets) = verifyPairsOf(docs,
-      minhashLshFrom(wordShinglesOf(docs, dedup = false)), minJaccard = 0.5)
+      bandPairs(minhashBandsOf(
+        wordShinglesOf(docs, dedup = false), banding._1, banding._2)),
+      minJaccard = 0.5)
     val out = verified.select(col("doc_b")).distinct().localCheckpoint()
     shSets.unpersist(false)
     out
@@ -952,10 +1039,12 @@ object Dedup {
     * like every artifact. "holdout5" marks the split spec — a real
     * deployment keys this by corpus snapshot.
     */
-  private def corpusBandsPath(spark: SparkSession, dir: String): String = {
+  private def corpusBandsPath(spark: SparkSession, dir: String,
+                              nBands: Int, rowsPerBand: Int): String = {
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${spark.conf.get("spark.sql.warehouse.dir")}/lsh_bands/" +
-      s"holdout5src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}"
+      s"holdout5src${dirKey}_${Tables.sourceKey(spark, s"$dir/documents.parquet")}" +
+      s"_b${nBands}r$rowsPerBand"
   }
 
   /** Shingle-array sibling of [[corpusBandsPath]] — the standing
@@ -985,17 +1074,21 @@ object Dedup {
     val corpus = docs.filter(!isShard)
     val shard = docs.filter(isShard)
     val conf = spark.sessionState.newHadoopConf()
-    val bandsP = corpusBandsPath(spark, dir)
+    // the standing band index follows the d26 decision, like the d03
+    // candidates (banding-keyed path: a changed decision is a fresh
+    // index build, never a mixed-banding probe)
+    val (nb, nr) = chosenBanding(spark, dir)
+    val bandsP = corpusBandsPath(spark, dir, nb, nr)
     if (!new org.apache.hadoop.fs.Path(bandsP).getFileSystem(conf)
           .exists(new org.apache.hadoop.fs.Path(bandsP)))
       graft.sources.Sinks.stagePublish(
-        minhashBandsOf(wordShinglesOf(corpus, dedup = false)), bandsP)
+        minhashBandsOf(wordShinglesOf(corpus, dedup = false), nb, nr), bandsP)
     val setsP = corpusSetsPath(spark, dir)
     if (!new org.apache.hadoop.fs.Path(setsP).getFileSystem(conf)
           .exists(new org.apache.hadoop.fs.Path(setsP)))
       graft.sources.Sinks.stagePublish(shingleSetsOf(corpus), setsP)
     shardProbe(corpus, shard, spark.read.parquet(bandsP),
-      Some(spark.read.parquet(setsP)))
+      Some(spark.read.parquet(setsP)), banding = (nb, nr))
   }
 
   // ─── growing-index shard ingest (the composed daily-DAG primitive) ───
@@ -1039,7 +1132,47 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     ingestShardCore(
       docs.filter(pmod(col("doc_id"), lit(nShards.toLong)) === shardId),
-      indexDir, shardId.toString)
+      indexDir, shardId.toString,
+      // the banding chosen at the time the index is CREATED; once the
+      // index exists its own `_banding` meta wins (see indexBanding)
+      creationBanding = chosenBanding(spark, dir))
+  }
+
+  /** The growing index's banding, pinned at creation: the first ingest
+    * writes `<indexDir>/_banding` (atomic create-then-rename) and every
+    * later tick reads it — band rows of different (b, r) never
+    * bucket-collide, so an index MUST keep one banding for its whole
+    * life even if the d26 decision changes underneath (a re-decision
+    * means a new index build, exactly like the d03 artifact's
+    * banding-keyed path). The underscore name keeps the meta file
+    * invisible to every parquet listing over the index.
+    */
+  private def indexBanding(spark: SparkSession, indexDir: String,
+                           creation: (Int, Int)): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_banding")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try {
+        val Array(b, r) = scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.split(" ")
+        (b.toInt, r.toInt)
+      } finally in.close()
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$indexDir/_banding_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(s"${creation._1} ${creation._2}".getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, p)) fs.delete(tmp, true) // concurrent creator won
+      // re-read: whoever won the rename defines the index's banding
+      val in = fs.open(p)
+      try {
+        val Array(b, r) = scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.split(" ")
+        (b.toInt, r.toInt)
+      } finally in.close()
+    }
   }
 
   /** Shard-frame core of [[shardIngest]]: probe an ARBITRARY shard
@@ -1051,9 +1184,11 @@ object Dedup {
     * streaming micro-batch (the CurationStream "b<batchId>" keys).
     */
   private[graft] def ingestShardCore(shard: DataFrame, indexDir: String,
-                                     shardKey: String): DataFrame = {
+                                     shardKey: String,
+                                     creationBanding: (Int, Int) = (6, 3)): DataFrame = {
     val spark = shard.sparkSession
     val conf = spark.sessionState.newHadoopConf()
+    val (nb, nr) = indexBanding(spark, indexDir, creationBanding)
     val bandsDir = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
     val fs = bandsDir.getFileSystem(conf)
     // published shards = the shard=<key> partitions already on disk,
@@ -1065,7 +1200,8 @@ object Dedup {
         .filter(_ != shardKey).sorted
     val emptyDocs = shard.filter(lit(false))
     val standingBands =
-      if (published.isEmpty) minhashBandsOf(wordShinglesOf(emptyDocs, dedup = false))
+      if (published.isEmpty)
+        minhashBandsOf(wordShinglesOf(emptyDocs, dedup = false), nb, nr)
       else spark.read.parquet(published.map(k => s"$indexDir/bands/shard=$k"): _*)
     val standingSets =
       if (published.isEmpty) None
@@ -1080,10 +1216,11 @@ object Dedup {
     val bandsP = s"$indexDir/bands/shard=$shardKey"
     val setsP = s"$indexDir/sets/shard=$shardKey"
     graft.sources.Sinks.stagePublish(
-      minhashBandsOf(wordShinglesOf(shard, dedup = false)), bandsP)
+      minhashBandsOf(wordShinglesOf(shard, dedup = false), nb, nr), bandsP)
     graft.sources.Sinks.stagePublish(shingleSetsOf(shard), setsP)
     val report = shardProbe(emptyDocs, shard, standingBands, standingSets,
-      shardPrebuilt = Some((spark.read.parquet(bandsP), spark.read.parquet(setsP))))
+      shardPrebuilt = Some((spark.read.parquet(bandsP), spark.read.parquet(setsP))),
+      banding = (nb, nr))
     graft.sources.Sinks.stagePublish(report, s"$indexDir/removals/shard=$shardKey")
     report
   }
@@ -1706,11 +1843,21 @@ object Dedup {
       |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_l,
       |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_l
       |  FROM t GROUP BY 1, 2),
+      |th AS (
+      |  SELECT *, ${condPowSql("CAST(0.75 AS DOUBLE)", "n_rows", 8)} AS p75,
+      |            ${condPowSql("CAST(0.3 AS DOUBLE)", "n_rows", 8)} AS p30
+      |  FROM sel),
+      |th2 AS (
+      |  SELECT *,
+      |         CAST(floor((1.0 - ${condPowSql("(1.0 - p75)", "n_bands", 18)}) * 1000000000.0) AS BIGINT) AS rec75_ppb,
+      |         CAST(floor((1.0 - ${condPowSql("(1.0 - p30)", "n_bands", 18)}) * 1000000000.0) AS BIGINT) AS catch30_ppb
+      |  FROM th),
       |fl AS (
       |  SELECT *,
       |         (den_t > 0 AND num_t * 10 >= den_t * 9000000000
-      |          AND (den_l = 0 OR num_l * 4 <= den_l * 1000000000)) AS passes
-      |  FROM sel),
+      |          AND (den_l = 0 OR num_l * 4 <= den_l * 1000000000)
+      |          AND rec75_ppb >= 950000000 AND catch30_ppb <= 200000000) AS passes
+      |  FROM th2),
       |rk AS (
       |  SELECT *, row_number() OVER
       |           (ORDER BY passes DESC, n_bands * n_rows, n_bands, n_rows) AS rnk
@@ -1887,6 +2034,8 @@ object Dedup {
         |            THEN CAST(num_t AS DOUBLE) / (CAST(den_t AS DOUBLE) * 1000000000.0) END AS target_recall,
         |       CASE WHEN den_l > 0
         |            THEN CAST(num_l AS DOUBLE) / (CAST(den_l AS DOUBLE) * 1000000000.0) END AS low_j_catch,
+        |       CAST(rec75_ppb AS DOUBLE) / 1000000000.0 AS design_recall_75,
+        |       CAST(catch30_ppb AS DOUBLE) / 1000000000.0 AS design_catch_30,
         |       passes, (passes AND rnk = 1) AS is_chosen
         |FROM rk""".stripMargin),
     "d27_retuned_calibration" ->

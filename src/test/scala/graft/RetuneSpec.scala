@@ -32,11 +32,18 @@ class RetuneSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(mix.nonEmpty)
 
-    // plain-Scala replay of the operator's fixed-point arithmetic
-    case class Score(numT: Long, denT: Long, numL: Long, denL: Long) {
+    // plain-Scala replay of the operator's fixed-point arithmetic,
+    // design-floor gates included (theory at J=0.75 / J=0.30)
+    case class Score(numT: Long, denT: Long, numL: Long, denL: Long,
+                     rec75Ppb: Long, catch30Ppb: Long) {
       def passes: Boolean =
         denT > 0 && numT * 10 >= denT * 9000000000L &&
-          (denL == 0 || numL * 4 <= denL * 1000000000L)
+          (denL == 0 || numL * 4 <= denL * 1000000000L) &&
+          rec75Ppb >= 950000000L && catch30Ppb <= 200000000L
+    }
+    def floorPpb(j: Double, b: Long, r: Long): Long = {
+      val p = condPow(j, r, 8)
+      math.floor((1.0 - condPow(1.0 - p, b, 18)) * 1000000000.0).toLong
     }
     val scores = grid.map { case (b, r) =>
       var (numT, denT, numL, denL) = (0L, 0L, 0L, 0L)
@@ -48,7 +55,8 @@ class RetuneSpec extends AnyFunSuite {
         if (bucket >= 5) { numT += n * ppb; denT += n }
         else { numL += n * ppb; denL += n }
       }
-      (b, r) -> Score(numT, denT, numL, denL)
+      (b, r) -> Score(numT, denT, numL, denL,
+        floorPpb(0.75, b, r), floorPpb(0.3, b, r))
     }.toMap
 
     val expectChosen = grid.filter(g => scores(g).passes)
