@@ -293,7 +293,13 @@ object Dedup {
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
     val agg = calibrationMix(spark, dir)
     // theory at the bucket midpoint, in the same scalar op order as the
-    // oracle (left-associated products — bit-identical doubles)
+    // oracle (left-associated products — bit-identical doubles).
+    // The 6/3 constants are the CHOSEN banding's: since round 9 the
+    // published candidate artifact follows the d26 decision, and the
+    // design-floor gates make 6×3 the unique survivor of the 18-hash
+    // family (the d26 oracle proves the derivation), so the theory
+    // columns and the probed artifact agree; a corpus whose retune
+    // chose differently would update these constants with the oracle's
     val jMid = (col("j_bucket").cast("double") + 0.5) / 10.0
     agg
       .withColumn("j_mid", jMid)
@@ -494,10 +500,10 @@ object Dedup {
   /** Closes the retune loop operationally: build candidates with the
     * d26-CHOSEN banding and report, per exact-Jaccard decile of the
     * SAME sampled mixture, how the chosen banding's empirical recall
-    * compares with the shipped 6×3 artifact's — the side-by-side an
-    * operator reads before swapping the production banding. Today's
-    * synthetic mixture chooses 6×3 itself (d26's gates), so the report
-    * also acts as a self-check: when chosen == default the two catch
+    * compares with the shipped 6×3's — the side-by-side an operator
+    * reads before swapping the production banding. Under the
+    * design-floor gates 6×3 is the unique survivor on this corpus, so
+    * the report also acts as a self-check: when chosen == default the two catch
     * columns must be IDENTICAL (pair candidacy is pairwise — signatures
     * depend only on a doc's own shingles — so the full-corpus artifact
     * and the sampled-corpus rebuild agree on sampled pairs; RetuneSpec

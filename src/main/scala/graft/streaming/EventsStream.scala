@@ -226,6 +226,27 @@ object EventsStream {
     }
   }
 
+  /** CHAINED continuous census — the stream-stream time-interval join
+    * feeding a time-window aggregation inside ONE streaming query, the
+    * multiple-stateful-operator chain Structured Streaming supports
+    * since Spark 3.5 (SPARK-42376 lifted the global-watermark check
+    * that previously rejected it; the foreachBatch census above
+    * predates that and remains the replay-idempotent
+    * at-least-once-file shape). The census is per purchase-hour
+    * window × gap bucket; Append mode emits each window's counts once
+    * its watermark closes, so a downstream sink sees immutable rows.
+    * State stays bounded on both operators: the join buffers at most
+    * the 1-hour click interval + 2-hour watermark slack per side, the
+    * aggregation at most the open windows. On static frames both
+    * stages degrade to their batch forms — the function is its own
+    * batch twin (asserted in StreamingSpec across multiple triggers).
+    */
+  def attributionCensusChained(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    gapBuckets(purchaseClickJoin(clicks, purchases))
+      .groupBy(window(col("purchase_ts"), "1 hour").as("w"), col("gap_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("w.start").as("window_start"), col("gap_bucket"), col("n_pairs"))
+
   /** The standing census after any number of triggers — an EMPTY census
     * (zero rows) before the first trigger has committed, never an error.
     * Serving rule (see [[attributionCensusStart]]): the newest
