@@ -783,6 +783,111 @@ object Similarity {
     array(signedPermOf(dim).map { case (src, sgn) =>
       element_at(r, src + 1) * lit(sgn.toDouble) }: _*)
 
+  // ─── learned OPQ rotation (PCA + eigenvalue allocation) ──────────────
+  /** LEARNED OPQ rotation — the non-iterative "parametric" variant of
+    * the OPQ paper (Ge et al., CVPR'13 §4: for near-Gaussian residuals
+    * the optimal product-quantization rotation is PCA followed by
+    * EIGENVALUE ALLOCATION — distribute principal directions across
+    * the M subspaces so each subspace's variance product balances,
+    * instead of letting a few dominant directions land in one slice).
+    * This is the data-dependent upgrade the [[signedPermOf]] seam was
+    * built for: a signed permutation re-balances AXIS-ALIGNED skew
+    * only; when the dominant variance directions are rotated off-axis
+    * (correlated dims), only a learned basis can decorrelate them.
+    *
+    * Algorithm: (1) residual covariance via a DISTRIBUTED decimal-sum
+    * aggregation — per-(i,j) cells sum exact `decimal(27,12)` products
+    * so the matrix is bit-identical at any partitioning (a plain
+    * double sum would make the learned basis run-dependent); at scale
+    * the covariance runs on a deterministic md5-permille sample (d²
+    * cells need O(d²) rows, not the corpus); (2) driver-side `eigSym`
+    * of the d×d matrix (d is small — this is the one legitimately
+    * driver-sized object in the pipeline, like a codebook); each
+    * eigenvector sign-fixed (largest-|component| entry positive) to
+    * kill the ±v ambiguity; (3) greedy eigenvalue allocation: visit
+    * eigenvalues descending, assign each to the unfilled subspace with
+    * the smallest log-variance sum. Returns the rotation rows (target
+    * position → source-basis vector, subspace-0 rows first). Rows are
+    * orthonormal, so the transform preserves L2 exactly like the
+    * signed permutation (PqLearnedSpec pins orthogonality, norm
+    * preservation, a strict error win over BOTH plain slicing and the
+    * signed permutation on an off-axis-correlated corpus, and
+    * byte-determinism across calls).
+    *
+    * Deliberately OUTSIDE the oracle discipline (spec-tier, like the
+    * signed permutation): eigendecomposition is not replayable in SQL.
+    */
+  private[graft] def opqRotationOf(resid: DataFrame, dim: Int,
+                                   m: Int = pqSubspaces,
+                                   samplePermille: Int = 1000): Seq[Array[Double]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sampled =
+      if (samplePermille >= 1000) resid
+      else resid.filter(
+        conv(substring(md5(concat_ws("_", col("vec_id"), lit("opq"))), 1, 4), 16, 10)
+          .cast("long") % 1000 < samplePermille)
+    // covariance cells: sum_v r_i·r_j as exact decimals — d² rows out
+    val cells = sampled
+      .select(col("r"), posexplode(col("r")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("r")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i")) // symmetric: compute the upper triangle once
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("vi") * col("vj")).cast("decimal(27,12)")).cast("double").as("c"))
+      .collect()
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    cells.foreach { row =>
+      val (i, j, c) = (row.getInt(0), row.getInt(1), row.getDouble(2))
+      cov(i, j) = c; cov(j, i) = c
+    }
+    val es = breeze.linalg.eigSym(cov)
+    // breeze returns eigenvalues ascending; visit descending
+    val order = (0 until dim).sortBy(k => -es.eigenvalues(k))
+    val vecs: Seq[(Double, Array[Double])] = order.map { k =>
+      val v = Array.tabulate(dim)(i => es.eigenvectors(i, k))
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i)) // deterministic
+      val fixed = if (v(pivot) < 0) v.map(-_) else v
+      (math.max(es.eigenvalues(k), 1e-12), fixed)
+    }
+    // greedy eigenvalue allocation: next (largest remaining) direction
+    // goes to the unfilled subspace with the smallest log-variance sum
+    val cap = dim / m
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    val logSum = Array.fill(m)(0.0)
+    vecs.foreach { case (lambda, v) =>
+      val tgt = (0 until m).filter(buckets(_).size < cap)
+        .minBy(b => (logSum(b), b))
+      buckets(tgt) += v
+      logSum(tgt) += math.log(lambda)
+    }
+    buckets.toSeq.flatMap(_.toSeq)
+  }
+
+  /** Apply a learned rotation (rows from [[opqRotationOf]]) to an
+    * array<double> column: target position j = ⟨row_j, r⟩.
+    */
+  private[graft] def rotateByMatrix(r: Column, rot: Seq[Array[Double]]): Column =
+    array(rot.map(row => dot(r, array(row.map(lit(_)): _*))): _*)
+
+  /** [[pqResidualSubs]] with the LEARNED rotation applied before
+    * slicing — the OPQ seam's data-dependent tier (spec-only; the
+    * shipped oracle tier stays unrotated, see pqResidualSubs docs).
+    */
+  private[graft] def pqResidualSubsLearned(e: DataFrame, assign: DataFrame,
+                                           codebook: DataFrame,
+                                           rot: Seq[Array[Double]]): DataFrame = {
+    val resid = e.join(assign, Seq("vec_id"))
+      .join(broadcast(codebook), Seq("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("emb"), col("c_emb"), (a, b) => a - b).as("r"))
+    val dim = rot.size
+    val subLen = dim / pqSubspaces
+    resid.select(col("vec_id"), rotateByMatrix(col("r"), rot).as("r"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        slice(col("r"), (col("m") * subLen + 1).cast("int"), lit(subLen)).as("rm"))
+  }
+
   /** Code-width-parameterized trainer over any residual-subvector frame
     * (vec_id, m, rm) — seed → E → M → final E, the pqBuild recipe
     * without the artifact plumbing. This is where the 8-bit production
