@@ -488,13 +488,22 @@ object Dedup {
     * re-running the calibration mixture. Falls back to the shipped 6×3
     * when no banding clears both gates (the artifact is then empty).
     */
+  // session-lifetime memo keyed by the FINGERPRINTED artifact path: a
+  // corpus change changes the key, so the memo can never serve a stale
+  // decision, and every same-corpus consumer after the first skips the
+  // per-call 1-row artifact read (six bench queries pay it otherwise)
+  private val bandingMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
   def chosenBanding(spark: SparkSession, dir: String): (Int, Int) =
-    graft.sources.Sinks.ensureArtifact(spark, "band_choice", dir) {
-      bandRetune(spark, dir).filter(col("is_chosen"))
-        .select(col("n_bands"), col("n_rows"))
-    }.collect()
-      .headOption.map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
-      .getOrElse((6, 3))
+    bandingMemo.computeIfAbsent(
+      graft.sources.Sinks.artifactPath(spark, "band_choice", dir),
+      _ => graft.sources.Sinks.ensureArtifact(spark, "band_choice", dir) {
+        bandRetune(spark, dir).filter(col("is_chosen"))
+          .select(col("n_bands"), col("n_rows"))
+      }.collect()
+        .headOption.map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+        .getOrElse((6, 3)))
 
   // ─── d27 retuned-banding A/B calibration ─────────────────────────────
   /** Closes the retune loop operationally: build candidates with the
