@@ -92,6 +92,42 @@ class SourcesSpec extends AnyFunSuite {
       !core.map(_.table).exists(_.startsWith("mart_")))
   }
 
+  test("concurrent build-if-missing probes degrade to one winner, never a torn path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_claimrace").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // both probes released together so their exists-checks race: both
+    // build, exactly one claims the final name by no-overwrite rename,
+    // the loser deletes its staging and reads the winner
+    val start = new java.util.concurrent.CountDownLatch(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def task = new java.util.concurrent.Callable[Seq[(Long, String)]] {
+      def call(): Seq[(Long, String)] = {
+        start.countDown()
+        start.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        Sinks.ensureArtifact(spark, "probe_race", dir) {
+          Seq((42L, "payload")).toDF("k", "v")
+        }.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      }
+    }
+    try {
+      val (f1, f2) = (pool.submit(task), pool.submit(task))
+      assert(f1.get() == Seq((42L, "payload")))
+      assert(f2.get() == Seq((42L, "payload")))
+    } finally pool.shutdown()
+    // cleanliness: the family holds the one claimed artifact and no
+    // orphaned probe staging dirs
+    val fam = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/probe_race")
+    val fs = fam.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val children = fs.listStatus(fam).map(_.getPath.getName).toSeq
+      .filter(_.contains(dirKey)) // other runs' temp-dir artifacts share the family
+    assert(children.size == 1 && !children.head.contains("_probe_"),
+      s"family dir not clean after the race: $children")
+  }
+
   test("sourceKey fingerprint changes when the source file is regenerated") {
     val f = java.nio.file.Files.createTempFile("graft_srckey", ".parquet")
     java.nio.file.Files.writeString(f, "first generation")

@@ -225,6 +225,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map("<=5m" -> 4L))
   }
 
+  test("census serving rule reads every compaction crash window consistently") {
+    import spark.implicits._
+    // manufacture the on-disk states a crash can leave, without a
+    // stream: parts batch=0..4 each carrying one <=5m pair
+    val dir = java.nio.file.Files.createTempDirectory("graft_census_crash").toString
+    def writePart(id: Long): Unit =
+      Seq(("<=5m", 1L)).toDF("gap_bucket", "n_pairs")
+        .write.mode("overwrite").parquet(s"$dir/census/batch=$id")
+    (0L to 4L).foreach(writePart)
+    def served: Map[String, Long] =
+      EventsStream.servedAttributionCensus(spark, dir).collect()
+        .map(r => r.getAs[String]("gap_bucket") -> r.getAs[Long]("n_pairs")).toMap
+    assert(served == Map("<=5m" -> 5L))
+    // CRASH WINDOW 1: base v=3 published (covers parts 0-3) but the
+    // delete sweep never ran — covered parts still on disk. The rule
+    // (newest base wins, parts <= v ignored) must not double count.
+    Seq(("<=5m", 4L)).toDF("gap_bucket", "n_pairs")
+      .write.mode("overwrite").parquet(s"$dir/census_base/v=3")
+    assert(served == Map("<=5m" -> 5L), "covered parts double-counted")
+    // CRASH WINDOW 2: sweep died mid-delete — SOME covered parts gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/census/batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/census/batch=3"), true)
+    assert(served == Map("<=5m" -> 5L), "partial sweep changed the census")
+    // CRASH WINDOW 3: a NEWER base lands (covers 0-4) with the old base
+    // and stale parts still present — newest base alone must win
+    Seq(("<=5m", 5L)).toDF("gap_bucket", "n_pairs")
+      .write.mode("overwrite").parquet(s"$dir/census_base/v=4")
+    assert(served == Map("<=5m" -> 5L), "newest-base-wins rule broken")
+    // and new post-compaction parts stack on top of the newest base
+    writePart(5L)
+    assert(served == Map("<=5m" -> 6L))
+  }
+
   test("purchaseClickJoin pairs reproduce the batch e10 counts on a replayed feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
