@@ -122,7 +122,18 @@ object Pipeline {
     * anything else by a read-probe of its parquet footer. Returns the
     * registered names in sorted order.
     */
-  def registerWarehouse(spark: SparkSession, outDir: String): Seq[String] = {
+  def registerWarehouse(spark: SparkSession, outDir: String): Seq[String] =
+    listPublishedTables(spark, outDir).filter { n =>
+      scala.util.Try {
+        spark.read.parquet(s"$outDir/$n").createOrReplaceTempView(n)
+      }.isSuccess
+    }
+
+  /** The directory-to-table rule both registration surfaces share:
+    * a published table is a non-underscore-prefixed directory under
+    * the warehouse root whose parquet footer reads. Sorted names.
+    */
+  private def listPublishedTables(spark: SparkSession, outDir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root),
@@ -132,11 +143,53 @@ object Pipeline {
       .map(_.getPath.getName)
       .filterNot(_.startsWith("_"))
       .sorted
-      .filter { n =>
-        scala.util.Try {
-          spark.read.parquet(s"$outDir/$n").createOrReplaceTempView(n)
-        }.isSuccess
-      }
+  }
+
+  /** Catalog-backed registration — the persistent-metastore deployment
+    * story [[registerWarehouse]]'s temp views can't give: each published
+    * artifact becomes an EXTERNAL table (`USING parquet LOCATION`) in
+    * `database`, so the warehouse is queryable from every session that
+    * shares the catalog (and, under a Hive metastore, from every
+    * APPLICATION) with zero per-session setup — the reference's
+    * BigQuery-dataset consumption model (load.py publishes datasets
+    * any authorized client queries; bigquery_schema.sql is the DDL).
+    *
+    * Semantics chosen for the republish cycle:
+    *  - EXTERNAL (location-pinned), so registration never copies data
+    *    and `DROP TABLE` never deletes the parquet — the pipeline owns
+    *    the files, the catalog only points at them;
+    *  - re-registration is drop-then-create, because the catalog pins
+    *    the schema it inferred at CREATE time: a republished artifact
+    *    with a drifted schema would otherwise keep serving the STALE
+    *    column list forever (the exact failure mode
+    *    [[schemaContracts]] exists to catch). Drop+create re-infers.
+    *
+    * Like the view path this is metadata-only — no scan until a query
+    * runs, and pruning/pushdown reach the files through the catalog
+    * relation identically. Returns the registered names sorted; callers
+    * typically follow with `spark.sql(s"USE $database")` so the
+    * reference SQL's unqualified table names resolve (NB: a same-named
+    * TEMP VIEW in a session still shadows the catalog table there —
+    * new sessions have none, which is the point).
+    */
+  def registerWarehouseCatalog(spark: SparkSession, outDir: String,
+                               database: String = "graft"): Seq[String] = {
+    require(database.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"registerWarehouseCatalog: unsafe database name: $database")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    val conf = spark.sessionState.newHadoopConf()
+    listPublishedTables(spark, outDir).filter { n =>
+      scala.util.Try {
+        // probe the footer BEFORE touching the catalog so a non-table
+        // directory never leaves a half-registered entry behind
+        spark.read.parquet(s"$outDir/$n").schema
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$n")
+        val loc = p.getFileSystem(conf).makeQualified(p).toUri.toString
+        spark.sql(s"DROP TABLE IF EXISTS `$database`.`$n`")
+        spark.sql(
+          s"CREATE TABLE `$database`.`$n` USING parquet LOCATION '$loc'")
+      }.isSuccess
+    }
   }
 
   /** Pre-run gate for the curation build (validate_extract analog over

@@ -26,6 +26,14 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.tools.ScaleBench <reps> <dir>=<sf> <dir>=<sf>... [-- names...]
   * Prints one JSON line (SCALEBENCH ...) consumed by SCALE.md.
+  *
+  * `GRAFT_SCALE_MASTER` (default `local[32]`) overrides the master so
+  * the SAME harness measures the other scaling axis — STRONG scaling:
+  * fix the data point, vary the core count (`local[4]`, `local[8]`,
+  * ...), and the per-query speedup curve shows whether the plans
+  * actually parallelize (shuffle-partitioned work should approach
+  * t ∝ 1/cores until fixed overhead dominates) or secretly serialize
+  * on a driver-side or single-partition step.
   */
 object ScaleBench {
 
@@ -59,8 +67,9 @@ object ScaleBench {
     }.sortBy(_._2)
     require(points.size >= 2, "need at least two <dir>=<sf> points")
     val names = if (nameArgs.length > 1) nameArgs.drop(1).toSeq else defaultNames
+    val master = sys.env.getOrElse("GRAFT_SCALE_MASTER", "local[32]")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
