@@ -231,17 +231,24 @@ object Similarity {
     */
   val defaultCells = 16
 
-  /** √n-adaptive codebook size: k = ⌊√n⌋ clamped to [1, 256] — the
+  /** √n-adaptive codebook size: k = ⌊√n⌋ clamped to [1, 4096] — the
     * balance point where per-query work (k centroid scorings + n/k
-    * cell members) is minimized for nprobe=1. Derivable from the
-    * corpus count alone, so any engine replays the choice (the q48
-    * oracle computes the same k in SQL); the clamp bounds broadcast
-    * codebook size. k=16 stays the deterministic default — adaptive
-    * sizing is the production path for corpora whose n the operator
-    * doesn't hand-tune.
+    * cell members) is minimized for nprobe=1, and where the SEMANTIC
+    * family's total cost (build 2·n·k + within-cell pairs n²/k) hits
+    * its flat-IVF optimum Θ(n^1.5). Derivable from the corpus count
+    * alone, so any engine replays the choice (the q48 oracle computes
+    * the same k in SQL); the clamp bounds the broadcast codebook
+    * (4096 × dim doubles ≈ 2 MB at dim 64 — a deliberate guard, NOT a
+    * tuning default: past n = 16.7M the clamp re-linearizes k and the
+    * within-cell pair term grows again, which is where a deployment
+    * raises the clamp or adds a coarse-quantizer level over the
+    * centroids; the round-9 4-point scaling record is what exposed the
+    * quadratic cost of letting cell sizes grow with the corpus).
+    * k=16 stays the deterministic default for the SEARCH family —
+    * hand-tuned probe cost, recall-curve continuity across rounds.
     */
   def adaptiveCells(n: Long): Int =
-    math.max(1, math.min(256, math.floor(math.sqrt(n.toDouble)).toInt))
+    math.max(1, math.min(4096, math.floor(math.sqrt(n.toDouble)).toInt))
 
   /** Adaptive-k twins of [[ivfAssign]]/[[ivfBuild]]: one bounded count
     * picks k, then the standard parameterized build runs. The search
@@ -356,7 +363,18 @@ object Similarity {
     ivfBuild(spark, dir, defaultCells)
 
   def ivfBuild(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val (c2, a2) = ivfModel(corpusEmb(spark, dir), k)
+    publishIndex(corpusEmb(spark, dir), k,
+      indexPath(spark, dir), codebookPath(spark, dir))
+    spark.read.parquet(indexPath(spark, dir))
+  }
+
+  /** Shared build-and-publish leg of [[ivfBuild]] and the semantic
+    * family's [[semanticIndex]]: run the 2-E-step model at `k` and
+    * stage-publish codebook + assignment to the given paths.
+    */
+  private def publishIndex(e: DataFrame, k: Int,
+                           idxPath: String, cbPath: String): Unit = {
+    val (c2, a2) = ivfModel(e, k)
     // the final E-step feeds BOTH artifact writes (codebook = its means,
     // assignment = its projection); persist it across the two actions so
     // the corpus is scored exactly twice total (MEMORY_AND_DISK default —
@@ -365,10 +383,8 @@ object Similarity {
     // the caller's session.
     a2.persist()
     try {
-      graft.sources.Sinks.stagePublish(c2, codebookPath(spark, dir))
-      val path = indexPath(spark, dir)
-      graft.sources.Sinks.stagePublish(assignmentFrom(a2), path)
-      spark.read.parquet(path)
+      graft.sources.Sinks.stagePublish(c2, cbPath)
+      graft.sources.Sinks.stagePublish(assignmentFrom(a2), idxPath)
     } finally a2.unpersist(false)
   }
 
@@ -379,6 +395,36 @@ object Similarity {
     if (!indexExists(spark, indexPath(spark, dir)) ||
         !indexExists(spark, codebookPath(spark, dir)))
       ivfBuild(spark, dir)
+
+  // ─── semantic-family adaptive index (d22/d23) ────────────────────────
+  /** The semantic family's OWN index, built at [[adaptiveCells]](n)
+    * rather than the search family's hand-tuned k = 16. The two
+    * consumers want different granularities: SEARCH wants few cells
+    * (probe cost = k centroid scorings + one cell scan, and the q35/q50
+    * recall curves need a stable k across rounds), while DEDUP pays the
+    * WITHIN-CELL PAIR term Σ|cell|² — with k fixed, cell sizes grow
+    * linearly in the corpus and d22's work grows QUADRATICALLY (the
+    * round-9 4-point scaling record measured exactly that: sf1→sf3 took
+    * 1.8 s → 16.6 s on 3× the vectors, exponent 1.12). At k = ⌊√n⌋ the
+    * build (2·n·k) and the pair term (n²/k) balance at Θ(n^1.5) — the
+    * flat-IVF optimum; pushing further toward n log n takes a
+    * hierarchical coarse-quantizer over the centroids (backlog, and the
+    * documented reason [[adaptiveCells]] carries a clamp).
+    *
+    * Published as its own artifact pair (`ivf_index_sem` /
+    * `ivf_codebook_sem`, same source-fingerprint key) so the search
+    * family's k=16 artifacts and their oracles are untouched, and so
+    * d22/d23 share one build across calls and sessions.
+    */
+  def semanticIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_index_sem/${indexKey(spark, dir)}"
+    val cb = s"${spark.conf.get("spark.sql.warehouse.dir")}/ivf_codebook_sem/${indexKey(spark, dir)}"
+    if (!indexExists(spark, idx) || !indexExists(spark, cb)) {
+      val e = corpusEmb(spark, dir)
+      publishIndex(e, adaptiveCells(e.count()), idx, cb)
+    }
+    spark.read.parquet(idx)
+  }
 
   // ─── q32 IVF search stage (probe the query's cell only) ──────────────
   /** ANN search over the q24 index: each query probes ONLY its own
@@ -1057,9 +1103,15 @@ object Similarity {
     * near-duplicate TOKENS (translated copies, paraphrases, templated
     * rewrites — the slice the Jaccard (d07) and SimHash (d20) routes
     * structurally miss). Pairs are compared ONLY within their IVF cell
-    * (the persisted q24 assignment, build-if-missing like q32/q35): the
-    * coarse quantizer is the blocking key, so candidate generation is an
-    * equi-join on centroid_id — never all-pairs over the corpus. Within
+    * — the √n-ADAPTIVE [[semanticIndex]], NOT the search family's fixed
+    * k=16 artifact: the coarse quantizer is the blocking key, so
+    * candidate generation is an equi-join on centroid_id — never
+    * all-pairs over the corpus — and the cell GRANULARITY must grow
+    * with the corpus or the within-cell pair term quietly goes
+    * quadratic (this operator rode the fixed-16 index through round 8;
+    * the round-9 4-point scaling record caught it at exponent 1.12 —
+    * 9× the time on 3× the vectors — and the adaptive re-block is the
+    * fix, measured back under it). Within
     * each above-τ pair the member EARLIER in the (cos_to_centroid,
     * vec_id) order — i.e. FARTHER from its centroid — is the keeper
     * (SemDeDup's diversity-preserving choice: low centroid-similarity
@@ -1071,10 +1123,12 @@ object Similarity {
     * cosine, how many earlier members justify the removal, the
     * strongest pair cosine, and the minimal justifier (kept_vec).
     *
-    * Scale: pair count is Σ|cell|²/2 — bounded by building the index
-    * with k ≈ √n cells ([[ivfBuildAdaptive]]), which caps expected cell
-    * size at √n and total pairs at ~n^1.5 (the SemDeDup cluster-then-
-    * pair cost model; the paper runs 50k clusters over 1B examples).
+    * Scale: pair count is Σ|cell|²/2 — bounded because [[semanticIndex]]
+    * builds with k = ⌊√n⌋ cells, which caps expected cell size at √n
+    * and total cost (build 2·n·k + pairs n²/k) at Θ(n^1.5) — the
+    * flat-IVF optimum and the SemDeDup cluster-then-pair cost model
+    * (the paper runs 50k clusters over 1B examples; n log n needs a
+    * hierarchical coarse quantizer — backlog).
     * The pair join is an equi-join on centroid_id, the fused codegen
     * cosine scores candidates only, and the final rollup is one
     * map-side-combining groupBy on the removed id. τ defaults to 0.40
@@ -1086,8 +1140,7 @@ object Similarity {
     semanticDedup(spark, dir, 0.40)
 
   def semanticDedup(spark: SparkSession, dir: String, tau: Double): DataFrame = {
-    ensureIndex(spark, dir)
-    val m = spark.read.parquet(indexPath(spark, dir))
+    val m = semanticIndex(spark, dir)
       .select(col("vec_id"), col("centroid_id"), col("cos_to_centroid"))
       .join(Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb")), Seq("vec_id"))
@@ -1122,7 +1175,10 @@ object Similarity {
     * catches shingle-level near-dups, and this catches PARAPHRASED
     * benchmark items (reworded eval questions, translated answers)
     * that share no tokens with the original. Each benchmark vector
-    * probes its own IVF cell (nprobe=1 — the q32 search shape) and
+    * probes its own cell of the √n-adaptive [[semanticIndex]]
+    * (nprobe=1 — the q32 search shape, on d22's blocking granularity:
+    * a fixed cell count would make every probe scan a cell that grows
+    * linearly with the corpus) and
     * counts corpus members above the d22 similarity knee; one
     * zero-safe row per benchmark vector, max_cos NULL when its cell
     * holds no corpus member (exactly d08's reporting contract).
@@ -1141,8 +1197,7 @@ object Similarity {
     semanticContamination(spark, dir, 0.40)
 
   def semanticContamination(spark: SparkSession, dir: String, tau: Double): DataFrame = {
-    ensureIndex(spark, dir)
-    val m = spark.read.parquet(indexPath(spark, dir))
+    val m = semanticIndex(spark, dir)
       .select(col("vec_id"), col("centroid_id"))
       .join(Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb")), Seq("vec_id"))
@@ -1267,9 +1322,10 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "d22_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |kv AS (SELECT greatest(1, least(4096, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k FROM e),
         |c0 AS (
-        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |  SELECT vec_id % kv.k AS centroid_id, emb AS c_emb FROM e CROSS JOIN kv
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % kv.k
         |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
         |a1 AS (
         |  SELECT vec_id, emb, centroid_id,
@@ -1309,9 +1365,10 @@ object Similarity {
         |FROM q GROUP BY 1, 2, 3""".stripMargin,
     "d23_semantic_contamination" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |kv AS (SELECT greatest(1, least(4096, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k FROM e),
         |c0 AS (
-        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+        |  SELECT vec_id % kv.k AS centroid_id, emb AS c_emb FROM e CROSS JOIN kv
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id % kv.k
         |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
         |a1 AS (
         |  SELECT vec_id, emb, centroid_id,
@@ -1387,7 +1444,7 @@ object Similarity {
         |FROM cells CROSS JOIN tot CROSS JOIN nc""".stripMargin,
     "q48_ivf_adaptive" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |kv AS (SELECT greatest(1, least(256, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k FROM e),
+        |kv AS (SELECT greatest(1, least(4096, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k FROM e),
         |c0 AS (
         |  SELECT vec_id % kv.k AS centroid_id, emb AS c_emb FROM e CROSS JOIN kv
         |  QUALIFY row_number() OVER (PARTITION BY vec_id % kv.k

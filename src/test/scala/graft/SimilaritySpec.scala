@@ -41,7 +41,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.adaptiveCells(0L) == 1)
     assert(Similarity.adaptiveCells(3L) == 1)
     assert(Similarity.adaptiveCells(100L) == 10)
-    assert(Similarity.adaptiveCells(10_000_000_000L) == 256)
+    assert(Similarity.adaptiveCells(10_000_000_000L) == 4096)
     // publish the adaptive index as the corpus's active index
     val a = Similarity.ivfBuildAdaptive(spark, TestSpark.sf)
     val cells = a.select("centroid_id").distinct().count()
@@ -115,10 +115,16 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("d22 semantic dedup equals a driver-side brute force over the published cells") {
-    // pin the default-k index (earlier tests may have left a k=32 build)
-    val assign = Similarity.ivfBuild(spark, TestSpark.sf)
+    // d22 blocks on its OWN √n-adaptive index — immune to other tests
+    // rebuilding the search family's k=16 artifact
+    val assign = Similarity.semanticIndex(spark, TestSpark.sf)
       .select("vec_id", "centroid_id", "cos_to_centroid").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the blocking granularity actually adapts: more cells than the
+    // search family's fixed 16, bounded by ⌊√n⌋
+    val nCells = assign.map(_._2).distinct.length
+    assert(nCells > 16 && nCells <= Similarity.adaptiveCells(assign.length.toLong),
+      s"semantic index must block at √n granularity, got $nCells cells")
     val emb = Tables.embeddings(spark, TestSpark.sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
@@ -156,7 +162,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("d23 semantic contamination: zero-safe per-bench rows, flags match brute force") {
-    val assign = Similarity.ivfBuild(spark, TestSpark.sf)
+    val assign = Similarity.semanticIndex(spark, TestSpark.sf)
       .select("vec_id", "centroid_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val emb = Tables.embeddings(spark, TestSpark.sf)
