@@ -68,6 +68,16 @@ object ScaleGen {
         d.withColumn(c, col(c) + lit(r.toLong * stride))
       }
 
+    // File counts are sized so the SCAN never caps parallelism on the
+    // measurement box: with ~1 MB files each file is one input split,
+    // so a 16-file table pins every pre-shuffle stage (shingling,
+    // MinHash, embedding math — the CPU-heavy legs) at 16-way whatever
+    // local[c] says. That's a generator artifact, not a plan property
+    // (a real 100 TB table is thousands of splits) — the round-9
+    // strong-scaling record flattening on d19/d07 at 16→32 cores is
+    // what exposed it. 64 files for the fact-sized tables keeps 2
+    // waves at local[32] while staying well clear of the
+    // small-files regime.
     def replicate(name: String, mk: Int => DataFrame, files: Int): Unit = {
       val out = (0 until factor).map(mk).reduce(_ unionAll _)
       out.repartition(files).write.mode("overwrite")
@@ -93,16 +103,16 @@ object ScaleGen {
     replicate("orders",
       shifted(Tables.orders(spark, srcDir),
         Map("o_orderkey" -> orderStride, "o_custkey" -> custStride)),
-      16)
+      32)
     replicate("lineitem",
       shifted(Tables.lineitem(spark, srcDir),
         Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
           "l_suppkey" -> suppStride)),
-      32)
+      64)
     replicate("events",
       shifted(Tables.events(spark, srcDir),
         Map("event_id" -> eventStride, "user_id" -> userStride)),
-      16)
+      64)
     replicate("documents", { r =>
       val base = Tables.documents(spark, srcDir)
         .withColumn("doc_id", col("doc_id") + lit(r.toLong * docStride))
@@ -111,7 +121,7 @@ object ScaleGen {
         .withColumn("text",
           regexp_replace(col("text"), "(\\S+)", "$1~r" + r))
         .withColumn("n_chars", length(col("text")))
-    }, 16)
+    }, 64)
     replicate("embeddings", { r =>
       val base = Tables.embeddings(spark, srcDir)
         .withColumn("vec_id", col("vec_id") + lit(r.toLong * vecStride))
@@ -121,7 +131,7 @@ object ScaleGen {
         concat(
           slice(col("embedding"), rot + 1, dim - rot),
           slice(col("embedding"), 1, rot)))
-    }, 16)
+    }, 64)
 
     spark.stop()
   }
