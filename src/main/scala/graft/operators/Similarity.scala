@@ -426,6 +426,101 @@ object Similarity {
     spark.read.parquet(idx)
   }
 
+  // ─── hierarchical semantic index (spec tier: past-the-clamp path) ────
+  /** Two-level cell counts for n vectors: the same ⌊√n⌋ FINE-cell
+    * granularity target as [[adaptiveCells]], factored as k1 coarse ×
+    * k2 sub-cells with k1 = ⌈√k⌉ ≈ n^(1/4) — so the build scores each
+    * vector against k1 + k2 ≈ 2·n^(1/4) centroids instead of the flat
+    * build's √n.
+    */
+  def hierarchicalCells(n: Long): (Int, Int) = {
+    val k = adaptiveCells(n)
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    (k1, math.max(1, math.ceil(k.toDouble / k1).toInt))
+  }
+
+  /** Two-level (coarse → sub-cell) semantic assignment — the build
+    * shape a deployment switches to where the flat [[semanticIndex]]
+    * build stops scaling. The flat build's E-step scores n × k
+    * cosines; at k = √n that is Θ(n^1.5) build work, and past the
+    * [[adaptiveCells]] clamp (n > 16.7M) holding k flat would let the
+    * within-cell pair term grow again. The hierarchy keeps the SAME
+    * fine-cell granularity (≈ √n cells, so d22's pair term stays at
+    * n^1.5) while cutting build work to Θ(n·n^(1/4)): level 1 runs the
+    * standard 2-E-step Lloyd at k1 ≈ n^(1/4) coarse cells; level 2
+    * seeds k2 ≈ n^(1/4) sub-centroids INSIDE each coarse cell
+    * (hash-spread mod-k2 buckets of the cell's members — the
+    * [[seedCodebook]] rule, cell-locally) and refines them with one
+    * M-step, each vector scoring ONLY its own cell's k2 sub-centroids
+    * via an equi-join on the coarse id (never the full k1·k2
+    * codebook). The published fine cell id is coarse·k2 + sub — the
+    * same flat centroid_id contract d22/d23 block on.
+    *
+    * Every step reuses the deterministic conventions of the flat
+    * build (md5 hash-spread seeding, 4-dp rounded cosine, decimal-
+    * exact means, ties by smallest id), so the assignment is
+    * bit-stable across sessions and engines. Spec tier by design —
+    * like the learned OPQ rotation, this demonstrates the scaling
+    * seam without disturbing the oracle-checked flat path, whose
+    * results at test scale the hierarchy deliberately does NOT
+    * reproduce (different cell boundaries are the point: same
+    * granularity, cheaper build).
+    */
+  def semanticAssignHierarchical(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpusEmb(spark, dir)
+    val (k1, k2) = hierarchicalCells(e.count())
+    // level 1: standard 2-E-step model; a1 = final coarse assignment.
+    // Materialized once (localCheckpoint): three consumers below
+    // (seeding, both sub-E-steps) must not re-run the coarse model —
+    // the build-cost claim is 2·n·(k1 + k2) corpus scorings TOTAL.
+    val a1 = ivfModel(e, k1)._2
+      .select(col("vec_id"), col("emb"), col("centroid_id").as("coarse_id"))
+      .localCheckpoint()
+    // level 2 seeds: hash-spread mod-k2 buckets WITHIN each coarse cell
+    val seeds2 = a1
+      .groupBy(col("coarse_id"), pmod(col("vec_id"), lit(k2.toLong)).as("sub_id"))
+      .agg(min(struct(
+        md5(col("vec_id").cast("string")).as("h"),
+        col("vec_id").as("v"),
+        col("emb").as("e"))).as("s"))
+      .select(col("coarse_id"), col("sub_id"), col("s.e").as("c_emb"))
+    // cell-local E-step: each vector scores only its own cell's k2
+    // sub-centroids (equi-join on coarse_id; the codebook side is
+    // ≤ k1·k2 ≤ 4096 rows — broadcast)
+    def assignSub(cents: DataFrame): DataFrame =
+      a1.join(broadcast(cents), Seq("coarse_id"))
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("coarse_id")).as("coarse_id"),
+          first(col("emb")).as("emb"),
+          max(struct(cosR(col("emb"), col("c_emb")).as("cos_r"),
+            (-col("sub_id")).as("neg_sub"))).as("best"))
+        .select(col("vec_id"), col("coarse_id"), col("emb"),
+          (-col("best.neg_sub")).as("sub_id"), col("best.cos_r").as("cos_r"))
+    // one M-step refinement (decimal-exact means per (coarse, sub,
+    // dim); empty sub-cells keep their seed), then the final E-step
+    val assigned1 = assignSub(seeds2)
+    val means = assigned1
+      .select(col("coarse_id"), col("sub_id"),
+        posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("coarse_id"), col("sub_id"), col("pos"))
+      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("coarse_id"), col("sub_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c_emb_new"))
+    val cents2 = seeds2.join(means, Seq("coarse_id", "sub_id"), "left")
+      .select(col("coarse_id"), col("sub_id"),
+        coalesce(col("c_emb_new"), col("c_emb")).as("c_emb"))
+    val fin = assignSub(cents2)
+      .select(col("vec_id"),
+        (col("coarse_id") * k2 + col("sub_id")).as("centroid_id"),
+        col("cos_r").as("cos_to_centroid"))
+    val sizes = fin.groupBy(col("centroid_id")).agg(count(lit(1)).as("cell_size"))
+    fin.join(broadcast(sizes), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        col("cos_to_centroid"), col("cell_size"))
+  }
+
   // ─── q32 IVF search stage (probe the query's cell only) ──────────────
   /** ANN search over the q24 index: each query probes ONLY its own
     * coarse cell (nprobe=1) and ranks the cell's members with the fused
