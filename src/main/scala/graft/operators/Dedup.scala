@@ -1725,8 +1725,9 @@ object Dedup {
     * the larger, so at least one PREFIX shingle must appear in it — a
     * pair with no (prefix-of-smaller, anywhere-in-larger) shingle match
     * provably sits below the threshold. Candidates are then verified
-    * exactly on the candidate-doc slice (the d07 set-array machinery),
-    * with containment = |A∩B| / |A|.
+    * exactly on the candidate-doc slice by a counting co-shingle join
+    * (see the verify-stage comment for why NOT the d07 set-array
+    * machinery here), with containment = |A∩B| / |A|.
     *
     * Scale: the prefix join's left side is ~1/5 of the shingle rows;
     * the right side is the full distinct-shingle frame — an equi-join
@@ -1776,16 +1777,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shSets = wordShinglesOf(
-        Tables.documents(spark, dir).join(broadcast(candDocs), Seq("doc_id"), "left_semi"),
-        dedup = false)
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("s"))
-      .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("n"))
+    // Verification = COUNTING co-shingle self-join over the candidate
+    // docs (the oracle's own `inter` CTE shape), NOT the d07/d08
+    // per-pair array machinery. The distinction is byte volume, and
+    // the round-9 100×-span scaling record is what forced it: d16's
+    // candidate sets are DENSE (~10² candidates per doc on this
+    // corpus), so joining each pair to two full shingle-set arrays
+    // replicates every doc's ~10² shingles across its ~10² pairs —
+    // ~10⁴ shingle copies per doc shuffled, which fell out of page
+    // cache at the sf10 point and bent the time curve superlinear
+    // (129 s) while every candidate-stage cardinality scaled exactly
+    // ×N (Scratch census: joinOut, candPairs, contribMax all linear).
+    // The counting join ships each shingle row once per CO-OCCURRENCE
+    // instead (Σ_s occ(s)² generated in-stage, map-side-combined into
+    // (a, b) partial counts before the exchange — only the ~|pairs|
+    // aggregate rows shuffle). Trade, stated honestly: Σ occ² is
+    // bounded here by the candidate-doc restriction and the corpus's
+    // bounded shingle document-frequency; a boilerplate-heavy corpus
+    // with ultra-hot shingles inverts the trade, and the per-pair
+    // array shape (bounded by pairs × set size) stays available in
+    // buildVerified/d07 for exactly that regime.
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairCounts = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(shCand.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     cand
-      .join(shSets.select(col("doc_id").as("doc_a"), col("s").as("sa"), col("n").as("n_a")), Seq("doc_a"))
-      .join(shSets.select(col("doc_id").as("doc_b"), col("s").as("sb"), col("n").as("n_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .join(pairCounts, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("containment", col("inter").cast("double") / col("n_a").cast("double"))
       .filter(col("containment") >= t)
       .withColumn("jaccard",

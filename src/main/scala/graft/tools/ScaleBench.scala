@@ -68,9 +68,17 @@ object ScaleBench {
     require(points.size >= 2, "need at least two <dir>=<sf> points")
     val names = if (nameArgs.length > 1) nameArgs.drop(1).toSeq else defaultNames
     val master = sys.env.getOrElse("GRAFT_SCALE_MASTER", "local[32]")
+    // The 32-partition pin is the comparability discipline (same plan
+    // at every SF); production scales shuffle partitions with input
+    // volume. GRAFT_SCALE_SHUFFLE exists to run the falsification the
+    // pin can't: when a top-end point exceeds the linear envelope,
+    // re-running it with partitions ∝ data separates spill (the pin's
+    // per-partition bytes growing past task memory — time drops back
+    // to the envelope) from genuine work growth (time stays high).
+    val shuffle = sys.env.getOrElse("GRAFT_SCALE_SHUFFLE", "32").toInt
     val spark = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
