@@ -21,26 +21,46 @@ import org.apache.spark.sql.functions._
   *    cross-replica vocabularies are disjoint — no shingle, MinHash
   *    band, 13-gram, or SimHash profile ever collides across replicas,
   *    so dedup candidate counts scale exactly ×N, not ×N²;
-  *  - embeddings rotate their dimensions by `replica` positions — a
-  *    permutation preserves all within-replica dot products and norms
-  *    (identical cluster geometry per replica) while cross-replica
-  *    cosines decorrelate, so ANN/SemDeDup cell structure scales as N
-  *    independent copies;
+  *  - embeddings rotate their dimensions by `replica` positions AND
+  *    flip a per-replica deterministic sign pattern (splitmix64 bits
+  *    of the replica id) — a signed permutation preserves all
+  *    within-replica dot products and norms (identical cluster
+  *    geometry per replica) while cross-replica cosines decorrelate,
+  *    so ANN/SemDeDup cell structure scales as N independent copies.
+  *    The sign flip is load-bearing at factor > dim: rotation alone
+  *    has only `dim` distinct classes, and the 100× scaling record
+  *    caught replicas 64 apart carrying IDENTICAL vectors (72% of the
+  *    sf10 corpus exact cross-replica dups);
   *  - nation/region (bounded dims) and every date/category/segment
   *    domain stay UNreplicated — at 100 TB the dimension tables and
   *    group-by domains don't grow with the fact volume, and neither
   *    should the benchmark's.
   *
-  * Usage: runMain graft.tools.ScaleGen <srcDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleGen <srcDir> <outDir> <factor> [tables...]
+  * (trailing table names restrict regeneration to those tables)
   */
 object ScaleGen {
 
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).collect().head.getLong(0)
 
+  /** splitmix64 finalizer — a bijection on 64-bit ints, used as the
+    * per-replica sign-flip mask source (distinct replicas ⇒ distinct
+    * masks, unconditionally).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
+    // optional trailing table names: regenerate only those (used to
+    // re-emit a single corrected table without rewriting the rest)
+    val only = args.drop(3).toSet
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -78,18 +98,21 @@ object ScaleGen {
     // what exposed it. 64 files for the fact-sized tables keeps 2
     // waves at local[32] while staying well clear of the
     // small-files regime.
-    def replicate(name: String, mk: Int => DataFrame, files: Int): Unit = {
-      val out = (0 until factor).map(mk).reduce(_ unionAll _)
-      out.repartition(files).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      println(s"SCALEGEN $name x$factor -> $outDir/$name.parquet")
-    }
+    def replicate(name: String, mk: Int => DataFrame, files: Int): Unit =
+      if (only.isEmpty || only.contains(name)) {
+        val out = (0 until factor).map(mk).reduce(_ unionAll _)
+        out.repartition(files).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        println(s"SCALEGEN $name x$factor -> $outDir/$name.parquet")
+      }
 
     // bounded dims: one copy
-    spark.read.parquet(s"$srcDir/region.parquet").write.mode("overwrite")
-      .parquet(s"$outDir/region.parquet")
-    spark.read.parquet(s"$srcDir/nation.parquet").write.mode("overwrite")
-      .parquet(s"$outDir/nation.parquet")
+    if (only.isEmpty || only.contains("region"))
+      spark.read.parquet(s"$srcDir/region.parquet").write.mode("overwrite")
+        .parquet(s"$outDir/region.parquet")
+    if (only.isEmpty || only.contains("nation"))
+      spark.read.parquet(s"$srcDir/nation.parquet").write.mode("overwrite")
+        .parquet(s"$outDir/nation.parquet")
 
     replicate("customer",
       shifted(Tables.customer(spark, srcDir), Map("c_custkey" -> custStride)),
@@ -125,12 +148,31 @@ object ScaleGen {
     replicate("embeddings", { r =>
       val base = Tables.embeddings(spark, srcDir)
         .withColumn("vec_id", col("vec_id") + lit(r.toLong * vecStride))
+      // Rotation alone has only `dim` distinct classes — at factor >
+      // dim, replicas `dim` apart got IDENTICAL vectors (the 100×
+      // record measured 72% of sf10 vectors as exact cross-replica
+      // dups, silently inflating every embedding-family measurement).
+      // A per-replica sign-flip mask (splitmix64 bits of r — a 64-bit
+      // bijection, so masks are distinct for every replica) fixes the
+      // class count at 2^64 while preserving the contract exactly:
+      // within a replica s_i² = 1 leaves every dot product and norm
+      // untouched; across replicas the independent ±1 patterns
+      // decorrelate cosines.
       val rot = r % dim
-      if (rot == 0) base
-      else base.withColumn("embedding",
-        concat(
-          slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), 1, rot)))
+      if (r == 0) base
+      else {
+        val rotated =
+          if (rot == 0) base
+          else base.withColumn("embedding",
+            concat(
+              slice(col("embedding"), rot + 1, dim - rot),
+              slice(col("embedding"), 1, rot)))
+        val mask = splitmix64(r.toLong)
+        val signs = array((0 until dim).map(i =>
+          lit(if (((mask >>> (i % 64)) & 1L) == 1L) -1.0f else 1.0f)): _*)
+        rotated.withColumn("embedding",
+          zip_with(col("embedding"), signs, (x, s) => x * s))
+      }
     }, 64)
 
     spark.stop()
