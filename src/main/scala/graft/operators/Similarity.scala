@@ -195,18 +195,41 @@ object Similarity {
   private def cosR(a: Column, b: Column): Column =
     round(graft.plans.CosineSimilarity.cosineSim(a, b), 4)
 
-  // nearest centroid per vector; (cos_r, -centroid_id) max ⇒ highest
-  // cosine, smallest centroid_id on ties — identical to the oracle's
-  // ORDER BY cos_r DESC, centroid_id
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("emb")).as("emb"), // constant per vec_id
-        max(struct(cosR(col("emb"), col("c_emb")).as("cos_r"),
-          (-col("centroid_id")).as("neg_id"))).as("best"))
+  /** Nearest centroid per vector — highest 4-dp-rounded cosine,
+    * smallest centroid_id on ties, identical to the oracle's
+    * ORDER BY cos_r DESC, centroid_id.
+    *
+    * Physically a pure MAP: the bounded codebook (k ≤ 4096 cells ×
+    * dim doubles ≈ 2 MB under [[adaptiveCells]]' clamp) is collected
+    * to the driver — a MODEL materialization, exactly how MLlib's
+    * KMeans treats its centers each Lloyd iteration — and rides into
+    * the codegen'd [[graft.plans.NearestCentroid]] loop as reference
+    * objects. The earlier declarative form (crossJoin(broadcast) →
+    * groupBy(vec_id) → max(struct)) computed the same thing but its
+    * `max(struct)`/`first(array)` buffers are not hash-aggregable, so
+    * Spark planned a SORT aggregate over n·k rows carrying the full
+    * embedding array — Θ(n^1.5) externally-sorted bytes at the
+    * semantic family's k = ⌊√n⌋ (the round-9 sf10 scaling point
+    * measured 398 s of mostly spill; this map form removes the
+    * intermediate entirely, E-step output is exactly n rows).
+    * NearestCentroidSpec pins bit-equality against the old plan shape.
+    */
+  private[graft] def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val rows = cents.select(col("centroid_id").cast("long"), col("c_emb")).collect()
+    require(rows.nonEmpty, "assignTo: empty codebook")
+    val cb = rows.map { r =>
+      require(!r.isNullAt(1), s"assignTo: null centroid ${r.getLong(0)}")
+      (r.getLong(0), r.getSeq[Double](1).toArray)
+    }.sortBy(_._1)
+    val dim = cb.head._2.length
+    require(cb.forall(_._2.length == dim),
+      s"assignTo: ragged codebook (expected uniform dim $dim)")
+    val nearest = graft.plans.NearestCentroid.nearestCentroid(
+      col("emb"), cb.map(_._1), cb.flatMap(_._2), dim)
+    e.select(col("vec_id"), col("emb"), nearest.as("nc"))
       .select(col("vec_id"), col("emb"),
-        (-col("best.neg_id")).as("centroid_id"), col("best.cos_r").as("cos_r"))
+        col("nc.centroid_id").as("centroid_id"), col("nc.cos_r").as("cos_r"))
+  }
 
   // one Lloyd M-step over an E-step's assignment: element-wise
   // decimal-exact mean per (cell, dim), rebuilt into an array ordered by
