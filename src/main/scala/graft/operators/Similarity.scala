@@ -489,6 +489,24 @@ object Similarity {
     * reproduce (different cell boundaries are the point: same
     * granularity, cheaper build).
     */
+  /** The hierarchy's cell-local E-step: each vector scores only its
+    * own coarse cell's sub-centroids — a pure MAP via
+    * [[graft.plans.NearestInGroup]] keyed by coarse_id (the
+    * ≤ k1·k2 ≤ ~4096-row sub-codebook rides along as reference
+    * objects; same bit-compat contract as [[assignTo]]'s flat
+    * expression, pinned in NearestInGroupSpec). `a1` carries
+    * (vec_id, emb, coarse_id); `cents` (coarse_id, sub_id, c_emb).
+    */
+  private[graft] def assignSubForTest(a1: DataFrame, cents: DataFrame): DataFrame = {
+    val (grouped, d) = collectGroupedCodebook(cents, "coarse_id", "sub_id", "c_emb")
+    val nearest = graft.plans.NearestInGroup.nearestInGroup(
+      col("coarse_id"), col("emb"), grouped, d, useCosine = true)
+    a1.select(col("vec_id"), col("coarse_id"), col("emb"), nearest.as("nb"))
+      .filter(col("nb").isNotNull) // cell with no seeds: the row the old inner join dropped (unreachable — seeds exist per occupied cell)
+      .select(col("vec_id"), col("coarse_id"), col("emb"),
+        col("nb.best_id").as("sub_id"), col("nb.score").as("cos_r"))
+  }
+
   def semanticAssignHierarchical(spark: SparkSession, dir: String): DataFrame = {
     val e = corpusEmb(spark, dir)
     val (k1, k2) = hierarchicalCells(e.count())
@@ -508,18 +526,8 @@ object Similarity {
         col("emb").as("e"))).as("s"))
       .select(col("coarse_id"), col("sub_id"), col("s.e").as("c_emb"))
     // cell-local E-step: each vector scores only its own cell's k2
-    // sub-centroids (equi-join on coarse_id; the codebook side is
-    // ≤ k1·k2 ≤ 4096 rows — broadcast)
-    def assignSub(cents: DataFrame): DataFrame =
-      a1.join(broadcast(cents), Seq("coarse_id"))
-        .groupBy(col("vec_id"))
-        .agg(
-          first(col("coarse_id")).as("coarse_id"),
-          first(col("emb")).as("emb"),
-          max(struct(cosR(col("emb"), col("c_emb")).as("cos_r"),
-            (-col("sub_id")).as("neg_sub"))).as("best"))
-        .select(col("vec_id"), col("coarse_id"), col("emb"),
-          (-col("best.neg_sub")).as("sub_id"), col("best.cos_r").as("cos_r"))
+    // sub-centroids (see [[assignSubForTest]])
+    def assignSub(cents: DataFrame): DataFrame = assignSubForTest(a1, cents)
     // one M-step refinement (decimal-exact means per (coarse, sub,
     // dim); empty sub-cells keep their seed), then the final E-step
     val assigned1 = assignSub(seeds2)
@@ -835,13 +843,13 @@ object Similarity {
   // orthogonal transform of the residual frame before [[pqResidualSubs]].
   private val pqCodesPerSub = 16
 
-  /** Squared L2 via the dot-product identity — NOT elementwise
-    * (a-b)² folds: both engines must evaluate the SAME IEEE expression
-    * for the 4-dp rounding to agree, and `dot(a,a) − 2·dot(a,b) +
-    * dot(b,b)` is three index-ordered folds any engine replays.
-    */
-  private def d2R(a: Column, b: Column): Column =
-    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 4)
+  // Squared L2 lives as the dot-product identity `dot(a,a) −
+  // 2·dot(a,b) + dot(b,b)` — NOT elementwise (a-b)² folds: both
+  // engines must evaluate the SAME IEEE expression for the 4-dp
+  // rounding to agree, and three index-ordered folds are what any
+  // engine replays. The expression itself now lives inside
+  // plans.NearestInGroup (useCosine = false); the oracle SQL spells
+  // it out with list_dot_product.
 
   /** Per-vector residual subvectors (vec_id, m, rm): residual vs the
     * PUBLISHED cell centroid (the c2 codebook — the mean of the cell's
@@ -876,15 +884,51 @@ object Similarity {
         slice(col("r"), (col("m") * subLen + 1).cast("int"), subLen).as("rm"))
   }
 
-  // nearest code per (vector, subspace): min (rounded d2, code) — the
-  // same windowless map-side argmax as assignTo, in min-distance form
-  private def pqAssignTo(subs: DataFrame, book: DataFrame): DataFrame =
-    subs.join(broadcast(book), Seq("m"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(first(col("rm")).as("rm"),
-        min(struct(d2R(col("rm"), col("code_emb")).as("d2"),
-          col("code").as("code"))).as("best"))
-      .select(col("vec_id"), col("m"), col("rm"), col("best.code").as("code"))
+  /** Collect a (group, id, emb) codebook frame into the per-group
+    * reference shape [[graft.plans.NearestInGroup]] takes — a bounded
+    * MODEL materialization (subspace codebooks, sub-centroid books),
+    * the same class of driver-sized object as [[assignTo]]'s flat
+    * codebook. Returns the grouped entries plus the uniform dim.
+    */
+  private def collectGroupedCodebook(
+      book: DataFrame, groupCol: String, idCol: String, embCol: String)
+      : (Seq[(Long, (Array[Long], Array[Double]))], Int) = {
+    val rows = book.select(
+      col(groupCol).cast("long"), col(idCol).cast("long"), col(embCol)).collect()
+    require(rows.nonEmpty, s"empty codebook ($groupCol/$idCol)")
+    val entries = rows.map { r =>
+      require(!r.isNullAt(2),
+        s"null codeword ($groupCol=${r.getLong(0)}, $idCol=${r.getLong(1)})")
+      (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)
+    }
+    val dim = entries.head._3.length
+    require(entries.forall(_._3.length == dim),
+      s"ragged codebook (expected uniform dim $dim)")
+    val grouped = entries.groupBy(_._1).toSeq.map { case (g, es) =>
+      val s = es.sortBy(_._2)
+      g -> (s.map(_._2).toArray, s.flatMap(_._3).toArray)
+    }
+    (grouped, dim)
+  }
+
+  /** Nearest code per (vector, subspace): min (rounded d2, code) —
+    * argmin of the same dot-product-identity d2 the oracle replays,
+    * ties to the smallest code. Physically a pure MAP over the subs
+    * frame via [[graft.plans.NearestInGroup]] keyed by subspace `m`
+    * (the 4×16-codeword book rides along as reference objects) — the
+    * former equi-join → groupBy(vec_id, m) → min(struct) shape planned
+    * a SortAggregate over n·codes rows carrying the residual arrays,
+    * the physical failure mode the flat E-step hit at the sf10 scaling
+    * point. NearestInGroupSpec pins bit-equality against the old plan.
+    */
+  private[graft] def pqAssignTo(subs: DataFrame, book: DataFrame): DataFrame = {
+    val (grouped, dim) = collectGroupedCodebook(book, "m", "code", "code_emb")
+    val nearest = graft.plans.NearestInGroup.nearestInGroup(
+      col("m"), col("rm"), grouped, dim, useCosine = false)
+    subs.select(col("vec_id"), col("m"), col("rm"), nearest.as("nb"))
+      .filter(col("nb").isNotNull) // subspace absent from the book: the row the old inner join dropped
+      .select(col("vec_id"), col("m"), col("rm"), col("nb.best_id").as("code"))
+  }
 
   // one M-step: decimal-exact per-(subspace, code, dim) means; codes
   // that captured no members keep their previous vector
