@@ -1820,7 +1820,147 @@ object Dedup {
         (col("jaccard") < 0.5).as("subset_only"))
   }
 
+  // ─── d28/d29 substring-level (span) dedup ────────────────────────────
+  /** Word-gram width for the substring family. 8 words ≈ the smallest
+    * span that is vanishingly unlikely to repeat by chance in natural
+    * text while still catching template/boilerplate fragments — the
+    * word-level analog of the 50-token threshold in the
+    * train-data-dedup literature (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every repeated
+    * span of ≥ w tokens is EXACTLY the union of its repeated w-grams,
+    * so maximal repeated spans fall out of merging overlapping
+    * duplicated w-gram intervals — no suffix array needed, and every
+    * stage is a hash aggregation or a per-doc window.
+    */
+  private val SpanGramW = 8
+
+  /** (doc_id, pos, gh): md5 of the w-token gram starting at 1-based
+    * token position `pos`. One row per position — POSITIONS, not a
+    * set: substring dedup is about occurrences, so intra-doc repeats
+    * count (a doc that repeats its own 8-gram is self-duplicated).
+    */
+  private def wordGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= SpanGramW)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (SpanGramW - 1))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("pos"),
+        md5(concat_ws(" ",
+          (0 until SpanGramW).map(k => element_at(col("t"), col("i") + k)): _*)).as("gh"))
+
+  /** Merge duplicated-gram start positions into maximal disjoint token
+    * spans [span_start, span_end] per doc — gaps-and-islands over the
+    * per-doc position order: a new island starts where the gram span
+    * no longer overlaps-or-abuts the running coverage maximum. Window
+    * is PARTITIONED BY doc_id (bounded by doc length), never global.
+    */
+  private def mergeSpans(dupPos: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    dupPos
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + (SpanGramW - 1)).as("e"))
+      .withColumn("prev_max",
+        max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_max").isNull || col("s") > col("prev_max") + 1, 1L)
+          .otherwise(0L)).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+  }
+
+  /** d28: per-doc census of repeated substrings ACROSS the corpus —
+    * the span-level capability the document-level family (d01-d27)
+    * cannot see: a doc that is 30% boilerplate shared with thousands
+    * of other docs passes every whole-doc and Jaccard gate, yet that
+    * 30% is exactly what a training run memorizes. A gram is
+    * "duplicated" when its total occurrence count corpus-wide is ≥ 2
+    * (intra-doc repetition included, matching t06's repetition lens).
+    *
+    * Scale: the only corpus-wide shuffles are the gram-count hash
+    * aggregation (map-side partial combine on md5 keys — uniformly
+    * distributed, no skew) and the grams⋈duplicated-grams equi-join
+    * whose build side is pre-filtered to count ≥ 2 (the rare tail);
+    * span merging is a per-doc window bounded by doc length. Nothing
+    * is pairwise in the corpus — this is the same blocked discipline
+    * as d03, one level below doc granularity.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables.documents(spark, dir))
+
+  private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
+    val g = wordGrams(docs)
+    val dupGh = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
+    val spans = mergeSpans(g.join(dupGh, Seq("gh")).select(col("doc_id"), col("pos")))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val totals = docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("total_tokens"))
+    perDoc.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("total_tokens"), col("n_dup_spans"), col("dup_tokens"),
+        // raw double division — identical IEEE op both engines
+        (col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("dup_frac"))
+  }
+
+  /** d29: the scrub d28 censuses — rewrite each affected doc with its
+    * duplicated spans REMOVED, keeping exactly one occurrence of every
+    * duplicated gram corpus-wide (the globally first by (doc_id, pos),
+    * a deterministic total order both engines share). An occurrence is
+    * removed iff it is not its gram's first; removed occurrences merge
+    * into disjoint spans (same islands machinery as d28) and the doc
+    * is rebuilt from its uncovered tokens, single-space joined.
+    * Output is the DELTA — only docs that lost at least one token —
+    * with before/after counts; a fully-duplicated doc survives as an
+    * empty string (its grams' first occurrences live elsewhere).
+    *
+    * Scale: first-occurrence = min(struct(doc_id, pos)) — an ordinary
+    * hash aggregation with partial combine; covered positions explode
+    * from merged spans (bounded by doc length, spans disjoint so no
+    * distinct needed); the rebuild groups only AFFECTED docs, with the
+    * token explode computed on the affected slice (semi-join pushed
+    * below the explode — the wordShinglesOf argument, Dedup.scala:95).
+    */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    substringScrubOf(Tables.documents(spark, dir))
+
+  private[graft] def substringScrubOf(docs: DataFrame): DataFrame = {
+    val g = wordGrams(docs)
+    val firsts = g.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("gh"), col("first.doc_id").as("f_doc"), col("first.pos").as("f_pos"))
+    val removed = g.join(firsts, Seq("gh"))
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"), col("pos"))
+    val spans = mergeSpans(removed)
+    // merged islands are disjoint per doc → no distinct after explode
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("idx"))
+    val affected = spans.select(col("doc_id")).distinct()
+    val toks = docs.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"), col("col").as("tok"))
+      .join(covered, Seq("doc_id", "idx"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_after"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ").as("scrubbed_text"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens_before"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens_before"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
+        (col("n_tokens_before") - coalesce(col("n_tokens_after"), lit(0L)))
+          .as("n_removed_tokens"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_substring_dedup" -> substringDedup,
+    "d29_substring_scrub" -> substringScrub,
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
@@ -1956,7 +2096,76 @@ object Dedup {
       |         CAST(sum(coalesce(nb, 0)) AS BIGINT) AS sum_bands
       |  FROM cal GROUP BY 1)""".stripMargin
 
+  /** Oracle twin of [[wordGrams]] — w-token gram md5 per 1-based start
+    * position. Width is spliced from [[SpanGramW]] so the two engines
+    * can never disagree on the gram geometry.
+    */
+  private def gramCteSql: String = {
+    val cat = (0 until SpanGramW)
+      .map(k => if (k == 0) "t[CAST(i AS INT)]" else s"t[CAST(i AS INT) + $k]")
+      .mkString(" || ' ' || ")
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |pos AS (SELECT doc_id, t, CAST(unnest(range(1, len(t) - ${SpanGramW - 2})) AS BIGINT) AS i
+       |        FROM tok WHERE len(t) >= $SpanGramW),
+       |g AS (SELECT doc_id, i AS pos, md5($cat) AS gh FROM pos)""".stripMargin
+  }
+
+  /** Oracle twin of [[mergeSpans]] — identical gaps-and-islands over
+    * `src`(doc_id, pos), producing spans(doc_id, island, ss, se).
+    */
+  private def spansCteSql(src: String): String =
+    s"""m AS (SELECT doc_id, pos AS s, pos + ${SpanGramW - 1} AS e,
+       |        max(pos + ${SpanGramW - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |      FROM $src),
+       |isl AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM m),
+       |spans AS (SELECT doc_id, island, min(s) AS ss, max(e) AS se FROM isl GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d28_substring_dedup" ->
+      (gramCteSql + ",\n" +
+        """dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+          |dup AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)),
+          |""".stripMargin + spansCteSql("dup") + ",\n" +
+        """per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+          |              CAST(sum(se - ss + 1) AS BIGINT) AS dup_tokens
+          |            FROM spans GROUP BY 1)
+          |SELECT p.doc_id, CAST(len(tok.t) AS BIGINT) AS total_tokens,
+          |       n_dup_spans, dup_tokens,
+          |       CAST(dup_tokens AS DOUBLE) / CAST(len(tok.t) AS DOUBLE) AS dup_frac
+          |FROM per_doc p JOIN tok USING (doc_id)""".stripMargin),
+    "d29_substring_scrub" ->
+      (gramCteSql + ",\n" +
+        """firsts AS (
+          |  SELECT gh, doc_id AS f_doc, pos AS f_pos
+          |  FROM (SELECT gh, doc_id, pos,
+          |          row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+          |          count(*) OVER (PARTITION BY gh) AS c
+          |        FROM g)
+          |  WHERE rn = 1 AND c >= 2),
+          |removed AS (
+          |  SELECT g.doc_id, g.pos FROM g JOIN firsts USING (gh)
+          |  WHERE NOT (g.doc_id = f_doc AND g.pos = f_pos)),
+          |""".stripMargin + spansCteSql("removed") + ",\n" +
+        """covered AS (SELECT doc_id, CAST(unnest(range(ss, se + 1)) AS BIGINT) AS idx FROM spans),
+          |affected AS (SELECT DISTINCT doc_id FROM spans),
+          |atoks AS (SELECT tok.doc_id, tok.t FROM tok JOIN affected ON tok.doc_id = affected.doc_id),
+          |ptoks AS (SELECT doc_id, t, CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS idx FROM atoks),
+          |kept AS (
+          |  SELECT p.doc_id, p.idx, p.t[CAST(p.idx AS INT)] AS tok_s
+          |  FROM ptoks p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.idx = c.idx
+          |  WHERE c.doc_id IS NULL),
+          |rebuilt AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_after,
+          |         string_agg(tok_s, ' ' ORDER BY idx) AS scrubbed_text
+          |  FROM kept GROUP BY 1)
+          |SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS n_tokens_before,
+          |       COALESCE(n_tokens_after, 0) AS n_tokens_after,
+          |       CAST(len(a.t) AS BIGINT) - COALESCE(n_tokens_after, 0) AS n_removed_tokens,
+          |       COALESCE(scrubbed_text, '') AS scrubbed_text
+          |FROM atoks a LEFT JOIN rebuilt ON a.doc_id = rebuilt.doc_id""".stripMargin),
     "d25_training_corpus" ->
       (simhash64OracleCte +
       """,

@@ -457,4 +457,60 @@ class DedupSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("substring dedup finds the exact shared span and merges its grams") {
+    import spark.implicits._
+    // doc 2 embeds doc 1's 10-token prefix at positions 3..12; doc 3 is
+    // disjoint vocabulary — the merged span must be exactly the shared
+    // run, not the per-gram fragments (3 overlapping 8-grams -> 1 span)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y a b c d e f g h i j z w q r"),
+      (3L, "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac"))).toMap
+    assert(got.keySet == Set(1L, 2L), s"unexpected docs: ${got.keySet}")
+    assert(got(1L) == ((12L, 1L, 10L, 10.0 / 12.0)))
+    assert(got(2L) == ((16L, 1L, 10L, 10.0 / 16.0)))
+  }
+
+  test("substring scrub removes every occurrence but the globally first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y a b c d e f g h i j z w q r"),
+      (3L, "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9 pa pb pc pd")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringScrubOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_after"),
+          r.getAs[Long]("n_removed_tokens"), r.getAs[String]("scrubbed_text"))).toMap
+    // doc 1 holds the first occurrences -> untouched, absent from the delta
+    assert(got.keySet == Set(2L))
+    assert(got(2L) == ((16L, 6L, 10L, "x y z w q r")))
+  }
+
+  test("substring scrub is consistent with the census on the corpus") {
+    val census = Dedup.substringDedup(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(census.nonEmpty, "corpus should contain duplicated spans")
+    census.foreach { case (_, dupToks) => assert(dupToks >= 8L) }
+    val scrub = Dedup.substringScrub(spark, TestSpark.sf).collect()
+    assert(scrub.nonEmpty)
+    scrub.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // removed spans are a subset of duplicated spans: every scrubbed
+      // doc is in the census and never loses more than its dup coverage
+      assert(census.contains(id), s"doc $id scrubbed but not in census")
+      assert(r.getAs[Long]("n_removed_tokens") <= census(id))
+      assert(r.getAs[Long]("n_tokens_after") ==
+        r.getAs[Long]("n_tokens_before") - r.getAs[Long]("n_removed_tokens"))
+      // rebuilt text token count matches the reported count
+      val n = r.getAs[String]("scrubbed_text").split("\\s+").count(_.nonEmpty)
+      assert(n == r.getAs[Long]("n_tokens_after"))
+    }
+  }
 }
