@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Dimensions.queries ++ Facts.queries ++
       Marts.queries ++ Cleaning.queries ++ TextAnalysis.queries ++
-      Events.queries ++ Dedup.queries ++ Similarity.queries ++ AsOf.queries ++ Analytics2.queries
+      Events.queries ++ Dedup.queries ++ Similarity.queries ++ AsOf.queries ++
+      Analytics2.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ Dimensions.oracle ++ Facts.oracle ++
       Marts.oracle ++ Cleaning.oracle ++ TextAnalysis.oracle ++
-      Events.oracle ++ Dedup.oracle ++ Similarity.oracle ++ AsOf.oracle ++ Analytics2.oracle
+      Events.oracle ++ Dedup.oracle ++ Similarity.oracle ++ AsOf.oracle ++
+      Analytics2.oracle ++ Graph.oracle
 }

@@ -1,0 +1,88 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Driver-side reference: the same 6-round fixed-point walk in plain
+    * Scala maps — integer arithmetic makes the comparison EXACT, so a
+    * single ulp of divergence in the distributed plan fails loudly.
+    */
+  private def referencePagerank(basket: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val scale = 1000000000000L
+    val byOrder = basket.distinct.groupBy(_._1).values
+    val edges = byOrder.flatMap { items =>
+      val ps = items.map(_._2)
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = deg.size.toLong
+    val tele = (15L * (scale / n)) / 100L
+    var r: Map[Long, Long] = deg.map { case (k, _) => k -> scale / n }
+    for (_ <- 1 to 6) {
+      val in = edges.toSeq
+        .map { case (src, dst) => dst -> r(src) / deg(src) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      r = deg.map { case (k, _) => k -> (tele + (85L * in.getOrElse(k, 0L)) / 100L) }
+    }
+    deg.map { case (k, d) => k -> (d, r(k)) }
+  }
+
+  test("pagerank matches a driver-side reference exactly on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      // random baskets: 40 orders, 1-5 parts each from a 25-part catalog
+      val basket = (1L to 40L).flatMap { o =>
+        val k = 1 + rnd.nextInt(5)
+        Seq.fill(k)((o, 1L + rnd.nextInt(25).toLong))
+      }
+      val li = basket.toDF("l_orderkey", "l_partkey")
+      val got = Graph.copurchasePagerankOf(li).collect()
+        .map(r => r.getAs[Long]("part_key") ->
+          (r.getAs[Long]("degree"), r.getAs[Long]("rank_fp"))).toMap
+      val want = referencePagerank(basket)
+      assert(got == want, s"trial $trial: ${got.toSeq.sorted.take(5)} vs ${want.toSeq.sorted.take(5)}")
+    }
+  }
+
+  test("pagerank mass is conserved up to integer floors and ranks are positive") {
+    val rows = Graph.copurchasePagerank(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val scale = 1000000000000L
+    val n = rows.length.toLong
+    val total = rows.map(_.getAs[Long]("rank_fp")).sum
+    val sumDeg = rows.map(_.getAs[Long]("degree")).sum
+    // mass only leaks DOWN through integer floors: < deg(v) per node
+    // when the outgoing rank splits, plus ≤ 2 per node for the damping
+    // and teleport floors, per round — bounded by 6·(Σdeg + 2n) + n
+    // over the 6 rounds and the initial n-way split
+    assert(total <= scale, s"mass grew: $total > $scale")
+    assert(total >= scale - (6L * (sumDeg + 2L * n) + n),
+      s"mass leaked too far: $total vs $scale (n=$n, sumDeg=$sumDeg)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rank_fp") > 0)
+      assert(r.getAs[Long]("degree") >= 1)
+      val d = r.getAs[Double]("rank")
+      assert(d > 0.0 && d < 1.0)
+    }
+  }
+
+  test("hub parts outrank leaf parts in a star basket topology") {
+    import spark.implicits._
+    // one hub part co-purchased in every order, leaves once each —
+    // centrality must rank the hub strictly first
+    val basket = (1L to 10L).flatMap(o => Seq((o, 100L), (o, o)))
+    val li = basket.toDF("l_orderkey", "l_partkey")
+    val ranked = Graph.copurchasePagerankOf(li).collect()
+      .sortBy(-_.getAs[Long]("rank_fp"))
+    assert(ranked.head.getAs[Long]("part_key") == 100L)
+    assert(ranked.head.getAs[Long]("degree") == 10L)
+  }
+}

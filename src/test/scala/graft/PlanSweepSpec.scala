@@ -86,6 +86,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q51_ivf_append" -> "1-row append-watermark frame",
     "q52_rfm_segmentation" -> "broadcast quintile-boundary frame",
     "q53_basket_affinity" -> "1-row n_orders frame into support/lift",
+    "q59_copurchase_pagerank" -> ("1-row node-count/teleport frame " +
+      "crossJoined into the init and each damping step"),
     "t09_tfidf_keywords" -> "1-row N-docs frame (never a collected literal)",
     "t11_mixture_resample" -> "1-row median-source-size frame",
     "t16_dsir_weights" -> "1-row census-totals frame",
