@@ -171,6 +171,20 @@ object Pipeline {
     * reference SQL's unqualified table names resolve (NB: a same-named
     * TEMP VIEW in a session still shadows the catalog table there —
     * new sessions have none, which is the point).
+    *
+    * PARTITIONED artifacts (Hive `col=value` layout — the q47
+    * incremental fact's month/day grain, or any Sinks publish with
+    * `partitionedBy`): `CREATE TABLE ... USING parquet LOCATION`
+    * infers the partition COLUMN from the layout but registers an
+    * EMPTY partition set — the catalog relation serves ZERO ROWS
+    * until the partitions are recovered (measured directly; the
+    * datasource-table partition metadata is catalog-managed, not
+    * re-listed per query). So registration detects the layout and
+    * runs `MSCK REPAIR TABLE` — after which the metastore prunes
+    * partitions BEFORE file listing (the scan's file index holds only
+    * the matching `col=value` paths), which is the point of a
+    * partitioned deployment at 100 TB: a month-sliced query touches
+    * the month's directory, not a warehouse-wide listing.
     */
   def registerWarehouseCatalog(spark: SparkSession, outDir: String,
                                database: String = "graft"): Seq[String] = {
@@ -184,10 +198,16 @@ object Pipeline {
         // directory never leaves a half-registered entry behind
         spark.read.parquet(s"$outDir/$n").schema
         val p = new org.apache.hadoop.fs.Path(s"$outDir/$n")
-        val loc = p.getFileSystem(conf).makeQualified(p).toUri.toString
+        val fs = p.getFileSystem(conf)
+        val loc = fs.makeQualified(p).toUri.toString
         spark.sql(s"DROP TABLE IF EXISTS `$database`.`$n`")
         spark.sql(
           s"CREATE TABLE `$database`.`$n` USING parquet LOCATION '$loc'")
+        // Hive-layout children ⇒ partitioned table ⇒ the catalog's
+        // partition set starts EMPTY; recover it or serve zero rows
+        val partitioned = fs.listStatus(p).exists(st =>
+          st.isDirectory && st.getPath.getName.matches("[A-Za-z_][A-Za-z0-9_]*=.*"))
+        if (partitioned) spark.sql(s"MSCK REPAIR TABLE `$database`.`$n`")
       }.isSuccess
     }
   }

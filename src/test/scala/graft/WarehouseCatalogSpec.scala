@@ -105,6 +105,42 @@ class WarehouseCatalogSpec extends AnyFunSuite {
       .contains("dim_category"))
   }
 
+  test("partitioned artifacts register with recovered partitions and metastore pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wh_part").toString
+    // a month-partitioned publish (the q47 incremental-fact layout)
+    Seq((1L, 199501L, 5.0), (2L, 199501L, 6.0), (3L, 199502L, 7.0), (4L, 199503L, 8.0))
+      .toDF("k", "month_key", "amt")
+      .write.partitionBy("month_key").parquet(s"$dir/fact_part")
+    assert(Pipeline.registerWarehouseCatalog(spark, dir, "graft_part") ==
+      Seq("fact_part"))
+    // the partition column is inferred AND the partition set recovered —
+    // without MSCK the catalog relation serves zero rows (measured)
+    assert(spark.catalog.listColumns("graft_part.fact_part").collect()
+      .exists(c => c.name == "month_key" && c.isPartition))
+    assert(spark.sql("SHOW PARTITIONS graft_part.fact_part").count() == 3)
+    assert(spark.table("graft_part.fact_part").count() == 4)
+    // metastore partition pruning: the sliced query's file index holds
+    // ONLY the matching month directory — pruning happened in the
+    // catalog before file listing, not as a post-scan filter
+    val sliced = spark.table("graft_part.fact_part")
+      .filter(org.apache.spark.sql.functions.col("month_key") === 199501L)
+    assert(sliced.count() == 2)
+    val scans = sliced.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val paths = scans.head.relation.location.inputFiles
+    assert(paths.nonEmpty && paths.forall(_.contains("month_key=199501")),
+      s"file index not partition-pruned: ${paths.take(3).mkString(",")}")
+    // re-registration after a new partition lands re-recovers it
+    Seq((5L, 199504L, 9.0)).toDF("k", "month_key", "amt")
+      .write.mode("append").partitionBy("month_key").parquet(s"$dir/fact_part")
+    Pipeline.registerWarehouseCatalog(spark, dir, "graft_part")
+    assert(spark.sql("SHOW PARTITIONS graft_part.fact_part").count() == 4)
+    assert(spark.table("graft_part.fact_part").count() == 5)
+  }
+
   test("unsafe database names are rejected before any DDL runs") {
     intercept[IllegalArgumentException] {
       Pipeline.registerWarehouseCatalog(spark, wh, "bad`name; DROP")
