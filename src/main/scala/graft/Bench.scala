@@ -78,6 +78,7 @@ object Bench {
       "q48_ivf_adaptive",
       "q33_corpus_stats", "t01_lang_id", "t02_quality_score",
       "t03_token_count", "t04_fingerprint", "t14_pii_scrub", "t15_hash_split",
+      "t21_chunk_documents",
       "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
@@ -98,7 +99,7 @@ object Bench {
       "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
       "t11_mixture_resample", "t13_boilerplate", "t20_alpha_mixture")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
-      "d29_substring_scrub", "q59_copurchase_pagerank",
+      "d29_substring_scrub", "d30_span_contamination", "q59_copurchase_pagerank",
       "d24_lsh_calibration", "d25_training_corpus", "d26_band_retune",
       "d27_retuned_calibration",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",

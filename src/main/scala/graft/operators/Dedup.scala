@@ -1958,9 +1958,47 @@ object Dedup {
         coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
   }
 
+  /** d30: SPAN-level decontamination census — for every training doc
+    * (non-benchmark source), the maximal token spans whose 8-grams
+    * also appear in a benchmark doc (src0/src1, the d08/d13/d18
+    * convention). d13 answers "HOW MANY 13-grams collide" per doc;
+    * d30 answers "WHERE" — merged spans with positions, which is what
+    * a scrub-not-drop remediation needs (cutting the leaked span
+    * keeps the doc; d13's doc-level flag can only discard it). Uses
+    * the d28 gram geometry (w=8) so span semantics match the dedup
+    * family's.
+    *
+    * Scale: the bench gram set is suite-sized (distinct 32-hex keys);
+    * the train→bench restriction is one left-semi equi-join on the
+    * hash (broadcastable in real deployments, left declarative so AQE
+    * picks); span merge is the per-doc bounded window. Same blocked
+    * discipline as d28 — never pairwise.
+    */
+  def spanContamination(spark: SparkSession, dir: String): DataFrame =
+    spanContaminationOf(Tables.documents(spark, dir))
+
+  private[graft] def spanContaminationOf(docs: DataFrame): DataFrame = {
+    val isBench = col("source").isin("src0", "src1")
+    val benchGh = wordGrams(docs.filter(isBench)).select(col("gh")).distinct()
+    val trainPos = wordGrams(docs.filter(!isBench))
+      .join(benchGh, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val spans = mergeSpans(trainPos)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contam_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("contam_tokens"))
+    val totals = docs.filter(!isBench).select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("total_tokens"))
+    perDoc.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("total_tokens"), col("n_contam_spans"), col("contam_tokens"),
+        (col("contam_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("contam_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d28_substring_dedup" -> substringDedup,
     "d29_substring_scrub" -> substringScrub,
+    "d30_span_contamination" -> spanContamination,
     "d01_exact_dedup" -> exactDedup,
     "d02_ngram_jaccard" -> ngramJaccard,
     "d03_minhash_lsh" -> minhashLsh,
@@ -2104,10 +2142,11 @@ object Dedup {
     val cat = (0 until SpanGramW)
       .map(k => if (k == 0) "t[CAST(i AS INT)]" else s"t[CAST(i AS INT) + $k]")
       .mkString(" || ' ' || ")
-    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
-       |pos AS (SELECT doc_id, t, CAST(unnest(range(1, len(t) - ${SpanGramW - 2})) AS BIGINT) AS i
+    s"""WITH tok AS (SELECT doc_id, source IN ('src0', 'src1') AS is_bench,
+       |               regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |pos AS (SELECT doc_id, is_bench, t, CAST(unnest(range(1, len(t) - ${SpanGramW - 2})) AS BIGINT) AS i
        |        FROM tok WHERE len(t) >= $SpanGramW),
-       |g AS (SELECT doc_id, i AS pos, md5($cat) AS gh FROM pos)""".stripMargin
+       |g AS (SELECT doc_id, is_bench, i AS pos, md5($cat) AS gh FROM pos)""".stripMargin
   }
 
   /** Oracle twin of [[mergeSpans]] — identical gaps-and-islands over
@@ -2166,6 +2205,18 @@ object Dedup {
           |       CAST(len(a.t) AS BIGINT) - COALESCE(n_tokens_after, 0) AS n_removed_tokens,
           |       COALESCE(scrubbed_text, '') AS scrubbed_text
           |FROM atoks a LEFT JOIN rebuilt ON a.doc_id = rebuilt.doc_id""".stripMargin),
+    "d30_span_contamination" ->
+      (gramCteSql + ",\n" +
+        """bg AS (SELECT DISTINCT gh FROM g WHERE is_bench),
+          |dup AS (SELECT g.doc_id, g.pos FROM g JOIN bg USING (gh) WHERE NOT g.is_bench),
+          |""".stripMargin + spansCteSql("dup") + ",\n" +
+        """per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_spans,
+          |              CAST(sum(se - ss + 1) AS BIGINT) AS contam_tokens
+          |            FROM spans GROUP BY 1)
+          |SELECT p.doc_id, CAST(len(tok.t) AS BIGINT) AS total_tokens,
+          |       n_contam_spans, contam_tokens,
+          |       CAST(contam_tokens AS DOUBLE) / CAST(len(tok.t) AS DOUBLE) AS contam_frac
+          |FROM per_doc p JOIN tok USING (doc_id) WHERE NOT tok.is_bench""".stripMargin),
     "d25_training_corpus" ->
       (simhash64OracleCte +
       """,

@@ -1022,7 +1022,50 @@ object TextAnalysis {
     clear.union(boundary)
   }
 
+  // ─── t21 fixed-size overlapping chunking ─────────────────────────────
+  /** Chunk length / stride (overlap = len − stride). 40-token chunks
+    * with 8-token overlap — the context-window splitting a training or
+    * retrieval pipeline applies to docs LONGER than its sequence
+    * budget; t12 packs short docs UP to the budget, t21 splits long
+    * docs DOWN to it (the two halves of sequence shaping). The
+    * overlap keeps spans that straddle a cut present in one piece.
+    */
+  private val ChunkLen = 40
+  private val ChunkStride = 32
+
+  /** t21: deterministic overlapping chunks per doc. Chunk k of an
+    * n-token doc starts at token 1 + k·stride, k = 0..⌈max(0, n−len)
+    * / stride⌉ — so a doc at or under the budget is exactly one chunk
+    * and the LAST chunk is the only short one.
+    *
+    * Scale: a pure per-row map + bounded explode (≤ n/stride chunks
+    * per doc) — NO shuffle anywhere, stays inside whole-stage codegen;
+    * parallelism is the scan's. The chunk count formula is closed-form
+    * integer arithmetic, identical in the oracle.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocumentsOf(Tables.documents(spark, dir))
+
+  private[graft] def chunkDocumentsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - $ChunkLen, 0) + ${ChunkStride - 1}) div $ChunkStride")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride + 1).as("chunk_start"), col("t"), col("n"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        (least(col("chunk_start") + (ChunkLen - 1), col("n")) - col("chunk_start") + 1)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("t"), col("chunk_start").cast("int"),
+          (least(col("chunk_start") + (ChunkLen - 1), col("n")) - col("chunk_start") + 1)
+            .cast("int")), " ").as("chunk_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_chunk_documents" -> chunkDocuments,
     "t16_dsir_weights" -> dsirWeights,
     "t18_dsir_per_source" -> dsirWeightsPerSource,
     "t17_dsir_select" -> dsirSelect,
@@ -1115,6 +1158,17 @@ object TextAnalysis {
       |  FROM census CROSS JOIN tot)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t21_chunk_documents" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+         |nn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok WHERE len(t) >= 1),
+         |ch AS (SELECT doc_id, t, n,
+         |         CAST(unnest(range(0, (greatest(n - $ChunkLen, 0) + ${ChunkStride - 1}) // $ChunkStride + 1)) AS BIGINT) AS chunk_id
+         |       FROM nn),
+         |st AS (SELECT doc_id, chunk_id, chunk_id * $ChunkStride + 1 AS chunk_start, t, n FROM ch)
+         |SELECT doc_id, chunk_id, chunk_start,
+         |       least(chunk_start + ${ChunkLen - 1}, n) - chunk_start + 1 AS n_chunk_tokens,
+         |       array_to_string(t[CAST(chunk_start AS INT):CAST(least(chunk_start + ${ChunkLen - 1}, n) AS INT)], ' ') AS chunk_text
+         |FROM st""".stripMargin,
     "t18_dsir_per_source" ->
       (dsirPerSourceCte +
       """

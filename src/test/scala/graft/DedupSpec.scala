@@ -493,6 +493,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == ((16L, 6L, 10L, "x y z w q r")))
   }
 
+  test("span contamination localizes the leaked benchmark span, train-only repeats stay clean") {
+    import spark.implicits._
+    // train doc 10 embeds bench doc 1's 10-token run at positions 4..13;
+    // train docs 11/12 share a 9-token run with EACH OTHER only — d28
+    // would flag them, decontamination must not
+    val docs = Seq(
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 tail1", "src0"),
+      (10L, "w x y b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 z", "src2"),
+      (11L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 end1", "src3"),
+      (12L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 end2", "src4")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.spanContaminationOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("n_contam_spans"),
+          r.getAs[Long]("contam_tokens"))).toMap
+    assert(got.keySet == Set(10L), s"wrong contaminated set: ${got.keySet}")
+    // grams at positions 4..6 of doc 10 hit bench grams -> span [4, 13]
+    assert(got(10L) == ((14L, 1L, 10L)))
+  }
+
   test("substring scrub is consistent with the census on the corpus") {
     val census = Dedup.substringDedup(spark, TestSpark.sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap

@@ -61,6 +61,50 @@ class TextEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("t21 chunking: boundaries, coverage, and overlap reconstruction are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),   // under budget: 1 chunk
+      (2L, (1 to 40).map(i => s"b$i").mkString(" ")),   // exactly the budget
+      (3L, (1 to 41).map(i => s"c$i").mkString(" ")),   // one token over: 2 chunks
+      (4L, (1 to 100).map(i => s"d$i").mkString(" "))   // multi-chunk
+    ).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.chunkDocumentsOf(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getAs[Long]("n_chunk_tokens") == 12)
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getAs[Long]("n_chunk_tokens") == 40)
+    // 41 tokens: chunk0 = [1..40], chunk1 = [33..41] (9 tokens, 8 overlap)
+    val d3 = byDoc(3L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d3.map(r => (r.getAs[Long]("chunk_start"), r.getAs[Long]("n_chunk_tokens"))).toSeq ==
+      Seq((1L, 40L), (33L, 9L)))
+    // 100 tokens: starts 1, 33, 65, (97? ceil(60/32)=2 -> K=2) last end must hit 100
+    val d4 = byDoc(4L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d4.map(_.getAs[Long]("chunk_start")).toSeq == Seq(1L, 33L, 65L))
+    assert(d4.last.getAs[Long]("chunk_start") + d4.last.getAs[Long]("n_chunk_tokens") - 1 == 100)
+    // every chunk's text reconstructs its token slice; full coverage
+    byDoc.values.flatten.foreach { r =>
+      val toks = r.getAs[String]("chunk_text").split(" ")
+      assert(toks.length == r.getAs[Long]("n_chunk_tokens"))
+    }
+  }
+
+  test("t21 chunking covers the corpus with no shuffle in the plan") {
+    val chunks = TextAnalysis.chunkDocuments(spark, TestSpark.sf)
+    // zero exchanges: the chunker must stay a scan-side map
+    val plan = chunks.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"chunker plans a shuffle:\n$plan")
+    val rows = chunks.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chunk_start") == r.getAs[Long]("chunk_id") * 32 + 1)
+      val n = r.getAs[Long]("n_chunk_tokens")
+      assert(n >= 1 && n <= 40)
+    }
+  }
+
   test("token counts: bpe-ish >= whitespace tokens, ratios sane") {
     TextAnalysis.tokenCount(spark, TestSpark.sf).collect().foreach { r =>
       assert(r.getAs[Long]("bpe_ish_tokens") >= r.getAs[Long]("ws_tokens"))
