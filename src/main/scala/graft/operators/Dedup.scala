@@ -1834,10 +1834,19 @@ object Dedup {
     */
   private val SpanGramW = 8
 
-  /** (doc_id, pos, gh): md5 of the w-token gram starting at 1-based
-    * token position `pos`. One row per position — POSITIONS, not a
-    * set: substring dedup is about occurrences, so intra-doc repeats
-    * count (a doc that repeats its own 8-gram is self-duplicated).
+  /** (doc_id, pos, gh): 60-bit md5-prefix hash of the w-token gram
+    * starting at 1-based token position `pos`. One row per position —
+    * POSITIONS, not a set: substring dedup is about occurrences, so
+    * intra-doc repeats count (a doc that repeats its own 8-gram is
+    * self-duplicated). The key is a BIGINT, not the 32-char hex
+    * string: the gram frame is the family's dominant shuffle and the
+    * count≥2 tail is its broadcast candidate, so an 8-byte key beats
+    * a 32-byte string 4× on both (measured: the sf3 scale point's
+    * AQE-chosen broadcast build of the string tail was a serial ~2 s
+    * term that made sf3 read SLOWER than sf10). Both engines derive
+    * the identical 60-bit prefix, so the rare truncation collision
+    * (~2·10⁻⁴ at 22M grams) is deterministic and IDENTICAL — the
+    * oracle replays it, exactly like the d03 signature hashes.
     */
   private def wordGrams(docs: DataFrame): DataFrame =
     docs
@@ -1846,8 +1855,9 @@ object Dedup {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - (SpanGramW - 1))).as("i"))
       .select(col("doc_id"), col("i").cast("long").as("pos"),
-        md5(concat_ws(" ",
-          (0 until SpanGramW).map(k => element_at(col("t"), col("i") + k)): _*)).as("gh"))
+        conv(substring(md5(concat_ws(" ",
+          (0 until SpanGramW).map(k => element_at(col("t"), col("i") + k)): _*)), 1, 15), 16, 10)
+          .cast("long").as("gh"))
 
   /** Merge duplicated-gram start positions into maximal disjoint token
     * spans [span_start, span_end] per doc — gaps-and-islands over the
@@ -2146,7 +2156,8 @@ object Dedup {
        |               regexp_extract_all(text, '\\S+') AS t FROM documents),
        |pos AS (SELECT doc_id, is_bench, t, CAST(unnest(range(1, len(t) - ${SpanGramW - 2})) AS BIGINT) AS i
        |        FROM tok WHERE len(t) >= $SpanGramW),
-       |g AS (SELECT doc_id, is_bench, i AS pos, md5($cat) AS gh FROM pos)""".stripMargin
+       |g AS (SELECT doc_id, is_bench, i AS pos,
+       |        CAST(('0x' || substr(md5($cat), 1, 15)) AS BIGINT) AS gh FROM pos)""".stripMargin
   }
 
   /** Oracle twin of [[mergeSpans]] — identical gaps-and-islands over
