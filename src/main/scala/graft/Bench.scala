@@ -100,6 +100,7 @@ object Bench {
       "t11_mixture_resample", "t13_boilerplate", "t20_alpha_mixture")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d29_substring_scrub", "d30_span_contamination", "q59_copurchase_pagerank",
+      "q60_copurchase_triangles", "t22_bigram_lm_score",
       "d24_lsh_calibration", "d25_training_corpus", "d26_band_retune",
       "d27_retuned_calibration",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",

@@ -114,9 +114,105 @@ object Graph {
        |FROM it${Iters}r""".stripMargin
   }
 
+  /** Fixed-point scale for the clustering coefficient (parts-per-million). */
+  private val CcScale = 1000000L
+
+  /** q60: per-part triangle census + local clustering coefficient over
+    * the co-purchase graph — the cohesion lens PageRank (q59) cannot
+    * give: a part whose neighbors also co-sell with EACH OTHER (high
+    * clustering) anchors a coherent basket theme; a high-degree,
+    * low-clustering part is a universal staple. cc = 2·Δ/(deg·(deg−1))
+    * in [[CcScale]] fixed point (integer — exact cross-engine).
+    *
+    * Scale: triangles are enumerated on the DEGREE-ORIENTED graph —
+    * each undirected edge points from its lower-(deg, key) endpoint to
+    * the higher — so every triangle is generated exactly once (as its
+    * unique orientation-ascending wedge u→v, v→w closed by u→w) and,
+    * decisively, out-degrees are bounded by O(√m) regardless of raw
+    * degree skew: a hub of degree 10⁶ has out-edges only to nodes of
+    * even higher degree, of which there are few. The wedge join's
+    * intermediate is Σ out-deg² — the arboricity-bounded minimum for
+    * exact triangle counting (Suri & Vassilvitskii's MapReduce
+    * formulation) — instead of the Σ deg² a naive adjacency self-join
+    * pays, which at power-law skew is the difference between linear
+    * and quadratic in the hub degree. All three hops are equi-joins
+    * (shuffle-hash/SMJ at scale); per-node counts are one hash
+    * aggregation over the 3-exploded triangle list; no windows.
+    */
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame =
+    copurchaseTrianglesOf(Tables.lineitem(spark, dir))
+
+  private[graft] def copurchaseTrianglesOf(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    // canonical undirected edges (u < v), one row per co-purchased pair
+    val ed = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val deg = ed.select(col("u").as("node")).unionAll(ed.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the higher (deg, key) endpoint
+    val oe = ed
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    // wedge a→b→c closed by a→c: exactly one enumeration per triangle
+    val tri = oe.as("e1")
+      .join(oe.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oe.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val perNode = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("part_key"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("tri_cnt"),
+        when(col("deg") >= 2,
+          expr(s"($CcScale * 2 * coalesce(tri, 0)) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_fp"))
+  }
+
+  private def trianglesSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ed AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+       |oe AS (
+       |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |              THEN e.u ELSE e.v END AS src,
+       |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |              THEN e.v ELSE e.u END AS dst
+       |  FROM ed e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM oe e1 JOIN oe e2 ON e1.dst = e2.src
+       |       JOIN oe e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+       |per AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS tri
+       |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1)
+       |SELECT d.node AS part_key, d.deg AS degree,
+       |       COALESCE(p.tri, 0) AS tri_cnt,
+       |       CASE WHEN d.deg >= 2
+       |            THEN ($CcScale * 2 * COALESCE(p.tri, 0)) // (d.deg * (d.deg - 1))
+       |            ELSE 0 END AS cc_fp
+       |FROM deg d LEFT JOIN per p ON d.node = p.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q59_copurchase_pagerank" -> copurchasePagerank)
+    "q59_copurchase_pagerank" -> copurchasePagerank,
+    "q60_copurchase_triangles" -> copurchaseTriangles)
 
   val oracle: Map[String, String] = Map(
-    "q59_copurchase_pagerank" -> pagerankSql)
+    "q59_copurchase_pagerank" -> pagerankSql,
+    "q60_copurchase_triangles" -> trianglesSql)
 }

@@ -1064,7 +1064,88 @@ object TextAnalysis {
           (least(col("chunk_start") + (ChunkLen - 1), col("n")) - col("chunk_start") + 1)
             .cast("int")), " ").as("chunk_text"))
 
+  // ─── t22 corpus bigram-LM plausibility score ─────────────────────────
+  /** Fixed-point scale for the per-bigram conditional probability
+    * (parts-per-million). Deliberately 10⁶, not 10⁹: the score is
+    * SCALE·c12 before the integer divide, and prefix/bigram counts at
+    * the 100 TB corpus can reach ~10¹² — 10⁶ keeps the product under
+    * 10¹⁸ < Long.MaxValue, where 10⁹ would overflow.
+    */
+  private val LmScale = 1000000L
+
+  /** t22: per-doc language-model plausibility under the corpus's OWN
+    * bigram statistics — the CCNet/KenLM-style quality lens (score a
+    * doc by how "expected" its word transitions are) without an
+    * external model: P(w₂|w₁) = C(w₁w₂)/C(w₁·), and a doc's score is
+    * the count-weighted mean of its bigrams' conditional probabilities
+    * in [[LmScale]] fixed point — how PREDICTABLE the doc's word
+    * transitions are given its own prefixes' corpus behavior. Low
+    * score = prefixes that fan out many ways here took a rare branch
+    * (word-salad spam interleaving common words); high = transitions
+    * the corpus agrees on. NB the conditional form scores a
+    * corpus-UNIQUE prefix as perfectly predictable (c12 = c1 = 1 ⇒
+    * P = 1) — rarity itself is deliberately the OTHER column's job:
+    * `n_novel`/`novel_frac` count bigrams occurring exactly once
+    * corpus-wide (a doc of entirely unique transitions is original
+    * prose or noise; jointly with lm_score and t02's quality score
+    * the cases separate). Docs under 2 tokens have no bigrams and are
+    * excluded by both engines.
+    *
+    * Determinism: conditional probabilities are integer fixed point
+    * (SCALE·c12 div c1) and the per-doc mean is an integer sum divided
+    * by the bigram count — associative BIGINT arithmetic, bit-identical
+    * across engines regardless of aggregation order (the [[Graph]]
+    * fixed-point discipline; float probabilities would drift in the
+    * last ulps). Bigram/prefix keys are the d28 60-bit md5-prefix
+    * BIGINTs — both engines derive the same bits, so the rare
+    * truncation collision is deterministic and identical.
+    *
+    * Scale: one hash aggregation to (doc, prefix, bigram) granularity
+    * (map-side partial combine on uniform md5 keys), two count frames
+    * derived FROM that aggregate (never from the raw position stream),
+    * two equi-joins back on uniform 8-byte keys, one per-doc hash
+    * aggregation. No windows, no pairwise joins; a stopword-heavy
+    * prefix is one ROW in the count frame (counts pre-aggregated), so
+    * natural-language key skew never concentrates join work.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScoreOf(Tables.documents(spark, dir))
+
+  private[graft] def bigramLmScoreOf(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        conv(substring(md5(element_at(col("t"), col("i"))), 1, 15), 16, 10)
+          .cast("long").as("h1"),
+        conv(substring(md5(concat_ws(" ",
+          element_at(col("t"), col("i")), element_at(col("t"), col("i") + 1))), 1, 15), 16, 10)
+          .cast("long").as("h12"))
+      .groupBy(col("doc_id"), col("h1"), col("h12"))
+      .agg(count(lit(1)).as("m"))
+    val c12 = occ.groupBy(col("h12")).agg(sum(col("m")).as("c12"))
+    val c1 = occ.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
+    occ.join(c12, Seq("h12")).join(c1, Seq("h1"))
+      .select(col("doc_id"), col("m"),
+        expr(s"($LmScale * c12) div c1").as("p_fp"),
+        when(col("c12") === 1, col("m")).otherwise(lit(0L)).as("novel"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        expr("sum(m * p_fp) div sum(m)").as("lm_score_fp"),
+        sum(col("novel")).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score_fp"), col("n_novel"),
+        // constant-divisor / exact-integer double divisions — identical
+        // IEEE ops both engines
+        (col("lm_score_fp").cast("double") / lit(LmScale.toDouble)).as("lm_score"),
+        (col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+          .as("novel_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bigram_lm_score" -> bigramLmScore,
     "t21_chunk_documents" -> chunkDocuments,
     "t16_dsir_weights" -> dsirWeights,
     "t18_dsir_per_source" -> dsirWeightsPerSource,
@@ -1158,6 +1239,31 @@ object TextAnalysis {
       |  FROM census CROSS JOIN tot)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t22_bigram_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+         |             FROM documents WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 2),
+         |pos AS (SELECT doc_id, t, CAST(unnest(range(1, len(t))) AS BIGINT) AS i FROM tok),
+         |occ AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(t[CAST(i AS INT)]), 1, 15)) AS BIGINT) AS h1,
+         |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]), 1, 15)) AS BIGINT) AS h12,
+         |         CAST(count(*) AS BIGINT) AS m
+         |  FROM pos GROUP BY 1, 2, 3),
+         |c12 AS (SELECT h12, CAST(sum(m) AS BIGINT) AS c12 FROM occ GROUP BY 1),
+         |c1 AS (SELECT h1, CAST(sum(m) AS BIGINT) AS c1 FROM occ GROUP BY 1),
+         |sc AS (
+         |  SELECT o.doc_id, o.m, ($LmScale * b.c12) // u.c1 AS p_fp,
+         |         CASE WHEN b.c12 = 1 THEN o.m ELSE 0 END AS novel
+         |  FROM occ o JOIN c12 b USING (h12) JOIN c1 u USING (h1)),
+         |per AS (
+         |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(m * p_fp) // sum(m) AS BIGINT) AS lm_score_fp,
+         |         CAST(sum(novel) AS BIGINT) AS n_novel
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_bigrams, lm_score_fp, n_novel,
+         |       CAST(lm_score_fp AS DOUBLE) / ${LmScale.toDouble} AS lm_score,
+         |       CAST(n_novel AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS novel_frac
+         |FROM per""".stripMargin,
     "t21_chunk_documents" ->
       s"""WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
          |nn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok WHERE len(t) >= 1),

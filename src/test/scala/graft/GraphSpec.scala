@@ -74,6 +74,64 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side reference: brute-force per-node triangle counts via
+    * neighbor-set intersection — exact integer comparison.
+    */
+  private def referenceTriangles(basket: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val byOrder = basket.distinct.groupBy(_._1).values
+    val edges = byOrder.flatMap { items =>
+      val ps = items.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    adj.map { case (v, nb) =>
+      val ns = nb.toSeq
+      val t = (for (i <- ns; j <- ns if i < j && adj(i)(j)) yield 1).size.toLong
+      val d = nb.size.toLong
+      val cc = if (d >= 2) (1000000L * 2 * t) / (d * (d - 1)) else 0L
+      v -> (d, t, cc)
+    }
+  }
+
+  test("triangle census matches a brute-force reference exactly on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    for (trial <- 1 to 3) {
+      val basket = (1L to 40L).flatMap { o =>
+        val k = 1 + rnd.nextInt(5)
+        Seq.fill(k)((o, 1L + rnd.nextInt(25).toLong))
+      }
+      val li = basket.toDF("l_orderkey", "l_partkey")
+      val got = Graph.copurchaseTrianglesOf(li).collect()
+        .map(r => r.getAs[Long]("part_key") ->
+          (r.getAs[Long]("degree"), r.getAs[Long]("tri_cnt"), r.getAs[Long]("cc_fp")))
+        .toMap
+      val want = referenceTriangles(basket)
+      assert(got == want, s"trial $trial: ${got.toSeq.sorted.take(5)} vs ${want.toSeq.sorted.take(5)}")
+    }
+  }
+
+  test("triangle census: clique, star, and path topologies read exactly") {
+    import spark.implicits._
+    // order 1 = a K4 clique; orders 2-4 = a star through hub 10; order 5 = a 2-path
+    val basket = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 10L), (2L, 11L), (3L, 10L), (3L, 12L), (4L, 10L), (4L, 13L),
+      (5L, 20L), (5L, 21L))
+    val got = Graph.copurchaseTrianglesOf(basket.toDF("l_orderkey", "l_partkey"))
+      .collect()
+      .map(r => r.getAs[Long]("part_key") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("tri_cnt"), r.getAs[Long]("cc_fp")))
+      .toMap
+    // K4: every node deg 3, 3 triangles, cc = 1.0 (fixed point 10^6)
+    Seq(1L, 2L, 3L, 4L).foreach(k => assert(got(k) == ((3L, 3L, 1000000L)), s"node $k: ${got(k)}"))
+    // star: hub deg 3, leaves deg 1, no triangles anywhere
+    assert(got(10L) == ((3L, 0L, 0L)))
+    Seq(11L, 12L, 13L).foreach(k => assert(got(k) == ((1L, 0L, 0L))))
+    // isolated edge: both ends deg 1, no triangle
+    assert(got(20L) == ((1L, 0L, 0L)) && got(21L) == ((1L, 0L, 0L)))
+  }
+
   test("hub parts outrank leaf parts in a star basket topology") {
     import spark.implicits._
     // one hub part co-purchased in every order, leaves once each —

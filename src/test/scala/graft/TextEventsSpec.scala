@@ -61,6 +61,72 @@ class TextEventsSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side t22 reference: exact string-keyed bigram statistics
+    * (no hashing — at spec scale the 60-bit md5 prefixes are
+    * collision-free, so the engine must match the unhashed truth).
+    */
+  private def referenceLm(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    val toks = docs.map { case (id, txt) =>
+      id -> txt.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val occ = toks.flatMap { case (id, t) =>
+      t.sliding(2).filter(_.length == 2).map(p => (id, p.head, (p.head, p(1))))
+    }
+    val c12 = occ.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val c1 = occ.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    toks.filter(_._2.length >= 2).map { case (id, t) =>
+      val bgs = t.sliding(2).filter(_.length == 2).toSeq.map(p => (p.head, (p.head, p(1))))
+      val n = bgs.size.toLong
+      val sumP = bgs.map { case (u, b) => (1000000L * c12(b)) / c1(u) }.sum
+      val novel = bgs.count { case (_, b) => c12(b) == 1L }.toLong
+      id -> (n, sumP / n, novel)
+    }.toMap
+  }
+
+  test("t22 bigram LM score matches an exact string-keyed reference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "The CAT sat"),            // case folds into the same stats
+      (4L, "zq"),                      // 1 token: no bigrams, excluded
+      (5L, "entirely novel gibberish tokens here"),
+      (6L, "the the the the"))         // intra-doc repeats count per occurrence
+    val got = TextAnalysis.bigramLmScoreOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_score_fp"), r.getAs[Long]("n_novel")))
+      .toMap
+    val want = referenceLm(docs)
+    assert(got == want, s"$got vs $want")
+    assert(!got.contains(4L))
+    // conditional-probability semantics: a corpus-unique prefix is
+    // perfectly predictable (c12 = c1 = 1 ⇒ P = 1), so the all-novel
+    // doc scores EXACTLY 1.0 — rarity lives in the novelty column
+    assert(got(5L)._2 == 1000000L)
+    assert(got(5L)._3 == got(5L)._1) // every bigram in doc 5 is corpus-unique
+    // docs 1/2/3/6 share their transitions with each other ⇒ their
+    // "the"-prefixed bigrams split the prefix mass and score < 1
+    Seq(1L, 2L, 3L, 6L).foreach(k => assert(got(k)._2 < 1000000L, s"doc $k: ${got(k)}"))
+    // doc 6's repeated "the the" is one of 3 branches of an 8-way
+    // prefix: exactly 3/8 of the mass, seen 3 times
+    assert(got(6L)._2 == 375000L)
+  }
+
+  test("t22 on the corpus: scores in range, novel_frac consistent") {
+    val rows = TextAnalysis.bigramLmScore(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val fp = r.getAs[Long]("lm_score_fp")
+      val novel = r.getAs[Long]("n_novel")
+      assert(n >= 1)
+      // every conditional prob is in (0, 1]: c12 ≤ c1 always
+      assert(fp >= 0 && fp <= 1000000L, s"score out of range: $fp")
+      assert(novel >= 0 && novel <= n)
+      assert(math.abs(r.getAs[Double]("novel_frac") - novel.toDouble / n) < 1e-12)
+    }
+  }
+
   test("t21 chunking: boundaries, coverage, and overlap reconstruction are exact") {
     import spark.implicits._
     val docs = Seq(
