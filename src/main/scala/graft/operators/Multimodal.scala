@@ -37,6 +37,33 @@ object Multimodal {
     */
   trait MediaCodec extends Serializable {
     def decode(payload: Array[Byte]): (Double, Array[Long])
+
+    /** 8×8 grayscale thumbnail (row-major, 64 ints in [0, 255]) — the
+      * downsample a perceptual hash ([[perceptualHash]]) is built on.
+      * Pure, like [[decode]]: equal payloads must produce equal tiles.
+      * Default (for byte-oriented stand-in codecs): average byte value
+      * over 64 equal payload slices — deterministic, and (like a real
+      * thumbnail) stable under small payload perturbations away from
+      * slice boundaries. A real image codec overrides with a true
+      * block-averaged raster ([[ImageIoCodec.grayTile]]).
+      */
+    def grayTile(payload: Array[Byte]): Array[Int] = {
+      val tile = new Array[Int](64)
+      if (payload.isEmpty) return tile
+      var k = 0
+      while (k < 64) {
+        val from = (k.toLong * payload.length / 64).toInt
+        val until = ((k + 1).toLong * payload.length / 64).toInt
+        if (until > from) {
+          var s = 0L
+          var i = from
+          while (i < until) { s += payload(i) & 0xff; i += 1 }
+          tile(k) = (s / (until - from)).toInt
+        }
+        k += 1
+      }
+      tile
+    }
   }
 
   /** Deterministic stand-in for a real image/audio decoder (this
@@ -98,6 +125,44 @@ object Multimodal {
         y += 1
       }
       (if (n == 0) 0.0 else sum.toDouble / n, hist)
+    }
+
+    /** Real 8×8 luma thumbnail: block-average the decoded raster (each
+      * tile averages its ⌈h/8⌉×⌈w/8⌉ pixel block, integer ITU-R 601
+      * luma) — the classic aHash downsample. Integer arithmetic
+      * throughout ⇒ bit-deterministic across JVMs.
+      */
+    override def grayTile(payload: Array[Byte]): Array[Int] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload (${payload.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val tile = new Array[Int](64)
+      var ty = 0
+      while (ty < 8) {
+        var tx = 0
+        while (tx < 8) {
+          val (x0, x1) = (tx * w / 8, math.max((tx + 1) * w / 8, tx * w / 8 + 1))
+          val (y0, y1) = (ty * h / 8, math.max((ty + 1) * h / 8, ty * h / 8 + 1))
+          var s = 0L
+          var n = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          tile(ty * 8 + tx) = if (n == 0) 0 else (s / n).toInt
+          tx += 1
+        }
+        ty += 1
+      }
+      tile
     }
   }
 
@@ -190,6 +255,63 @@ object Multimodal {
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean, hist, hash)
         }
       }
+  }
+
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Perceptual average-hash (aHash) per media row: 8×8 grayscale
+    * thumbnail via the codec seam, bit k set iff tile(k) > the tile
+    * mean (integer floor — deterministic ties). Equal payloads hash
+    * equal; small visual perturbations flip few bits, so near-dup
+    * images sit at small hamming distance — the image-space analog of
+    * d04's text SimHash. Same per-partition codec-init shape as
+    * [[extractFeatures]] (the decode is the dominant cost; the hash
+    * is 64 integer compares on top).
+    */
+  def perceptualHash(media: Dataset[MediaRow],
+                     codecFactory: () => MediaCodec = () => FakeCodec): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = codecFactory()
+      rows.map { r =>
+        val tile = codec.grayTile(r.payload)
+        val mean = tile.map(_.toLong).sum / 64
+        var h = 0L
+        var k = 0
+        while (k < 64) {
+          if (tile(k) > mean) h |= (1L << k)
+          k += 1
+        }
+        MediaHash(r.media_id, h)
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs at hamming ≤ `maxHamming` over the
+    * aHash, found by d04's banded-SimHash discipline: the 64-bit hash
+    * splits into four 16-bit bands; by pigeonhole any pair within
+    * hamming ≤ 3 agrees EXACTLY on ≥ 1 band (lossless there; at the
+    * default 6 the bands are a high-recall blocking heuristic, the
+    * LSH trade d03/d04 document), so candidates come from four
+    * equi-self-joins on (band index, band value) — never an all-pairs
+    * compare — and the exact hamming check runs on the candidate
+    * slice only. Identical-hash pairs agree on every band; `distinct`
+    * collapses the multi-band hits.
+    */
+  def phashNearDup(hashes: Dataset[MediaHash], maxHamming: Int = 6): DataFrame = {
+    val bands = hashes.toDF().select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("shiftright(phash, band * 16) & 65535"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
   }
 
   /** "Resize" stage stub: truncate payloads to `maxBytes` — stands in

@@ -139,6 +139,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(split == 0, "an identical payload was split across partitions")
   }
 
+  test("perceptual hash: identical images collide, perturbed images sit at small hamming, distinct images far") {
+    import spark.implicits._
+    def pngOf(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a structured gradient, a copy with ONE pixel flipped (re-encoded
+    // PNG: different BYTES, near-identical pixels), and its negative
+    val base = pngOf((x, y) => ((x * 8) << 16) | ((y * 8) << 8) | ((x + y) * 4))
+    val nearCopy = pngOf((x, y) =>
+      if (x == 5 && y == 5) 0xffffff else ((x * 8) << 16) | ((y * 8) << 8) | ((x + y) * 4))
+    val negative = pngOf((x, y) => 0xffffff ^ (((x * 8) << 16) | ((y * 8) << 8) | ((x + y) * 4)))
+    assert(!java.util.Arrays.equals(base, nearCopy)) // bytes differ ⇒ md5 dedup (d01) is blind here
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", "image/png", base, 0L),
+      Multimodal.MediaRow(2L, "image", "image/png", base.clone(), 0L), // exact dup
+      Multimodal.MediaRow(3L, "image", "image/png", nearCopy, 0L),
+      Multimodal.MediaRow(4L, "image", "image/png", negative, 0L)))
+    val hashes = Multimodal.perceptualHash(media, () => Multimodal.ImageIoCodec)
+    val h = hashes.collect().map(mh => mh.media_id -> mh.phash).toMap
+    assert(h(1L) == h(2L)) // equal payloads hash equal
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 2,
+      s"one-pixel perturbation moved the hash too far: ${java.lang.Long.bitCount(h(1L) ^ h(3L))}")
+    // the negative inverts every above/below-mean decision ⇒ far away
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) >= 32)
+    val pairs = Multimodal.phashNearDup(hashes).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) -> r.getAs[Long]("hamming"))
+      .toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("phash banding: hamming <= 3 is lossless by pigeonhole; all-bands-differ pairs are the documented miss") {
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val hashes = spark.createDataset(Seq(
+      Multimodal.MediaHash(1L, base),
+      // 3 flipped bits, all inside band 0: bands 1-3 still agree
+      Multimodal.MediaHash(2L, base ^ 0x0000000000000015L),
+      // 4 flipped bits, ONE PER 16-bit BAND: hamming 4 <= 6 but no
+      // band agrees — the documented recall trade of banded blocking
+      Multimodal.MediaHash(4L, base ^ 0x0001000100010001L)))
+    val pairs = Multimodal.phashNearDup(hashes, maxHamming = 6).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)))      // pigeonhole: <= 3 bits can't touch all 4 bands
+    assert(!pairs.contains((1L, 4L)))     // one flip in EVERY band: candidate generation blind
+    // and the exact-verify stage never lies: every reported pair is within the bound
+    Multimodal.phashNearDup(hashes, maxHamming = 6).collect().foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 6L)
+    }
+  }
+
   test("resize truncates payloads; frameSample strides bytes") {
     val m = Multimodal.mediaTable(spark, TestSpark.sf)
     val r = Multimodal.resize(m, 16)
