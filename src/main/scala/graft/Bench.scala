@@ -81,6 +81,7 @@ object Bench {
       "t21_chunk_documents",
       "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
+      "t24_bpe_train",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
       "d20_simhash_dedup", "d21_route_union",
       "e02_event_tumbling", "q01_monthly_sales_trend", "q02_category_performance",
@@ -101,6 +102,7 @@ object Bench {
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d29_substring_scrub", "d30_span_contamination", "q59_copurchase_pagerank",
       "q60_copurchase_triangles", "t22_bigram_lm_score",
+      "d31_snapshot_diff", "q61_purchase_hits",
       "d24_lsh_calibration", "d25_training_corpus", "d26_band_retune",
       "d27_retuned_calibration",
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
@@ -116,6 +118,7 @@ object Bench {
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "t12_pack_sequences",
+      "t23_shuffle_shard",
       "e06_rolling_active_users", "e07_event_anomalies", "e08_session_transitions",
       "e09_session_paths", "q56_purchase_intervals", "t17_dsir_select",
       "t19_dsir_select_per_source",

@@ -2005,7 +2005,69 @@ object Dedup {
           .as("contam_frac"))
   }
 
+  // ─── d31 corpus snapshot diff ────────────────────────────────────────
+
+  /** d31: content-level delta between two corpus snapshots — the data-
+    * versioning primitive a continuously-recrawled training corpus
+    * needs ("what changed between crawl N and N+1, and how much of the
+    * standing index must be rebuilt"). Two deterministic snapshots are
+    * derived from the documents table (reference fixture discipline —
+    * the same-table derivation q30's reconciliation uses):
+    * OLD = doc_id % 7 ≠ 0 with the text as-is; NEW = doc_id % 5 ≠ 1
+    * with docs at doc_id % 11 == 3 carrying a revision suffix. The
+    * diff classifies every doc_id seen in either snapshot as
+    * added / removed / changed / unchanged by comparing md5 content
+    * fingerprints, the hash d01's exact dedup keys on — so "changed"
+    * here means exactly "would re-enter the dedup index".
+    *
+    * Scale: each side is projected to (doc_id, source, fingerprint)
+    * BEFORE the join — 40 bytes/row through the shuffle instead of the
+    * document text — and the diff is ONE full-outer equi-join on
+    * doc_id, hash-partitioned on both sides; classification is a
+    * null/equality map over the joined row. No windows, no pairwise
+    * work; at 100 TB this is two scans + one co-partitioned join, and
+    * with both snapshots bucketed by doc_id at write time (the
+    * [[graft.sources.Sinks]] bucketed-write path) the shuffle
+    * disappears entirely.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffOf(Tables.documents(spark, dir))
+
+  private[graft] def snapshotDiffOf(docs: DataFrame): DataFrame = {
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("o_source"),
+        md5(col("text")).as("o_fp"))
+    val nw = docs.filter(col("doc_id") % 5 =!= 1)
+      .select(col("doc_id"), col("source").as("n_source"),
+        md5(when(col("doc_id") % 11 === 3, concat(col("text"), lit(" rev")))
+          .otherwise(col("text"))).as("n_fp"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_fp").isNull, lit("added"))
+          .when(col("n_fp").isNull, lit("removed"))
+          .when(col("o_fp") === col("n_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  private def snapshotDiffSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, source AS o_source, md5(text) AS o_fp
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |nw AS (
+      |  SELECT doc_id, source AS n_source,
+      |         md5(CASE WHEN doc_id % 11 = 3 THEN text || ' rev' ELSE text END) AS n_fp
+      |  FROM documents WHERE doc_id % 5 <> 1)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |       COALESCE(n.n_source, o.o_source) AS source,
+      |       CASE WHEN o.o_fp IS NULL THEN 'added'
+      |            WHEN n.n_fp IS NULL THEN 'removed'
+      |            WHEN o.o_fp = n.n_fp THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d31_snapshot_diff" -> snapshotDiff,
     "d28_substring_dedup" -> substringDedup,
     "d29_substring_scrub" -> substringScrub,
     "d30_span_contamination" -> spanContamination,
@@ -2174,6 +2236,7 @@ object Dedup {
        |spans AS (SELECT doc_id, island, min(s) AS ss, max(e) AS se FROM isl GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d31_snapshot_diff" -> snapshotDiffSql,
     "d28_substring_dedup" ->
       (gramCteSql + ",\n" +
         """dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),

@@ -208,11 +208,146 @@ object Graph {
        |            ELSE 0 END AS cc_fp
        |FROM deg d LEFT JOIN per p ON d.node = p.node""".stripMargin
 
+  /** HITS fixed-point scale: 10⁹ is the largest power of ten whose
+    * square stays under Long.MaxValue — the normalization step
+    * multiplies a (≤ total-mass) score by the scale BEFORE the integer
+    * divide, so Scale² is the overflow bound. (q59's 10¹² is safe
+    * there because PageRank never multiplies two mass-scaled terms.)
+    * Precision is 1 part per 10⁹ of total mass per side.
+    */
+  private val HitsScale = 1000000000L
+  /** HITS power-iteration rounds — mutual-reinforcement converges fast
+    * on the dense bipartite purchase graph; 4 keeps the oracle's
+    * double-length (two half-steps/round) CTE chain readable. The
+    * count is part of the operator's semantics (both engines unroll
+    * the same 4 rounds).
+    */
+  private val HitsIters = 4
+
+  /** q61: HITS hubs/authorities on the BIPARTITE customer→part
+    * purchase graph — hubs are customers whose baskets concentrate on
+    * well-endorsed parts, authorities are parts endorsed by strong
+    * hubs. The co-purchase graph (q59/q60) is symmetric, which makes
+    * HITS degenerate there; the bipartite orientation is where the
+    * hub/authority split carries real signal (influential buyers vs
+    * flagship products — the reference's "top customers" (q06) and
+    * "product catalog" (q07) lenses coupled through the purchase
+    * structure instead of scored independently).
+    *
+    * Determinism: the [[Graph]] integer fixed-point discipline —
+    * per-node init mass Scale div n, each half-step is a BIGINT sum
+    * (associative, order-independent) followed by an integer
+    * renormalization (score·Scale div Σ) against a 1-row total frame,
+    * so both engines produce bit-identical scores.
+    *
+    * Scale: edges = distinct (custkey, partkey) — one equi-join
+    * orders⋈lineitem plus a hash distinct, linear in lineitem. Each
+    * half-step is one equi-join of the edge list against a node-sized
+    * score frame (broadcastable; AQE picks shuffled-hash past that)
+    * and one hash aggregation — the Pregel shape, 2 exchanges per
+    * half-step, no windows. The renormalization total is a 1-row
+    * aggregate riding a broadcast crossJoin (the Pipeline
+    * bounded-frame rule).
+    */
+  def purchaseHits(spark: SparkSession, dir: String): DataFrame =
+    purchaseHitsOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  private[graft] def purchaseHitsOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val ed = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val custs = ed.select(col("c")).distinct()
+    // Iterative-state discipline: each half-step references the prior
+    // score frame TWICE (its own total + the normalized next join), so
+    // an unbroken lineage DOUBLES the analyzed plan tree per half-step
+    // — 4^iters-node trees that hang the DRIVER on plan stringification
+    // and analysis long before any task runs (measured: 20+ min at
+    // sf0.1). The GraphX/Pregel superstep rule applies: truncate the
+    // lineage each iteration. localCheckpoint(eager) pins the
+    // node-sized score frames as RDDs (a LogicalRDD leaf — constant
+    // tree size per iteration); ed is persisted so the per-iteration
+    // joins rescan a cached edge list. Both release with the session's
+    // post-query cache clear / GC.
+    ed.persist()
+    // init: uniform hub mass summing to ~Scale
+    val ncF = custs.agg(count(lit(1)).as("n"))
+      .select(expr(s"$HitsScale div n").as("h0"))
+    var hub = custs.crossJoin(broadcast(ncF)).select(col("c"), col("h0").as("h"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val aRaw = ed.join(hub, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(true)
+      val aTot = aRaw.agg(sum(col("a")).as("ta"))
+      auth = aRaw.crossJoin(broadcast(aTot))
+        .select(col("p"), expr(s"(a * $HitsScale) div ta").as("a"))
+        .localCheckpoint(true)
+      val hRaw = ed.join(auth, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(true)
+      val hTot = hRaw.agg(sum(col("h")).as("th"))
+      hub = hRaw.crossJoin(broadcast(hTot))
+        .select(col("c"), expr(s"(h * $HitsScale) div th").as("h"))
+        .localCheckpoint(true)
+    }
+    hub.select(lit("customer").as("node_type"), col("c").as("node_key"),
+        col("h").as("score_fp"))
+      .unionAll(auth.select(lit("part").as("node_type"), col("p").as("node_key"),
+        col("a").as("score_fp")))
+      .select(col("node_type"), col("node_key"), col("score_fp"),
+        // constant-divisor double division — identical IEEE op both engines
+        (col("score_fp").cast("double") / lit(HitsScale.toDouble)).as("score"))
+  }
+
+  /** Oracle twin — the identical 4-round unrolled half-step chain,
+    * generated from the same [[HitsScale]]/[[HitsIters]] constants.
+    * Multi-referenced CTEs are MATERIALIZED for the same reason the
+    * Spark side persists them: each raw-sum frame feeds both its own
+    * total and the next join, and DuckDB 1.0 inlines CTEs by default —
+    * un-materialized, the re-expanded tree re-evaluates the edge build
+    * 4^iters times (the engines share the failure mode, not just the
+    * semantics).
+    */
+  private def hitsSql: String = {
+    val iters = (1 to HitsIters).map { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      s"""a${k}r AS MATERIALIZED (
+         |  SELECT e.p, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM ed e JOIN $prevH h ON e.c = h.c GROUP BY 1),
+         |a$k AS MATERIALIZED (
+         |  SELECT p, (a * $HitsScale) // t.ta AS a
+         |  FROM a${k}r, (SELECT CAST(sum(a) AS BIGINT) AS ta FROM a${k}r) t),
+         |h${k}r AS MATERIALIZED (
+         |  SELECT e.c, CAST(sum(a.a) AS BIGINT) AS h
+         |  FROM ed e JOIN a$k a ON e.p = a.p GROUP BY 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT c, (h * $HitsScale) // t.th AS h
+         |  FROM h${k}r, (SELECT CAST(sum(h) AS BIGINT) AS th FROM h${k}r) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |custs AS (SELECT DISTINCT c FROM ed),
+       |h0 AS (
+       |  SELECT c, ($HitsScale // t.n) AS h
+       |  FROM custs, (SELECT CAST(count(*) AS BIGINT) AS n FROM custs) t),
+       |$iters
+       |SELECT 'customer' AS node_type, c AS node_key, h AS score_fp,
+       |       CAST(h AS DOUBLE) / ${HitsScale.toDouble} AS score
+       |FROM h$HitsIters
+       |UNION ALL
+       |SELECT 'part', p, a, CAST(a AS DOUBLE) / ${HitsScale.toDouble}
+       |FROM a$HitsIters""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_copurchase_pagerank" -> copurchasePagerank,
-    "q60_copurchase_triangles" -> copurchaseTriangles)
+    "q60_copurchase_triangles" -> copurchaseTriangles,
+    "q61_purchase_hits" -> purchaseHits)
 
   val oracle: Map[String, String] = Map(
     "q59_copurchase_pagerank" -> pagerankSql,
-    "q60_copurchase_triangles" -> trianglesSql)
+    "q60_copurchase_triangles" -> trianglesSql,
+    "q61_purchase_hits" -> hitsSql)
 }

@@ -1144,7 +1144,188 @@ object TextAnalysis {
           .as("novel_frac"))
   }
 
+  // ─── t23 deterministic training-order shuffle ────────────────────────
+  /** Target docs per shard. The shard count is data-derived —
+    * max(16, ⌈n/[[ShardTarget]]⌉) — so a shard is a bounded-size unit
+    * of work no matter the corpus size; that bound is what makes the
+    * within-shard ordering window scale-safe (each window partition is
+    * ≤ ~[[ShardTarget]] rows by construction, never corpus-sized).
+    * 200 here keeps the small-SF fixtures exercising the data-scaled
+    * branch (sf0.01 → 25 shards, sf0.1 → 250); a production run sets
+    * this to its training-file size (10⁵-10⁶ docs).
+    */
+  private val ShardTarget = 200L
+
+  /** t23: deterministic global shuffle into training shards — the
+    * reproducible random ORDER a training run consumes (epoch-0 data
+    * order), the piece t15's split (WHICH set) and t05's sampling
+    * (WHICH docs) don't give. Every doc gets a 60-bit md5 shuffle key;
+    * shard = key mod n_shards, position = rank of the key within the
+    * shard. Same seed ⇒ byte-identical order on any cluster size;
+    * reading shards 0..k-1 in position order replays the exact global
+    * order any other consumer saw.
+    *
+    * Scale: the key is computed scan-side (codegen'd md5); sharding is
+    * a hash mod — docs land uniformly, so shard sizes concentrate at
+    * n/n_shards (±√ fluctuation) and the per-shard row_number window
+    * sorts a BOUNDED partition (≤ ~[[ShardTarget]] rows — the shard
+    * count grows with the data, the shard size doesn't). The 1-row
+    * count frame rides a broadcast crossJoin (the Pipeline bounded-
+    * frame rule). This is exactly how a production writer lays out
+    * epoch files: shard = output file, position = row order within it.
+    */
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shuffleShardOf(Tables.documents(spark, dir))
+
+  private[graft] def shuffleShardOf(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      conv(substring(md5(concat_ws("_", col("doc_id"), lit("shuffle"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val nF = keyed.agg(count(lit(1)).as("n"))
+      .select(expr(s"greatest(16L, (n + ${ShardTarget - 1}) div $ShardTarget)").as("n_shards"))
+    keyed.crossJoin(broadcast(nF))
+      .select(col("doc_id"), col("h"), (col("h") % col("n_shards")).as("shard"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  private def shuffleShardSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(concat_ws('_', doc_id, 'shuffle')), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |nn AS (
+       |  SELECT greatest(16, (count(*) + ${ShardTarget - 1}) // $ShardTarget) AS n_shards
+       |  FROM keyed)
+       |SELECT doc_id, h % n_shards AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h % n_shards ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM keyed, nn""".stripMargin
+
+  // ─── t24 BPE merge-table training ────────────────────────────────────
+  /** Unrolled BPE merge rounds. 6 keeps the oracle's CTE chain
+    * readable (the q59 fixed-iteration discipline); the merge COUNT is
+    * part of the operator's semantics — both engines replay the same
+    * 6 rounds.
+    */
+  private val BpeMerges = 6
+
+  /** t24: byte-pair-encoding merge-table training over the corpus —
+    * the tokenizer-TRAINING operator (t03/t10 apply a tokenizer; t24
+    * learns one). Classic word-level BPE: census the word vocabulary
+    * once, represent each word as a spaced symbol sequence, then per
+    * round (1) count adjacent symbol pairs weighted by word frequency,
+    * (2) pick the most frequent pair (ties broken lexicographically —
+    * count DESC, left, right), (3) merge every occurrence. The output
+    * is the learned merge table (rank, pair, count) — the artifact a
+    * BPE tokenizer ships.
+    *
+    * Merge rule (cross-engine contract): each round applies
+    * `replace(seq, ' l r ', ' lr ')` TWICE — a left-to-right
+    * non-overlapping scan whose consumed trailing space hides a
+    * boundary-sharing next occurrence, which the second pass then
+    * takes. For l ≠ r two passes provably reach every occurrence
+    * (after pass 1, survivors are isolated); for runs of one repeated
+    * symbol (length ≥ 5 — no such word here) the PAIRING may differ
+    * from canonical greedy BPE while staying deterministic and
+    * bit-identical in both engines (both scan the same way). That
+    * determinism is the point: Spark and DuckDB can never disagree on
+    * the learned table.
+    *
+    * Scale: the corpus is touched ONCE (word census — hash aggregation
+    * with map-side combine); every round after that operates on the
+    * VOCABULARY frame, which Heaps' law keeps sublinear in corpus size
+    * (~10⁵-10⁶ rows at 100 TB). A round is one codegen'd map (apply
+    * prior merges), one bounded explode (symbols/word), one hash
+    * aggregation, and a 1-row top-1 reduce (TakeOrdered — the Pipeline
+    * 1-row-gate pattern, like d26's banding decision); the winning
+    * pair returns as a LITERAL into the next round's expression, so
+    * the plan lineage stays linear in rounds, never exponential.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(spark, Tables.documents(spark, dir))
+
+  private[graft] def bpeTrainOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // one corpus pass: word census (vocab-sized from here on)
+    val wc = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+      // "touch the corpus once" is literal: the vocab census is cached,
+      // so the per-round jobs below rescan a vocab-sized frame, never
+      // the documents table (the session's post-query clearCache frees it)
+      .persist()
+    var merges = Seq.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to BpeMerges if !exhausted) {
+      // apply the merges learned so far as literal replaces (twice each)
+      val seqK = merges.foldLeft(col("seq")) { case (s, (_, l, r, _)) =>
+        val (pat, rep) = (lit(s" $l $r "), lit(s" $l$r "))
+        call_function("replace", call_function("replace", s, pat, rep), pat, rep)
+      }
+      val top = wc.select(col("cnt"), split(trim(seqK), " ").as("t"))
+        // single-symbol sequences have no adjacent pair; Spark's
+        // sequence(1, 0) DESCENDS, so they must not reach the explode
+        // (DuckDB's range(1, 1) is empty and skips them naturally)
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"), col("t"), explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("cnt"), element_at(col("t"), col("i")).as("l"),
+          element_at(col("t"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+        .collect()
+      // a fully-merged vocab has no adjacent pairs left — stop with the
+      // merges learned so far (the oracle's m{k}-empty rounds emit no
+      // rows either: w{k} = prev × empty m{k} is empty from there on)
+      if (top.isEmpty) exhausted = true
+      else merges = merges :+
+        ((k.toLong, top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+    }
+    import spark.implicits._
+    merges.toDF("merge_rank", "left_tok", "right_tok", "pair_count")
+  }
+
+  /** Oracle twin — the identical unrolled merge chain; round CTEs are
+    * generated from [[BpeMerges]] so the engines can never replay a
+    * different geometry. `m{k}` is round k's winning pair (the same
+    * count-DESC-then-lexical top-1), `w{k}` the vocab with that merge
+    * applied via the same two-pass replace.
+    */
+  private def bpeTrainSql: String = {
+    val rounds = (1 to BpeMerges).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT t[CAST(i AS INT)] AS l, t[CAST(i AS INT) + 1] AS r,
+         |         CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt, t, CAST(unnest(range(1, len(t))) AS BIGINT) AS i
+         |        FROM (SELECT cnt, string_split(trim(seq), ' ') AS t FROM $prev))
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+         |w$k AS (
+         |  SELECT word, cnt,
+         |         replace(replace(seq, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+         |                 ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS seq
+         |  FROM $prev, m$k m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS merge_rank, l AS left_tok, r AS right_tok, pc AS pair_count FROM m$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wcnt AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (
+       |  SELECT word, cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+       |  FROM wcnt),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_shuffle_shard" -> shuffleShard,
+    "t24_bpe_train" -> bpeTrain,
     "t22_bigram_lm_score" -> bigramLmScore,
     "t21_chunk_documents" -> chunkDocuments,
     "t16_dsir_weights" -> dsirWeights,
@@ -1239,6 +1420,8 @@ object TextAnalysis {
       |  FROM census CROSS JOIN tot)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t23_shuffle_shard" -> shuffleShardSql,
+    "t24_bpe_train" -> bpeTrainSql,
     "t22_bigram_lm_score" ->
       s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
          |             FROM documents WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 2),

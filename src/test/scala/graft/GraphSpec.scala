@@ -143,4 +143,67 @@ class GraphSpec extends AnyFunSuite {
     assert(ranked.head.getAs[Long]("part_key") == 100L)
     assert(ranked.head.getAs[Long]("degree") == 10L)
   }
+
+  /** Driver-side reference: the same 4-round normalized half-step walk
+    * in plain Scala maps — integer arithmetic makes the comparison
+    * EXACT (the referencePagerank discipline).
+    */
+  private def referenceHits(purchases: Seq[(Long, Long)])
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val scale = 1000000000L
+    val edges = purchases.toSet
+    val n = edges.map(_._1).size.toLong
+    var hub: Map[Long, Long] = edges.map(_._1).map(_ -> scale / n).toMap
+    var auth: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 4) {
+      val aRaw = edges.toSeq.map { case (c, p) => p -> hub(c) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val ta = aRaw.values.sum
+      auth = aRaw.map { case (k, v) => k -> (v * scale) / ta }
+      val hRaw = edges.toSeq.map { case (c, p) => c -> auth(p) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val th = hRaw.values.sum
+      hub = hRaw.map { case (k, v) => k -> (v * scale) / th }
+    }
+    (hub, auth)
+  }
+
+  test("hits matches a driver-side reference exactly on random bipartite graphs") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    for (trial <- 1 to 3) {
+      // 30 orders from 12 customers, 1-4 parts each from a 15-part catalog
+      val orderCust = (1L to 30L).map(o => (o, 1L + rnd.nextInt(12).toLong))
+      val li = orderCust.flatMap { case (o, _) =>
+        Seq.fill(1 + rnd.nextInt(4))((o, 1L + rnd.nextInt(15).toLong))
+      }
+      val ordersDf = orderCust.toDF("o_orderkey", "o_custkey")
+      val liDf = li.toDF("l_orderkey", "l_partkey")
+      val purchases = orderCust.flatMap { case (o, c) =>
+        li.filter(_._1 == o).map { case (_, p) => (c, p) }
+      }
+      val (wantHub, wantAuth) = referenceHits(purchases)
+      val rows = Graph.purchaseHitsOf(ordersDf, liDf).collect()
+      val gotHub = rows.filter(_.getAs[String]("node_type") == "customer")
+        .map(r => r.getAs[Long]("node_key") -> r.getAs[Long]("score_fp")).toMap
+      val gotAuth = rows.filter(_.getAs[String]("node_type") == "part")
+        .map(r => r.getAs[Long]("node_key") -> r.getAs[Long]("score_fp")).toMap
+      assert(gotHub == wantHub, s"trial $trial hubs")
+      assert(gotAuth == wantAuth, s"trial $trial auths")
+    }
+  }
+
+  test("hits scores are positive and each side's mass sums to ~Scale") {
+    val rows = Graph.purchaseHits(spark, TestSpark.sf).collect()
+    val scale = 1000000000L
+    Seq("customer", "part").foreach { side =>
+      val s = rows.filter(_.getAs[String]("node_type") == side)
+      assert(s.nonEmpty)
+      val total = s.map(_.getAs[Long]("score_fp")).sum
+      // integer normalization floors leak < 1 unit per node
+      assert(total <= scale && total >= scale - s.length, s"$side mass $total")
+      s.foreach(r => assert(r.getAs[Long]("score_fp") >= 0))
+    }
+    spark.catalog.clearCache()
+  }
 }

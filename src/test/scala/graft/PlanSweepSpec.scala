@@ -88,6 +88,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "q53_basket_affinity" -> "1-row n_orders frame into support/lift",
     "q59_copurchase_pagerank" -> ("1-row node-count/teleport frame " +
       "crossJoined into the init and each damping step"),
+    "q61_purchase_hits" -> ("1-row init-mass and per-half-step " +
+      "normalization-total frames crossJoined (the q59 pattern)"),
+    "t23_shuffle_shard" -> "1-row data-derived shard-count frame",
     "t09_tfidf_keywords" -> "1-row N-docs frame (never a collected literal)",
     "t11_mixture_resample" -> "1-row median-source-size frame",
     "t16_dsir_weights" -> "1-row census-totals frame",
