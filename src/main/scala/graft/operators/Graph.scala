@@ -259,37 +259,38 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
     val custs = ed.select(col("c")).distinct()
-    // Iterative-state discipline: each half-step references the prior
-    // score frame TWICE (its own total + the normalized next join), so
-    // an unbroken lineage DOUBLES the analyzed plan tree per half-step
-    // — 4^iters-node trees that hang the DRIVER on plan stringification
-    // and analysis long before any task runs (measured: 20+ min at
-    // sf0.1). The GraphX/Pregel superstep rule applies: truncate the
-    // lineage each iteration. localCheckpoint(eager) pins the
-    // node-sized score frames as RDDs (a LogicalRDD leaf — constant
-    // tree size per iteration); ed is persisted so the per-iteration
-    // joins rescan a cached edge list. Both release with the session's
-    // post-query cache clear / GC.
+    // Iterative-state discipline: each half-step references its raw-sum
+    // frame TWICE (its own total + the normalized next join), so an
+    // unbroken declarative lineage DOUBLES the analyzed plan tree per
+    // half-step — 4^iters-node trees that hang the DRIVER on plan
+    // stringification and analysis long before any task runs (measured:
+    // 20+ min at sf0.1). The GraphX/Pregel superstep rule applies:
+    // materialize the iterative state. Each half-step persists its
+    // node-sized raw-sum frame and COLLECTS its 1-row total (the
+    // Pipeline 1-row-gate pattern — the same per-iteration global
+    // reduce GraphX performs); the total folds back as a LITERAL in the
+    // normalization map over the cached frame, so the tree stays linear
+    // in iterations and — decisively — the cached frames carry REAL
+    // size stats, letting Catalyst pick broadcast-hash for the
+    // node-frame side of each edge join at small scale and
+    // shuffled-hash at catalog scale, declaratively. (An eager
+    // localCheckpoint per half-step was tried first: correct, but 16
+    // stat-less RDD leaves = 16 scheduling-overhead jobs and every
+    // edge join forced to shuffle — measured 2-3× slower.) The cached
+    // frames release with the session's post-query cache clear.
     ed.persist()
-    // init: uniform hub mass summing to ~Scale
-    val ncF = custs.agg(count(lit(1)).as("n"))
-      .select(expr(s"$HitsScale div n").as("h0"))
-    var hub = custs.crossJoin(broadcast(ncF)).select(col("c"), col("h0").as("h"))
-      .localCheckpoint(true)
+    val n = custs.count()
+    var hub = custs.select(col("c"), lit(HitsScale / n).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
       val aRaw = ed.join(hub, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("a"))
-        .localCheckpoint(true)
-      val aTot = aRaw.agg(sum(col("a")).as("ta"))
-      auth = aRaw.crossJoin(broadcast(aTot))
-        .select(col("p"), expr(s"(a * $HitsScale) div ta").as("a"))
-        .localCheckpoint(true)
+        .persist()
+      val ta = aRaw.agg(sum(col("a"))).collect()(0).getLong(0)
+      auth = aRaw.select(col("p"), expr(s"(a * $HitsScale) div ${ta}L").as("a"))
       val hRaw = ed.join(auth, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(true)
-      val hTot = hRaw.agg(sum(col("h")).as("th"))
-      hub = hRaw.crossJoin(broadcast(hTot))
-        .select(col("c"), expr(s"(h * $HitsScale) div th").as("h"))
-        .localCheckpoint(true)
+        .persist()
+      val th = hRaw.agg(sum(col("h"))).collect()(0).getLong(0)
+      hub = hRaw.select(col("c"), expr(s"(h * $HitsScale) div ${th}L").as("h"))
     }
     hub.select(lit("customer").as("node_type"), col("c").as("node_key"),
         col("h").as("score_fp"))
