@@ -617,7 +617,72 @@ object Analytics2 {
         col("n_repeat_customers").cast("double") / col("n_customers"))
   }
 
+  // ─── q62 first-purchase cohort LTV matrix ────────────────────────────
+
+  /** q62: quarterly acquisition-cohort lifetime-value matrix over
+    * orders — each customer joins the cohort of their FIRST order's
+    * quarter; the cell (cohort, age-in-quarters) reports how many of
+    * that cohort were still buying and what they spent. The revenue
+    * complement of e05's event-side cohort retention (e05 counts
+    * active users of a product; q62 prices an acquisition vintage —
+    * the LTV curve finance reads), and the time-axis complement of
+    * q52's point-in-time RFM snapshot.
+    *
+    * Scale: one hash aggregation to first-order per customer
+    * (map-side-combining min), one equi-join of orders against that
+    * customer-sized frame on o_custkey (both sides hash-partitioned on
+    * the same key), one hash aggregation onto the bounded
+    * (cohort × age) grid (≤ #quarters² cells), and a broadcast-sized
+    * cohort-size join into that grid. No windows, no self-joins on the
+    * fact. Quarter indices are integer arithmetic (year·4+q−1), exact
+    * in both engines; money is the DECIMAL discipline.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvOf(Tables.orders(spark, dir))
+
+  private[graft] def cohortLtvOf(orders: DataFrame): DataFrame = {
+    def qidx(c: Column): Column = (year(c) * 4 + quarter(c) - 1).cast("long")
+    val f = orders.groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("fd"))
+      .select(col("o_custkey"), qidx(col("fd")).as("cidx"))
+    val agg = orders.join(f, Seq("o_custkey"))
+      .select(col("o_custkey"), col("cidx"),
+        (qidx(col("o_orderdate")) - col("cidx")).as("age_quarters"),
+        col("o_totalprice"))
+      .groupBy(col("cidx"), col("age_quarters"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"),
+        count(lit(1)).as("n_orders"),
+        out2(sum(m3(col("o_totalprice")))).as("revenue"))
+    val cs = f.groupBy(col("cidx")).agg(count(lit(1)).as("cohort_size"))
+    agg.join(cs, Seq("cidx"))
+      .select(expr("cidx div 4").as("cohort_year"),
+        (col("cidx") % 4 + 1).as("cohort_quarter"),
+        col("age_quarters"), col("active_customers"), col("n_orders"),
+        col("revenue"), col("cohort_size"),
+        (col("active_customers").cast("double") / col("cohort_size"))
+          .as("retention_share"))
+  }
+
+  private val cohortLtvSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey, CAST(year(min(o_orderdate)) * 4
+      |           + quarter(min(o_orderdate)) - 1 AS BIGINT) AS cidx
+      |  FROM orders GROUP BY 1),
+      |agg AS (
+      |  SELECT f.cidx,
+      |         CAST(year(o.o_orderdate) * 4 + quarter(o.o_orderdate) - 1 AS BIGINT)
+      |           - f.cidx AS age_quarters,
+      |         CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(14,3))), 2) AS DOUBLE) AS revenue
+      |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2),
+      |cs AS (SELECT cidx, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1)
+      |SELECT cidx // 4 AS cohort_year, cidx % 4 + 1 AS cohort_quarter,
+      |       age_quarters, active_customers, n_orders, revenue, cohort_size,
+      |       CAST(active_customers AS DOUBLE) / cohort_size AS retention_share
+      |FROM agg JOIN cs USING (cidx)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_cohort_ltv" -> cohortLtv,
     "q52_rfm_segmentation" -> ((s: SparkSession, d: String) => rfmSegmentation(s, d)),
     "q53_basket_affinity" -> basketAffinity,
     "q55_lead_time" -> ((s: SparkSession, d: String) => leadTime(s, d)),
@@ -636,6 +701,7 @@ object Analytics2 {
     "q44_revenue_deciles" -> revenueDeciles)
 
   val oracle: Map[String, String] = Map(
+    "q62_cohort_ltv" -> cohortLtvSql,
     "q56_purchase_intervals" ->
       """WITH g AS (
         |  SELECT o_custkey,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1246,25 +1246,44 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrainOf(spark, Tables.documents(spark, dir))
 
-  private[graft] def bpeTrainOf(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // one corpus pass: word census (vocab-sized from here on)
-    val wc = docs
+  /** The one corpus pass: word census + spaced symbol sequence —
+    * vocab-sized from here on, cached so the per-round jobs (t24) and
+    * the application join (t25) rescan a vocab frame, never the
+    * documents table (the session's post-query clearCache frees it).
+    */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs
       .select(explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"),
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
-      // "touch the corpus once" is literal: the vocab census is cached,
-      // so the per-round jobs below rescan a vocab-sized frame, never
-      // the documents table (the session's post-query clearCache frees it)
       .persist()
+
+  /** The learned-merge fold: sequence column with `merges` applied in
+    * order, each as the two-pass literal replace (the t24 merge rule).
+    */
+  private def applyMerges(merges: Seq[(Long, String, String, Long)]): Column =
+    merges.foldLeft(col("seq")) { case (s, (_, l, r, _)) =>
+      val (pat, rep) = (lit(s" $l $r "), lit(s" $l$r "))
+      call_function("replace", call_function("replace", s, pat, rep), pat, rep)
+    }
+
+  private[graft] def bpeTrainOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    learnMerges(bpeVocab(docs))
+      .toDF("merge_rank", "left_tok", "right_tok", "pair_count")
+  }
+
+  /** The t24 training loop over a cached vocab frame — also the front
+    * half of t25's application (the tokenizer must be learned before
+    * it can be applied).
+    */
+  private def learnMerges(wc: DataFrame): Seq[(Long, String, String, Long)] = {
     var merges = Seq.empty[(Long, String, String, Long)]
     var exhausted = false
     for (k <- 1 to BpeMerges if !exhausted) {
       // apply the merges learned so far as literal replaces (twice each)
-      val seqK = merges.foldLeft(col("seq")) { case (s, (_, l, r, _)) =>
-        val (pat, rep) = (lit(s" $l $r "), lit(s" $l$r "))
-        call_function("replace", call_function("replace", s, pat, rep), pat, rep)
-      }
+      val seqK = applyMerges(merges)
       val top = wc.select(col("cnt"), split(trim(seqK), " ").as("t"))
         // single-symbol sequences have no adjacent pair; Spark's
         // sequence(1, 0) DESCENDS, so they must not reach the explode
@@ -1283,17 +1302,56 @@ object TextAnalysis {
       else merges = merges :+
         ((k.toLong, top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
     }
-    import spark.implicits._
-    merges.toDF("merge_rank", "left_tok", "right_tok", "pair_count")
+    merges
   }
 
-  /** Oracle twin — the identical unrolled merge chain; round CTEs are
-    * generated from [[BpeMerges]] so the engines can never replay a
-    * different geometry. `m{k}` is round k's winning pair (the same
-    * count-DESC-then-lexical top-1), `w{k}` the vocab with that merge
-    * applied via the same two-pass replace.
+  /** t25: apply the learned BPE tokenizer to the corpus — the
+    * inference half of t24 (train) and the model-grounded sibling of
+    * t03's regex token count: per doc, words, characters, post-merge
+    * BPE tokens, and the chars-per-token compression the merge table
+    * achieves. The pair closes the tokenizer loop: t24's merge table
+    * is exactly what this operator consumes.
+    *
+    * Scale: the vocab is learned once on the cached census (t24's
+    * loop); the application is a vocab-frame MAP (fold the merge
+    * literals, count symbols — never re-tokenizing the corpus
+    * per-round) followed by the corpus word explode joined to that
+    * vocab on the word key (broadcastable; stats come from the cached
+    * census) and one per-doc hash aggregation. The corpus is scanned
+    * once; natural-language word skew ("the") is pre-aggregated into
+    * ONE vocab row, so the join fans out, never concentrates.
     */
-  private def bpeTrainSql: String = {
+  def bpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeApplyOf(Tables.documents(spark, dir))
+
+  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
+    val wc = bpeVocab(docs)
+    val vocab = wc.select(col("word"),
+      size(split(trim(applyMerges(learnMerges(wc))), " ")).cast("long").as("n_sym"))
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).as("word"))
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+  }
+
+  /** Shared oracle chain for t24/t25 — the identical unrolled merge
+    * rounds; round CTEs are generated from [[BpeMerges]] so the
+    * engines can never replay a different geometry. `m{k}` is round
+    * k's winning pair (the same count-DESC-then-lexical top-1), `w{k}`
+    * the vocab with that merge applied via the same two-pass replace.
+    * The merge join is LEFT ... ON TRUE with a null-guard CASE so an
+    * exhausted round (empty m{k}) passes the vocab through unchanged —
+    * mirroring the Spark side's early stop — instead of collapsing the
+    * chain to empty (which t24's union wouldn't notice but t25's
+    * application join would).
+    */
+  private def bpeChainCtes: String = {
     val rounds = (1 to BpeMerges).map { k =>
       val prev = if (k == 1) "w0" else s"w${k - 1}"
       s"""p$k AS (
@@ -1305,13 +1363,12 @@ object TextAnalysis {
          |m$k AS (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
          |w$k AS (
          |  SELECT word, cnt,
-         |         replace(replace(seq, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
-         |                 ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS seq
-         |  FROM $prev, m$k m)""".stripMargin
+         |         CASE WHEN m.l IS NULL THEN seq
+         |              ELSE replace(replace(seq, ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+         |                           ' ' || m.l || ' ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+         |         END AS seq
+         |  FROM $prev LEFT JOIN m$k m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeMerges).map { k =>
-      s"SELECT $k AS merge_rank, l AS left_tok, r AS right_tok, pc AS pair_count FROM m$k"
-    }.mkString("\nUNION ALL\n")
     s"""WITH wcnt AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents)
@@ -1319,13 +1376,34 @@ object TextAnalysis {
        |w0 AS (
        |  SELECT word, cnt, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
        |  FROM wcnt),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def bpeTrainSql: String = {
+    val out = (1 to BpeMerges).map { k =>
+      s"SELECT $k AS merge_rank, l AS left_tok, r AS right_tok, pc AS pair_count FROM m$k"
+    }.mkString("\nUNION ALL\n")
+    s"$bpeChainCtes\n$out"
+  }
+
+  private def bpeApplySql: String =
+    s"""$bpeChainCtes,
+       |vocab AS (
+       |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sym
+       |  FROM w$BpeMerges),
+       |dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(word)) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+       |       CAST(sum(len(word)) AS DOUBLE) / sum(n_sym) AS chars_per_token
+       |FROM dw JOIN vocab USING (word) GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t23_shuffle_shard" -> shuffleShard,
     "t24_bpe_train" -> bpeTrain,
+    "t25_bpe_apply" -> bpeApply,
     "t22_bigram_lm_score" -> bigramLmScore,
     "t21_chunk_documents" -> chunkDocuments,
     "t16_dsir_weights" -> dsirWeights,
@@ -1422,6 +1500,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t23_shuffle_shard" -> shuffleShardSql,
     "t24_bpe_train" -> bpeTrainSql,
+    "t25_bpe_apply" -> bpeApplySql,
     "t22_bigram_lm_score" ->
       s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
          |             FROM documents WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 2),

@@ -161,4 +161,122 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(m => (m._2, m._3)) == Seq(("a", "b"), ("ab", "c")))
     spark.catalog.clearCache()
   }
+
+  // ─── t25 BPE application ─────────────────────────────────────────────
+
+  /** Driver-side reference: learn via [[referenceBpe]], re-derive each
+    * word's final sequence with the same two-pass replaces, count
+    * symbols, and sum per doc.
+    */
+  private def referenceBpeApply(texts: Seq[String])
+      : Map[Long, (Long, Long, Long)] = {
+    val merges = referenceBpe(texts)
+    def nSym(w: String): Long = {
+      val seq0 = w.map(ch => s" $ch").mkString("", "", " ")
+      val fin = merges.foldLeft(seq0) { case (s, (_, l, r, _)) =>
+        val (pat, rep) = (s" $l $r ", s" $l$r ")
+        s.replace(pat, rep).replace(pat, rep)
+      }
+      fin.trim.split(" ").length.toLong
+    }
+    texts.zipWithIndex.flatMap { case (t, i) =>
+      val ws = "\\S+".r.findAllIn(t.toLowerCase).toSeq
+      if (ws.isEmpty) None
+      else Some(i.toLong ->
+        ((ws.size.toLong, ws.map(_.length.toLong).sum, ws.map(nSym).sum)))
+    }.toMap
+  }
+
+  test("t25 token counts match the driver-side learned-then-applied reference") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val vocab = Seq("spark", "scan", "merge", "banana", "abab", "ll", "small",
+      "a", "the", "query", "window", "hash")
+    for (trial <- 1 to 2) {
+      val texts = (1 to 25).map(_ =>
+        (1 to (2 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }
+        .toDF("doc_id", "source", "text")
+      val got = TextAnalysis.bpeApplyOf(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+            r.getAs[Long]("n_tokens")))).toMap
+      assert(got == referenceBpeApply(texts), s"trial $trial")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("t25 merged tokens never exceed chars and cover every non-empty doc") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val rows = TextAnalysis.bpeApplyOf(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      // each word is ≥1 token; merging only ever shrinks the count
+      assert(t >= w && t <= c, s"doc ${r.getAs[Long]("doc_id")}: w=$w c=$c t=$t")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  // ─── q62 cohort LTV ──────────────────────────────────────────────────
+
+  /** Driver-side reference: BigDecimal money, quarter index arithmetic
+    * in plain Scala — exact comparison incl. the 2-decimal rounding.
+    */
+  private def referenceCohort(orders: Seq[(Long, Long, java.sql.Timestamp, Double)])
+      : Map[(Long, Long, Long), (Long, Long, Double, Long, Double)] = {
+    def qidx(ts: java.sql.Timestamp): Long = {
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(ts)
+      c.get(java.util.Calendar.YEAR).toLong * 4 + c.get(java.util.Calendar.MONTH) / 3
+    }
+    val first = orders.groupBy(_._2).map { case (cust, os) =>
+      cust -> qidx(os.minBy(_._3.getTime)._3)
+    }
+    val cohortSize = first.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    orders.groupBy(o => (first(o._2), qidx(o._3) - first(o._2)))
+      .map { case ((cidx, age), os) =>
+        val rev = os.map(o => BigDecimal(o._4).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+          .sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val active = os.map(_._2).distinct.size.toLong
+        (cidx / 4, cidx % 4 + 1, age) ->
+          ((active, os.size.toLong, rev.toDouble, cohortSize(cidx),
+            active.toDouble / cohortSize(cidx)))
+      }
+  }
+
+  test("q62 matches a driver-side BigDecimal reference exactly on random orders") {
+    import spark.implicits._
+    val rnd = new Random(37)
+    val base = java.sql.Timestamp.valueOf("1995-01-15 00:00:00")
+    val orders = (1L to 400L).map { k =>
+      val cust = 1L + rnd.nextInt(40)
+      val ts = new java.sql.Timestamp(
+        base.getTime + rnd.nextInt(1200).toLong * 86400000L)
+      (k, cust, ts, math.round(rnd.nextDouble() * 100000.0) / 100.0)
+    }
+    val df = orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = graft.operators.Analytics2.cohortLtvOf(df).collect()
+      .map(r => (r.getAs[Long]("cohort_year"), r.getAs[Long]("cohort_quarter"),
+        r.getAs[Long]("age_quarters")) ->
+        ((r.getAs[Long]("active_customers"), r.getAs[Long]("n_orders"),
+          r.getAs[Double]("revenue"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention_share")))).toMap
+    assert(got == referenceCohort(orders))
+  }
+
+  test("q62 age-0 actives equal cohort size and actives never exceed it") {
+    val got = graft.operators.Analytics2.cohortLtv(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("active_customers") <= r.getAs[Long]("cohort_size"))
+      assert(r.getAs[Long]("age_quarters") >= 0)
+      if (r.getAs[Long]("age_quarters") == 0L)
+        // every cohort member's first order is in the cohort quarter
+        assert(r.getAs[Long]("active_customers") == r.getAs[Long]("cohort_size"))
+    }
+  }
 }
