@@ -17,7 +17,7 @@ object SparkEntry {
     Analytics.queries ++ Dimensions.queries ++ Facts.queries ++
       Marts.queries ++ Cleaning.queries ++ TextAnalysis.queries ++
       Events.queries ++ Dedup.queries ++ Similarity.queries ++ AsOf.queries ++
-      Analytics2.queries ++ Graph.queries
+      Analytics2.queries ++ Graph.queries ++ Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     Analytics.oracle ++ Dimensions.oracle ++ Facts.oracle ++
       Marts.oracle ++ Cleaning.oracle ++ TextAnalysis.oracle ++
       Events.oracle ++ Dedup.oracle ++ Similarity.oracle ++ AsOf.oracle ++
-      Analytics2.oracle ++ Graph.oracle
+      Analytics2.oracle ++ Graph.oracle ++ Sketches.oracle
 }

@@ -86,6 +86,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q51_ivf_append" -> "1-row append-watermark frame",
     "q52_rfm_segmentation" -> "broadcast quintile-boundary frame",
     "q53_basket_affinity" -> "1-row n_orders frame into support/lift",
+    "s03_theta_overlap" -> ("≤#sources² pair grid from broadcast " +
+      "per-source size frames (sources is a bounded dimension)"),
     "q59_copurchase_pagerank" -> ("1-row node-count/teleport frame " +
       "crossJoined into the init and each damping step"),
     "q61_purchase_hits" -> ("1-row init-mass and per-half-step " +
