@@ -338,13 +338,87 @@ object Sketches {
        |         AS err_permille
        |FROM base""".stripMargin
 
+  // ─── s04 hash-sampled quantiles ─────────────────────────────────────
+
+  /** Sample modulus: keep orders whose 16-bit md5 gate ≡ 0 (mod 64) —
+    * a deterministic ~1.6% row sample (the t05 gate discipline, salted
+    * "q" so it is independent of every other sampling gate in the
+    * engine).
+    */
+  private val QSampleMod = 64
+
+  /** s04: per-priority order-value quantiles — estimated from a
+    * deterministic hash sample vs the exact pass it replaces. Completes
+    * the sketch family's coverage (distinct → s01, frequency → s02,
+    * overlap → s03, QUANTILES → s04): at 100 TB the exact percentile
+    * buffers every group value in its final merge task (the q26-
+    * documented OOM shape; approx_percentile is the in-engine fix but
+    * its sketch is not oracle-replayable), while the hash sample bounds
+    * the buffered set to 1/64 of the group scan-side — the predicate
+    * pushes to the parquet scan, and the SAME rows are sampled on any
+    * cluster, any partitioning, any engine.
+    *
+    * Determinism: the gate is the shared md5 arithmetic; both
+    * percentile legs ride Spark `percentile` == DuckDB `quantile_cont`
+    * (the q26-proven bit-match); the error column is floor() of a fixed
+    * IEEE chain.
+    */
+  def sampledQuantiles(spark: SparkSession, dir: String): DataFrame =
+    sampledQuantilesOf(Tables.orders(spark, dir))
+
+  private[graft] def sampledQuantilesOf(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderpriority").as("priority"),
+      col("o_totalprice"),
+      (conv(substring(md5(concat_ws("_", col("o_orderkey"), lit("q"))), 1, 4), 16, 10)
+        .cast("long") % QSampleMod === 0).as("in_sample"))
+    def legs(pfx: String): Seq[Column] = Seq(
+      expr("percentile(o_totalprice, 0.5)").as(s"p50_$pfx"),
+      expr("percentile(o_totalprice, 0.9)").as(s"p90_$pfx"),
+      expr("percentile(o_totalprice, 0.99)").as(s"p99_$pfx"))
+    val exact = o.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), legs("exact"): _*)
+    val samp = o.filter(col("in_sample")).groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_samp"), legs("samp"): _*)
+    exact.join(samp, Seq("priority"))
+      .withColumn("sample_permille", expr("(1000 * n_samp) div n"))
+      .withColumn("p90_err_permille",
+        floor(abs(col("p90_samp") - col("p90_exact")) * 1000.0 / col("p90_exact")))
+  }
+
+  private def quantilesSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS priority, o_totalprice,
+       |         CAST(('0x' || substr(md5(concat_ws('_', o_orderkey, 'q')), 1, 4)) AS BIGINT)
+       |           % $QSampleMod = 0 AS in_sample
+       |  FROM orders),
+       |ex AS (
+       |  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+       |         quantile_cont(o_totalprice, 0.5) AS p50_exact,
+       |         quantile_cont(o_totalprice, 0.9) AS p90_exact,
+       |         quantile_cont(o_totalprice, 0.99) AS p99_exact
+       |  FROM o GROUP BY 1),
+       |sa AS (
+       |  SELECT priority, CAST(count(*) AS BIGINT) AS n_samp,
+       |         quantile_cont(o_totalprice, 0.5) AS p50_samp,
+       |         quantile_cont(o_totalprice, 0.9) AS p90_samp,
+       |         quantile_cont(o_totalprice, 0.99) AS p99_samp
+       |  FROM o WHERE in_sample GROUP BY 1)
+       |SELECT e.priority, e.n, e.p50_exact, e.p90_exact, e.p99_exact,
+       |       s.n_samp, s.p50_samp, s.p90_samp, s.p99_samp,
+       |       (1000 * s.n_samp) // e.n AS sample_permille,
+       |       CAST(floor(abs(s.p90_samp - e.p90_exact) * 1000.0 / e.p90_exact) AS BIGINT)
+       |         AS p90_err_permille
+       |FROM ex e JOIN sa s USING (priority)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_hll_distinct" -> hllDistinct,
     "s02_cms_heavy_hitters" -> cmsHeavyHitters,
-    "s03_theta_overlap" -> thetaOverlap)
+    "s03_theta_overlap" -> thetaOverlap,
+    "s04_sampled_quantiles" -> sampledQuantiles)
 
   val oracle: Map[String, String] = Map(
     "s01_hll_distinct" -> hllSql,
     "s02_cms_heavy_hitters" -> cmsSql,
-    "s03_theta_overlap" -> thetaSql)
+    "s03_theta_overlap" -> thetaSql,
+    "s04_sampled_quantiles" -> quantilesSql)
 }

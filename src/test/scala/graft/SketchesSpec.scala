@@ -100,6 +100,36 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("s04 sampled quantiles: gate replay, bracketing, and determinism") {
+    import spark.implicits._
+    val rnd = new Random(41)
+    val orders = (1L to 3000L).map { k =>
+      (k, s"P${rnd.nextInt(3)}", BigDecimal(1000 + rnd.nextInt(900000)) / 100)
+    }
+    val df = orders.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = Sketches.sampledQuantilesOf(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    // driver-side gate replay: the sample is exactly the md5-gated subset
+    val inSample = orders.filter { case (k, _, _) =>
+      java.lang.Long.parseLong(md5hex(s"${k}_q").substring(0, 4), 16) % 64 == 0
+    }
+    val bySrc = orders.groupBy(_._2)
+    for ((p, rows) <- bySrc) {
+      val row = got(p)
+      assert(row.getLong(1) == rows.size.toLong, s"$p n")
+      assert(row.getLong(5) == inSample.count(_._2 == p).toLong, s"$p n_samp (gate replay)")
+      // exact percentiles bracket within the group's value range and are ordered
+      val vals = rows.map(_._3.toDouble)
+      val (p50, p90, p99) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+      assert(p50 >= vals.min && p99 <= vals.max && p50 <= p90 && p90 <= p99, s"$p ordering")
+    }
+    // bit-determinism across independent plans
+    val again = Sketches.sampledQuantilesOf(df).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(got.view.mapValues(_.toSeq).toMap == again)
+  }
+
   test("s03 theta overlap matches an exact driver-side replay; empty samples keep their pairs") {
     import spark.implicits._
     val rnd = new Random(37)
