@@ -433,7 +433,61 @@ object Events {
           .as("last_gap_sec"))
   }
 
+  // ─── e11 per-user activity-skew census (the salting diagnostic) ─────
+  /** One-row distribution census of events-per-user: key count, totals,
+    * max/p50/p99, skew ratio (hottest key vs mean), and the exact Gini
+    * coefficient in permille. Two audiences: the product side reads it
+    * as the power-user concentration curve; the ENGINE side reads it as
+    * the join/agg key-skew diagnostic — the number that decides whether
+    * a user-keyed stage needs salting (the x01/x02 A/B's trigger) or an
+    * AQE skew split before it ships at 100 TB.
+    *
+    * Scale: the per-key count is one map-side-combining hash agg.
+    * The Gini does NOT sort the key frame: per-user counts are small
+    * integers, so grouping BY COUNT VALUE collapses the user-sized
+    * frame to ≤ #distinct-count-values rows (tens), and the rank sum
+    * over ties is closed-form — Σ ranks of a tie group of size f after
+    * cumF predecessors = cumF·f + f(f+1)/2, exact in BIGINT since the
+    * Gini value is invariant to within-tie order (x constant inside a
+    * tie). The one window rides that tiny value-census frame. The
+    * p50/p99 percentile buffers the post-agg key frame in one merge
+    * task (the q26-documented bound; its approx_percentile swap is the
+    * scale path there and would be here too).
+    *
+    * Determinism: all sums are BIGINTs; the Gini's final division is
+    * one fixed IEEE chain on exact integers (2S−(n+1)T can reach
+    * ~n²·v, past the 1000× headroom a pure-BIGINT permille would need,
+    * so the last step is floor(1000·num/denom) in double — the s01
+    * discipline).
+    */
+  def userSkew(spark: SparkSession, dir: String): DataFrame =
+    userSkewOf(Tables.events(spark, dir))
+
+  private[graft] def userSkewOf(e: DataFrame): DataFrame = {
+    val kc = e.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val fr = kc.groupBy(col("cnt").as("v")).agg(count(lit(1)).as("f"))
+    val byV = Window.orderBy(col("v"))
+    val w = fr.withColumn("cumf",
+      coalesce(sum(col("f")).over(byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val s = w.agg(
+      sum(col("f")).as("n_keys"),
+      sum(col("v") * col("f")).as("total_events"),
+      sum(expr("v * (cumf * f + (f * (f + 1)) div 2)")).as("srank"))
+    val pct = kc.agg(
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50_cnt"),
+      expr("percentile(cnt, 0.99)").as("p99_cnt"))
+    s.crossJoin(broadcast(pct))
+      .select(col("n_keys"), col("total_events"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"),
+        expr("(1000 * max_cnt * n_keys) div total_events").as("skew_ratio_permille"),
+        floor(lit(1000.0)
+          * (lit(2L) * col("srank") - (col("n_keys") + 1) * col("total_events")).cast("double")
+          / (col("n_keys") * col("total_events")).cast("double")).as("gini_permille"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_user_skew" -> userSkew,
     "e10_click_attribution" -> clickAttribution,
     "e01_sessionize" -> sessionize,
     "e09_session_paths" -> sessionPaths,
@@ -446,6 +500,31 @@ object Events {
     "e07_event_anomalies" -> eventAnomalies)
 
   val oracle: Map[String, String] = Map(
+    "e11_user_skew" ->
+      """WITH kc AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |fr AS (SELECT cnt AS v, CAST(count(*) AS BIGINT) AS f FROM kc GROUP BY 1),
+        |w AS (
+        |  SELECT v, f,
+        |         COALESCE(sum(f) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumf
+        |  FROM fr),
+        |s AS (
+        |  SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+        |         CAST(sum(v * f) AS BIGINT) AS total_events,
+        |         CAST(sum(v * (cumf * f + (f * (f + 1)) // 2)) AS BIGINT) AS srank
+        |  FROM w),
+        |pct AS (
+        |  SELECT max(cnt) AS max_cnt,
+        |         quantile_cont(cnt, 0.5) AS p50_cnt,
+        |         quantile_cont(cnt, 0.99) AS p99_cnt
+        |  FROM kc)
+        |SELECT n_keys, total_events, max_cnt, p50_cnt, p99_cnt,
+        |       (1000 * max_cnt * n_keys) // total_events AS skew_ratio_permille,
+        |       CAST(floor(1000.0
+        |         * CAST(2 * srank - (n_keys + 1) * total_events AS DOUBLE)
+        |         / CAST(n_keys * total_events AS DOUBLE)) AS BIGINT) AS gini_permille
+        |FROM s, pct""".stripMargin,
     "e10_click_attribution" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts AS p_ts,

@@ -61,6 +61,42 @@ object Sketches {
     * multiply and one divide on deterministic operands.
     */
   private val HllM2P53 = HllBuckets.toDouble * HllBuckets * (1L << 53).toDouble
+  /** Small-range (linear-counting) correction table: est = m·ln(m/V)
+    * for V zero registers. ln CANNOT run at query time — JVM Math.log
+    * and DuckDB's libm differ in the last ulp, which would break the
+    * cross-engine hash contract — so the 257 possible values are
+    * computed ONCE here and embedded as shared literals in BOTH
+    * engines' plans (a lookup, not a transcendental). V = 0 never
+    * consults the table (the raw estimate is used).
+    */
+  private val HllLcTable: IndexedSeq[Double] =
+    (0 to HllBuckets).map(v =>
+      if (v == 0) 0.0 else HllBuckets * math.log(HllBuckets.toDouble / v))
+  /** Standard small-range threshold: apply linear counting when the raw
+    * estimate is below 2.5·m and zero registers exist.
+    */
+  private val HllLcThreshold = 2.5 * HllBuckets
+
+  /** Corrected estimate from (zero_registers, raw_estimate) — the
+    * literal-table linear-counting branch (Spark side).
+    */
+  private def hllCorrected(zeroRegs: Column, raw: Column): Column =
+    when(zeroRegs > 0 && raw <= lit(HllLcThreshold),
+      element_at(array(HllLcTable.map(lit): _*), zeroRegs.cast("int") + 1))
+      .otherwise(raw)
+
+  /** The same correction as a DuckDB CTE + CASE (oracle side): `lc` is
+    * the literal table, keyed by zero-register count.
+    */
+  private def hllLcCte: String =
+    // CAST('…' AS DOUBLE): a bare decimal literal parses as DECIMAL in
+    // DuckDB and loses the last ulp on double conversion; the string
+    // cast is a correct-rounding parse of the exact same shortest-repr
+    // digits Spark's lit() carries
+    s"lc(v, lc_est) AS (VALUES ${(0 to HllBuckets)
+      .map(v => s"($v, CAST('${HllLcTable(v)}' AS DOUBLE))").mkString(", ")})"
+  private def hllCorrectedSql(zeroRegs: String, raw: String): String =
+    s"CASE WHEN $zeroRegs > 0 AND $raw <= $HllLcThreshold THEN lc.lc_est ELSE $raw END"
 
   /** s01: per-source distinct-token cardinality — HLL sketch vs exact.
     *
@@ -76,13 +112,14 @@ object Sketches {
     *
     * Determinism: rank = 53 − msb(h div 256) via the bin-string length
     * (no log2 — libm ulps differ across engines), registers and the
-    * harmonic sum are BIGINTs, and the final estimate is a fixed
-    * two-op IEEE chain on those BIGINTs. The standard small-range
-    * linear-counting correction (m·ln(m/V)) is REPORTED AS INPUTS
-    * (zero_registers) but not applied: ln's last-ulp differs between
-    * JVM Math.log and DuckDB's libm, which would break the cross-engine
-    * hash contract. Production would apply it driver-side on the
-    * collected 1-row result.
+    * harmonic sum are BIGINTs, and the raw estimate is a fixed two-op
+    * IEEE chain on those BIGINTs. The standard small-range
+    * linear-counting correction (m·ln(m/V) when the raw estimate is
+    * under 2.5·m and zero registers exist) IS applied — but ln never
+    * runs at query time: the 257 possible values live in
+    * [[HllLcTable]], computed once here and embedded as literals in
+    * both engines' plans, so the correction is a lookup and the hash
+    * contract holds to the last ulp.
     */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     hllDistinctOf(Tables.documents(spark, dir))
@@ -105,14 +142,16 @@ object Sketches {
       .select(col("source"), col("nz"),
         (lit(HllBuckets.toLong) - col("nz")).as("zero_registers"),
         (col("s_present") + (lit(HllBuckets.toLong) - col("nz")) * lit(1L << 53)).as("s_fp"))
-      .withColumn("hll_estimate", lit(HllAlpha) * lit(HllM2P53) / col("s_fp").cast("double"))
+      .withColumn("raw_estimate", lit(HllAlpha) * lit(HllM2P53) / col("s_fp").cast("double"))
+      .withColumn("hll_estimate",
+        hllCorrected(col("zero_registers"), col("raw_estimate")))
     // verification leg: the vocab-sized exact pass the sketch replaces
     val exact = tok.distinct().groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"))
     sk.join(exact, Seq("source"))
       .select(col("source"), col("exact_distinct"),
         col("nz").as("filled_registers"), col("zero_registers"),
-        col("s_fp").as("harmonic_sum_fp"), col("hll_estimate"),
+        col("s_fp").as("harmonic_sum_fp"), col("raw_estimate"), col("hll_estimate"),
         floor(abs(col("hll_estimate") - col("exact_distinct").cast("double")) * 1000.0
           / col("exact_distinct").cast("double")).as("err_permille"))
   }
@@ -135,16 +174,123 @@ object Sketches {
        |  SELECT source, nz, CAST($HllBuckets AS BIGINT) - nz AS zero_registers,
        |         s_present + (CAST($HllBuckets AS BIGINT) - nz) * (CAST(1 AS BIGINT) << 53) AS s_fp
        |  FROM sk),
+       |${hllLcCte},
        |est2 AS (
-       |  SELECT *, $HllAlpha * $HllM2P53 / CAST(s_fp AS DOUBLE) AS hll_estimate FROM est),
+       |  SELECT est.*, $HllAlpha * $HllM2P53 / CAST(s_fp AS DOUBLE) AS raw_estimate,
+       |         ${hllCorrectedSql("zero_registers",
+                   s"($HllAlpha * $HllM2P53 / CAST(s_fp AS DOUBLE))")} AS hll_estimate
+       |  FROM est JOIN lc ON lc.v = est.zero_registers),
        |ex AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
        |  FROM (SELECT DISTINCT source, h FROM tok) GROUP BY 1)
        |SELECT e2.source, e.exact_distinct, e2.nz AS filled_registers,
-       |       e2.zero_registers, e2.s_fp AS harmonic_sum_fp, e2.hll_estimate,
+       |       e2.zero_registers, e2.s_fp AS harmonic_sum_fp, e2.raw_estimate,
+       |       e2.hll_estimate,
        |       CAST(floor(abs(e2.hll_estimate - CAST(e.exact_distinct AS DOUBLE)) * 1000.0
        |            / CAST(e.exact_distinct AS DOUBLE)) AS BIGINT) AS err_permille
        |FROM est2 e2 JOIN ex e USING (source)""".stripMargin
+
+  /** s05: HLL MERGEABILITY, oracle-checked — the property the whole
+    * sketch family's shard/stream story rests on, made a verifiable
+    * result instead of a comment. Builds the per-source registers
+    * (s01's state), merges them by bucket-wise max — the way a 100 TB
+    * run combines per-shard sketches WITHOUT re-reading any shard —
+    * and emits the merged estimate next to (a) the register state a
+    * direct global build would produce and (b) the exact global
+    * distinct count. merged_equals_direct is computed IN the result:
+    * the oracle replays both constructions, so a broken merge (any
+    * register, any path) flips a hashed column.
+    *
+    * Scale: the merge aggregates ≤ sources×256 register rows onto 256
+    * buckets — constant work; only the verification legs touch the
+    * corpus.
+    */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame =
+    hllUnionOf(Tables.documents(spark, dir))
+
+  private[graft] def hllUnionOf(docs: DataFrame): DataFrame = {
+    val tok = tokens(docs).select(col("source"), col("h"))
+    def regs(keyed: DataFrame): DataFrame = keyed
+      .select(col("grp"),
+        expr(s"h % $HllBuckets").as("bucket"),
+        expr(s"h div $HllBuckets").as("w"))
+      .select(col("grp"), col("bucket"),
+        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))).as("rank"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    def estimate(reg: DataFrame): DataFrame = reg
+      .groupBy(col("grp")).agg(
+        count(lit(1)).as("nz"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).as("s_present"))
+      .select(col("grp"),
+        (lit(HllBuckets.toLong) - col("nz")).as("zr"),
+        (col("s_present") + (lit(HllBuckets.toLong) - col("nz")) * lit(1L << 53)).as("s_fp"))
+
+    // shard path: per-source registers, merged by bucket-wise max
+    val merged = regs(tok.select(col("source").as("grp"), col("h")))
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .select(lit("all").as("grp"), col("bucket"), col("reg"))
+    // direct path: one global build over the same stream
+    val direct = regs(tok.select(lit("all").as("grp"), col("h")))
+
+    val mEst = estimate(merged)
+      .select(col("zr").as("merged_zr"), col("s_fp").as("merged_s_fp"))
+    val dEst = estimate(direct).select(col("s_fp").as("direct_s_fp"))
+    val exact = tok.select(col("h")).distinct().agg(count(lit(1)).as("exact_distinct"))
+    mEst.crossJoin(broadcast(dEst)).crossJoin(broadcast(exact))
+      .withColumn("raw_estimate",
+        lit(HllAlpha) * lit(HllM2P53) / col("merged_s_fp").cast("double"))
+      .select(col("exact_distinct"), col("merged_s_fp"), col("direct_s_fp"),
+        (col("merged_s_fp") === col("direct_s_fp")).as("merged_equals_direct"),
+        col("raw_estimate"),
+        hllCorrected(col("merged_zr"), col("raw_estimate")).as("hll_estimate"))
+      .withColumn("err_permille",
+        floor(abs(col("hll_estimate") - col("exact_distinct").cast("double")) * 1000.0
+          / col("exact_distinct").cast("double")))
+  }
+
+  private def hllUnionSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, CAST(('0x' || substr(md5(t.token), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT source, unnest(regexp_extract_all(text, '$tokenPat')) AS token
+       |        FROM documents) t),
+       |srcreg AS (
+       |  SELECT source, h % $HllBuckets AS bucket,
+       |         max(CASE WHEN h // $HllBuckets = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $HllBuckets)) END) AS reg
+       |  FROM tok GROUP BY 1, 2),
+       |merged AS (SELECT bucket, max(reg) AS reg FROM srcreg GROUP BY 1),
+       |direct AS (
+       |  SELECT h % $HllBuckets AS bucket,
+       |         max(CASE WHEN h // $HllBuckets = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $HllBuckets)) END) AS reg
+       |  FROM tok GROUP BY 1),
+       |msum AS (
+       |  SELECT CAST($HllBuckets AS BIGINT) - count(*) AS merged_zr,
+       |         CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+       |         + (CAST($HllBuckets AS BIGINT) - count(*)) * (CAST(1 AS BIGINT) << 53)
+       |           AS merged_s_fp
+       |  FROM merged),
+       |dsum AS (
+       |  SELECT CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+       |         + (CAST($HllBuckets AS BIGINT) - count(*)) * (CAST(1 AS BIGINT) << 53)
+       |           AS direct_s_fp
+       |  FROM direct),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_distinct
+       |  FROM (SELECT DISTINCT h FROM tok)),
+       |${hllLcCte},
+       |est AS (
+       |  SELECT ex.exact_distinct, m.merged_s_fp, d.direct_s_fp,
+       |         m.merged_s_fp = d.direct_s_fp AS merged_equals_direct,
+       |         $HllAlpha * $HllM2P53 / CAST(m.merged_s_fp AS DOUBLE) AS raw_estimate,
+       |         ${hllCorrectedSql("m.merged_zr",
+                   s"($HllAlpha * $HllM2P53 / CAST(m.merged_s_fp AS DOUBLE))")} AS hll_estimate
+       |  FROM msum m JOIN lc ON lc.v = m.merged_zr, dsum d, ex)
+       |SELECT *,
+       |       CAST(floor(abs(hll_estimate - CAST(exact_distinct AS DOUBLE)) * 1000.0
+       |            / CAST(exact_distinct AS DOUBLE)) AS BIGINT) AS err_permille
+       |FROM est""".stripMargin
 
   // ─── s02 count-min heavy hitters ────────────────────────────────────
 
@@ -414,11 +560,13 @@ object Sketches {
     "s01_hll_distinct" -> hllDistinct,
     "s02_cms_heavy_hitters" -> cmsHeavyHitters,
     "s03_theta_overlap" -> thetaOverlap,
-    "s04_sampled_quantiles" -> sampledQuantiles)
+    "s04_sampled_quantiles" -> sampledQuantiles,
+    "s05_hll_union" -> hllUnion)
 
   val oracle: Map[String, String] = Map(
     "s01_hll_distinct" -> hllSql,
     "s02_cms_heavy_hitters" -> cmsSql,
     "s03_theta_overlap" -> thetaSql,
-    "s04_sampled_quantiles" -> quantilesSql)
+    "s04_sampled_quantiles" -> quantilesSql,
+    "s05_hll_union" -> hllUnionSql)
 }

@@ -50,6 +50,8 @@ class PlanSweepSpec extends AnyFunSuite {
   private val windowAllowed: Map[String, String] = Map(
     "d26_band_retune" -> "choice window over the 47-row (bands,rows) grid",
     "e09_session_paths" -> "share window over the ≤|event types|³ path census",
+    "e11_user_skew" -> ("tie-group rank cumsum over the ≤#distinct-count-" +
+      "values census (the user-sized frame is collapsed BY VALUE first)"),
     "q01_monthly_sales_trend" -> "MoM lag over the ≤#months monthly frame",
     "q02_category_performance" -> "share-of-total over the ≤#categories frame",
     "q08_quarterly_yoy" -> "YoY lag over the ≤#quarters quarterly frame",
@@ -74,6 +76,7 @@ class PlanSweepSpec extends AnyFunSuite {
       "set × broadcast corpus (the oracle d06/d11/q24 approximate against)"),
     "d26_band_retune" -> "47-row grid × broadcast J-mixture",
     "e07_event_anomalies" -> "1-row global-max-date frame crossJoined",
+    "e11_user_skew" -> "1-row Gini frame × 1-row percentile frame",
     "q22_validation_gates" -> "1-row count frames crossJoined into gates",
     "q35_ivf_recall" -> "per-k recall grid × 1-row totals frame",
     "q39_kpi_tiles" -> "1-row KPI frames crossJoined (the q39 pattern)",
@@ -88,6 +91,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q53_basket_affinity" -> "1-row n_orders frame into support/lift",
     "s03_theta_overlap" -> ("≤#sources² pair grid from broadcast " +
       "per-source size frames (sources is a bounded dimension)"),
+    "s05_hll_union" -> "1-row merged/direct/exact frames crossJoined",
     "q59_copurchase_pagerank" -> ("1-row node-count/teleport frame " +
       "crossJoined into the init and each damping step"),
     "q61_purchase_hits" -> ("1-row init-mass and per-half-step " +

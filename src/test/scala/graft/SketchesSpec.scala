@@ -56,19 +56,22 @@ class SketchesSpec extends AnyFunSuite {
         }.toMap
         val nz = regs.size.toLong
         val sFp = regs.values.map(r => 1L << (53 - r)).sum + (256L - nz) * (1L << 53)
-        val est = alpha * m2p53 / sFp.toDouble
+        val raw = alpha * m2p53 / sFp.toDouble
+        val v = 256L - nz
+        // the literal-table linear-counting branch, replayed
+        val est = if (v > 0 && raw <= 2.5 * 256) 256.0 * math.log(256.0 / v) else raw
         val exact = hs.toSet.size.toLong
         val err = math.floor(math.abs(est - exact.toDouble) * 1000.0 / exact.toDouble).toLong
         val row = got(src)
         assert(row.getLong(1) == exact, s"$src exact")
         assert(row.getLong(2) == nz, s"$src filled")
-        assert(row.getLong(3) == 256L - nz, s"$src zero")
+        assert(row.getLong(3) == v, s"$src zero")
         assert(row.getLong(4) == sFp, s"$src harmonic sum")
-        assert(row.getDouble(5) == est, s"$src estimate (must be bit-identical)")
-        assert(row.getLong(6) == err, s"$src err_permille")
-        // sanity: the sketch is actually estimating (within 5x of truth
-        // even on these tiny per-source vocabularies)
-        assert(est > exact / 5.0 && est < exact * 5.0, s"$src estimate sane")
+        assert(row.getDouble(5) == raw, s"$src raw estimate (must be bit-identical)")
+        assert(row.getDouble(6) == est, s"$src corrected estimate (must be bit-identical)")
+        assert(row.getLong(7) == err, s"$src err_permille")
+        // the corrected estimator is ACCURATE in the small-range regime
+        assert(est > exact * 0.75 && est < exact * 1.25, s"$src estimate accurate")
       }
     }
   }
@@ -97,6 +100,37 @@ class SketchesSpec extends AnyFunSuite {
       assert(got.toSeq == want)
       // the CMS one-sided guarantee: never an underestimate
       got.foreach { case (t, c, est, _) => assert(est >= c, s"$t underestimated") }
+    }
+  }
+
+  test("s05 HLL union: merged registers equal the direct build and the driver replay") {
+    import spark.implicits._
+    val rnd = new Random(61)
+    for (_ <- 1 to 3) {
+      val docs = corpus(rnd, 4, 60, 500)
+      val row = Sketches.hllUnionOf(docs.toDF("source", "text")).collect()(0)
+
+      val hs = docs.flatMap(_._2.split(" ")).map(h60)
+      val regs = hs.groupBy(_ % 256).view.mapValues { g =>
+        g.map { h =>
+          val w = h / 256
+          if (w == 0) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        }.max
+      }.toMap
+      val sFp = regs.values.map(r => 1L << (53 - r)).sum +
+        (256L - regs.size) * (1L << 53)
+      assert(row.getAs[Boolean]("merged_equals_direct"),
+        "bucket-wise max of per-source registers == one global build")
+      assert(row.getAs[Long]("merged_s_fp") == sFp, "merged harmonic sum (driver replay)")
+      assert(row.getAs[Long]("direct_s_fp") == sFp)
+      assert(row.getAs[Long]("exact_distinct") == hs.toSet.size.toLong)
+      val alpha = 0.7213 / (1.0 + 1.079 / 256)
+      val m2p53 = 256.0 * 256 * (1L << 53).toDouble
+      val raw = alpha * m2p53 / sFp.toDouble
+      val v = 256L - regs.size
+      val est = if (v > 0 && raw <= 2.5 * 256) 256.0 * math.log(256.0 / v) else raw
+      assert(row.getAs[Double]("raw_estimate") == raw)
+      assert(row.getAs[Double]("hll_estimate") == est)
     }
   }
 

@@ -40,6 +40,39 @@ class TextEventsSpec extends AnyFunSuite {
       col("last_gap_sec").isNotNull).count() == 0)
   }
 
+  test("e11 user skew: Gini and census match an exact driver-side replay on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (_ <- 1 to 3) {
+      // Zipf-ish: user u gets ~ceil(200/u) events — real heavy-tail skew
+      val events = (1L to 40L).flatMap { u =>
+        Seq.fill(1 + (200.0 / u).toInt + rnd.nextInt(3))(u)
+      }
+      val df = events.zipWithIndex
+        .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+      val row = Events.userSkewOf(df).collect()(0)
+
+      val counts = events.groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+      val n = counts.size.toLong
+      val t = counts.sum
+      // exact tie-group rank sum: ranks ascending by count value
+      val srank = counts.groupBy(identity).toSeq.sortBy(_._1)
+        .foldLeft((0L, 0L)) { case ((cumf, acc), (v, g)) =>
+          val f = g.size.toLong
+          (cumf + f, acc + v * (cumf * f + f * (f + 1) / 2))
+        }._2
+      val gini = math.floor(1000.0 * (2 * srank - (n + 1) * t).toDouble
+        / (n * t).toDouble).toLong
+      assert(row.getAs[Long]("n_keys") == n)
+      assert(row.getAs[Long]("total_events") == t)
+      assert(row.getAs[Long]("max_cnt") == counts.max)
+      assert(row.getAs[Long]("skew_ratio_permille") == 1000 * counts.max * n / t)
+      assert(row.getAs[Long]("gini_permille") == gini, "Gini (bit-exact)")
+      // heavy-tail data must actually read as skewed
+      assert(row.getAs[Long]("gini_permille") > 300)
+    }
+  }
+
   test("t20 alpha mixture: smallest source keeps all, rates replay sqrt form, monotone") {
     val rows = TextAnalysis.alphaMixture(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
