@@ -79,6 +79,9 @@ object Bench {
       "q33_corpus_stats", "t01_lang_id", "t02_quality_score",
       "t03_token_count", "t04_fingerprint", "t14_pii_scrub", "t15_hash_split",
       "t21_chunk_documents",
+      // the sketch family: md5-scan-dominated, fixed-size aggregation
+      // state (the shuffles are ≤ sources×256 / 4096-cell constants)
+      "s01_hll_distinct", "s02_cms_heavy_hitters", "s05_hll_union",
       "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
       "t24_bpe_train",
@@ -98,7 +101,9 @@ object Bench {
       "t05_hash_sample", "t06_repetition_stats", "t16_dsir_weights",
       "t18_dsir_per_source",
       "t07_quality_prune", "t08_token_budget_sample", "t10_vocab_coverage",
-      "t11_mixture_resample", "t13_boilerplate", "t20_alpha_mixture")
+      "t11_mixture_resample", "t13_boilerplate", "t20_alpha_mixture",
+      // vocab-distinct / key-count shuffles dominate these
+      "s03_theta_overlap", "s04_sampled_quantiles", "e11_user_skew")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d29_substring_scrub", "d30_span_contamination", "q59_copurchase_pagerank",
       "q60_copurchase_triangles", "t22_bigram_lm_score",

@@ -121,19 +121,33 @@ object Sketches {
     * both engines' plans, so the correction is a lookup and the hash
     * contract holds to the last ulp.
     */
+  /** (key, bucket, rank) per token occurrence — the pre-aggregation
+    * register stream. Shared by the batch operators (s01/s05) and the
+    * streaming twin (graft.streaming.SketchStream): the register
+    * aggregation `groupBy(key, bucket).max(rank)` is legal on a
+    * STREAMING frame too, and its state is bounded BY CONSTRUCTION
+    * (≤ keys×256 rows) — the sketch IS the streaming state.
+    */
+  private[graft] def hllRankStream(keyed: DataFrame, key: String): DataFrame =
+    keyed
+      .select(col(key),
+        expr(s"h % $HllBuckets").as("bucket"),
+        expr(s"h div $HllBuckets").as("w"))
+      .select(col(key), col("bucket"),
+        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))).as("rank"))
+
+  /** Token stream → (source, h) for any docs frame (batch or streaming). */
+  private[graft] def tokenHashes(docs: DataFrame): DataFrame =
+    tokens(docs).select(col("source"), col("h"))
+
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     hllDistinctOf(Tables.documents(spark, dir))
 
   private[graft] def hllDistinctOf(docs: DataFrame): DataFrame = {
-    val tok = tokens(docs).select(col("source"), col("h"))
+    val tok = tokenHashes(docs)
     // registers straight off the token stream — duplicates are absorbed
     // by max(), so no distinct precedes the sketch (that's the point)
-    val reg = tok
-      .select(col("source"),
-        expr(s"h % $HllBuckets").as("bucket"),
-        expr(s"h div $HllBuckets").as("w"))
-      .select(col("source"), col("bucket"),
-        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))).as("rank"))
+    val reg = hllRankStream(tok, "source")
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rank")).as("reg"))
     val sk = reg.groupBy(col("source")).agg(
@@ -209,15 +223,11 @@ object Sketches {
     hllUnionOf(Tables.documents(spark, dir))
 
   private[graft] def hllUnionOf(docs: DataFrame): DataFrame = {
-    val tok = tokens(docs).select(col("source"), col("h"))
-    def regs(keyed: DataFrame): DataFrame = keyed
-      .select(col("grp"),
-        expr(s"h % $HllBuckets").as("bucket"),
-        expr(s"h div $HllBuckets").as("w"))
-      .select(col("grp"), col("bucket"),
-        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))).as("rank"))
-      .groupBy(col("grp"), col("bucket"))
-      .agg(max(col("rank")).as("reg"))
+    val tok = tokenHashes(docs)
+    def regs(keyed: DataFrame): DataFrame =
+      hllRankStream(keyed, "grp")
+        .groupBy(col("grp"), col("bucket"))
+        .agg(max(col("rank")).as("reg"))
     def estimate(reg: DataFrame): DataFrame = reg
       .groupBy(col("grp")).agg(
         count(lit(1)).as("nz"),
