@@ -106,7 +106,7 @@ object Bench {
       "s03_theta_overlap", "s04_sampled_quantiles", "e11_user_skew")
     val join = Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d06_embedding_lsh",
       "d29_substring_scrub", "d30_span_contamination", "q59_copurchase_pagerank",
-      "q60_copurchase_triangles", "t22_bigram_lm_score",
+      "q60_copurchase_triangles", "q63_copurchase_components", "t22_bigram_lm_score",
       "d31_snapshot_diff", "q61_purchase_hits", "q62_cohort_ltv",
       "t25_bpe_apply",
       "d24_lsh_calibration", "d25_training_corpus", "d26_band_retune",

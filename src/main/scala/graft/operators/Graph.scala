@@ -342,13 +342,111 @@ object Graph {
        |FROM a$HitsIters""".stripMargin
   }
 
+  /** Min-label propagation rounds for q63. Six rounds label every node
+    * with the minimum part key within 6 hops — on the dense co-purchase
+    * graph (diameter ~3-4) that is the true component id; on a
+    * pathological chain it is a defined, deterministic 6-hop
+    * approximation. The round count is part of the operator's semantics
+    * (both engines unroll the same 6), exactly the q59/q61 discipline.
+    * Production at adversarial diameters would switch to the
+    * pointer-doubling form (Dedup.connectedComponents — O(log d)
+    * rounds); the fixed-round propagation is kept here because it is
+    * the shape whose oracle is replayable as a finite CTE chain.
+    */
+  private val CcIters = 6
+
+  /** q63: connected components + component-size census over the
+    * co-purchase graph — the partition lens the family still lacked:
+    * q59 ranks nodes WITHIN the connected structure and q60 measures
+    * local cohesion, but neither answers "how many disjoint product
+    * universes does the catalog contain, and how big is each" (the
+    * assortment-isolation question; a component that never co-sells
+    * with the rest is its own market).
+    *
+    * Scale: each round is ONE edges⋈labels equi-join plus a min hash
+    * aggregation (map-side combining, the Pregel shape) — the label
+    * frame is node-sized and each round references it once, so the
+    * declarative lineage stays linear in rounds (no persist needed,
+    * unlike q61 whose half-steps reference their frame twice). min() is
+    * associative/commutative integer arithmetic — bit-identical across
+    * engines regardless of aggregation order.
+    */
+  def copurchaseComponents(spark: SparkSession, dir: String): DataFrame =
+    copurchaseComponentsOf(Tables.lineitem(spark, dir))
+
+  private[graft] def copurchaseComponentsOf(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ed = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    // SELF-LOOPS fold "keep my own label" into the message stream, so
+    // each round is ONE edges⋈labels join + ONE min aggregation and the
+    // label frame is referenced ONCE per round — the naive form
+    // (propagate, then least() against the previous frame) references
+    // it twice, which DOUBLES the analyzed tree per round (the q61
+    // lineage lesson; measured 10+ s vs ~2 s at sf0.1 for this exact
+    // operator before the rewrite).
+    val nodes = ed.select(col("src").as("node")).distinct()
+    val edS = ed.unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
+    // NOT persisted, on measurement: caching the 4M-row edge frame (the
+    // q61 discipline) read 11 s vs 4 s at sf0.1 — materializing the
+    // cache and reading 6 joins through it costs MORE than the 6 fused
+    // codegen'd rebuilds of the edge chain it avoids. q61 persists
+    // because its frames are REFERENCED TWICE per half-step (lineage
+    // doubling); here the lineage is already linear, so the cache only
+    // trades fused scans for cache-read overhead.
+    var lab = nodes.withColumn("l", col("node"))
+    for (_ <- 1 to CcIters) {
+      lab = edS
+        .join(lab.select(col("node").as("src"), col("l")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("l")).as("l"))
+        .select(col("dst").as("node"), col("l"))
+    }
+    val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("comp_size"))
+    lab.join(sizes, Seq("l"))
+      .select(col("node").as("part_key"), col("l").as("component"), col("comp_size"))
+  }
+
+  /** Oracle twin — the identical 6-round unrolled min-propagation,
+    * generated from the same [[CcIters]] constant. Every label CTE is
+    * MATERIALIZED (the q61 lesson): each l\$k is referenced twice (its
+    * own round's join AND the next round's base) and `ed` is referenced
+    * every round, so DuckDB's default inlining would re-expand the tree
+    * ~2× per round — 2⁶ re-evaluations of the edge build, measured as a
+    * disk-spilling runaway at sf0.1 before this pin.
+    */
+  private def componentsSql: String = {
+    val iters = (1 to CcIters).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""l$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, min(p.l) AS l
+         |  FROM eds e JOIN $prev p ON e.src = p.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ed AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+       |eds AS MATERIALIZED (
+       |  SELECT src, dst FROM ed UNION ALL SELECT node, node FROM nodes),
+       |l0 AS MATERIALIZED (SELECT node, node AS l FROM nodes),
+       |$iters,
+       |sizes AS (SELECT l, CAST(count(*) AS BIGINT) AS comp_size FROM l$CcIters GROUP BY 1)
+       |SELECT f.node AS part_key, f.l AS component, s.comp_size
+       |FROM l$CcIters f JOIN sizes s ON f.l = s.l""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_copurchase_pagerank" -> copurchasePagerank,
     "q60_copurchase_triangles" -> copurchaseTriangles,
-    "q61_purchase_hits" -> purchaseHits)
+    "q61_purchase_hits" -> purchaseHits,
+    "q63_copurchase_components" -> copurchaseComponents)
 
   val oracle: Map[String, String] = Map(
     "q59_copurchase_pagerank" -> pagerankSql,
     "q60_copurchase_triangles" -> trianglesSql,
-    "q61_purchase_hits" -> hitsSql)
+    "q61_purchase_hits" -> hitsSql,
+    "q63_copurchase_components" -> componentsSql)
 }

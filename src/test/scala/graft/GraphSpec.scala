@@ -193,6 +193,51 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("components match a driver-side union-find on multi-component graphs") {
+    import spark.implicits._
+    val rnd = new Random(83)
+    for (trial <- 1 to 3) {
+      // three disjoint part universes: orders draw parts from one range
+      // only, so the true component structure is known by construction
+      // and the co-purchase diameter stays within the 6 fixed rounds
+      val basket = (1L to 60L).flatMap { o =>
+        val cluster = rnd.nextInt(3)
+        val base = 1L + cluster * 100
+        val k = 2 + rnd.nextInt(4)
+        Seq.fill(k)((o, base + rnd.nextInt(12).toLong))
+      }
+      val got = Graph.copurchaseComponentsOf(basket.toDF("l_orderkey", "l_partkey"))
+        .collect()
+        .map(r => r.getAs[Long]("part_key") ->
+          (r.getAs[Long]("component"), r.getAs[Long]("comp_size"))).toMap
+
+      // driver-side union-find over the same edges
+      val byOrder = basket.distinct.groupBy(_._1).values
+      val nodes = basket.map(_._2).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      byOrder.foreach { items =>
+        val ps = items.map(_._2).distinct
+        ps.tail.foreach { p => val (a, b) = (find(ps.head), find(p))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b) }
+      }
+      // connected parts only (isolated single-part orders have no edges)
+      val connected = byOrder.flatMap { items =>
+        val ps = items.map(_._2).distinct; if (ps.size > 1) ps else Nil
+      }.toSet
+      val want = connected.groupBy(n => {
+        // min label of the component = union-find root chased to min via
+        // path of parent links (min always wins the union above)
+        find(n)
+      })
+      assert(got.keySet == connected, s"trial $trial node set")
+      for ((root, members) <- want; m <- members) {
+        assert(got(m)._1 == members.min, s"trial $trial label of $m")
+        assert(got(m)._2 == members.size.toLong, s"trial $trial size of $m")
+      }
+    }
+  }
+
   test("hits scores are positive and each side's mass sums to ~Scale") {
     val rows = Graph.purchaseHits(spark, TestSpark.sf).collect()
     val scale = 1000000000L
