@@ -86,6 +86,7 @@ object Bench {
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
       "t24_bpe_train",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
+      "d32_snapshot_drift",
       "d20_simhash_dedup", "d21_route_union",
       "e02_event_tumbling", "q01_monthly_sales_trend", "q02_category_performance",
       "q03_customer_segmentation", "q05_weekend_weekday", "q06_top_customers",

@@ -2066,7 +2066,100 @@ object Dedup {
       |            ELSE 'changed' END AS status
       |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id""".stripMargin
 
+  // ─── d32 snapshot distribution drift ─────────────────────────────────
+
+  /** d32: distribution drift between the same two snapshots d31 diffs —
+    * the data-drift ALARM next to d31's data-versioning LEDGER. d31
+    * answers "which documents changed"; d32 answers the monitoring
+    * question "did the corpus's SHAPE move": per source, doc-count
+    * share and mean document length in both snapshots, the per-source
+    * share delta, and the total-variation distance between the two
+    * source mixtures (the standard drift statistic — ½·Σ|p−q|,
+    * 0 = identical mixture, 1000‰ = disjoint). A retrain trigger
+    * watches tv_permille; a mixture regression (one source's crawler
+    * silently dying) shows up here crawls before it shows up in model
+    * quality.
+    *
+    * Scale: each snapshot side is ONE map-side-combining groupBy(source)
+    * over a scan-side filter — the corpus never shuffles (per-source
+    * partial rows only); the per-source frame (bounded by the source
+    * dimension) takes two broadcast 1-row crossJoins for the totals and
+    * the TV statistic (the q39 bounded-frame rule). All shares/deltas
+    * are integer permille; no floats anywhere.
+    */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame =
+    snapshotDriftOf(Tables.documents(spark, dir))
+
+  private[graft] def snapshotDriftOf(docs: DataFrame): DataFrame = {
+    val tokC = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("o_docs"), sum(tokC).as("o_tokens"))
+    val nw = docs.filter(col("doc_id") % 5 =!= 1)
+      .select(col("source"),
+        (tokC + when(col("doc_id") % 11 === 3, 1L).otherwise(0L)).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val per = old.join(nw, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("o_docs"), lit(0L)).as("o_docs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("o_tokens"), lit(0L)).as("o_tokens"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val tot = per.agg(sum(col("o_docs")).as("o_total"), sum(col("n_docs")).as("n_total"))
+    val shares = per.crossJoin(broadcast(tot))
+      .withColumn("o_share_permille", expr("(1000 * o_docs) div o_total"))
+      .withColumn("n_share_permille", expr("(1000 * n_docs) div n_total"))
+      .withColumn("share_delta_permille",
+        abs(col("o_share_permille") - col("n_share_permille")))
+      .withColumn("o_mean_tokens_fp",
+        when(col("o_docs") === 0, lit(0L)).otherwise(expr("(1000 * o_tokens) div o_docs")))
+      .withColumn("n_mean_tokens_fp",
+        when(col("n_docs") === 0, lit(0L)).otherwise(expr("(1000 * n_tokens) div n_docs")))
+      .withColumn("mean_tokens_delta_fp",
+        abs(col("o_mean_tokens_fp") - col("n_mean_tokens_fp")))
+      .drop("o_total", "n_total")
+    val tv = shares.agg(expr("sum(share_delta_permille) div 2").as("tv_permille"))
+    shares.crossJoin(broadcast(tv))
+  }
+
+  private def snapshotDriftSql: String =
+    """WITH old AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS o_docs,
+      |         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS o_tokens
+      |  FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+      |nw AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(regexp_extract_all(text, '\S+'))
+      |               + CASE WHEN doc_id % 11 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 5 <> 1 GROUP BY 1),
+      |per AS (
+      |  SELECT COALESCE(o.source, n.source) AS source,
+      |         COALESCE(o.o_docs, 0) AS o_docs, COALESCE(n.n_docs, 0) AS n_docs,
+      |         COALESCE(o.o_tokens, 0) AS o_tokens, COALESCE(n.n_tokens, 0) AS n_tokens
+      |  FROM old o FULL OUTER JOIN nw n ON o.source = n.source),
+      |tot AS (SELECT CAST(sum(o_docs) AS BIGINT) AS o_total,
+      |               CAST(sum(n_docs) AS BIGINT) AS n_total FROM per),
+      |shares AS (
+      |  SELECT per.source, o_docs, n_docs, o_tokens, n_tokens,
+      |         (1000 * o_docs) // o_total AS o_share_permille,
+      |         (1000 * n_docs) // n_total AS n_share_permille,
+      |         abs((1000 * o_docs) // o_total - (1000 * n_docs) // n_total)
+      |           AS share_delta_permille,
+      |         CASE WHEN o_docs = 0 THEN 0
+      |              ELSE (1000 * o_tokens) // o_docs END AS o_mean_tokens_fp,
+      |         CASE WHEN n_docs = 0 THEN 0
+      |              ELSE (1000 * n_tokens) // n_docs END AS n_mean_tokens_fp
+      |  FROM per, tot),
+      |tv AS (SELECT CAST(sum(share_delta_permille) AS BIGINT) // 2 AS tv_permille
+      |       FROM shares)
+      |SELECT s.*,
+      |       abs(o_mean_tokens_fp - n_mean_tokens_fp) AS mean_tokens_delta_fp,
+      |       t.tv_permille
+      |FROM shares s, tv t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d32_snapshot_drift" -> snapshotDrift,
     "d31_snapshot_diff" -> snapshotDiff,
     "d28_substring_dedup" -> substringDedup,
     "d29_substring_scrub" -> substringScrub,
@@ -2237,6 +2330,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d31_snapshot_diff" -> snapshotDiffSql,
+    "d32_snapshot_drift" -> snapshotDriftSql,
     "d28_substring_dedup" ->
       (gramCteSql + ",\n" +
         """dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),

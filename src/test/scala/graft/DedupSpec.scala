@@ -533,4 +533,41 @@ class DedupSpec extends AnyFunSuite {
       assert(n == r.getAs[Long]("n_tokens_after"))
     }
   }
+
+  test("d32 snapshot drift matches an exact driver-side replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val docs = (1L to 300L).map { id =>
+      (id, s"s${rnd.nextInt(4)}", Seq.fill(3 + rnd.nextInt(20))("w").mkString(" "))
+    }
+    val got = Dedup.snapshotDriftOf(docs.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    def toks(t: String) = t.split("\\s+").count(_.nonEmpty).toLong
+    val old = docs.filter(_._1 % 7 != 0)
+    val nw = docs.filter(_._1 % 5 != 1)
+    val srcs = docs.map(_._2).distinct
+    val (oT, nT) = (old.size.toLong, nw.size.toLong)
+    val rows = srcs.map { s =>
+      val o = old.filter(_._2 == s)
+      val n = nw.filter(_._2 == s)
+      val oD = o.size.toLong; val nD = n.size.toLong
+      val oTok = o.map(d => toks(d._3)).sum
+      val nTok = n.map(d => toks(d._3) + (if (d._1 % 11 == 3) 1 else 0)).sum
+      val (oS, nS) = (1000 * oD / oT, 1000 * nD / nT)
+      (s, oD, nD, oTok, nTok, oS, nS, math.abs(oS - nS),
+        if (oD == 0) 0L else 1000 * oTok / oD,
+        if (nD == 0) 0L else 1000 * nTok / nD)
+    }
+    val tv = rows.map(_._8).sum / 2
+    assert(got.keySet == srcs.toSet)
+    for ((s, oD, nD, oTok, nTok, oS, nS, dS, oM, nM) <- rows) {
+      val r = got(s)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((oD, nD, oTok, nTok)), s"$s counts")
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((oS, nS, dS)), s"$s shares")
+      assert((r.getLong(8), r.getLong(9)) == ((oM, nM)), s"$s means")
+      assert(r.getLong(10) == math.abs(oM - nM), s"$s mean delta")
+      assert(r.getLong(11) == tv, s"$s tv")
+    }
+  }
 }

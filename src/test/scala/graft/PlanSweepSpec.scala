@@ -75,6 +75,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "d05_embedding_knn" -> ("brute-force baseline BY DESIGN: bounded query " +
       "set × broadcast corpus (the oracle d06/d11/q24 approximate against)"),
     "d26_band_retune" -> "47-row grid × broadcast J-mixture",
+    "d32_snapshot_drift" -> ("source-bounded share frame × 1-row totals " +
+      "and 1-row TV-statistic frames"),
     "e07_event_anomalies" -> "1-row global-max-date frame crossJoined",
     "e11_user_skew" -> "1-row Gini frame × 1-row percentile frame",
     "q22_validation_gates" -> "1-row count frames crossJoined into gates",
