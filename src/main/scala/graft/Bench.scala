@@ -96,7 +96,7 @@ object Bench {
       "q29_price_size_corr", "q36_price_rating_corr", "q37_api_category_list",
       "q38_amount_histogram", "q39_kpi_tiles", "q40_filtered_summary",
       "q41_monthly_category_trend", "q42_heavy_hitters", "q43_category_trendline",
-      "q58_segment_priority_cube",
+      "q58_segment_priority_cube", "q64_discount_effectiveness",
       "q45_ivf_cell_stats", "q52_rfm_segmentation", "q53_basket_affinity",
       "q54_supplier_scorecard",
       "t05_hash_sample", "t06_repetition_stats", "t16_dsir_weights",
@@ -124,7 +124,8 @@ object Bench {
       "q55_lead_time",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
-    val window = Seq("d15_quality_dedup", "e01_sessionize", "t12_pack_sequences",
+    val window = Seq("d15_quality_dedup", "e01_sessionize", "e12_burst_census",
+      "t12_pack_sequences",
       "t23_shuffle_shard",
       "e06_rolling_active_users", "e07_event_anomalies", "e08_session_transitions",
       "e09_session_paths", "q56_purchase_intervals", "t17_dsir_select",

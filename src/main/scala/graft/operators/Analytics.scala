@@ -395,7 +395,48 @@ object Analytics {
     "q18_priority_status_matrix" -> priorityStatusMatrix,
     "q20_pricing_summary" -> pricingSummary,
     "q21_region_revenue" -> regionRevenue,
-    "q58_segment_priority_cube" -> segmentPriorityCube)
+    "q58_segment_priority_cube" -> segmentPriorityCube,
+    "q64_discount_effectiveness" -> discountEffectiveness)
+
+  // ─── q64 discount effectiveness ───────────────────────────────────────
+  /** Does a discount actually move volume? Per discount band (integer
+    * percent — the catalog's native 1%-step grain): line/quantity
+    * volume, DECIMAL-exact gross vs net revenue (the band's discount
+    * cost is their difference), quantity share, and the
+    * lift-vs-no-discount ratio of per-line quantity against the 0%
+    * band — the pricing question the reference's pricing summary (q20)
+    * aggregates past. All ratios integer permille (the house fixed-
+    * point discipline); money rides the [[graft.functions.Money]]
+    * decimal chain.
+    *
+    * Scale: ONE map-side-combining groupBy over the fact onto ≤ 11
+    * band keys; the totals and the 0%-baseline are 1-row broadcast
+    * crossJoins into the band-bounded frame (the q39 rule).
+    */
+  def discountEffectiveness(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val base = li
+      .groupBy((r2(col("l_discount")) * 100).cast("int").as("discount_pct"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(m2(col("l_extendedprice"))).as("g_dec"),
+        sum(net(col("l_extendedprice"), col("l_discount"))).as("n_dec"))
+      .select(col("discount_pct"), col("n_lines"), col("sum_qty"),
+        out2(col("g_dec")).as("gross_revenue"),
+        out2(col("n_dec")).as("net_revenue"),
+        out2(col("g_dec") - col("n_dec")).as("discount_cost"),
+        expr("(1000 * sum_qty) div n_lines").as("qty_per_line_fp"))
+    val tot = base.agg(sum(col("sum_qty")).as("qty_total"))
+    val b0 = base.filter(col("discount_pct") === 0)
+      .select(col("qty_per_line_fp").as("qty0_fp"))
+    base.crossJoin(broadcast(tot)).crossJoin(broadcast(b0))
+      .select(col("discount_pct"), col("n_lines"), col("sum_qty"),
+        col("gross_revenue"), col("net_revenue"), col("discount_cost"),
+        col("qty_per_line_fp"),
+        expr("(1000 * sum_qty) div qty_total").as("qty_share_permille"),
+        expr("(1000 * qty_per_line_fp) div qty0_fp").as("lift_vs_no_discount_permille"))
+  }
 
   // oracle building blocks (DuckDB dialect, mirroring functions.Money)
   private val TP = "sum(CAST(o_totalprice AS DECIMAL(14,3)))"
@@ -621,6 +662,28 @@ object Analytics {
         |       ${o2("d_dec")} / count_order AS avg_disc,
         |       count_order
         |FROM m""".stripMargin,
+    "q64_discount_effectiveness" ->
+      s"""WITH b AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS INTEGER) AS discount_pct,
+        |         CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |         $EP AS g_dec,
+        |         $NET AS n_dec
+        |  FROM lineitem GROUP BY 1),
+        |f AS (
+        |  SELECT discount_pct, n_lines, sum_qty,
+        |         ${o2("g_dec")} AS gross_revenue,
+        |         ${o2("n_dec")} AS net_revenue,
+        |         ${o2("g_dec - n_dec")} AS discount_cost,
+        |         (1000 * sum_qty) // n_lines AS qty_per_line_fp
+        |  FROM b),
+        |tot AS (SELECT CAST(sum(sum_qty) AS BIGINT) AS qty_total FROM f),
+        |b0 AS (SELECT qty_per_line_fp AS qty0_fp FROM f WHERE discount_pct = 0)
+        |SELECT f.discount_pct, f.n_lines, f.sum_qty, f.gross_revenue,
+        |       f.net_revenue, f.discount_cost, f.qty_per_line_fp,
+        |       (1000 * f.sum_qty) // t.qty_total AS qty_share_permille,
+        |       (1000 * f.qty_per_line_fp) // z.qty0_fp AS lift_vs_no_discount_permille
+        |FROM f, tot t, b0 z""".stripMargin,
     "q21_region_revenue" ->
       s"""SELECT r_name AS region, n_name AS nation,
         |       ${o2(TP)} AS total_revenue,

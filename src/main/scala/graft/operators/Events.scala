@@ -486,7 +486,46 @@ object Events {
           / (col("n_keys") * col("total_events")).cast("double")).as("gini_permille"))
   }
 
+  // ─── e12 per-user burst census (behavioral bot screen) ──────────────
+  /** Per-user event-cadence census — the behavioral-quality screen a
+    * training pipeline runs over clickstream-like sources before
+    * trusting them: events, distinct event types, active span, median
+    * inter-event gap, and the burst profile (gaps ≤ 1 s), with a
+    * `is_suspect` flag for machine-cadence users (majority-burst with
+    * enough events to mean it). The events analog of t02's document
+    * quality score: d-family gates filter WHAT the text is, e12 filters
+    * HOW it arrived.
+    *
+    * Scale: the lag window partitions by user_id (bounded per-user
+    * history — the e01 class); the census is one map-side-combining
+    * groupBy(user_id); the per-user exact median buffers only that
+    * user's gaps (group-bounded; the q26 approx_percentile swap is the
+    * escape hatch if per-user histories ever stop being bounded).
+    */
+  def burstCensus(spark: SparkSession, dir: String): DataFrame =
+    burstCensusOf(Tables.events(spark, dir))
+
+  private[graft] def burstCensusOf(e: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = e
+      .withColumn("ep", epochS(col("ts")))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (max(col("ep")) - min(col("ep"))).as("span_sec"),
+        expr("percentile(gap, 0.5)").as("median_gap_sec"),
+        sum(when(col("gap") <= 1, 1L).otherwise(0L)).as("bursts"))
+    g.withColumn("burst_share_permille",
+        when(col("n_events") > 1, expr("(1000 * bursts) div (n_events - 1)"))
+          .otherwise(lit(0L)))
+      .withColumn("is_suspect",
+        col("burst_share_permille") > 500 && col("n_events") >= 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_burst_census" -> burstCensus,
     "e11_user_skew" -> userSkew,
     "e10_click_attribution" -> clickAttribution,
     "e01_sessionize" -> sessionize,
@@ -500,6 +539,29 @@ object Events {
     "e07_event_anomalies" -> eventAnomalies)
 
   val oracle: Map[String, String] = Map(
+    "e12_burst_census" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+        |         event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |         max(ep) - min(ep) AS span_sec,
+        |         quantile_cont(gap, 0.5) AS median_gap_sec,
+        |         CAST(sum(CASE WHEN gap <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS bursts
+        |  FROM g GROUP BY 1)
+        |SELECT *,
+        |       CASE WHEN n_events > 1 THEN (1000 * bursts) // (n_events - 1)
+        |            ELSE 0 END AS burst_share_permille,
+        |       (CASE WHEN n_events > 1 THEN (1000 * bursts) // (n_events - 1)
+        |             ELSE 0 END) > 500 AND n_events >= 20 AS is_suspect
+        |FROM c""".stripMargin,
     "e11_user_skew" ->
       """WITH kc AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),

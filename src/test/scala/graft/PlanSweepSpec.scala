@@ -82,6 +82,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "q22_validation_gates" -> "1-row count frames crossJoined into gates",
     "q35_ivf_recall" -> "per-k recall grid × 1-row totals frame",
     "q39_kpi_tiles" -> "1-row KPI frames crossJoined (the q39 pattern)",
+    "q64_discount_effectiveness" -> ("≤11-row band frame × 1-row totals " +
+      "and 1-row 0%-baseline frames"),
     "q42_heavy_hitters" -> "bounded top-N frame × 1-row total stats",
     "q44_revenue_deciles" -> "broadcast 10-row decile-boundary frame",
     "q45_ivf_cell_stats" -> "cell stats × 1-row corpus totals",
