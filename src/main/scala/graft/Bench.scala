@@ -97,6 +97,7 @@ object Bench {
       "q38_amount_histogram", "q39_kpi_tiles", "q40_filtered_summary",
       "q41_monthly_category_trend", "q42_heavy_hitters", "q43_category_trendline",
       "q58_segment_priority_cube", "q64_discount_effectiveness",
+      "q65_seasonal_index", "q66_churn_status",
       "q45_ivf_cell_stats", "q52_rfm_segmentation", "q53_basket_affinity",
       "q54_supplier_scorecard",
       "t05_hash_sample", "t06_repetition_stats", "t16_dsir_weights",

@@ -396,7 +396,86 @@ object Analytics {
     "q20_pricing_summary" -> pricingSummary,
     "q21_region_revenue" -> regionRevenue,
     "q58_segment_priority_cube" -> segmentPriorityCube,
-    "q64_discount_effectiveness" -> discountEffectiveness)
+    "q64_discount_effectiveness" -> discountEffectiveness,
+    "q65_seasonal_index" -> seasonalIndex,
+    "q66_churn_status" -> churnStatus)
+
+  // ─── q65 seasonal index per category ──────────────────────────────────
+  /** Month-of-year seasonality per category: each (category, month)
+    * cell's average monthly revenue as a permille index against the
+    * category's overall monthly average (1000 = no seasonality) — the
+    * classic retail planning table (when to stock what) that q01's
+    * monthly trend and q43's linear trendline both average past:
+    * a trend says WHERE revenue is going, the seasonal index says WHEN
+    * within the year it arrives.
+    *
+    * Determinism: monthly revenue is the Money DECIMAL chain moved to
+    * BIGINT at the chain's NATIVE 10⁻⁴-dollar scale — ×10000 makes the
+    * decimal exactly integral, so the cast carries no fractional part
+    * for the engines to round differently (Spark truncates a decimal
+    * cast, DuckDB rounds it — ×100 "cents" would diverge on scale-4
+    * values). The index is then pure integer arithmetic — avg units
+    * per month on each side first (each div loses < 10⁻⁴ dollars,
+    * deterministic), then one permille div, keeping every intermediate
+    * under 2⁶³ at warehouse revenue scales (the single-expression
+    * cross-product form would overflow).
+    *
+    * Scale: ONE fact groupBy onto (category × month) keys after a
+    * broadcast part join; the month-of-year census and per-category
+    * totals are aggregations over the bounded (6 × ~84) monthly frame;
+    * the join-back is category-keyed and bounded. No windows.
+    */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type").as("category"))
+    val monthly = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("category"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("ym"))
+      .agg(sum(net(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+      .select(col("category"), col("ym"),
+        (col("rev_dec") * 10000).cast("long").as("rev_fp"))
+    val moy = monthly.groupBy(col("category"), expr("ym % 100").as("month_of_year"))
+      .agg(count(lit(1)).as("n_months"), sum(col("rev_fp")).as("rc"))
+    val tot = monthly.groupBy(col("category"))
+      .agg(count(lit(1)).as("ct"), sum(col("rev_fp")).as("rt"))
+    moy.join(tot, Seq("category"))
+      .select(col("category"), col("month_of_year"), col("n_months"),
+        (col("rc").cast("double") / 10000.0).as("revenue"),
+        expr("(1000 * (rc div n_months)) div (rt div ct)").as("seasonal_index_permille"))
+  }
+
+  // ─── q66 churn status per segment ─────────────────────────────────────
+  /** Customer lifecycle census at the corpus snapshot date (max order
+    * date): per market segment, how many customers are active (last
+    * order ≤ 90 days before the snapshot), lapsed (≤ 365) or churned
+    * (older), with per-segment permille shares — the CRM view q52's RFM
+    * scores feed; this is its thresholded lifecycle summary.
+    *
+    * Scale: last order per customer is ONE map-side-combining
+    * groupBy(o_custkey) max; the snapshot date is a 1-row broadcast
+    * crossJoin (q39 rule); segment attaches via a broadcast dim join;
+    * the status census is a bounded (5 × 3) aggregation, and the
+    * per-segment share join-back is bounded by segments.
+    */
+  def churnStatus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val last = o.groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_order"))
+    val snap = o.agg(max(col("o_orderdate")).as("snapshot_date"))
+    val status = last.crossJoin(broadcast(snap))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        when(datediff(col("snapshot_date"), col("last_order")) <= 90, lit("active"))
+          .when(datediff(col("snapshot_date"), col("last_order")) <= 365, lit("lapsed"))
+          .otherwise(lit("churned")).as("status"))
+      .groupBy(col("segment"), col("status"))
+      .agg(count(lit(1)).as("n_customers"))
+    val seg = status.groupBy(col("segment")).agg(sum(col("n_customers")).as("seg_total"))
+    status.join(seg, Seq("segment"))
+      .select(col("segment"), col("status"), col("n_customers"),
+        expr("(1000 * n_customers) div seg_total").as("share_permille"))
+  }
 
   // ─── q64 discount effectiveness ───────────────────────────────────────
   /** Does a discount actually move volume? Per discount band (integer
@@ -662,6 +741,48 @@ object Analytics {
         |       ${o2("d_dec")} / count_order AS avg_disc,
         |       count_order
         |FROM m""".stripMargin,
+    "q65_seasonal_index" ->
+      s"""WITH monthly AS (
+        |  SELECT p.p_type AS category,
+        |         year(l.l_shipdate) * 100 + month(l.l_shipdate) AS ym,
+        |         CAST($NET * 10000 AS BIGINT) AS rev_fp
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |moy AS (
+        |  SELECT category, ym % 100 AS month_of_year,
+        |         CAST(count(*) AS BIGINT) AS n_months,
+        |         CAST(sum(rev_fp) AS BIGINT) AS rc
+        |  FROM monthly GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT category, CAST(count(*) AS BIGINT) AS ct,
+        |         CAST(sum(rev_fp) AS BIGINT) AS rt
+        |  FROM monthly GROUP BY 1)
+        |SELECT m.category, m.month_of_year, m.n_months,
+        |       CAST(m.rc AS DOUBLE) / 10000.0 AS revenue,
+        |       (1000 * (m.rc // m.n_months)) // (t.rt // t.ct) AS seasonal_index_permille
+        |FROM moy m JOIN tot t USING (category)""".stripMargin,
+    "q66_churn_status" ->
+      """WITH last AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order FROM orders GROUP BY 1),
+        |snap AS (SELECT max(o_orderdate) AS snapshot_date FROM orders),
+        |st AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |         CASE WHEN date_diff('day', CAST(l.last_order AS DATE),
+        |                              CAST(s.snapshot_date AS DATE)) <= 90 THEN 'active'
+        |              WHEN date_diff('day', CAST(l.last_order AS DATE),
+        |                              CAST(s.snapshot_date AS DATE)) <= 365 THEN 'lapsed'
+        |              ELSE 'churned' END AS status
+        |  FROM last l CROSS JOIN snap s
+        |  JOIN customer c ON c.c_custkey = l.o_custkey),
+        |cnt AS (
+        |  SELECT segment, status, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM st GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT segment, CAST(sum(n_customers) AS BIGINT) AS seg_total
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.segment, c.status, c.n_customers,
+        |       (1000 * c.n_customers) // s.seg_total AS share_permille
+        |FROM cnt c JOIN seg s USING (segment)""".stripMargin,
     "q64_discount_effectiveness" ->
       s"""WITH b AS (
         |  SELECT CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS INTEGER) AS discount_pct,

@@ -84,6 +84,7 @@ class PlanSweepSpec extends AnyFunSuite {
     "q39_kpi_tiles" -> "1-row KPI frames crossJoined (the q39 pattern)",
     "q64_discount_effectiveness" -> ("≤11-row band frame × 1-row totals " +
       "and 1-row 0%-baseline frames"),
+    "q66_churn_status" -> "1-row snapshot-date frame crossJoined (q39 rule)",
     "q42_heavy_hitters" -> "bounded top-N frame × 1-row total stats",
     "q44_revenue_deciles" -> "broadcast 10-row decile-boundary frame",
     "q45_ivf_cell_stats" -> "cell stats × 1-row corpus totals",
