@@ -506,10 +506,14 @@ object Analytics {
         out2(col("n_dec")).as("net_revenue"),
         out2(col("g_dec") - col("n_dec")).as("discount_cost"),
         expr("(1000 * sum_qty) div n_lines").as("qty_per_line_fp"))
-    val tot = base.agg(sum(col("sum_qty")).as("qty_total"))
-    val b0 = base.filter(col("discount_pct") === 0)
-      .select(col("qty_per_line_fp").as("qty0_fp"))
-    base.crossJoin(broadcast(tot)).crossJoin(broadcast(b0))
+    // The 0% baseline rides the SAME 1-row aggregate as the total (a
+    // conditional max over the band frame), so a corpus with no 0% band
+    // degrades to a NULL lift column instead of an empty result — the
+    // filter→crossJoin shape would silently drop every band row.
+    val tot = base.agg(
+      sum(col("sum_qty")).as("qty_total"),
+      max(when(col("discount_pct") === 0, col("qty_per_line_fp"))).as("qty0_fp"))
+    base.crossJoin(broadcast(tot))
       .select(col("discount_pct"), col("n_lines"), col("sum_qty"),
         col("gross_revenue"), col("net_revenue"), col("discount_cost"),
         col("qty_per_line_fp"),
@@ -798,13 +802,15 @@ object Analytics {
         |         ${o2("g_dec - n_dec")} AS discount_cost,
         |         (1000 * sum_qty) // n_lines AS qty_per_line_fp
         |  FROM b),
-        |tot AS (SELECT CAST(sum(sum_qty) AS BIGINT) AS qty_total FROM f),
-        |b0 AS (SELECT qty_per_line_fp AS qty0_fp FROM f WHERE discount_pct = 0)
+        |tot AS (
+        |  SELECT CAST(sum(sum_qty) AS BIGINT) AS qty_total,
+        |         max(CASE WHEN discount_pct = 0 THEN qty_per_line_fp END) AS qty0_fp
+        |  FROM f)
         |SELECT f.discount_pct, f.n_lines, f.sum_qty, f.gross_revenue,
         |       f.net_revenue, f.discount_cost, f.qty_per_line_fp,
         |       (1000 * f.sum_qty) // t.qty_total AS qty_share_permille,
-        |       (1000 * f.qty_per_line_fp) // z.qty0_fp AS lift_vs_no_discount_permille
-        |FROM f, tot t, b0 z""".stripMargin,
+        |       (1000 * f.qty_per_line_fp) // t.qty0_fp AS lift_vs_no_discount_permille
+        |FROM f, tot t""".stripMargin,
     "q21_region_revenue" ->
       s"""SELECT r_name AS region, n_name AS nation,
         |       ${o2(TP)} AS total_revenue,

@@ -454,11 +454,12 @@ object Events {
     * task (the q26-documented bound; its approx_percentile swap is the
     * scale path there and would be here too).
     *
-    * Determinism: all sums are BIGINTs; the Gini's final division is
-    * one fixed IEEE chain on exact integers (2S−(n+1)T can reach
-    * ~n²·v, past the 1000× headroom a pure-BIGINT permille would need,
-    * so the last step is floor(1000·num/denom) in double — the s01
-    * discipline).
+    * Determinism: all SUMS are BIGINTs (exact); every PRODUCT of those
+    * sums (n·T, 1000·max·n, 2S−(n+1)T ~ n²·v) runs in double, because
+    * at ~1e9 users × 1e12 events the products overflow Int64. The
+    * double chain is one fixed IEEE sequence both engines replay
+    * identically (the s01 discipline), and equals the integer result
+    * whenever products stay under 2^53.
     */
   def userSkew(spark: SparkSession, dir: String): DataFrame =
     userSkewOf(Tables.events(spark, dir))
@@ -477,13 +478,20 @@ object Events {
       max(col("cnt")).as("max_cnt"),
       expr("percentile(cnt, 0.5)").as("p50_cnt"),
       expr("percentile(cnt, 0.99)").as("p99_cnt"))
+    // All products run in double: n_keys·total_events (and 1000·max_cnt·n_keys)
+    // exceed Int64 at the 100 TB design point (~1e9 users × 1e12 events), so the
+    // BIGINT sums are cast BEFORE multiplying. The permille results are identical
+    // while products stay < 2^53 and IEEE-replayable by the oracle beyond that.
+    val nD = col("n_keys").cast("double")
+    val tD = col("total_events").cast("double")
     s.crossJoin(broadcast(pct))
       .select(col("n_keys"), col("total_events"), col("max_cnt"),
         col("p50_cnt"), col("p99_cnt"),
-        expr("(1000 * max_cnt * n_keys) div total_events").as("skew_ratio_permille"),
+        floor(lit(1000.0) * col("max_cnt").cast("double") * nD / tD)
+          .as("skew_ratio_permille"),
         floor(lit(1000.0)
-          * (lit(2L) * col("srank") - (col("n_keys") + 1) * col("total_events")).cast("double")
-          / (col("n_keys") * col("total_events")).cast("double")).as("gini_permille"))
+          * (lit(2.0) * col("srank").cast("double") - (nD + lit(1.0)) * tD)
+          / (nD * tD)).as("gini_permille"))
   }
 
   // ─── e12 per-user burst census (behavioral bot screen) ──────────────
@@ -582,10 +590,13 @@ object Events {
         |         quantile_cont(cnt, 0.99) AS p99_cnt
         |  FROM kc)
         |SELECT n_keys, total_events, max_cnt, p50_cnt, p99_cnt,
-        |       (1000 * max_cnt * n_keys) // total_events AS skew_ratio_permille,
+        |       CAST(floor(1000.0 * CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |         / CAST(total_events AS DOUBLE)) AS BIGINT) AS skew_ratio_permille,
         |       CAST(floor(1000.0
-        |         * CAST(2 * srank - (n_keys + 1) * total_events AS DOUBLE)
-        |         / CAST(n_keys * total_events AS DOUBLE)) AS BIGINT) AS gini_permille
+        |         * (2.0 * CAST(srank AS DOUBLE)
+        |            - (CAST(n_keys AS DOUBLE) + 1.0) * CAST(total_events AS DOUBLE))
+        |         / (CAST(n_keys AS DOUBLE) * CAST(total_events AS DOUBLE))) AS BIGINT)
+        |         AS gini_permille
         |FROM s, pct""".stripMargin,
     "e10_click_attribution" ->
       """WITH p AS (

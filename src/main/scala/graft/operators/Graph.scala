@@ -351,7 +351,10 @@ object Graph {
     * Production at adversarial diameters would switch to the
     * pointer-doubling form (Dedup.connectedComponents — O(log d)
     * rounds); the fixed-round propagation is kept here because it is
-    * the shape whose oracle is replayable as a finite CTE chain.
+    * the shape whose oracle is replayable as a finite CTE chain. The
+    * approximation is NOT silent: q63 emits a `converged` flag (did any
+    * label still move in the final round) so a diameter-> CcIters graph
+    * announces itself instead of under-merging quietly.
     */
   private val CcIters = 6
 
@@ -361,7 +364,12 @@ object Graph {
     * local cohesion, but neither answers "how many disjoint product
     * universes does the catalog contain, and how big is each" (the
     * assortment-isolation question; a component that never co-sells
-    * with the rest is its own market).
+    * with the rest is its own market). The census covers EVERY part
+    * that appears in lineitem: parts with no co-purchase partner report
+    * as size-1 components (their self-loop carries their own label),
+    * and a `converged` column certifies the fixed-round propagation
+    * actually reached a fixpoint (false ⇒ diameter > [[CcIters]];
+    * escalate to pointer-doubling — see [[CcIters]]).
     *
     * Scale: each round is ONE edges⋈labels equi-join plus a min hash
     * aggregation (map-side combining, the Pregel shape) — the label
@@ -388,7 +396,12 @@ object Graph {
     // it twice, which DOUBLES the analyzed tree per round (the q61
     // lineage lesson; measured 10+ s vs ~2 s at sf0.1 for this exact
     // operator before the rewrite).
-    val nodes = ed.select(col("src").as("node")).distinct()
+    // Nodes come from LINEITEM, not from the edge list: a part whose
+    // orders never contain a second part has no co-purchase edge, but it
+    // is still a (singleton) product universe — seeding it here means its
+    // self-loop carries its own label through every round and it reports
+    // as a size-1 component instead of vanishing from the census.
+    val nodes = li.select(col("l_partkey").as("node")).distinct()
     val edS = ed.unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
     // NOT persisted, on measurement: caching the 4M-row edge frame (the
     // q61 discipline) read 11 s vs 4 s at sf0.1 — materializing the
@@ -398,15 +411,35 @@ object Graph {
     // doubling); here the lineage is already linear, so the cache only
     // trades fused scans for cache-read overhead.
     var lab = nodes.withColumn("l", col("node"))
-    for (_ <- 1 to CcIters) {
+    var prev = lab
+    for (i <- 1 to CcIters) {
+      prev = lab
+      // the LAST TWO label frames are each referenced ≥2× downstream
+      // (round CcIters-1 feeds both the final round AND the convergence
+      // check; the final round feeds the census join, the size agg, and
+      // the check) — persist them so the 5-round chain runs once. These
+      // are NODE-sized frames (bytes per node), not the 4M-row edge
+      // frame the no-persist note below is about; measured 7.4 s
+      // unpersisted vs ~4 s with the two node-frame pins at sf0.1.
       lab = edS
         .join(lab.select(col("node").as("src"), col("l")), Seq("src"))
         .groupBy(col("dst")).agg(min(col("l")).as("l"))
         .select(col("dst").as("node"), col("l"))
+      if (i >= CcIters - 1) lab = lab.persist()
     }
+    // CONVERGENCE TRIPWIRE: on a graph of diameter > CcIters the fixed
+    // rounds under-merge SILENTLY — so the final round's movement count
+    // (labels that still changed between round CcIters-1 and CcIters)
+    // rides the result as a `converged` flag. false = the census is a
+    // 6-hop approximation and the run should escalate to the
+    // pointer-doubling form (Dedup.connectedComponents, O(log d) rounds).
+    // One node-sized equi-join + 1-row agg, replayed by the oracle.
+    val moved = lab.join(prev.select(col("node"), col("l").as("lp")), Seq("node"))
+      .agg(sum(when(col("l") =!= col("lp"), 1L).otherwise(0L)).as("n_moved"))
     val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("comp_size"))
-    lab.join(sizes, Seq("l"))
-      .select(col("node").as("part_key"), col("l").as("component"), col("comp_size"))
+    lab.join(sizes, Seq("l")).crossJoin(broadcast(moved))
+      .select(col("node").as("part_key"), col("l").as("component"), col("comp_size"),
+        (col("n_moved") === 0).as("converged"))
   }
 
   /** Oracle twin — the identical 6-round unrolled min-propagation,
@@ -428,14 +461,18 @@ object Graph {
        |ed AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+       |nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS node FROM li),
        |eds AS MATERIALIZED (
        |  SELECT src, dst FROM ed UNION ALL SELECT node, node FROM nodes),
        |l0 AS MATERIALIZED (SELECT node, node AS l FROM nodes),
        |$iters,
+       |moved AS (
+       |  SELECT CAST(sum(CASE WHEN f.l <> p.l THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |  FROM l$CcIters f JOIN l${CcIters - 1} p ON f.node = p.node),
        |sizes AS (SELECT l, CAST(count(*) AS BIGINT) AS comp_size FROM l$CcIters GROUP BY 1)
-       |SELECT f.node AS part_key, f.l AS component, s.comp_size
-       |FROM l$CcIters f JOIN sizes s ON f.l = s.l""".stripMargin
+       |SELECT f.node AS part_key, f.l AS component, s.comp_size,
+       |       (m.n_moved = 0) AS converged
+       |FROM l$CcIters f JOIN sizes s ON f.l = s.l, moved m""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -98,6 +98,15 @@ object Sketches {
   private def hllCorrectedSql(zeroRegs: String, raw: String): String =
     s"CASE WHEN $zeroRegs > 0 AND $raw <= $HllLcThreshold THEN lc.lc_est ELSE $raw END"
 
+  /** Shared-double SQL literal: the same CAST('…' AS DOUBLE) discipline
+    * as [[hllLcCte]] — a BARE decimal literal parses as DECIMAL in
+    * DuckDB and can lose the last ulp converting to double, while the
+    * string cast is a correct-rounding parse of the exact shortest-repr
+    * digits Spark's lit() carries. Every fractional double constant
+    * interpolated into oracle SQL goes through this.
+    */
+  private def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+
   /** s01: per-source distinct-token cardinality — HLL sketch vs exact.
     *
     * Scale: the sketch path never shuffles the corpus. Register build
@@ -190,9 +199,9 @@ object Sketches {
        |  FROM sk),
        |${hllLcCte},
        |est2 AS (
-       |  SELECT est.*, $HllAlpha * $HllM2P53 / CAST(s_fp AS DOUBLE) AS raw_estimate,
+       |  SELECT est.*, ${dlit(HllAlpha)} * ${dlit(HllM2P53)} / CAST(s_fp AS DOUBLE) AS raw_estimate,
        |         ${hllCorrectedSql("zero_registers",
-                   s"($HllAlpha * $HllM2P53 / CAST(s_fp AS DOUBLE))")} AS hll_estimate
+                   s"(${dlit(HllAlpha)} * ${dlit(HllM2P53)} / CAST(s_fp AS DOUBLE))")} AS hll_estimate
        |  FROM est JOIN lc ON lc.v = est.zero_registers),
        |ex AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
@@ -293,9 +302,9 @@ object Sketches {
        |est AS (
        |  SELECT ex.exact_distinct, m.merged_s_fp, d.direct_s_fp,
        |         m.merged_s_fp = d.direct_s_fp AS merged_equals_direct,
-       |         $HllAlpha * $HllM2P53 / CAST(m.merged_s_fp AS DOUBLE) AS raw_estimate,
+       |         ${dlit(HllAlpha)} * ${dlit(HllM2P53)} / CAST(m.merged_s_fp AS DOUBLE) AS raw_estimate,
        |         ${hllCorrectedSql("m.merged_zr",
-                   s"($HllAlpha * $HllM2P53 / CAST(m.merged_s_fp AS DOUBLE))")} AS hll_estimate
+                   s"(${dlit(HllAlpha)} * ${dlit(HllM2P53)} / CAST(m.merged_s_fp AS DOUBLE))")} AS hll_estimate
        |  FROM msum m JOIN lc ON lc.v = m.merged_zr, dsum d, ex)
        |SELECT *,
        |       CAST(floor(abs(hll_estimate - CAST(exact_distinct AS DOUBLE)) * 1000.0

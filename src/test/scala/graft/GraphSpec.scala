@@ -206,12 +206,17 @@ class GraphSpec extends AnyFunSuite {
         val k = 2 + rnd.nextInt(4)
         Seq.fill(k)((o, base + rnd.nextInt(12).toLong))
       }
-      val got = Graph.copurchaseComponentsOf(basket.toDF("l_orderkey", "l_partkey"))
+      val rows = Graph.copurchaseComponentsOf(basket.toDF("l_orderkey", "l_partkey"))
         .collect()
+      val got = rows
         .map(r => r.getAs[Long]("part_key") ->
           (r.getAs[Long]("component"), r.getAs[Long]("comp_size"))).toMap
+      // within-cluster diameter is small, so 6 rounds reach the fixpoint
+      assert(rows.forall(_.getAs[Boolean]("converged")), s"trial $trial converged")
 
-      // driver-side union-find over the same edges
+      // driver-side union-find over the same edges — EVERY part in the
+      // basket is a node; parts with no co-purchase partner stay their
+      // own (size-1) component, matching the operator's full census
       val byOrder = basket.distinct.groupBy(_._1).values
       val nodes = basket.map(_._2).distinct
       val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
@@ -221,21 +226,55 @@ class GraphSpec extends AnyFunSuite {
         ps.tail.foreach { p => val (a, b) = (find(ps.head), find(p))
           if (a != b) parent(math.max(a, b)) = math.min(a, b) }
       }
-      // connected parts only (isolated single-part orders have no edges)
-      val connected = byOrder.flatMap { items =>
-        val ps = items.map(_._2).distinct; if (ps.size > 1) ps else Nil
-      }.toSet
-      val want = connected.groupBy(n => {
+      val want = nodes.groupBy(n => {
         // min label of the component = union-find root chased to min via
         // path of parent links (min always wins the union above)
         find(n)
       })
-      assert(got.keySet == connected, s"trial $trial node set")
+      assert(got.keySet == nodes.toSet, s"trial $trial node set")
       for ((root, members) <- want; m <- members) {
         assert(got(m)._1 == members.min, s"trial $trial label of $m")
         assert(got(m)._2 == members.size.toLong, s"trial $trial size of $m")
       }
     }
+  }
+
+  test("components flag non-convergence on a path graph of diameter > 6") {
+    import spark.implicits._
+    // a 10-node path: order k co-sells parts k and k+1, so the true
+    // graph is ONE component of diameter 9 — after 6 min-label rounds
+    // node k still carries max(1, k-6), labels moved in round 6, and the
+    // census MUST say so instead of silently reporting a split component
+    val path = (1L to 9L).flatMap(o => Seq((o, o), (o, o + 1)))
+    val rows = Graph.copurchaseComponentsOf(path.toDF("l_orderkey", "l_partkey"))
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(!_.getAs[Boolean]("converged")), "tripwire must fire")
+    // the under-merge is real (more than one label survives) — the flag
+    // is what turns that from a silent wrong answer into a loud one
+    assert(rows.map(_.getAs[Long]("component")).distinct.length > 1)
+
+    // and a short path (diameter ≤ 6) converges with a single component
+    val short = (1L to 5L).flatMap(o => Seq((o, o), (o, o + 1)))
+    val ok = Graph.copurchaseComponentsOf(short.toDF("l_orderkey", "l_partkey"))
+      .collect()
+    assert(ok.forall(_.getAs[Boolean]("converged")))
+    assert(ok.map(_.getAs[Long]("component")).distinct.toSeq == Seq(1L))
+    assert(ok.forall(_.getAs[Long]("comp_size") == 6L))
+  }
+
+  test("components report never-co-purchased parts as singleton components") {
+    import spark.implicits._
+    // order 1 co-sells parts 1,2; orders 2 and 3 are single-part orders
+    // (part 7 twice, part 9 once) — 7 and 9 have no co-purchase edge but
+    // belong in the census as size-1 universes
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 7L), (2L, 7L), (3L, 9L))
+    val got = Graph.copurchaseComponentsOf(li.toDF("l_orderkey", "l_partkey"))
+      .collect()
+      .map(r => r.getAs[Long]("part_key") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("comp_size"))).toMap
+    assert(got == Map(
+      1L -> (1L, 2L), 2L -> (1L, 2L), 7L -> (7L, 1L), 9L -> (9L, 1L)))
   }
 
   test("hits scores are positive and each side's mass sums to ~Scale") {
