@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.Money.{m2, out2, outRaw}
-import graft.sources.Tables
+import graft.sources.{Fetch, Tables}
 
 /** Data cleaning, multi-source conforming, and validation gates —
   * the reference's transform-layer hygiene
@@ -100,10 +100,19 @@ object Cleaning {
     */
   /** The flattened REST-API rating feed (product_id, rating_rate,
     * rating_count) — the JSON-lines side-file synthesized once per
-    * source generation, read schema-first and struct-flattened. Shared
-    * by q34 (catalog stats) and q36 (price↔rating correlation).
+    * source generation, then EXTRACTED through the injectable
+    * [[graft.sources.Fetch.Fetcher]] seam (reference
+    * extract.py:62-101: `requests.get(endpoint, timeout=30)` with the
+    * DAG's bounded retries) — a production deployment swaps an HTTP
+    * fetcher in here and the stage is live, no operator change. The
+    * payload is driver-bounded by the REST contract (a catalog API
+    * returns one bounded page; the synthetic stand-in only grows with
+    * the test catalog because it fakes a rating for every part).
+    * Schema-first parse + struct flatten as before. Shared by q34
+    * (catalog stats) and q36 (price↔rating correlation).
     */
-  private def apiRatingsFeed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def apiRatingsFeed(spark: SparkSession, dir: String,
+      fetcher: Fetch.Fetcher = null): DataFrame = {
     // fingerprint-keyed like the other warehouse artifacts: the JSON
     // feed synthesizes once per source generation, not once per query
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -119,7 +128,10 @@ object Cleaning {
         .write.mode("overwrite").json(path)
     val schema = StructType.fromDDL(
       "product_id BIGINT, rating STRUCT<rate: DOUBLE, count: BIGINT>")
-    Tables.flattenStructs(Tables.readJson(spark, path, schema, "api_rest"))
+    val f = Option(fetcher).getOrElse(
+      new Fetch.FileFetcher(spark.sessionState.newHadoopConf()))
+    Tables.flattenStructs(
+        Fetch.readJsonPayload(spark, f, path, schema, "api_rest"))
       .select(col("product_id"), col("rating_rate"), col("rating_count"))
   }
 
@@ -141,8 +153,9 @@ object Cleaning {
   // ─── q37 API category-list endpoint (extract.py:103-127) ─────────────
   /** The reference's SECOND REST shape: the category-list endpoint
     * returns a TOP-LEVEL JSON ARRAY (extract.py:103-127 parses
-    * `response.json()` as a list), not JSON-lines — read with
-    * `multiLine`. The list seeds category conforming: the output is the
+    * `response.json()` as a list), not JSON-lines — fetched through
+    * the [[graft.sources.Fetch.Fetcher]] seam as one document. The
+    * list seeds category conforming: the output is the
     * reconciliation a conform stage reads — per category, catalog
     * presence/stats vs API presence, including API-only categories
     * (e.g. discontinued lines the catalog no longer carries) and the
@@ -154,7 +167,11 @@ object Cleaning {
     * the category LIST itself — bounded exactly like the reference's
     * `requests.get().json()` payload, never row data.
     */
-  def apiCategoryList(spark: SparkSession, dir: String): DataFrame = {
+  def apiCategoryList(spark: SparkSession, dir: String): DataFrame =
+    apiCategoryListVia(spark, dir, null)
+
+  private[graft] def apiCategoryListVia(spark: SparkSession, dir: String,
+      fetcher: Fetch.Fetcher): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/api_categories/" +
       s"src${key}_${Tables.sourceKey(spark, s"$dir/part.parquet")}/categories.json"
@@ -173,7 +190,11 @@ object Cleaning {
       out.close()
     }
     val schema = StructType.fromDDL("category_id BIGINT, category STRING")
-    val api = spark.read.schema(schema).option("multiLine", "true").json(path)
+    // the reference's SECOND REST shape — a top-level JSON array
+    // (extract.py:103-127) — fetched through the same injectable seam
+    val f = Option(fetcher).getOrElse(
+      new Fetch.FileFetcher(spark.sessionState.newHadoopConf()))
+    val api = Fetch.readJsonPayload(spark, f, path, schema, "api_rest")
       .select(col("category"), col("category_id"))
     val cat = p.groupBy(col("p_type").as("category"))
       .agg(

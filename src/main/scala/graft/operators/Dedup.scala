@@ -280,15 +280,15 @@ object Dedup {
     * candidate artifact (build-if-missing). The exact baseline IS the
     * expensive leg — by design this report runs on a SAMPLE corpus to
     * tune banding before the full-corpus candidate sweep, exactly how
-    * production LSH parameters are chosen. Two bounds compose: the
-    * caller's via `dir`, and [[calibSample]]'s deterministic 500‰
-    * document gate (t05's md5-bucket discipline, salted "cal" so it is
-    * independent of every other sampler) — pair work is quadratic in
-    * group size, so the half-sample cuts the exact leg ~4× while the
-    * decile mixture it estimates is unbiased. The permille constant is
-    * the knob a production run would lower further; the candidate
-    * artifact side stays FULL (recall is measured against the real
-    * index, on the sampled pairs).
+    * production LSH parameters are chosen. The sample is
+    * [[calibSample]]'s deterministic FIXED-BUDGET selection
+    * ([[CalibDocBudget]] docs by salted hash) — pair work is quadratic
+    * in sample size, so a fixed budget keeps the exact leg CONSTANT at
+    * any corpus scale (a fixed-rate gate would grow it as corpus²)
+    * while the decile mixture it estimates stays unbiased. The budget
+    * constant is the knob a production run would raise for tighter
+    * decile estimates; the candidate artifact side stays FULL (recall
+    * is measured against the real index, on the sampled pairs).
     */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
     val agg = calibrationMix(spark, dir)
@@ -319,13 +319,48 @@ object Dedup {
     * artifact caught. The exact d02 leg is the expensive part and is
     * sample-corpus-by-design (see [[lshCalibration]]).
     */
-  /** Deterministic 500‰ calibration sample (t05's md5-permille gate,
-    * salted so it is independent of every other hash sampler).
+  /** Calibration sample budget: a FIXED document count, not a permille
+    * of the corpus. The exact-Jaccard leg is quadratic in sample size,
+    * so a fixed-rate gate grows pair work as corpus² — at 100× data the
+    * calibration would dominate the run it is meant to tune. A fixed
+    * budget makes the exact leg CONSTANT at any corpus size. 256 ≈ the
+    * former 500‰ gate at the sf0.01 oracle corpus, so statistical
+    * power at test scale is unchanged.
     */
-  private[graft] def calibSample(docs: DataFrame): DataFrame =
-    docs.filter(
-      conv(substring(md5(concat_ws("_", col("doc_id"), lit("cal"))), 1, 4), 16, 10)
-        .cast("long") % 1000 < 500)
+  private[graft] val CalibDocBudget = 256
+
+  /** Deterministic budget-based calibration sample — CONSISTENT
+    * (bottom-k minwise) selection, not uniform: the [[CalibDocBudget]]
+    * documents whose MINIMUM salted shingle hash is smallest (doc_id
+    * breaks ties). The minwise property is what makes a bounded sample
+    * usable for PAIR calibration at all: near-duplicate docs share
+    * their min shingle with probability ≈ their Jaccard, so a true
+    * pair enters the sample TOGETHER with probability linear in the
+    * sampling rate — an independent per-doc gate makes it quadratic,
+    * and the observed mixture collapses to zero pairs as the corpus
+    * grows past the budget. The salt ("cal_" prefix) keeps the sampler
+    * independent of the minhash signature family it calibrates (an
+    * unsalted min-h1 gate would precondition the sample on the k=0
+    * hash and inflate measured recall). Docs under 3 tokens have no
+    * shingle, can never be a d02 pair, and are excluded by
+    * construction.
+    *
+    * Scale: one linear shingle scan + a map-side-combining min per
+    * doc; orderBy+limit compiles to TakeOrderedAndProject (per-
+    * partition top-K heap, driver merges K rows per partition — never
+    * a full sort).
+    */
+  private[graft] def calibSample(docs: DataFrame): DataFrame = {
+    val minH = wordShinglesOf(docs, dedup = false)
+      .groupBy(col("doc_id"))
+      .agg(min(
+        conv(substring(md5(concat(lit("cal_"), col("shingle"))), 1, 15), 16, 10)
+          .cast("long")).as("cal_h"))
+    docs.join(minH, Seq("doc_id"))
+      .orderBy(col("cal_h"), col("doc_id"))
+      .limit(CalibDocBudget)
+      .drop("cal_h")
+  }
 
   private def calibrationMix(spark: SparkSession, dir: String): DataFrame = {
     val exact = ngramJaccardOf(calibSample(Tables.documents(spark, dir)))
@@ -419,13 +454,20 @@ object Dedup {
       .withColumn("miss", condPow(lit(1.0) - col("p"), col("n_bands"), 18))
       .withColumn("recall_ppb",
         floor((lit(1.0) - col("miss")) * lit(1000000000.0)).cast("long"))
-    val sel = scored.groupBy(col("n_bands"), col("n_rows")).agg(
+    val mixSums = scored.groupBy(col("n_bands"), col("n_rows")).agg(
       sum(when(col("j_bucket") >= 5, col("n_true_pairs") * col("recall_ppb"))
         .otherwise(0L)).as("num_t"),
       sum(when(col("j_bucket") >= 5, col("n_true_pairs")).otherwise(0L)).as("den_t"),
       sum(when(col("j_bucket") < 5, col("n_true_pairs") * col("recall_ppb"))
         .otherwise(0L)).as("num_l"),
       sum(when(col("j_bucket") < 5, col("n_true_pairs")).otherwise(0L)).as("den_l"))
+    // LEFT join back onto the grid (q64's empty-baseline rule): a sample
+    // with NO true pairs must yield the 47-row grid with zero mixture
+    // weight — every banding fails the den_t>0 gate and chosenBanding
+    // falls back to 6×3 — not an empty frame (the inner crossJoin shape
+    // silently vanished the whole report on a degenerate sample).
+    val sel = grid.join(mixSums, Seq("n_bands", "n_rows"), "left")
+      .na.fill(0L, Seq("num_t", "den_t", "num_l", "den_l"))
     // DESIGN-FLOOR gates (mixture-INDEPENDENT, pure S-curve theory at
     // two fixed operating points): the mixture gates alone degenerate
     // on a dup-heavy corpus — when every observed true pair sits at
@@ -2216,13 +2258,20 @@ object Dedup {
       |  SELECT n_bands, n_rows, j_bucket, n_true_pairs,
       |         CAST(floor((1.0 - miss) * 1000000000.0) AS BIGINT) AS recall_ppb
       |  FROM p2),
-      |sel AS (
+      |selraw AS (
       |  SELECT n_bands, n_rows,
       |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_t,
       |         CAST(sum(CASE WHEN j_bucket >= 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_t,
       |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs * recall_ppb ELSE 0 END) AS BIGINT) AS num_l,
       |         CAST(sum(CASE WHEN j_bucket < 5 THEN n_true_pairs ELSE 0 END) AS BIGINT) AS den_l
       |  FROM t GROUP BY 1, 2),
+      |sel AS (
+      |  SELECT g.n_bands, g.n_rows,
+      |         CAST(COALESCE(s.num_t, 0) AS BIGINT) AS num_t,
+      |         CAST(COALESCE(s.den_t, 0) AS BIGINT) AS den_t,
+      |         CAST(COALESCE(s.num_l, 0) AS BIGINT) AS num_l,
+      |         CAST(COALESCE(s.den_l, 0) AS BIGINT) AS den_l
+      |  FROM grid g LEFT JOIN selraw s USING (n_bands, n_rows)),
       |th AS (
       |  SELECT *, ${condPowSql("CAST(0.75 AS DOUBLE)", "n_rows", 8)} AS p75,
       |            ${condPowSql("CAST(0.3 AS DOUBLE)", "n_rows", 8)} AS p30
@@ -2247,16 +2296,21 @@ object Dedup {
     * candidate replay, and the per-decile mixture `agg`.
     */
   private val calibrationMixCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents
-      |  WHERE CAST(('0x' || substr(md5(concat_ws('_', doc_id, 'cal')), 1, 4)) AS BIGINT)
-      |        % 1000 < 500),
-      |pos AS (
-      |  SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-      |sh AS (
+    s"""WITH toksA AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t FROM documents),
+      |posA AS (
+      |  SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i FROM toksA WHERE len(t) >= 3),
+      |shA AS MATERIALIZED (
       |  SELECT DISTINCT doc_id, lang,
       |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
-      |  FROM pos),
+      |  FROM posA),
+      |samp AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |           min(CAST(('0x' || substr(md5('cal_' || shingle), 1, 15)) AS BIGINT)) AS cal_h
+      |    FROM shA GROUP BY 1)
+      |  ORDER BY cal_h, doc_id LIMIT $CalibDocBudget),
+      |sh AS (SELECT s.doc_id, s.lang, s.shingle FROM shA s JOIN samp USING (doc_id)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

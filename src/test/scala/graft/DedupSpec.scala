@@ -376,8 +376,8 @@ class DedupSpec extends AnyFunSuite {
     val cal = Dedup.lshCalibration(spark, TestSpark.sf).collect()
       .map(r => r.getAs[Long]("j_bucket") -> r).toMap
     assert(cal.nonEmpty)
-    // the calibration leg runs on the deterministic 500‰ doc sample —
-    // reconcile against the identical sampled pair frame
+    // the calibration leg runs on the deterministic fixed-budget doc
+    // sample — reconcile against the identical sampled pair frame
     val nExact = Dedup.ngramJaccardOf(Dedup.calibSample(
       graft.sources.Tables.documents(spark, TestSpark.sf))).count()
     assert(cal.values.map(_.getAs[Long]("n_true_pairs")).sum == nExact)

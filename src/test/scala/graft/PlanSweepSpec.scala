@@ -101,6 +101,8 @@ class PlanSweepSpec extends AnyFunSuite {
       "crossJoined into the init and each damping step"),
     "q61_purchase_hits" -> ("1-row init-mass and per-half-step " +
       "normalization-total frames crossJoined (the q59 pattern)"),
+    "q63_copurchase_components" -> ("1-row final-round movement count " +
+      "crossJoined as the converged flag (the q39 rule)"),
     "t23_shuffle_shard" -> "1-row data-derived shard-count frame",
     "t09_tfidf_keywords" -> "1-row N-docs frame (never a collected literal)",
     "t11_mixture_resample" -> "1-row median-source-size frame",
