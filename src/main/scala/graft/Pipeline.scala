@@ -592,14 +592,48 @@ object Pipeline {
     * alerting tails), then rethrow so the caller still observes the
     * failure. On success the artifact is removed — its presence IS the
     * alert condition.
+    *
+    * Two further DAG notifications ride the same presence-is-the-alert
+    * rule:
+    *
+    *  - `stageSlaSeconds` is the per-stage SLA budget
+    *    (retail_etl_dag.py:78, `sla=timedelta(minutes=90)`): a stage
+    *    that exceeds it does NOT fail the run — Airflow SLA misses
+    *    alert without failing — but every breach lands in
+    *    `outDir/_sla_log` (run_id, stage, seconds, budget, rows). The
+    *    artifact is removed when a run has no breach. Breaches
+    *    observed before a stage FAILURE are still recorded (an SLA
+    *    miss report must survive the run dying two stages later).
+    *  - on SUCCESS, a one-row `outDir/_run_summary` is published — the
+    *    `task_pipeline_summary` analog (retail_etl_dag.py:444-476):
+    *    run id, stage/row/duration totals, the validate_load gate
+    *    census, and the SLA-breach count. A failed run deletes it, so
+    *    a stale SUCCESS summary can never sit beside a failure log.
     */
   def runNotified(spark: SparkSession, sfDir: String, outDir: String,
                   validateFirst: Boolean = true, mode: Mode = FullRun,
-                  runId: String = "run", stageRetries: Int = 0): Seq[LoadStat] = {
+                  runId: String = "run", stageRetries: Int = 0,
+                  stageSlaSeconds: Double = Double.PositiveInfinity): Seq[LoadStat] = {
     import spark.implicits._
     val failurePath = s"$outDir/_failure_log"
+    val slaPath = s"$outDir/_sla_log"
+    val summaryPath = s"$outDir/_run_summary"
     var currentStage = "health_check"
     val done = scala.collection.mutable.ArrayBuffer.empty[LoadStat]
+    def rmIfExists(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    def writeSlaLog(): Unit = {
+      val breaches = done.filter(_.seconds > stageSlaSeconds).toSeq
+      if (breaches.isEmpty) rmIfExists(slaPath)
+      else breaches
+        .map(s => (runId, s.table, s.seconds, stageSlaSeconds, s.rows))
+        .toDF("run_id", "stage", "seconds", "sla_seconds", "rows")
+        .withColumn("recorded_at", current_timestamp())
+        .write.mode("overwrite").parquet(slaPath)
+    }
     try {
       healthCheck(spark, sfDir, outDir, mode)
       currentStage = "validate_extract"
@@ -617,10 +651,27 @@ object Pipeline {
       // validate_load: a mismatch here attributes the failure to the
       // post-load gate, with every completed stage counted
       currentStage = "validate_load"
-      requireLoadsValid(spark, outDir, done.toSeq)
-      val p = new org.apache.hadoop.fs.Path(failurePath)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
+      val checks = validateLoad(spark, outDir, done.toSeq)
+      val bad = checks.filterNot(c => c.ok && c.schema_ok)
+      require(bad.isEmpty,
+        "post-load validation failed (dag: validate_load): " +
+          bad.map { c =>
+            val rows = s"${c.table} expected=${c.expected_rows} actual=${c.actual_rows}"
+            if (c.schema_ok) rows else s"$rows [schema: ${c.schema_diff}]"
+          }.mkString("; "))
+      currentStage = "notify_success"
+      writeSlaLog()
+      val breachCount = done.count(_.seconds > stageSlaSeconds).toLong
+      Seq((runId, done.size.toLong,
+          done.map(_.rows).sum, done.map(_.seconds).sum,
+          checks.size.toLong, checks.count(c => c.ok && c.schema_ok).toLong,
+          breachCount))
+        .toDF("run_id", "n_stages", "total_rows", "total_seconds",
+          "n_load_checks", "n_load_checks_ok", "n_sla_breaches")
+        .withColumn("status", lit("SUCCESS"))
+        .withColumn("finished_at", current_timestamp())
+        .write.mode("overwrite").parquet(summaryPath)
+      rmIfExists(failurePath)
       done.toSeq
     } catch {
       case e: Throwable =>
@@ -635,6 +686,8 @@ object Pipeline {
             .withColumn("failed_at", current_timestamp())
             .write.mode("overwrite").parquet(failurePath)
         } catch { case w: Throwable => e.addSuppressed(w) }
+        try { writeSlaLog(); rmIfExists(summaryPath) }
+        catch { case w: Throwable => e.addSuppressed(w) }
         throw e
     }
   }

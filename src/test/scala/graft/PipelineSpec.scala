@@ -328,4 +328,53 @@ class PipelineSpec extends AnyFunSuite {
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_failure_log")))
   }
+
+  test("a zero-second stage SLA trips _sla_log without failing the run") {
+    val out = Files.createTempDirectory("graft_wh_sla").toString
+    // sla = 0 s: every stage breaches (Airflow SLA misses alert, never fail)
+    val stats = Pipeline.runNotified(spark, TestSpark.sf, out,
+      mode = Pipeline.StagingOnly, runId = "sla_run", stageSlaSeconds = 0.0)
+    assert(stats.nonEmpty, "the run itself must succeed")
+    val sla = spark.read.parquet(s"$out/_sla_log").collect()
+    assert(sla.length == stats.length)
+    val r = sla.head
+    assert(r.getAs[String]("run_id") == "sla_run")
+    assert(r.getAs[String]("stage") == "stg_lineitem_clean")
+    assert(r.getAs[Double]("seconds") > 0.0 && r.getAs[Double]("sla_seconds") == 0.0)
+    assert(r.getAs[Long]("rows") == stats.head.rows)
+    // and a within-budget rerun clears the alert (presence IS the alert)
+    Pipeline.runNotified(spark, TestSpark.sf, out,
+      mode = Pipeline.StagingOnly, runId = "calm_run", stageSlaSeconds = 1e9)
+    val fs = new org.apache.hadoop.fs.Path(s"$out/_sla_log")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_sla_log")))
+  }
+
+  test("a successful full run publishes the one-row _run_summary") {
+    val out = Files.createTempDirectory("graft_wh_summary").toString
+    val stats = Pipeline.runNotified(spark, TestSpark.sf, out, runId = "sum_run")
+    val s = spark.read.parquet(s"$out/_run_summary").collect()
+    assert(s.length == 1, "task_pipeline_summary analog is ONE row")
+    val r = s.head
+    assert(r.getAs[String]("run_id") == "sum_run")
+    assert(r.getAs[String]("status") == "SUCCESS")
+    assert(r.getAs[Long]("n_stages") == stats.length.toLong)
+    assert(r.getAs[Long]("total_rows") == stats.map(_.rows).sum)
+    assert(r.getAs[Double]("total_seconds") > 0.0)
+    // gate census: every published table was re-read and passed
+    assert(r.getAs[Long]("n_load_checks") == stats.length.toLong)
+    assert(r.getAs[Long]("n_load_checks_ok") == stats.length.toLong)
+    assert(r.getAs[Long]("n_sla_breaches") == 0L)
+    assert(r.getAs[java.sql.Timestamp]("finished_at") != null)
+
+    // a subsequent FAILED run must delete the stale SUCCESS summary
+    val bad = Files.createTempDirectory("graft_no_tables3").toString
+    intercept[Exception] {
+      Pipeline.runNotified(spark, bad, out, validateFirst = false, runId = "boom")
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$out/_run_summary")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_run_summary")),
+      "a failure log and a SUCCESS summary must never coexist")
+  }
 }
