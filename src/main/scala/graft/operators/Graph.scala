@@ -411,30 +411,34 @@ object Graph {
     // doubling); here the lineage is already linear, so the cache only
     // trades fused scans for cache-read overhead.
     var lab = nodes.withColumn("l", col("node"))
-    var prev = lab
     for (i <- 1 to CcIters) {
-      prev = lab
-      // the LAST TWO label frames are each referenced ≥2× downstream
-      // (round CcIters-1 feeds both the final round AND the convergence
-      // check; the final round feeds the census join, the size agg, and
-      // the check) — persist them so the 5-round chain runs once. These
-      // are NODE-sized frames (bytes per node), not the 4M-row edge
-      // frame the no-persist note below is about; measured 7.4 s
-      // unpersisted vs ~4 s with the two node-frame pins at sf0.1.
-      lab = edS
+      val joined = edS
         .join(lab.select(col("node").as("src"), col("l")), Seq("src"))
-        .groupBy(col("dst")).agg(min(col("l")).as("l"))
-        .select(col("dst").as("node"), col("l"))
-      if (i >= CcIters - 1) lab = lab.persist()
+      lab =
+        if (i < CcIters)
+          joined.groupBy(col("dst")).agg(min(col("l")).as("l"))
+            .select(col("dst").as("node"), col("l"))
+        else
+          // CONVERGENCE TRIPWIRE: on a graph of diameter > CcIters the
+          // fixed rounds under-merge SILENTLY — so the final round also
+          // recovers each node's PREVIOUS label from its own self-loop
+          // message (the src == dst row carries exactly that), making
+          // the movement count ONE extra agg column — never a second
+          // pass over the 5-round chain (a lab5-vs-lab6 join re-executed
+          // the chain and read 8.1 s in-bench vs ~4 s for this form).
+          joined.groupBy(col("dst")).agg(
+              min(col("l")).as("l"),
+              min(when(col("src") === col("dst"), col("l"))).as("lp"))
+            .select(col("dst").as("node"), col("l"), col("lp"))
     }
-    // CONVERGENCE TRIPWIRE: on a graph of diameter > CcIters the fixed
-    // rounds under-merge SILENTLY — so the final round's movement count
-    // (labels that still changed between round CcIters-1 and CcIters)
-    // rides the result as a `converged` flag. false = the census is a
-    // 6-hop approximation and the run should escalate to the
-    // pointer-doubling form (Dedup.connectedComponents, O(log d) rounds).
-    // One node-sized equi-join + 1-row agg, replayed by the oracle.
-    val moved = lab.join(prev.select(col("node"), col("l").as("lp")), Seq("node"))
+    // node-sized pin: the final frame feeds the size agg, the census
+    // join, AND the converged agg (3 references would otherwise run the
+    // 6-round chain 3×) — unlike the 4M-row edge frame (see above),
+    // caching bytes-per-node is strictly cheaper than one rebuild
+    lab = lab.persist()
+    // converged=false ⇒ the census is a 6-hop approximation; escalate to
+    // the pointer-doubling form (Dedup.connectedComponents, O(log d))
+    val moved = lab
       .agg(sum(when(col("l") =!= col("lp"), 1L).otherwise(0L)).as("n_moved"))
     val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("comp_size"))
     lab.join(sizes, Seq("l")).crossJoin(broadcast(moved))
@@ -453,9 +457,17 @@ object Graph {
   private def componentsSql: String = {
     val iters = (1 to CcIters).map { k =>
       val prev = if (k == 1) "l0" else s"l${k - 1}"
-      s"""l$k AS MATERIALIZED (
-         |  SELECT e.dst AS node, min(p.l) AS l
-         |  FROM eds e JOIN $prev p ON e.src = p.node GROUP BY 1)""".stripMargin
+      if (k < CcIters)
+        s"""l$k AS MATERIALIZED (
+           |  SELECT e.dst AS node, min(p.l) AS l
+           |  FROM eds e JOIN $prev p ON e.src = p.node GROUP BY 1)""".stripMargin
+      else
+        // final round also carries the previous label off the self-loop
+        // message — the Spark side's one-extra-agg-column convergence form
+        s"""l$k AS MATERIALIZED (
+           |  SELECT e.dst AS node, min(p.l) AS l,
+           |         min(CASE WHEN e.src = e.dst THEN p.l END) AS lp
+           |  FROM eds e JOIN $prev p ON e.src = p.node GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |ed AS MATERIALIZED (
@@ -467,8 +479,8 @@ object Graph {
        |l0 AS MATERIALIZED (SELECT node, node AS l FROM nodes),
        |$iters,
        |moved AS (
-       |  SELECT CAST(sum(CASE WHEN f.l <> p.l THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
-       |  FROM l$CcIters f JOIN l${CcIters - 1} p ON f.node = p.node),
+       |  SELECT CAST(sum(CASE WHEN l <> lp THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |  FROM l$CcIters),
        |sizes AS (SELECT l, CAST(count(*) AS BIGINT) AS comp_size FROM l$CcIters GROUP BY 1)
        |SELECT f.node AS part_key, f.l AS component, s.comp_size,
        |       (m.n_moved = 0) AS converged
