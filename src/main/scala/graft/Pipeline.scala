@@ -507,9 +507,13 @@ object Pipeline {
   def dailyRun(spark: SparkSession, sfDir: String, outDir: String,
                slices: Seq[DailySlice], nShards: Int,
                validateFirst: Boolean = true,
-               grain: String = "month"): Seq[LoadStat] = {
+               grain: String = "month",
+               onStage: String => Unit = _ => (),
+               onStat: LoadStat => Unit = _ => ()): Seq[LoadStat] = {
+    def stat(s: LoadStat): LoadStat = { onStat(s); s }
     healthCheck(spark, sfDir, outDir, FullRun)
     healthCheck(spark, sfDir, outDir, CurationRun)
+    onStage("validate_extract")
     if (validateFirst) {
       require(preGatePass(spark, sfDir, FullRun),
         "validation gates failed — aborting load (dag: validate_extract)")
@@ -518,25 +522,28 @@ object Pipeline {
     }
     val indexDir = s"$outDir/dedup_index"
     val stats = slices.flatMap { s =>
+      onStage(s"fact_sales[${s.fromKey}..${s.toKey}]")
       val t0 = System.nanoTime()
       val factRows = Facts.loadFactIncrement(
         spark, sfDir, s"$outDir/fact_sales", s.fromKey, s.toKey, grain)
-      val factStat = LoadStat(s"fact_sales[${s.fromKey}..${s.toKey}]",
-        factRows, (System.nanoTime() - t0) / 1e9)
+      val factStat = stat(LoadStat(s"fact_sales[${s.fromKey}..${s.toKey}]",
+        factRows, (System.nanoTime() - t0) / 1e9))
       val dedupStat = s.docShard.map { i =>
+        onStage(s"shard_dedup[shard=$i/$nShards]")
         val t1 = System.nanoTime()
         val rows = Dedup.shardIngest(spark, sfDir, indexDir, i, nShards).count()
-        LoadStat(s"shard_dedup[shard=$i/$nShards]", rows,
-          (System.nanoTime() - t1) / 1e9)
+        stat(LoadStat(s"shard_dedup[shard=$i/$nShards]", rows,
+          (System.nanoTime() - t1) / 1e9))
       }
       // the vector side (q51's operating mode): first shard bootstraps
       // the codebook, later shards assign-on-arrival — no retrain
       val vecStat = s.vecShard.map { i =>
+        onStage(s"vec_index[shard=$i/$nShards]")
         val t2 = System.nanoTime()
         val rows = Similarity.vecShardIngest(
           spark, sfDir, s"$outDir/vec_index", i, nShards).count()
-        LoadStat(s"vec_index[shard=$i/$nShards]", rows,
-          (System.nanoTime() - t2) / 1e9)
+        stat(LoadStat(s"vec_index[shard=$i/$nShards]", rows,
+          (System.nanoTime() - t2) / 1e9))
       }
       Seq(factStat) ++ dedupStat ++ vecStat
     }
@@ -550,11 +557,12 @@ object Pipeline {
       .exists(remDir)
     if (!hasIndex) stats
     else {
+      onStage("dedup_removals_standing")
       val t2 = System.nanoTime()
       val remRows = Sinks.stagePublish(
         Dedup.standingRemovals(spark, indexDir), s"$outDir/dedup_removals_standing")
-      stats :+ LoadStat("dedup_removals_standing", remRows,
-        (System.nanoTime() - t2) / 1e9)
+      stats :+ stat(LoadStat("dedup_removals_standing", remRows,
+        (System.nanoTime() - t2) / 1e9))
     }
   }
 
@@ -613,7 +621,66 @@ object Pipeline {
   def runNotified(spark: SparkSession, sfDir: String, outDir: String,
                   validateFirst: Boolean = true, mode: Mode = FullRun,
                   runId: String = "run", stageRetries: Int = 0,
-                  stageSlaSeconds: Double = Double.PositiveInfinity): Seq[LoadStat] = {
+                  stageSlaSeconds: Double = Double.PositiveInfinity): Seq[LoadStat] =
+    withAlerts(spark, outDir, runId, stageSlaSeconds) { (setStage, done) =>
+      healthCheck(spark, sfDir, outDir, mode)
+      setStage("validate_extract")
+      if (validateFirst)
+        require(preGatePass(spark, sfDir, mode),
+          "validation gates failed — aborting load (dag: validate_extract)")
+      stageList(spark, sfDir, mode).foreach { case (name, mkDf) =>
+        setStage(name)
+        val t0 = System.nanoTime()
+        val rows = withRetries(stageRetries, name) {
+          Sinks.stagePublish(mkDf(), s"$outDir/$name")
+        }
+        done += LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
+      }
+      // validate_load: a mismatch here attributes the failure to the
+      // post-load gate, with every completed stage counted
+      setStage("validate_load")
+      val checks = validateLoad(spark, outDir, done.toSeq)
+      val bad = checks.filterNot(c => c.ok && c.schema_ok)
+      require(bad.isEmpty,
+        "post-load validation failed (dag: validate_load): " +
+          bad.map { c =>
+            val rows = s"${c.table} expected=${c.expected_rows} actual=${c.actual_rows}"
+            if (c.schema_ok) rows else s"$rows [schema: ${c.schema_diff}]"
+          }.mkString("; "))
+      (checks.size.toLong, checks.count(c => c.ok && c.schema_ok).toLong)
+    }
+
+  /** The daily schedule with the full notification surface — the DAG's
+    * callbacks apply to the OPERATING run, not just full rebuilds:
+    * failure log, per-stage SLA log, and the success summary around
+    * [[dailyRun]]. No validate_load census rides the daily summary
+    * (slice stats name date ranges, not republished whole tables — the
+    * incremental loads are already idempotent-verified by PipelineSpec's
+    * rebuild-equivalence pins), so n_load_checks reads 0 here.
+    */
+  def dailyRunNotified(spark: SparkSession, sfDir: String, outDir: String,
+                       slices: Seq[DailySlice], nShards: Int,
+                       validateFirst: Boolean = true, grain: String = "month",
+                       runId: String = "daily",
+                       stageSlaSeconds: Double = Double.PositiveInfinity): Seq[LoadStat] =
+    withAlerts(spark, outDir, runId, stageSlaSeconds) { (setStage, done) =>
+      dailyRun(spark, sfDir, outDir, slices, nShards, validateFirst, grain,
+        onStage = setStage, onStat = s => done += s)
+      (0L, 0L)
+    }
+
+  /** Shared notification harness (the DAG callback surface): runs
+    * `body`, which reports its current stage via `setStage` and appends
+    * each completed [[LoadStat]] to `done`, then publishes the three
+    * presence-is-the-alert artifacts documented on [[runNotified]]
+    * (`_failure_log` / `_sla_log` / `_run_summary`). `body` returns the
+    * (total, passed) validate_load census for the summary row.
+    */
+  private def withAlerts(spark: SparkSession, outDir: String, runId: String,
+      stageSlaSeconds: Double)(
+      body: (String => Unit,
+             scala.collection.mutable.ArrayBuffer[LoadStat]) => (Long, Long))
+      : Seq[LoadStat] = {
     import spark.implicits._
     val failurePath = s"$outDir/_failure_log"
     val slaPath = s"$outDir/_sla_log"
@@ -635,37 +702,13 @@ object Pipeline {
         .write.mode("overwrite").parquet(slaPath)
     }
     try {
-      healthCheck(spark, sfDir, outDir, mode)
-      currentStage = "validate_extract"
-      if (validateFirst)
-        require(preGatePass(spark, sfDir, mode),
-          "validation gates failed — aborting load (dag: validate_extract)")
-      stageList(spark, sfDir, mode).foreach { case (name, mkDf) =>
-        currentStage = name
-        val t0 = System.nanoTime()
-        val rows = withRetries(stageRetries, name) {
-          Sinks.stagePublish(mkDf(), s"$outDir/$name")
-        }
-        done += LoadStat(name, rows, (System.nanoTime() - t0) / 1e9)
-      }
-      // validate_load: a mismatch here attributes the failure to the
-      // post-load gate, with every completed stage counted
-      currentStage = "validate_load"
-      val checks = validateLoad(spark, outDir, done.toSeq)
-      val bad = checks.filterNot(c => c.ok && c.schema_ok)
-      require(bad.isEmpty,
-        "post-load validation failed (dag: validate_load): " +
-          bad.map { c =>
-            val rows = s"${c.table} expected=${c.expected_rows} actual=${c.actual_rows}"
-            if (c.schema_ok) rows else s"$rows [schema: ${c.schema_diff}]"
-          }.mkString("; "))
+      val (nChecks, nChecksOk) = body(s => currentStage = s, done)
       currentStage = "notify_success"
       writeSlaLog()
       val breachCount = done.count(_.seconds > stageSlaSeconds).toLong
       Seq((runId, done.size.toLong,
           done.map(_.rows).sum, done.map(_.seconds).sum,
-          checks.size.toLong, checks.count(c => c.ok && c.schema_ok).toLong,
-          breachCount))
+          nChecks, nChecksOk, breachCount))
         .toDF("run_id", "n_stages", "total_rows", "total_seconds",
           "n_load_checks", "n_load_checks_ok", "n_sla_breaches")
         .withColumn("status", lit("SUCCESS"))

@@ -350,6 +350,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_sla_log")))
   }
 
+  test("dailyRunNotified carries the full alert surface on the operating schedule") {
+    val out = Files.createTempDirectory("graft_wh_dailyn").toString
+    val stats = Pipeline.dailyRunNotified(spark, TestSpark.sf, out,
+      Seq(Pipeline.DailySlice(0L, 19971231L, Some(0), Some(0))), nShards = 3,
+      runId = "daily_ok", stageSlaSeconds = 0.0)
+    assert(stats.nonEmpty && stats.head.table.startsWith("fact_sales["))
+    // success summary rides the daily schedule too
+    val s = spark.read.parquet(s"$out/_run_summary").collect().head
+    assert(s.getAs[String]("run_id") == "daily_ok")
+    assert(s.getAs[Long]("n_stages") == stats.length.toLong)
+    assert(s.getAs[Long]("n_sla_breaches") == stats.length.toLong)
+    // the 0-second budget tripped _sla_log on every daily stage
+    val sla = spark.read.parquet(s"$out/_sla_log").collect()
+    assert(sla.length == stats.length)
+    assert(sla.exists(_.getAs[String]("stage").startsWith("shard_dedup[")))
+
+    // a failing daily run writes _failure_log attributed to its stage
+    val bad = Files.createTempDirectory("graft_no_tables4").toString
+    intercept[Exception] {
+      Pipeline.dailyRunNotified(spark, bad, s"$out/b",
+        Seq(Pipeline.DailySlice(0L, 99999999L, None)), nShards = 3,
+        validateFirst = false, runId = "daily_boom")
+    }
+    val fl = spark.read.parquet(s"$out/b/_failure_log").collect().head
+    assert(fl.getAs[String]("run_id") == "daily_boom")
+    assert(fl.getAs[String]("status") == "FAILED")
+  }
+
   test("a successful full run publishes the one-row _run_summary") {
     val out = Files.createTempDirectory("graft_wh_summary").toString
     val stats = Pipeline.runNotified(spark, TestSpark.sf, out, runId = "sum_run")
