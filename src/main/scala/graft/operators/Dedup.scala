@@ -323,11 +323,13 @@ object Dedup {
     * of the corpus. The exact-Jaccard leg is quadratic in sample size,
     * so a fixed-rate gate grows pair work as corpus² — at 100× data the
     * calibration would dominate the run it is meant to tune. A fixed
-    * budget makes the exact leg CONSTANT at any corpus size. 256 ≈ the
-    * former 500‰ gate at the sf0.01 oracle corpus, so statistical
-    * power at test scale is unchanged.
+    * budget makes the exact leg CONSTANT at any corpus size. 512 covers
+    * the whole sf0.01 oracle corpus (every true pair lands in the
+    * observed mixture — strictly more statistical power than the former
+    * 500‰ gate's half-sample) while capping the exact leg at ~131k
+    * candidate pairs forever.
     */
-  private[graft] val CalibDocBudget = 256
+  private[graft] val CalibDocBudget = 512
 
   /** Deterministic budget-based calibration sample — CONSISTENT
     * (bottom-k minwise) selection, not uniform: the [[CalibDocBudget]]
