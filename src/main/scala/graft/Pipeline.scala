@@ -574,7 +574,8 @@ object Pipeline {
     * rename race); the attempt count and last error survive into the
     * thrown exception so the failure log tells the whole story.
     */
-  private[graft] def withRetries[A](retries: Int, stage: String)(body: => A): A = {
+  private[graft] def withRetries[A](retries: Int, stage: String,
+      retryDelayMs: Long = 0L)(body: => A): A = {
     // a negative count would skip the loop entirely and NPE on `last`
     // below — fail with the real story instead
     require(retries >= 0, s"stage $stage: retries must be >= 0, got $retries")
@@ -585,6 +586,13 @@ object Pipeline {
       // immediately, never re-execute the stage against corrupted state
       try return body
       catch { case scala.util.control.NonFatal(e) => last = e; attempt += 1 }
+      // the DAG's retry_delay + retry_exponential_backoff
+      // (default_args: 5 min, doubling): delay × 2^(attempt-1) before
+      // re-attempting — lets a torn source finish replacing / a rate
+      // limit reset instead of instantly re-hitting it. Default 0 keeps
+      // the in-process semantics (and tests) unchanged.
+      if (attempt <= retries && retryDelayMs > 0)
+        Thread.sleep(retryDelayMs << math.min(attempt - 1, 16))
     }
     throw new RuntimeException(
       s"stage $stage failed after ${retries + 1} attempts (dag retries=$retries): " +

@@ -84,9 +84,10 @@ object Fetch {
     * a hung endpoint cannot wedge the driver past its budget.
     */
   def fetchWithRetries(fetcher: Fetcher, url: String,
-                       retries: Int = 2, timeoutMs: Long = 30000): String =
+                       retries: Int = 2, timeoutMs: Long = 30000,
+                       retryDelayMs: Long = 0L): String =
     try {
-      graft.Pipeline.withRetries(retries, s"fetch $url") {
+      graft.Pipeline.withRetries(retries, s"fetch $url", retryDelayMs) {
         val exec = Executors.newSingleThreadExecutor { r =>
           val t = new Thread(r, "graft-fetch"); t.setDaemon(true); t
         }

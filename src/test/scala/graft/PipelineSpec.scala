@@ -245,6 +245,17 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.withRetries(-1, "negative") { never += 1; 1 }
     }
     assert(never == 0 && neg.getMessage.contains("retries must be >= 0"))
+    // retry_delay + exponential backoff (dag default_args): attempts
+    // space out as delay, 2*delay — the two gaps of a 3-attempt run
+    // with delay=40ms must take >= 120ms total; success path sleeps 0
+    var slow = 0
+    val t0 = System.nanoTime()
+    val v = Pipeline.withRetries(2, "backoff", retryDelayMs = 40L) {
+      slow += 1; if (slow < 3) sys.error("transient"); 7
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(v == 7 && slow == 3 && elapsedMs >= 120,
+      s"backoff gaps must sum to >= 120 ms, got $elapsedMs")
   }
 
   test("cleanup_old_logs prunes aged run logs and stale failure logs, keeps fresh ones") {
