@@ -372,6 +372,31 @@ class DedupSpec extends AnyFunSuite {
     assert(union.exists(r => r.getAs[Boolean]("by_simhash") && !r.getAs[Boolean]("by_jaccard")))
   }
 
+  test("calibSample: partition-invariant, budget-bounded, keeps dup pairs together") {
+    import spark.implicits._
+    // amplify the corpus past the budget so the LIMIT actually binds:
+    // each doc twice under distinct ids (a perfect dup pair per doc)
+    val base = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val both = base.select((col("doc_id") * 2).as("doc_id"), col("lang"), col("text"))
+      .unionAll(base.select((col("doc_id") * 2 + 1).as("doc_id"), col("lang"), col("text")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Dedup.calibSample(df).select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(both.repartition(1))
+    val b = ids(both.repartition(32, col("doc_id")))
+    // the bottom-k-by-hash selection is a TOTAL order (hash, doc_id), so
+    // the sample is identical at any physical layout — the determinism
+    // the oracle's ORDER BY ... LIMIT replay depends on
+    assert(a == b, "sample must not depend on partitioning")
+    assert(a.size == Dedup.CalibDocBudget, "limit must bind on the amplified corpus")
+    // CONSISTENT sampling: a doc and its perfect dup share their min
+    // shingle hash exactly, so they enter/leave the sample TOGETHER
+    // (modulo the budget boundary cutting between the tie's two ids —
+    // at most one straddling pair)
+    val straddling = a.count(id => !a.contains(id ^ 1L))
+    assert(straddling <= 1, s"dup pairs must co-sample, $straddling split")
+  }
+
   test("d24 calibration reconciles with d02, and high-J buckets recall near 1") {
     val cal = Dedup.lshCalibration(spark, TestSpark.sf).collect()
       .map(r => r.getAs[Long]("j_bucket") -> r).toMap

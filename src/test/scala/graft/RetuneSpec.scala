@@ -128,4 +128,26 @@ class RetuneSpec extends AnyFunSuite {
     assert(byDoc(1L) == byDoc(2L))
     assert(byDoc(1L).intersect(byDoc(3L)).isEmpty)
   }
+
+  test("a zero-pair sample degrades to the zero-weight grid, never an empty report") {
+    import spark.implicits._
+    // 12 docs of fully disjoint vocabularies — the observed mixture is
+    // EMPTY. The report must still be the 47-row grid (the d26 left-join
+    // rule; the inner crossJoin shape silently returned zero rows here)
+    // with zero mixture weight, nothing passing, and the production
+    // consumer falling back to the shipped 6×3.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nopairs").toString
+    (1L to 12L).map(i =>
+        (i, "en", (1 to 10).map(w => s"w${i}_$w").mkString(" "), "src0"))
+      .toDF("doc_id", "lang", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Dedup.bandRetune(spark, dir).collect()
+    assert(rows.length == 47, "the full grid must survive an empty mixture")
+    assert(rows.forall(_.getAs[Long]("n_target_pairs") == 0L))
+    assert(rows.forall(r => !r.getAs[Boolean]("passes")
+      && !r.getAs[Boolean]("is_chosen")))
+    // design-floor theory columns still populate (mixture-independent)
+    assert(rows.exists(_.getAs[Double]("design_recall_75") > 0.95))
+    assert(Dedup.chosenBanding(spark, dir) == ((6, 3)))
+  }
 }
