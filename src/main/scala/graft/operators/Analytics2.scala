@@ -482,7 +482,10 @@ object Analytics2 {
     * The classic `oc JOIN oc ON same order` plan shuffles the exploded
     * fact twice and is quadratic in basket size at the join; this shape
     * pays one fact shuffle (the order groupBy) and the quadratic term
-    * stays inside a per-row array expression. Brand reach (25 rows) and
+    * stays inside a per-row array expression — GATED at
+    * [[BasketGuard.MaxBasketWidth]]: a basket wider than the design
+    * bound emits no pairs and the operator fails loudly instead of
+    * burning the quadratic fan-out. Brand reach (25 rows) and
     * the order total (1 row) broadcast back into the pair frame.
     * Support/lift evaluate from exact integer counts in a fixed
     * scalar op order — parallelism-independent — with lift's two
@@ -496,37 +499,78 @@ object Analytics2 {
     * box; the record asymmetry is the 100 TB term, and it grows with
     * basket size² on the self-join side only.
     */
-  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame =
+    basketAffinityOf(spark,
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+      Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
+
+  private[graft] def basketAffinityOf(spark: SparkSession,
+      li: DataFrame, p: DataFrame): DataFrame = {
+    val W = BasketGuard.MaxBasketWidth
     val baskets = li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
-    // ONE pass over the baskets serves all three censuses: each basket
-    // emits an order marker (null,null), its singleton brands (x,null),
-    // and its i<j pairs — one map-side-combining groupBy onto a frame
-    // bounded by C(|brands|,2)+|brands|+1 keys. The former shape read
-    // `baskets` three times (total / reach / pairs), which re-ran the
-    // fact join + collect_set per consumer: measured 112.7 s cold vs
-    // 37.7 s warm at sf10 (the widest cold/warm spread in BENCH_SCALE).
-    // The census is PERSISTED — brand²-bounded (KB), and its three
-    // filtered readers would otherwise each re-execute the fact scan.
+    // ONE pass over the baskets serves all the censuses: each basket
+    // emits an order marker (null,null), a WIDTH marker (null,width) —
+    // (null, non-null) can never collide with a data row since
+    // singletons are (x,null) and pairs are (x,y) — its singleton
+    // brands (x,null), and its i<j pairs, the pairs GATED in-expression
+    // on the basket-width design bound so an oversized basket never
+    // emits its quadratic fan-out (the guard below then fails loudly —
+    // see BasketGuard). One map-side-combining groupBy onto a frame
+    // bounded by C(|brands|,2)+|brands|+#widths+1 keys. The former
+    // shape read `baskets` three times (total / reach / pairs), which
+    // re-ran the fact join + collect_set per consumer: measured 112.7 s
+    // cold vs 37.7 s warm at sf10 (the widest cold/warm spread in
+    // BENCH_SCALE).
     val census = baskets
       .select(explode(expr(
-        """concat(
+        s"""concat(
           |  array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b)),
+          |  array(struct(CAST(NULL AS STRING) AS a,
+          |               CAST(size(brands) AS STRING) AS b)),
           |  transform(brands, x -> struct(x AS a, CAST(NULL AS STRING) AS b)),
-          |  flatten(transform(brands,
-          |    (x, i) -> transform(slice(brands, i + 2, size(brands)),
-          |              y -> struct(x AS a, y AS b)))))""".stripMargin)).as("pr"))
+          |  IF(size(brands) <= $W,
+          |    flatten(transform(brands,
+          |      (x, i) -> transform(slice(brands, i + 2, size(brands)),
+          |                y -> struct(x AS a, y AS b)))),
+          |    array()))""".stripMargin)).as("pr"))
       .groupBy(col("pr.a").as("brand_a"), col("pr.b").as("brand_b"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
-    val total = census.filter(col("brand_a").isNull && col("brand_b").isNull)
+    // One bounded action forces the persisted census AND reads the
+    // guard: widest basket (from the width markers) + census key count.
+    val stats = census.agg(
+        max(when(col("brand_a").isNull && col("brand_b").isNotNull,
+          col("brand_b").cast("int"))).as("max_width"),
+        count(lit(1)).as("n_keys"))
+      .collect()(0)
+    val maxWidth = if (stats.isNullAt(0)) 0 else stats.getInt(0)
+    if (maxWidth > W) {
+      census.unpersist(false)
+      throw new BasketGuard.BasketTooWideException(
+        "q53_basket_affinity", maxWidth.toLong, W)
+    }
+    // Persist-lifetime discipline: the census is brand²-bounded, so in
+    // the common case it collapses to a LOCAL relation and the cache is
+    // released HERE — nothing leaks into a long-lived caller's session.
+    // Past the localization gate (an enormous brand domain) the
+    // persisted frame serves the three readers below and its release
+    // falls to the caller's cache clear (the Bench/Verify harness per-
+    // query clearCache), documented because the returned plan still
+    // references it.
+    val censusR =
+      if (stats.getLong(1) <= 200000L) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(census.collect(): _*), census.schema)
+        census.unpersist(false)
+        local
+      } else census
+    val total = censusR.filter(col("brand_a").isNull && col("brand_b").isNull)
       .select(col("cnt").as("n_orders"))
-    val reach = census.filter(col("brand_a").isNotNull && col("brand_b").isNull)
+    val reach = censusR.filter(col("brand_a").isNotNull && col("brand_b").isNull)
       .select(col("brand_a").as("brand"), col("cnt").as("n"))
-    val pairs = census.filter(col("brand_b").isNotNull)
+    val pairs = censusR.filter(col("brand_a").isNotNull && col("brand_b").isNotNull)
       .select(col("brand_a"), col("brand_b"), col("cnt").as("pair_orders"))
     pairs
       .join(broadcast(reach.select(col("brand").as("brand_a"), col("n").as("orders_a"))), "brand_a")

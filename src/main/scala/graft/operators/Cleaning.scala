@@ -103,13 +103,16 @@ object Cleaning {
     * source generation, then EXTRACTED through the injectable
     * [[graft.sources.Fetch.Fetcher]] seam (reference
     * extract.py:62-101: `requests.get(endpoint, timeout=30)` with the
-    * DAG's bounded retries) — a production deployment swaps an HTTP
-    * fetcher in here and the stage is live, no operator change. The
-    * payload is driver-bounded by the REST contract (a catalog API
-    * returns one bounded page; the synthetic stand-in only grows with
-    * the test catalog because it fakes a rating for every part).
-    * Schema-first parse + struct flatten as before. Shared by q34
-    * (catalog stats) and q36 (price↔rating correlation).
+    * DAG's bounded retries) when a fetcher is INJECTED — a production
+    * deployment swaps an HTTP fetcher in here and the stage is live, no
+    * operator change; that payload is driver-bounded by the REST
+    * contract (a catalog API returns one bounded page). The DEFAULT
+    * file-backed stand-in is NOT so bounded (it fakes a rating for
+    * every part, so it scales with the catalog) and therefore reads
+    * distributed via the ordinary JSON source reader instead of the
+    * driver-string seam. Schema-first parse + struct flatten either
+    * way. Shared by q34 (catalog stats) and q36 (price↔rating
+    * correlation).
     */
   private[graft] def apiRatingsFeed(spark: SparkSession, dir: String,
       fetcher: Fetch.Fetcher = null): DataFrame = {
@@ -128,10 +131,19 @@ object Cleaning {
         .write.mode("overwrite").json(path)
     val schema = StructType.fromDDL(
       "product_id BIGINT, rating STRUCT<rate: DOUBLE, count: BIGINT>")
-    val f = Option(fetcher).getOrElse(
-      new Fetch.FileFetcher(spark.sessionState.newHadoopConf()))
-    Tables.flattenStructs(
-        Fetch.readJsonPayload(spark, f, path, schema, "api_rest"))
+    // The Fetcher seam materializes ONE payload on the driver — correct
+    // for a live REST endpoint (driver-bounded by the API contract), so
+    // it engages only when a real fetcher is INJECTED. The file-backed
+    // stand-in fakes a rating for every part, so it grows with the
+    // catalog (~2M rows at sf10): that side reads DISTRIBUTED through
+    // the ordinary schema-first JSON reader, never as a driver string.
+    val feed = Option(fetcher) match {
+      case Some(f) =>
+        Fetch.readJsonPayload(spark, f, path, schema, "api_rest")
+      case None =>
+        Tables.readJson(spark, path, schema, "api_rest")
+    }
+    Tables.flattenStructs(feed)
       .select(col("product_id"), col("rating_rate"), col("rating_count"))
   }
 

@@ -457,9 +457,12 @@ object Events {
     * Determinism: all SUMS are BIGINTs (exact); every PRODUCT of those
     * sums (n·T, 1000·max·n, 2S−(n+1)T ~ n²·v) runs in double, because
     * at ~1e9 users × 1e12 events the products overflow Int64. The
-    * double chain is one fixed IEEE sequence both engines replay
-    * identically (the s01 discipline), and equals the integer result
-    * whenever products stay under 2^53.
+    * determinism claim is cross-engine IEEE REPLAY: the double chain is
+    * one fixed IEEE sequence both engines evaluate identically. (It is
+    * NOT exact-integer equality — even with every product under 2^53, a
+    * double quotient can round up across an integer boundary so its
+    * floor differs from exact integer division; both engines floor the
+    * same rounded quotient, so the hashes still match.)
     */
   def userSkew(spark: SparkSession, dir: String): DataFrame =
     userSkewOf(Tables.events(spark, dir))

@@ -48,10 +48,17 @@ object Fetch {
     * order (exactly the layout a snapshotted API response lands in).
     * This is what stands in for the live endpoint in the sandbox.
     */
-  final class FileFetcher(@transient conf: Configuration) extends Fetcher {
+  final class FileFetcher(@transient private val conf: Configuration)
+      extends Fetcher {
+    // Fetcher is Serializable (an injected HTTP client may ride a
+    // closure); Configuration is not, so it is @transient and
+    // re-created after deserialization — a deserialized instance must
+    // not NPE on getFileSystem.
+    private def conf0: Configuration =
+      Option(conf).getOrElse(new Configuration())
     def fetch(url: String): String = {
       val p = new Path(url)
-      val fs = p.getFileSystem(conf)
+      val fs = p.getFileSystem(conf0)
       val files =
         if (fs.getFileStatus(p).isDirectory)
           fs.listStatus(p).toSeq

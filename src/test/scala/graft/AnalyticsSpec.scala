@@ -161,6 +161,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q53 fails loudly on a basket wider than the design bound") {
+    import spark.implicits._
+    // 257 distinct brands in one order: the in-expression width gate
+    // suppresses the quadratic pair emission and the census guard trips
+    val li = (1L to 257L).map(p => (1L, p)).toDF("l_orderkey", "l_partkey")
+    val p = (1L to 257L).map(k => (k, s"Brand#$k")).toDF("p_partkey", "p_brand")
+    val e = intercept[graft.operators.BasketGuard.BasketTooWideException] {
+      Analytics2.basketAffinityOf(spark, li, p)
+    }
+    assert(e.getMessage.contains("257") && e.getMessage.contains("256"))
+    // at the bound it still runs: C(256,2) pairs, each in exactly 1 order
+    val ok = Analytics2.basketAffinityOf(spark,
+      (1L to 256L).map(p2 => (1L, p2)).toDF("l_orderkey", "l_partkey"),
+      (1L to 256L).map(k => (k, f"Brand#$k%03d")).toDF("p_partkey", "p_brand"))
+      .collect()
+    assert(ok.length == 256 * 255 / 2)
+    assert(ok.forall(r => r.getAs[Long]("pair_orders") == 1L &&
+      r.getAs[Double]("support") == 1.0 && r.getAs[Double]("lift") == 1.0))
+    spark.catalog.clearCache()
+  }
+
   test("q54 supplier scorecard: dense nation ranks, conserved lines and revenue") {
     import graft.functions.Money.{net, out2}
     val sc = Analytics.supplierScorecard(spark, TestSpark.sf)

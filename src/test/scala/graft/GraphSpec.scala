@@ -290,4 +290,29 @@ class GraphSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("graph family fails loudly on a basket wider than the design bound") {
+    import spark.implicits._
+    // one marketplace-style order holding MaxBasketWidth+1 distinct
+    // parts — the regime where the per-order self-join's fan-out goes
+    // quadratic in the width; the census guard must trip BEFORE the
+    // edge build, not time out inside it (round-10 verdict watch item)
+    val wide = (1L to 257L).map(p => (1L, p)) ++
+      Seq((2L, 1L), (2L, 2L)) // plus a normal order
+    val li = wide.toDF("l_orderkey", "l_partkey")
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      Graph.copurchasePagerankOf, Graph.copurchaseTrianglesOf,
+      Graph.copurchaseComponentsOf).foreach { op =>
+      val e = intercept[graft.operators.BasketGuard.BasketTooWideException] {
+        op(li)
+      }
+      assert(e.getMessage.contains("257") && e.getMessage.contains("256"))
+    }
+    // exactly AT the bound the family still runs (the guard is >, not >=)
+    val atBound = (1L to 256L).map(p => (1L, p))
+    val ok = Graph.copurchaseComponentsOf(atBound.toDF("l_orderkey", "l_partkey"))
+    assert(ok.agg(org.apache.spark.sql.functions.max(org.apache.spark.sql
+      .functions.col("comp_size"))).collect()(0).getLong(0) == 256L)
+    spark.catalog.clearCache()
+  }
 }
