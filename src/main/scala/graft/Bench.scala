@@ -82,6 +82,7 @@ object Bench {
       // the sketch family: md5-scan-dominated, fixed-size aggregation
       // state (the shuffles are ≤ sources×256 / 4096-cell constants)
       "s01_hll_distinct", "s02_cms_heavy_hitters", "s05_hll_union",
+      "e13_rolling_active_hll",
       "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
       "t24_bpe_train",

@@ -504,26 +504,27 @@ object Analytics2 {
       Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
       Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")))
 
-  private[graft] def basketAffinityOf(spark: SparkSession,
-      li: DataFrame, p: DataFrame): DataFrame = {
+  /** The one-pass basket census (lazy — split out so PlanHygieneSpec
+    * can pin its shape: array pair explosion, no fact self-join). Each
+    * basket emits an order marker (null,null), a WIDTH marker
+    * (null,width) — (null, non-null) can never collide with a data row
+    * since singletons are (x,null) and pairs are (x,y) — its singleton
+    * brands (x,null), and its i<j pairs, the pairs GATED in-expression
+    * on the basket-width design bound so an oversized basket never
+    * emits its quadratic fan-out (the caller's guard then fails loudly
+    * — see BasketGuard). One map-side-combining groupBy onto a frame
+    * bounded by C(|brands|,2)+|brands|+#widths+1 keys. The former
+    * shape read `baskets` three times (total / reach / pairs), which
+    * re-ran the fact join + collect_set per consumer: measured 112.7 s
+    * cold vs 37.7 s warm at sf10 (the widest cold/warm spread in
+    * BENCH_SCALE).
+    */
+  private[graft] def basketCensus(li: DataFrame, p: DataFrame): DataFrame = {
     val W = BasketGuard.MaxBasketWidth
     val baskets = li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
-    // ONE pass over the baskets serves all the censuses: each basket
-    // emits an order marker (null,null), a WIDTH marker (null,width) —
-    // (null, non-null) can never collide with a data row since
-    // singletons are (x,null) and pairs are (x,y) — its singleton
-    // brands (x,null), and its i<j pairs, the pairs GATED in-expression
-    // on the basket-width design bound so an oversized basket never
-    // emits its quadratic fan-out (the guard below then fails loudly —
-    // see BasketGuard). One map-side-combining groupBy onto a frame
-    // bounded by C(|brands|,2)+|brands|+#widths+1 keys. The former
-    // shape read `baskets` three times (total / reach / pairs), which
-    // re-ran the fact join + collect_set per consumer: measured 112.7 s
-    // cold vs 37.7 s warm at sf10 (the widest cold/warm spread in
-    // BENCH_SCALE).
-    val census = baskets
+    baskets
       .select(explode(expr(
         s"""concat(
           |  array(struct(CAST(NULL AS STRING) AS a, CAST(NULL AS STRING) AS b)),
@@ -537,7 +538,12 @@ object Analytics2 {
           |    array()))""".stripMargin)).as("pr"))
       .groupBy(col("pr.a").as("brand_a"), col("pr.b").as("brand_b"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+  }
+
+  private[graft] def basketAffinityOf(spark: SparkSession,
+      li: DataFrame, p: DataFrame): DataFrame = {
+    val W = BasketGuard.MaxBasketWidth
+    val census = basketCensus(li, p).persist()
     // One bounded action forces the persisted census AND reads the
     // guard: widest basket (from the width markers) + census key count.
     val stats = census.agg(

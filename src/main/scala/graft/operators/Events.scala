@@ -189,6 +189,59 @@ object Events {
         col("dau").cast("double") / col("mau").cast("double"))
   }
 
+  // ─── e13 rolling active users, HLL sketch tier ───────────────────────
+  /** The e06 triple at 100 TB: DAU/WAU/MAU as HLL ESTIMATES from
+    * per-day register sketches merged across the trailing windows by
+    * bucket-wise max (s05's oracle-checked merge property). e06's exact
+    * form keeps a per-user data term — the deduped (user, day) frame,
+    * its 30× offset explode, and the 3× countDistinct expand all grow
+    * with the user base (measured exponent 0.335, the largest GENUINE
+    * work-growth exponent in BENCH_SCALE, no recovery at more
+    * partitions) — so e06 stays the oracle-exact verification row and
+    * THIS is the serving tier. Here the only user-sized term is the
+    * register build: one map-side-combining aggregation straight off
+    * the event scan (duplicates absorbed by max — no dedup exchange),
+    * collapsing to ≤ days×256 rows; the 30× explode, window maxes and
+    * harmonic sums all run on that day-sized register frame. Register
+    * state also merges across shards/streams (the s05 contract), which
+    * the exact countDistinct never can.
+    *
+    * Determinism: the s01 discipline end-to-end — integer registers
+    * and harmonic sums, rank via bin-string length (no log2), shared
+    * double literals, linear-counting via the embedded 257-entry
+    * table — so DuckDB replays every estimate to the last ulp.
+    */
+  def rollingActiveHll(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveHllOf(Tables.events(spark, dir))
+
+  private[graft] def rollingActiveHllOf(e: DataFrame): DataFrame = {
+    val keyed = e.select(to_date(col("ts")).as("d"),
+      Sketches.hash60(col("user_id").cast("string")).as("h"))
+    val dayRegs = Sketches.registersOf(keyed, "d")
+    val days = dayRegs.select(col("d").as("activity_date")).distinct()
+    val contrib = dayRegs
+      .select(col("d"), col("bucket"), col("reg"),
+        explode(sequence(lit(0), lit(29))).as("off"))
+      .select(col("bucket"), col("reg"), col("off"),
+        date_add(col("d"), col("off")).as("activity_date"))
+      .join(broadcast(days), Seq("activity_date"), "left_semi")
+    val winRegs = contrib.groupBy(col("activity_date"), col("bucket")).agg(
+      max(when(col("off") === 0, col("reg"))).as("reg_d"),
+      max(when(col("off") <= 6, col("reg"))).as("reg_w"),
+      max(col("reg")).as("reg_m"))
+    def sPresent(r: String) = sum(when(col(r).isNotNull,
+      expr(s"shiftleft(CAST(1 AS BIGINT), 53 - $r)")).otherwise(lit(0L)))
+    winRegs.groupBy(col("activity_date")).agg(
+        count(col("reg_d")).as("nz_d"), sPresent("reg_d").as("s_d"),
+        count(col("reg_w")).as("nz_w"), sPresent("reg_w").as("s_w"),
+        count(col("reg_m")).as("nz_m"), sPresent("reg_m").as("s_m"))
+      .select(col("activity_date"),
+        Sketches.hllEstimate(col("nz_d"), col("s_d")).as("dau_hll"),
+        Sketches.hllEstimate(col("nz_w"), col("s_w")).as("wau_hll"),
+        Sketches.hllEstimate(col("nz_m"), col("s_m")).as("mau_hll"))
+      .withColumn("dau_mau_ratio", col("dau_hll") / col("mau_hll"))
+  }
+
   // ─── e07 event-volume anomaly detection ──────────────────────────────
   /** Operational monitoring over the event stream: per (event_type,
     * day), the day's volume z-scored against the TRAILING 7 days — the
@@ -547,6 +600,7 @@ object Events {
     "e04_funnel" -> funnel,
     "e05_cohort_retention" -> cohortRetention,
     "e06_rolling_active_users" -> rollingActiveUsers,
+    "e13_rolling_active_hll" -> rollingActiveHll,
     "e07_event_anomalies" -> eventAnomalies)
 
   val oracle: Map[String, String] = Map(
@@ -728,6 +782,52 @@ object Events {
         |       CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS DOUBLE)
         |         / count(DISTINCT user_id) AS dau_mau_ratio
         |FROM j GROUP BY 1""".stripMargin,
+    "e13_rolling_active_hll" ->
+      s"""WITH uh AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d,
+        |         ${Sketches.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+        |  FROM events),
+        |dreg AS (
+        |  SELECT d, h % ${Sketches.bucketsCount} AS bucket,
+        |         max(${Sketches.rankSql("h")}) AS reg
+        |  FROM uh GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d AS activity_date FROM dreg),
+        |offs AS (SELECT unnest(range(0, 30)) AS off),
+        |contrib AS (
+        |  SELECT dr.d + CAST(o.off AS INT) AS activity_date,
+        |         dr.bucket, dr.reg, o.off
+        |  FROM dreg dr, offs o),
+        |wreg AS (
+        |  SELECT activity_date, bucket,
+        |         max(CASE WHEN off = 0 THEN reg END) AS reg_d,
+        |         max(CASE WHEN off <= 6 THEN reg END) AS reg_w,
+        |         max(reg) AS reg_m
+        |  FROM contrib JOIN days USING (activity_date) GROUP BY 1, 2),
+        |st AS (
+        |  SELECT activity_date,
+        |    CAST(count(reg_d) AS BIGINT) AS nz_d,
+        |    CAST(coalesce(sum(CASE WHEN reg_d IS NOT NULL
+        |      THEN CAST(1 AS BIGINT) << (53 - reg_d) END), 0) AS BIGINT) AS s_d,
+        |    CAST(count(reg_w) AS BIGINT) AS nz_w,
+        |    CAST(coalesce(sum(CASE WHEN reg_w IS NOT NULL
+        |      THEN CAST(1 AS BIGINT) << (53 - reg_w) END), 0) AS BIGINT) AS s_w,
+        |    CAST(count(reg_m) AS BIGINT) AS nz_m,
+        |    CAST(coalesce(sum(CASE WHEN reg_m IS NOT NULL
+        |      THEN CAST(1 AS BIGINT) << (53 - reg_m) END), 0) AS BIGINT) AS s_m
+        |  FROM wreg GROUP BY 1),
+        |${Sketches.lcCteSql},
+        |est AS (
+        |  SELECT st.activity_date,
+        |    ${Sketches.estimateSql("st.nz_d", "st.s_d", "lcd")} AS dau_hll,
+        |    ${Sketches.estimateSql("st.nz_w", "st.s_w", "lcw")} AS wau_hll,
+        |    ${Sketches.estimateSql("st.nz_m", "st.s_m", "lcm")} AS mau_hll
+        |  FROM st
+        |  JOIN lc lcd ON lcd.v = ${Sketches.lcJoinKeySql("st.nz_d")}
+        |  JOIN lc lcw ON lcw.v = ${Sketches.lcJoinKeySql("st.nz_w")}
+        |  JOIN lc lcm ON lcm.v = ${Sketches.lcJoinKeySql("st.nz_m")})
+        |SELECT activity_date, dau_hll, wau_hll, mau_hll,
+        |       dau_hll / mau_hll AS dau_mau_ratio
+        |FROM est""".stripMargin,
     "e05_cohort_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -149,6 +149,54 @@ object Sketches {
   private[graft] def tokenHashes(docs: DataFrame): DataFrame =
     tokens(docs).select(col("source"), col("h"))
 
+  // ── cross-module HLL seam (e13 rolling-active sketch tier) ──────────
+  /** The house 60-bit hash, exposed for operators that sketch non-token
+    * keys (e13 hashes user ids). Same DuckDB replay as everywhere:
+    * CAST('0x'||substr(md5(x),1,15) AS BIGINT).
+    */
+  private[graft] def hash60(c: Column): Column = h60(c)
+  /** Register count m — consumers size their zero-register arithmetic
+    * off this, never a literal 256.
+    */
+  private[graft] def bucketsCount: Int = HllBuckets
+  /** (key, bucket, reg) register state for a keyed 60-bit hash stream —
+    * one map-side-combining aggregation, ≤ keys×m rows.
+    */
+  private[graft] def registersOf(keyed: DataFrame, key: String): DataFrame =
+    hllRankStream(keyed, key)
+      .groupBy(col(key), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+  /** Corrected HLL estimate from a window's state: `nz` = non-null
+    * register count, `sPresent` = Σ 2^(53−reg) over present registers
+    * (both BIGINT-exact; the s01 determinism discipline).
+    */
+  private[graft] def hllEstimate(nz: Column, sPresent: Column): Column = {
+    val zr = lit(HllBuckets.toLong) - nz
+    val sfp = sPresent + zr * lit(1L << 53)
+    val raw = lit(HllAlpha) * lit(HllM2P53) / sfp.cast("double")
+    hllCorrected(zr, raw)
+  }
+  /** Oracle twins of the three pieces above (interpolated into consumer
+    * oracle SQL so both engines share the exact literals).
+    */
+  private[graft] def hash60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  private[graft] def rankSql(h: String): String =
+    s"CASE WHEN $h // $HllBuckets = 0 THEN 53 " +
+      s"ELSE 53 - length(bin($h // $HllBuckets)) END"
+  private[graft] def lcCteSql: String = hllLcCte
+  private[graft] def estimateSql(nz: String, sPresent: String,
+      lcAlias: String): String = {
+    val zr = s"(CAST($HllBuckets AS BIGINT) - $nz)"
+    val sfp = s"($sPresent + $zr * (CAST(1 AS BIGINT) << 53))"
+    val raw = s"(${dlit(HllAlpha)} * ${dlit(HllM2P53)} / CAST($sfp AS DOUBLE))"
+    s"CASE WHEN $zr > 0 AND $raw <= $HllLcThreshold " +
+      s"THEN $lcAlias.lc_est ELSE $raw END"
+  }
+  /** Join key for the lc table alias used with [[estimateSql]]. */
+  private[graft] def lcJoinKeySql(nz: String): String =
+    s"(CAST($HllBuckets AS BIGINT) - $nz)"
+
   def hllDistinct(spark: SparkSession, dir: String): DataFrame =
     hllDistinctOf(Tables.documents(spark, dir))
 

@@ -406,15 +406,25 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   test("q53 basket pairs explode map-side: one fact aggregation, no self-join") {
+    // the census is the data-sized leg (the final assembly runs on a
+    // localized brand²-bounded frame): pin the census plan — pair
+    // expansion from the per-order array, never a fact self-join
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_partkey")
+    val pt = graft.sources.Tables.part(spark, TestSpark.sf)
+      .select("p_partkey", "p_brand")
+    val pc = plan(Analytics2.basketCensus(li, pt))
+    assert(!pc.contains("Window"), s"q53 census must not window:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"q53 census must not go cartesian:\n$pc")
+    assert(pc.contains("Generate explode"), s"expected the array pair explosion:\n$pc")
+    // exactly ONE exchange consumes the fact join (the order groupBy);
+    // a self-join shape would add a second fact-sized exchange
     val p = plan(Analytics2.basketAffinity(spark, TestSpark.sf))
     assert(!p.contains("Window"), s"q53 must not window:\n$p")
     assert(!p.contains("CartesianProduct"), s"q53 must not go cartesian:\n$p")
-    // pair expansion must come from the per-order array (generate/explode
-    // over the grouped baskets), never a second shuffle-join of the fact:
-    // reach + total join back as broadcasts
-    assert(p.contains("Generate explode"), s"expected the array pair explosion:\n$p")
     val smj = "SortMergeJoin".r.findAllIn(p).size
     assert(smj == 0, s"q53's joins must all broadcast (got $smj SMJ):\n$p")
+    spark.catalog.clearCache()
   }
 
   test("t15 split stamp is a pure narrow projection: no shuffle, no window") {

@@ -351,6 +351,63 @@ class TextEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("e13 register parity: per-day sketches merged by max == direct window " +
+      "build; estimates track exact e06 within HLL error") {
+    val e = graft.sources.Tables.events(spark, TestSpark.sf)
+    val approx = Events.rollingActiveHllOf(e).collect()
+      .map(r => r.getAs[java.sql.Date]("activity_date") -> r).toMap
+    assert(approx.nonEmpty)
+    // DIRECT window registers: hash every (window-day, user) membership
+    // and build each window's registers from scratch — the merge-by-max
+    // day-register path must reproduce them exactly (associativity of
+    // bucket-wise max, the s05 property on the rolling-window geometry)
+    val perDay = e.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .collect().map(r => r.getAs[java.sql.Date]("d").toLocalDate -> r.getAs[Long]("user_id"))
+    val days = perDay.map(_._1).distinct.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def estimate(users: Set[Long]): Double = {
+      val regs = new Array[Int](256)
+      users.foreach { u =>
+        val h = h60(u.toString)
+        val (b, w) = ((h % 256).toInt, h / 256)
+        val rank = if (w == 0) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(b)) regs(b) = rank
+      }
+      val nz = regs.count(_ > 0)
+      val s = regs.map(r => 1L << (53 - r)).sum // zero regs contribute 2^53
+      val alpha = 0.7213 / (1.0 + 1.079 / 256)
+      val raw = alpha * (256.0 * 256 * (1L << 53).toDouble) / s.toDouble
+      if (256 - nz > 0 && raw <= 2.5 * 256)
+        256 * math.log(256.0 / (256 - nz))
+      else raw
+    }
+    days.foreach { d =>
+      val row = approx(java.sql.Date.valueOf(d))
+      def win(n: Int): Set[Long] =
+        perDay.filter { case (dd, _) =>
+          !dd.isAfter(d) && dd.isAfter(d.minusDays(n.toLong)) }.map(_._2).toSet
+      assert(row.getAs[Double]("dau_hll") == estimate(win(1)), s"dau@$d")
+      assert(row.getAs[Double]("wau_hll") == estimate(win(7)), s"wau@$d")
+      assert(row.getAs[Double]("mau_hll") == estimate(win(30)), s"mau@$d")
+    }
+    // estimates track the exact triple within HLL error (rse ≈ 6.5% at
+    // m=256; allow 4σ)
+    val exact = Events.rollingActiveUsers(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[java.sql.Date]("activity_date") -> r).toMap
+    exact.foreach { case (d, ex) =>
+      val ap = approx(d)
+      Seq(("dau", "dau_hll"), ("wau", "wau_hll"), ("mau", "mau_hll")).foreach {
+        case (ec, ac) =>
+          val (ev, av) = (ex.getAs[Long](ec).toDouble, ap.getAs[Double](ac))
+          assert(math.abs(av - ev) <= 0.26 * ev + 3.0, s"$ac@$d: $av vs $ev")
+      }
+    }
+  }
+
   test("e07 anomalies match a driver-side calendar-densified recomputation") {
     val out = Events.eventAnomalies(spark, TestSpark.sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("activity_date").toString) -> r)
