@@ -390,15 +390,30 @@ object Sketches {
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     cmsHeavyHittersOf(Tables.documents(spark, dir))
 
-  private[graft] def cmsHeavyHittersOf(docs: DataFrame): DataFrame = {
-    val hashed = tokens(docs).select(col("token"),
+  /** (token, h1, h2) per occurrence — the Kirsch–Mitzenmacher hash pair
+    * over the two md5 halves.
+    */
+  private def cmsHashed(docs: DataFrame): DataFrame =
+    tokens(docs).select(col("token"),
       col("h").as("h1"),
       conv(substring(md5(col("token")), 17, 14), 16, 10).cast("long").as("h2"))
-    def probeCols: Column = explode(array((0 until CmsD).map(i =>
-      struct(lit(i).as("r"), expr(s"(h1 + $i * h2) % $CmsW").as("bucket"))): _*)).as("c")
-    val cells = hashed.select(probeCols)
+  private def cmsProbe: Column = explode(array((0 until CmsD).map(i =>
+    struct(lit(i).as("r"), expr(s"(h1 + $i * h2) % $CmsW").as("bucket"))): _*)).as("c")
+
+  /** The CMS grid build — (r, bucket, cell) counts, legal on batch AND
+    * streaming frames (the streaming twin's state is the 4096-cell grid
+    * itself, constant-size by construction; cells from shards/streams
+    * merge by cell-wise SUM).
+    */
+  private[graft] def cmsCells(docs: DataFrame): DataFrame =
+    cmsHashed(docs).select(cmsProbe)
       .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell"))
+
+  private[graft] def cmsHeavyHittersOf(docs: DataFrame): DataFrame = {
+    val hashed = cmsHashed(docs)
+    def probeCols: Column = cmsProbe
+    val cells = cmsCells(docs)
     val top = hashed.groupBy(col("token"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token"))
@@ -448,6 +463,10 @@ object Sketches {
     */
   private val ThetaShift = 6
   private val ThetaT = 1L << (60 - ThetaShift)
+  /** The fixed-θ threshold, exposed for the streaming twin (the filter
+    * is what bounds its dedup state to 2⁻⁶ of the vocabulary).
+    */
+  private[graft] def thetaThreshold: Long = ThetaT
 
   /** s03: pairwise source vocabulary overlap — theta-sampled Jaccard vs
     * exact. d09 computes the exact per-source doc overlap; this is its

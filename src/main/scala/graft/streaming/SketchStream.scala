@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Sketches
 
-/** Streaming twin of the sketch family (s01/s05): HLL distinct-count
-  * registers maintained continuously over a document stream.
+/** Streaming twin of the sketch family: HLL distinct-count registers
+  * (s01/s05), the count-min grid (s02), and the theta sample (s03)
+  * maintained continuously over a document stream — the full
+  * production sketch feed, not just cardinality.
   *
   * The interesting property is the STATE BOUND: a streaming
   * aggregation's state normally grows with the key domain (why
@@ -36,4 +38,29 @@ object SketchStream {
     Sketches.hllRankStream(Sketches.tokenHashes(docs), "source")
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rank")).as("reg"))
+
+  /** Continuous count-min grid (s02's state): per (r, bucket) cell
+    * counts over every token occurrence that ever arrived. Same state
+    * argument as the registers — the aggregation key space is the
+    * 4×1024 grid, so the unwatermarked state is constant-size by
+    * construction, and grids from independent streams merge by
+    * cell-wise SUM (the s02 mergeability contract). Run in
+    * Update/Complete mode; the served heavy-hitter estimates are s02's
+    * bounded probe join over these cells.
+    */
+  def cmsCells(docs: DataFrame): DataFrame = Sketches.cmsCells(docs)
+
+  /** Continuous theta sample (s03's state): the distinct (source, h)
+    * token hashes below the fixed θ threshold. The dedup state is
+    * bounded BY THE FILTER — only the 2⁻⁶ key-range slice is ever
+    * retained — so no watermark is needed and the sample equals the
+    * batch sample over the full history exactly (fixed-θ, not
+    * bottom-k: arrival order cannot change which keys qualify). Run
+    * in Append mode; downstream overlap grids intersect these samples
+    * exactly as s03 does.
+    */
+  def thetaSample(docs: DataFrame): DataFrame =
+    Sketches.tokenHashes(docs)
+      .filter(col("h") < lit(Sketches.thetaThreshold))
+      .dropDuplicates("source", "h")
 }
