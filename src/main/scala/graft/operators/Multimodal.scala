@@ -47,13 +47,22 @@ object Multimodal {
       * slice boundaries. A real image codec overrides with a true
       * block-averaged raster ([[ImageIoCodec.grayTile]]).
       */
-    def grayTile(payload: Array[Byte]): Array[Int] = {
-      val tile = new Array[Int](64)
+    def grayTile(payload: Array[Byte]): Array[Int] = grayRaster(payload, 8)
+
+    /** n×n grayscale raster (row-major, n² ints in [0, 255]) — the
+      * generalized downsample: [[grayTile]] is n = 8 (aHash input),
+      * the DCT pHash reads n = 32. Same purity contract as [[decode]].
+      * Default (byte-oriented stand-in codecs): average byte value
+      * over n² equal payload slices.
+      */
+    def grayRaster(payload: Array[Byte], n: Int): Array[Int] = {
+      val cells = n * n
+      val tile = new Array[Int](cells)
       if (payload.isEmpty) return tile
       var k = 0
-      while (k < 64) {
-        val from = (k.toLong * payload.length / 64).toInt
-        val until = ((k + 1).toLong * payload.length / 64).toInt
+      while (k < cells) {
+        val from = (k.toLong * payload.length / cells).toInt
+        val until = ((k + 1).toLong * payload.length / cells).toInt
         if (until > from) {
           var s = 0L
           var i = from
@@ -127,24 +136,24 @@ object Multimodal {
       (if (n == 0) 0.0 else sum.toDouble / n, hist)
     }
 
-    /** Real 8×8 luma thumbnail: block-average the decoded raster (each
-      * tile averages its ⌈h/8⌉×⌈w/8⌉ pixel block, integer ITU-R 601
-      * luma) — the classic aHash downsample. Integer arithmetic
+    /** Real n×n luma thumbnail: block-average the decoded raster (each
+      * tile averages its ⌈h/n⌉×⌈w/n⌉ pixel block, integer ITU-R 601
+      * luma) — the classic aHash/pHash downsample. Integer arithmetic
       * throughout ⇒ bit-deterministic across JVMs.
       */
-    override def grayTile(payload: Array[Byte]): Array[Int] = {
+    override def grayRaster(payload: Array[Byte], n: Int): Array[Int] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, s"undecodable image payload (${payload.length} bytes)")
       val (w, h) = (img.getWidth, img.getHeight)
-      val tile = new Array[Int](64)
+      val tile = new Array[Int](n * n)
       var ty = 0
-      while (ty < 8) {
+      while (ty < n) {
         var tx = 0
-        while (tx < 8) {
-          val (x0, x1) = (tx * w / 8, math.max((tx + 1) * w / 8, tx * w / 8 + 1))
-          val (y0, y1) = (ty * h / 8, math.max((ty + 1) * h / 8, ty * h / 8 + 1))
+        while (tx < n) {
+          val (x0, x1) = (tx * w / n, math.max((tx + 1) * w / n, tx * w / n + 1))
+          val (y0, y1) = (ty * h / n, math.max((ty + 1) * h / n, ty * h / n + 1))
           var s = 0L
-          var n = 0L
+          var cnt = 0L
           var y = y0
           while (y < math.min(y1, h)) {
             var x = x0
@@ -152,12 +161,12 @@ object Multimodal {
               val rgb = img.getRGB(x, y)
               s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
                 (rgb & 0xff) * 114) / 1000
-              n += 1
+              cnt += 1
               x += 1
             }
             y += 1
           }
-          tile(ty * 8 + tx) = if (n == 0) 0 else (s / n).toInt
+          tile(ty * n + tx) = if (cnt == 0) 0 else (s / cnt).toInt
           tx += 1
         }
         ty += 1
@@ -280,6 +289,93 @@ object Multimodal {
         var k = 0
         while (k < 64) {
           if (tile(k) > mean) h |= (1L << k)
+          k += 1
+        }
+        MediaHash(r.media_id, h)
+      }
+    }
+  }
+
+  /** 8×32 DCT-II basis (rows u < 8, columns x < 32), precomputed ONCE
+    * with StrictMath.cos so every JVM carries bit-identical
+    * coefficients (Math.cos is allowed to differ in the last ulp per
+    * platform; StrictMath is fdlibm by definition). Row u holds
+    * α(u)·cos(π(2x+1)u/64) with the orthonormal α.
+    */
+  private val DctN = 32
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val b = Array.ofDim[Double](8, DctN)
+    var u = 0
+    while (u < 8) {
+      val a = if (u == 0) StrictMath.sqrt(1.0 / DctN) else StrictMath.sqrt(2.0 / DctN)
+      var x = 0
+      while (x < DctN) {
+        b(u)(x) = a * StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * DctN))
+        x += 1
+      }
+      u += 1
+    }
+    b
+  }
+
+  /** DCT perceptual hash (pHash) per media row — the frequency-domain
+    * sibling of [[perceptualHash]]'s aHash, and the catch for the
+    * re-encode class aHash misses: a brightness/contrast/gamma shift
+    * moves every tile AND the tile mean together nonlinearly, flipping
+    * mean-relative bits wholesale, while the image's low-frequency
+    * STRUCTURE (which DCT coefficients dominate, and their order
+    * relative to the coefficient median) survives any monotone
+    * intensity map approximately. Pipeline: 32×32 luma raster through
+    * the same codec seam → 2D DCT-II (two fixed-order matrix products
+    * against [[dctBasis]] — a deterministic IEEE chain) → top-left 8×8
+    * low-frequency block → bit k set iff coef(k) > median of the 63 AC
+    * coefficients (DC excluded: it is pure global brightness; its bit
+    * slot is always 0). Same per-partition codec-init shape as
+    * [[extractFeatures]]; output rides the SAME [[phashNearDup]]
+    * banding as the aHash.
+    */
+  def perceptualDctHash(media: Dataset[MediaRow],
+                        codecFactory: () => MediaCodec = () => FakeCodec): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = codecFactory()
+      rows.map { r =>
+        val px = codec.grayRaster(r.payload, DctN)
+        // tmp(u, y) = Σ_x basis(u, x) · px(y·32 + x)   (8×32)
+        val tmp = Array.ofDim[Double](8, DctN)
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < DctN) {
+            var s = 0.0
+            var x = 0
+            while (x < DctN) { s += dctBasis(u)(x) * px(y * DctN + x); x += 1 }
+            tmp(u)(y) = s
+            y += 1
+          }
+          u += 1
+        }
+        // coef(v·8 + u) = Σ_y basis(v, y) · tmp(u, y)   (8×8 block)
+        val coef = new Array[Double](64)
+        var v = 0
+        while (v < 8) {
+          u = 0
+          while (u < 8) {
+            var s = 0.0
+            var y = 0
+            while (y < DctN) { s += dctBasis(v)(y) * tmp(u)(y); y += 1 }
+            coef(v * 8 + u) = s
+            u += 1
+          }
+          v += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+        java.util.Arrays.sort(ac)
+        val med = ac(31) // lower median of 63 — deterministic ties
+        var h = 0L
+        var k = 1
+        while (k < 64) {
+          if (coef(k) > med) h |= (1L << k)
           k += 1
         }
         MediaHash(r.media_id, h)

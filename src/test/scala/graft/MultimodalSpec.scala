@@ -176,6 +176,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("DCT pHash catches the gamma re-encode aHash misses, through the same banding") {
+    import spark.implicits._
+    // 64×64 natural-photo shape: a large near-black region, a large
+    // near-white region, structured mid-range content between — the
+    // regime where a gamma shift is closest to what a real re-encode
+    // does (the flat extremes stay flat; the midtones move nonlinearly,
+    // dragging aHash's mean-relative bits across the line while the
+    // dominant low-frequency DCT structure keeps its median order)
+    def luma(x: Int, y: Int): Int = {
+      val v =
+        if (x < 16) 10
+        else if (x >= 48) 235
+        else 60 + (x - 16) * 4 +
+          (if (y >= 20 && y < 36 && x >= 20 && x < 36) 30 else 0) +
+          20 * (((x / 8) + (y / 8)) % 2)
+      math.max(0, math.min(255, v))
+    }
+    def pngOf(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = pngOf(luma)
+    // gamma-2.5 re-encode: a MONOTONE intensity map — the classic
+    // brightness/contrast-shifted repost. Every pixel AND the tile mean
+    // move nonlinearly, so aHash's mean-relative bits flip wholesale
+    // (a whole ramp column crosses the shifted mean — 8 bits, spread
+    // one-per-band by the k = row·8+col tile layout), while the scene's
+    // low-frequency structure is preserved.
+    val gamma = pngOf((x, y) =>
+      math.round(255.0 * math.pow(luma(x, y) / 255.0, 2.4)).toInt)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", "image/png", base, 0L),
+      Multimodal.MediaRow(2L, "image", "image/png", gamma, 0L)))
+    val a = Multimodal.perceptualHash(media, () => Multimodal.ImageIoCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    val d = Multimodal.perceptualDctHash(media, () => Multimodal.ImageIoCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    val aHam = java.lang.Long.bitCount(a(1L) ^ a(2L))
+    val dHam = java.lang.Long.bitCount(d(1L) ^ d(2L))
+    assert(aHam > 6, s"aHash was expected to MISS the gamma re-encode (hamming $aHam)")
+    assert(dHam <= 6, s"pHash must CATCH the gamma re-encode (hamming $dHam)")
+    // …and through the same banded near-dup operator:
+    val aPairs = Multimodal.phashNearDup(
+      Multimodal.perceptualHash(media, () => Multimodal.ImageIoCodec)).collect()
+    val dPairs = Multimodal.phashNearDup(
+      Multimodal.perceptualDctHash(media, () => Multimodal.ImageIoCodec)).collect()
+    assert(aPairs.isEmpty, s"aHash banding should not pair the re-encode: ${aPairs.toSeq}")
+    assert(dPairs.map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")))
+      .contains((1L, 2L)), "pHash banding must pair the re-encode")
+    // determinism: equal payloads, equal DCT hashes
+    val d2 = Multimodal.perceptualDctHash(media, () => Multimodal.ImageIoCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    assert(d2 == d)
+  }
+
   test("phash banding: hamming <= 3 is lossless by pigeonhole; all-bands-differ pairs are the documented miss") {
     import spark.implicits._
     val base = 0x0123456789abcdefL
