@@ -776,6 +776,20 @@ object Similarity {
     * arbitrary (vec_id, emb) frame under a string shard key — shared
     * by the batch scheduler's pmod split and the streaming twin's
     * `b<batchId>` keys (the ingestShardCore pattern for vectors).
+    *
+    * Crash-window + retry contract (PipelineSpec crash matrix): the
+    * bootstrap publishes codebook THEN its shard assignment, and the
+    * published assignment is assignTo(shard, published codebook) — the
+    * SELF-CONSISTENT form, NOT the training run's final E-step (whose
+    * reference codebook is one Lloyd step older; q51's offline build
+    * keeps that training semantic at its own oracle-pinned path). The
+    * self-consistent form is what makes every tick idempotent under
+    * the scheduler's retry/backfill semantics: a retried or
+    * crash-healed bootstrap tick finds the codebook published,
+    * re-assigns against it, and republishes BIT-IDENTICAL content —
+    * with the training E-step published instead, any re-run of the
+    * bootstrap tick would silently rewrite the shard (the round-11
+    * crash matrix caught exactly that).
     */
   private[graft] def vecIngestCore(shard: DataFrame, indexDir: String,
                                    shardKey: String): DataFrame = {
@@ -783,14 +797,12 @@ object Similarity {
     val cbPath = s"$indexDir/codebook"
     val outPath = s"$indexDir/assign/shard=$shardKey"
     if (!indexExists(spark, cbPath)) {
-      val (c2, a2) = ivfModel(shard, defaultCells)
-      a2.persist()
-      try {
-        graft.sources.Sinks.stagePublish(c2, cbPath)
-        graft.sources.Sinks.stagePublish(
-          a2.select(col("vec_id"), col("centroid_id"),
-            col("cos_r").as("cos_to_centroid")), outPath)
-      } finally a2.unpersist(false)
+      val (c2, _) = ivfModel(shard, defaultCells)
+      graft.sources.Sinks.stagePublish(c2, cbPath)
+      val book = spark.read.parquet(cbPath)
+      graft.sources.Sinks.stagePublish(
+        assignTo(shard, book).select(col("vec_id"), col("centroid_id"),
+          col("cos_r").as("cos_to_centroid")), outPath)
     } else {
       val book = spark.read.parquet(cbPath)
       graft.sources.Sinks.stagePublish(

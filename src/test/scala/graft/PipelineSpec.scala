@@ -175,6 +175,102 @@ class PipelineSpec extends AnyFunSuite {
     assert(bookAfter == bookBefore, "a retry must not retrain the codebook")
   }
 
+  test("crash matrix: torn mid-commit states on the fact, band-index, and " +
+      "vector tiers heal to the full-rebuild state on the next scheduled run") {
+    import org.apache.spark.sql.functions.col
+    val nShards = 3
+    val schedule = Seq(
+      Pipeline.DailySlice(0L, 19971231L, Some(0), Some(0)),
+      Pipeline.DailySlice(19980101L, 19991231L, Some(1), Some(1)),
+      Pipeline.DailySlice(20000101L, 99999999L, Some(2), Some(2)))
+    def snap(out: String): (Set[Seq[Any]], Set[Long], Set[Seq[Any]], Seq[String]) = (
+      spark.read.parquet(s"$out/fact_sales").drop("month_key")
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$out/dedup_removals_standing")
+        .select(col("removed_doc_id")).collect().map(_.getLong(0)).toSet,
+      graft.operators.Similarity.vecStandingIndex(spark, s"$out/vec_index")
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(s"$out/vec_index/codebook")
+        .collect().map(_.toSeq.toString).sorted.toSeq)
+
+    // clean one-shot reference
+    val ref = Files.createTempDirectory("graft_wh_ref").toString
+    Pipeline.dailyRun(spark, TestSpark.sf, ref, schedule, nShards)
+    val want = snap(ref)
+
+    // the crashed run: the scheduler died after tick 1, and the death
+    // is staged INSIDE each tier's commit protocol — every window of
+    // Sinks.stagePublish (staged-not-swapped; swapped-out-not-renamed)
+    // plus the fact overwrite's committer debris
+    val out = Files.createTempDirectory("graft_wh_crash").toString
+    Pipeline.dailyRun(spark, TestSpark.sf, out, schedule.take(1), nShards)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(hconf)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    def junkDir(p: String): Unit = {
+      fs.mkdirs(path(p))
+      val o = fs.create(path(s"$p/part-junk.parquet"), true)
+      o.write("not parquet".getBytes("UTF-8")); o.close()
+    }
+
+    // FACT tier — crash inside the dynamic partition overwrite: one
+    // month partition lost, committer temp debris left behind
+    val factParts = fs.listStatus(path(s"$out/fact_sales")).toSeq
+      .filter(_.getPath.getName.startsWith("month_key="))
+    assert(factParts.nonEmpty)
+    fs.delete(factParts.head.getPath, true)
+    fs.mkdirs(path(s"$out/fact_sales/_temporary/0"))
+
+    // BAND-INDEX tier — (a) staged-not-swapped on the standing rollup:
+    // a dead publisher's staging dir sits beside the (stale) target;
+    // (b) torn multi-artifact shard publish: bands/sets landed,
+    // removals did not (the crash between ingestShardCore's publishes)
+    junkDir(s"$out/dedup_removals_standing_staging_dead0001")
+    assert(fs.exists(path(s"$out/dedup_index/bands/shard=0")))
+    fs.delete(path(s"$out/dedup_index/removals/shard=0"), true)
+
+    // VECTOR tier — torn publish on the APPEND path: shard-1's
+    // assignment vanished mid-swap (its re-assign against the frozen
+    // codebook is bit-deterministic, so this window heals to identical
+    // content); plus a dead staging dir beside the codebook
+    fs.delete(path(s"$out/vec_index/assign/shard=1"), true)
+    junkDir(s"$out/vec_index/codebook_staging_dead0002")
+
+    // next scheduled run = the full backfill schedule (the DAG's retry
+    // semantics): every tier must converge to the clean-rebuild state
+    Pipeline.dailyRun(spark, TestSpark.sf, out, schedule, nShards)
+    val got = snap(out)
+    assert(got._1 == want._1, "fact tier did not heal")
+    assert(got._2 == want._2, "standing removals did not heal")
+    assert(got._3 == want._3, "vector index did not heal")
+    assert(got._4 == want._4, "codebook must match the clean bootstrap")
+
+    // VECTOR tier, the bootstrap's OWN torn pair: codebook published,
+    // shard-0 assignment not (crash between vecIngestCore's two
+    // stagePublishes). The heal re-assigns shard 0 against the already-
+    // published codebook and republishes BIT-IDENTICAL content — the
+    // bootstrap publishes the self-consistent assignTo(shard, codebook)
+    // form precisely so this window (and any plain retry of the
+    // bootstrap tick) is idempotent; see the vecIngestCore contract.
+    fs.delete(path(s"$out/vec_index/assign/shard=0"), true)
+    Pipeline.dailyRun(spark, TestSpark.sf, out, schedule, nShards,
+      validateFirst = false)
+    val afterTorn = snap(out)
+    assert(afterTorn._3 == want._3, "torn bootstrap pair did not heal")
+    assert(afterTorn._4 == want._4, "torn bootstrap must not retrain the codebook")
+
+    // and the swap window on the ROLLUP itself: target deleted (the
+    // delete-then-rename gap), dead staging beside it — a further run
+    // republishes it from the standing index
+    fs.delete(path(s"$out/dedup_removals_standing"), true)
+    Pipeline.dailyRun(spark, TestSpark.sf, out,
+      Seq(schedule.head), nShards, validateFirst = false)
+    assert(spark.read.parquet(s"$out/dedup_removals_standing")
+      .select(col("removed_doc_id")).collect().map(_.getLong(0)).toSet == want._2,
+      "rollup swap window did not heal")
+    spark.catalog.clearCache()
+  }
+
   test("pre-flight health check catches a missing source before any stage (task_health_check)") {
     val out = Files.createTempDirectory("graft_wh_hc").toString
     // an empty source dir: reachable, but the mode's tables are absent —
