@@ -85,6 +85,7 @@ object Bench {
       "e13_rolling_active_hll",
       "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
+      "d34_boilerplate_spans",
       "t24_bpe_train",
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
       "d32_snapshot_drift",
@@ -117,7 +118,7 @@ object Bench {
       "d07_dedup_pipeline", "d08_contamination", "d11_embedding_neardup",
       "d12_dup_clusters", "d13_ngram_contamination", "d16_containment_dedup",
       "d17_simhash_pairs", "d19_shard_dedup", "d22_semantic_dedup",
-      "d23_semantic_contamination",
+      "d23_semantic_contamination", "d33_hot_shingle_dedup",
       "e04_funnel", "e05_cohort_retention", "e10_click_attribution",
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",

@@ -1832,6 +1832,79 @@ object Dedup {
       force: Option[VerifyRegime] = None): DataFrame =
     containmentDedupOf(wordShinglesOf(docs), force)
 
+  // ─── d33/d34 hot-shingle regime coverage (oracle-side) ───────────────
+  /** The boilerplate header for the derived hot-shingle corpus: a
+    * 20-token sequence repeated 3× (60 tokens), giving exactly 20
+    * distinct ULTRA-HOT shingles (one per cyclic phase) with
+    * occurrence = |docs| each. The tokens were found by an offline
+    * greedy md5 search so EVERY cyclic window shingle hashes ≥ 'c'
+    * (top quartile of the hash order): none of them can reach a doc's
+    * lowest-fifth prefix, so candidate generation sees no hot-shingle
+    * pairs — the counting join's Σocc² census term goes quadratic
+    * (20·|docs|², measured 5.2M vs the array proxy's 2.0M at the
+    * fixture) while the true pair set stays the fixture's own, which
+    * is exactly the regime that forces the per-pair-array verify. (A
+    * weaker bar measured wrong: at ≥ '5' the LOWEST hot shingle sat
+    * near the prefix quantile and leaked ~60k spurious twin-twin
+    * candidates, flipping the census back to counting.)
+    */
+  private[graft] val BoilerHeader: Seq[String] = Seq(
+    "hb59x0", "hb59x1", "hb59x2", "hb59x3", "hb59x6", "hb59x11",
+    "hb59x13", "hb59x15", "hb59x23", "hb59x36", "hb59x37", "hb59x38",
+    "hb59x46", "hb59x50", "hb59x57", "hb59x67", "hb59x73", "hb59x76",
+    "hb59x77", "hb59x82")
+  private val BoilerReps = 3
+  private[graft] val BoilerIdOffset = 1000000L
+
+  /** The boilerplate-wrapped twin corpus, derived IN-QUERY from the
+    * documents table (the oracle fixture is driver-owned, so the
+    * hot-shingle regime is synthesized deterministically where both
+    * engines can replay it): every doc appears once as itself and once
+    * with the shared 60-token header ([[BoilerHeader]] × [[BoilerReps]])
+    * prepended under doc_id + [[BoilerIdOffset]]. Every original is a
+    * true containment pair of its wrapped twin (its shingle set is a
+    * subset), and the header contributes 20 ultra-hot shingles with
+    * occ = |docs| each — the regime d16's normal fixture never crosses.
+    */
+  private[graft] def boilerplateWrapped(docs: DataFrame): DataFrame = {
+    val hdr = Seq.fill(BoilerReps)(BoilerHeader).flatten.mkString(" ") + " "
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    base.unionByName(base.select(
+      (col("doc_id") + lit(BoilerIdOffset)).as("doc_id"), col("source"),
+      concat(lit(hdr), col("text")).as("text")))
+  }
+  /** The same derivation as DuckDB SQL (a subquery usable as a docs
+    * source in the shared CTE builders).
+    */
+  private def boilerplateWrappedSql: String = {
+    val hdr = Seq.fill(BoilerReps)(BoilerHeader).flatten.mkString(" ") + " "
+    s"""(SELECT doc_id, source, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $BoilerIdOffset, source, '$hdr' || text
+       | FROM documents)""".stripMargin
+  }
+
+  /** d33: containment dedup over the boilerplate-wrapped corpus — the
+    * ORACLE-CHECKED hot-shingle row (round-10 verdict item 8: the
+    * sf0.01 fixture's sparse shingle DF exercises only the counting
+    * verify; this derived corpus forces the census to the per-pair-
+    * array branch, so BOTH d16 regimes are driver-oracle-covered).
+    * Semantics are exactly d16's on the derived corpus; every original
+    * doc must surface as contained in its wrapped twin.
+    */
+  def hotShingleDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentDedupOfDocs(boilerplateWrapped(Tables.documents(spark, dir)))
+
+  /** d34: substring (span) dedup over the boilerplate-wrapped corpus —
+    * d28's hot-gram regime, oracle-checked: the periodic header
+    * contributes 20 distinct 8-gram hashes at corpus-wide occurrence
+    * ~2.7·|docs| each (the hot census keys + fat dupg broadcast rows),
+    * and every wrapped doc carries a guaranteed 60-token
+    * header-spanning duplicated island.
+    */
+  def boilerplateSpans(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOf(boilerplateWrapped(Tables.documents(spark, dir)))
+
   private[graft] def containmentDedupOf(sh0: DataFrame,
       force: Option[VerifyRegime]): DataFrame = {
     val t = 0.8
@@ -2305,7 +2378,9 @@ object Dedup {
     "d18_bloom_contamination" -> bloomContamination,
     "d14_curation_funnel" -> curationFunnel,
     "d15_quality_dedup" -> qualityDedup,
-    "d16_containment_dedup" -> containmentDedup)
+    "d16_containment_dedup" -> containmentDedup,
+    "d33_hot_shingle_dedup" -> hotShingleDedup,
+    "d34_boilerplate_spans" -> boilerplateSpans)
 
   /** Oracle twin of [[condPow]] — the same fixed-length left-associated
     * conditional product, so the data-dependent exponent stays
@@ -2435,12 +2510,13 @@ object Dedup {
     * position. Width is spliced from [[SpanGramW]] so the two engines
     * can never disagree on the gram geometry.
     */
-  private def gramCteSql: String = {
+  private def gramCteSql: String = gramCteSqlFrom("documents")
+  private def gramCteSqlFrom(docsSrc: String): String = {
     val cat = (0 until SpanGramW)
       .map(k => if (k == 0) "t[CAST(i AS INT)]" else s"t[CAST(i AS INT) + $k]")
       .mkString(" || ' ' || ")
     s"""WITH tok AS (SELECT doc_id, source IN ('src0', 'src1') AS is_bench,
-       |               regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |               regexp_extract_all(text, '\\S+') AS t FROM $docsSrc),
        |pos AS (SELECT doc_id, is_bench, t, CAST(unnest(range(1, len(t) - ${SpanGramW - 2})) AS BIGINT) AS i
        |        FROM tok WHERE len(t) >= $SpanGramW),
        |g AS (SELECT doc_id, is_bench, i AS pos,
@@ -2460,21 +2536,71 @@ object Dedup {
        |        FROM m),
        |spans AS (SELECT doc_id, island, min(s) AS ss, max(e) AS se FROM isl GROUP BY 1, 2)""".stripMargin
 
+  /** d16/d33 oracle twin, parameterized over the docs source so the
+    * SAME chain is driver-checked on both shingle-DF regimes (the raw
+    * fixture's sparse counting regime and the wrapped corpus's
+    * hot-shingle array regime).
+    */
+  private def containmentOracleSql(docsSrc: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM $docsSrc),
+      |pos AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+      |  FROM pos),
+      |ranked AS (
+      |  SELECT doc_id, shingle,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle), shingle) AS BIGINT) AS rk,
+      |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      |  FROM sh),
+      |pref AS (SELECT * FROM ranked WHERE rk <= n // 5 + 1),
+      |cand AS (
+      |  SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM pref p JOIN ranked r USING (shingle)
+      |  WHERE p.doc_id <> r.doc_id
+      |    AND (p.n < r.n OR (p.n = r.n AND p.doc_id < r.doc_id))
+      |    AND 1 + least(p.n - p.rk, r.n - r.rk) >= (4 * p.n + 4) // 5),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON c.doc_a = a.doc_id
+      |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |SELECT c.doc_a AS contained_doc, c.doc_b AS container_doc,
+      |       sa.n AS n_sh_contained, sb.n AS n_sh_container,
+      |       i.inter,
+      |       CAST(i.inter AS DOUBLE) / sa.n AS containment,
+      |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard,
+      |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) < 0.5 AS subset_only
+      |FROM cand c
+      |JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      |JOIN sizes sa ON c.doc_a = sa.doc_id
+      |JOIN sizes sb ON c.doc_b = sb.doc_id
+      |WHERE CAST(i.inter AS DOUBLE) / sa.n >= 0.8""".stripMargin
+
+  /** d28/d34 oracle twin, parameterized the same way (d34 runs the
+    * identical span census over the wrapped hot-gram corpus).
+    */
+  private def spanCensusOracleSql(docsSrc: String): String =
+    (gramCteSqlFrom(docsSrc) + ",\n" +
+      """dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |dup AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)),
+        |""".stripMargin + spansCteSql("dup") + ",\n" +
+      """per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |              CAST(sum(se - ss + 1) AS BIGINT) AS dup_tokens
+        |            FROM spans GROUP BY 1)
+        |SELECT p.doc_id, CAST(len(tok.t) AS BIGINT) AS total_tokens,
+        |       n_dup_spans, dup_tokens,
+        |       CAST(dup_tokens AS DOUBLE) / CAST(len(tok.t) AS DOUBLE) AS dup_frac
+        |FROM per_doc p JOIN tok USING (doc_id)""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     "d31_snapshot_diff" -> snapshotDiffSql,
     "d32_snapshot_drift" -> snapshotDriftSql,
-    "d28_substring_dedup" ->
-      (gramCteSql + ",\n" +
-        """dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
-          |dup AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gh)),
-          |""".stripMargin + spansCteSql("dup") + ",\n" +
-        """per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-          |              CAST(sum(se - ss + 1) AS BIGINT) AS dup_tokens
-          |            FROM spans GROUP BY 1)
-          |SELECT p.doc_id, CAST(len(tok.t) AS BIGINT) AS total_tokens,
-          |       n_dup_spans, dup_tokens,
-          |       CAST(dup_tokens AS DOUBLE) / CAST(len(tok.t) AS DOUBLE) AS dup_frac
-          |FROM per_doc p JOIN tok USING (doc_id)""".stripMargin),
+    "d28_substring_dedup" -> spanCensusOracleSql("documents"),
     "d29_substring_scrub" ->
       (gramCteSql + ",\n" +
         """firsts AS (
@@ -2669,45 +2795,9 @@ object Dedup {
         |             CAST(sum(CASE WHEN hit_d THEN 1 ELSE 0 END) AS BIGINT) AS caught_default,
         |             CAST(sum(CASE WHEN hit_c THEN 1 ELSE 0 END) AS BIGINT) AS caught_chosen
         |      FROM calc GROUP BY 1) x CROSS JOIN ch""".stripMargin),
-    "d16_containment_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-        |pos AS (
-        |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
-        |  FROM pos),
-        |ranked AS (
-        |  SELECT doc_id, shingle,
-        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle), shingle) AS BIGINT) AS rk,
-        |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
-        |  FROM sh),
-        |pref AS (SELECT * FROM ranked WHERE rk <= n // 5 + 1),
-        |cand AS (
-        |  SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b
-        |  FROM pref p JOIN ranked r USING (shingle)
-        |  WHERE p.doc_id <> r.doc_id
-        |    AND (p.n < r.n OR (p.n = r.n AND p.doc_id < r.doc_id))
-        |    AND 1 + least(p.n - p.rk, r.n - r.rk) >= (4 * p.n + 4) // 5),
-        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
-        |  FROM cand c
-        |  JOIN sh a ON c.doc_a = a.doc_id
-        |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
-        |  GROUP BY 1, 2)
-        |SELECT c.doc_a AS contained_doc, c.doc_b AS container_doc,
-        |       sa.n AS n_sh_contained, sb.n AS n_sh_container,
-        |       i.inter,
-        |       CAST(i.inter AS DOUBLE) / sa.n AS containment,
-        |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard,
-        |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) < 0.5 AS subset_only
-        |FROM cand c
-        |JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-        |JOIN sizes sa ON c.doc_a = sa.doc_id
-        |JOIN sizes sb ON c.doc_b = sb.doc_id
-        |WHERE CAST(i.inter AS DOUBLE) / sa.n >= 0.8""".stripMargin,
+    "d16_containment_dedup" -> containmentOracleSql("documents"),
+    "d33_hot_shingle_dedup" -> containmentOracleSql(boilerplateWrappedSql),
+    "d34_boilerplate_spans" -> spanCensusOracleSql(boilerplateWrappedSql),
     "d15_quality_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

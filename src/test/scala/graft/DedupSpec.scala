@@ -281,6 +281,44 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("d33/d34: the wrapped hot-shingle corpus forces the array verify in the " +
+      "ORACLE row; every original is contained in its twin; spans cover the header") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val d33 = Dedup.hotShingleDedup(spark, TestSpark.sf).collect()
+    // the derived corpus is the regime the census gate exists for: the
+    // driver's oracle now exercises the per-pair-array branch (d16 keeps
+    // the counting branch on the raw fixture)
+    assert(Dedup.lastContainmentRegime.get() == Dedup.PairArrays,
+      "d33's census must choose the per-pair-array verify")
+    val pairs = d33.map(r => (r.getAs[Long]("contained_doc"),
+      r.getAs[Long]("container_doc"))).toSet
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    // every ≥3-token original ⊂ its wrapped twin at containment 1.0
+    val longIds = docs.filter(size(split(col("text"), "\\s+")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(longIds.nonEmpty)
+    longIds.foreach(id => assert(pairs.contains((id, id + 1000000L)), s"doc $id"))
+    d33.filter(r => r.getAs[Long]("container_doc") ==
+        r.getAs[Long]("contained_doc") + 1000000L)
+      .foreach(r => assert(r.getAs[Double]("containment") == 1.0))
+
+    // d34: every wrapped doc carries a duplicated span covering at least
+    // the 60-token header (the hot 8-gram island), and no doc reports
+    // more duplicated tokens than it has
+    val d34 = Dedup.boilerplateSpans(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    ids.foreach { id =>
+      val w = d34.get(id + 1000000L)
+      assert(w.isDefined, s"wrapped doc $id missing from the span census")
+      assert(w.get.getAs[Long]("dup_tokens") >= 60L,
+        s"wrapped doc $id must carry the header island")
+    }
+    d34.values.foreach(r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("total_tokens")))
+    spark.catalog.clearCache()
+  }
+
   test("d13 covers every long-enough corpus doc; collisions bounded by gram counts") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val expectedRows = docs
