@@ -75,7 +75,14 @@ object ScaleBench {
     // re-running it with partitions ∝ data separates spill (the pin's
     // per-partition bytes growing past task memory — time drops back
     // to the envelope) from genuine work growth (time stays high).
-    val shuffle = sys.env.getOrElse("GRAFT_SCALE_SHUFFLE", "32").toInt
+    // GRAFT_SCALE_SHUFFLE=prop is the PRODUCTION CONFIGURATION record
+    // (round-11): per-point partitions = max(32, 32·sf/0.1) — constant
+    // per-task input bytes relative to the official sf0.1 bench config,
+    // which is what a real cluster's partition sizing does. Set before
+    // each point's measurements (runtime conf, same session).
+    val shuffleEnv = sys.env.getOrElse("GRAFT_SCALE_SHUFFLE", "32")
+    val propMode = shuffleEnv == "prop"
+    val shuffle = if (propMode) 32 else shuffleEnv.toInt
     val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -92,6 +99,12 @@ object ScaleBench {
     // per (dir, query): solo reps, rep1 = cold (artifact builds land
     // here), warm = min of later reps — the DevBench discipline
     def measure(dir: String): Map[String, (Double, Double)] = {
+      if (propMode) {
+        val sf = points.find(_._1 == dir).map(_._2).getOrElse(0.1)
+        val n = math.max(32, math.round(32.0 * sf / 0.1).toInt)
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        println(s"SCALECONF $dir shuffle.partitions=$n")
+      }
       warmUp(spark, dir)
       names.map { name =>
         val times = (1 to reps).map { _ =>
