@@ -1949,7 +1949,16 @@ object Dedup {
     val nPairs = candP.count()
     val candDocs = candP.select(col("doc_a").as("doc_id"))
       .union(candP.select(col("doc_b").as("doc_id"))).distinct()
+    // The candidate shingle slice feeds the census AND the verify (the
+    // census agg, per-doc sizes, and both sides of the counting
+    // self-join / the array collect) — persisted, or the census action
+    // re-runs the full shingle explode + semi join that the final plan
+    // then runs again (measured 2× the whole query at sf0.1 AND sf10
+    // when the gate first landed unpersisted). Slice-sized, not
+    // corpus-sized: only candidate docs' shingles. Released by the
+    // caller's per-query clearCache, like candP.
     val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .persist()
     // ── the verify-regime census gate ──
     // Bounded census of the candidate slice (two 1-row actions over
     // frames the verify needs anyway): per-shingle occurrence counts
