@@ -25,7 +25,11 @@ import sys
 
 def sf_of(d):
     m = re.search(r"sf([0-9.]+)$", d.rstrip("/"))
-    return float(m.group(1))
+    s = m.group(1)
+    # zero-prefixed integer dirs are decimal: sf03 = 0.3 (vs sf3 = 3.0)
+    if "." not in s and s.startswith("0") and len(s) > 1:
+        return float("0." + s.lstrip("0").rjust(len(s) - 1, "0"))
+    return float(s)
 
 
 def main():
