@@ -79,6 +79,9 @@ object Bench {
       "q33_corpus_stats", "t01_lang_id", "t02_quality_score",
       "t03_token_count", "t04_fingerprint", "t14_pii_scrub", "t15_hash_split",
       "t21_chunk_documents",
+      // t26/t27: the regex feature scan dominates; the model math is a
+      // 9-cell agg + a broadcast 1-row solve
+      "t26_quality_regression", "t27_quality_model_apply",
       // the sketch family: md5-scan-dominated, fixed-size aggregation
       // state (the shuffles are ≤ sources×256 / 4096-cell constants)
       "s01_hll_distinct", "s02_cms_heavy_hitters", "s05_hll_union",

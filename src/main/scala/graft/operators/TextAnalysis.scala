@@ -1400,6 +1400,143 @@ object TextAnalysis {
        |       CAST(sum(len(word)) AS DOUBLE) / sum(n_sym) AS chars_per_token
        |FROM dw JOIN vocab USING (word) GROUP BY 1""".stripMargin
 
+  // ─── t26/t27 learned quality model (closed-form linear probe) ────────
+  /** Integer-exact regression features shared by t26 (train) and t27
+    * (apply). The model is a LINEAR-PROBABILITY PROBE: regress a binary
+    * weak keep-label on two interpretable doc features and read the
+    * coefficients as the learned quality direction — the
+    * train-a-cheap-classifier-on-weak-labels stage every large corpus
+    * pipeline runs (fastText/logreg in the public pipelines), reduced
+    * to its closed-form core so it is ONE aggregation pass at any
+    * corpus size and the oracle can replay it exactly.
+    *
+    * Determinism: every feature and the label are INTEGERS (the token
+    * cap, an integer-div punctuation permille, all-integer gate
+    * comparisons), so the sufficient statistics are exact BIGINT sums —
+    * order-independent under any partitioning. The 3×3 normal-equation
+    * solve then runs in doubles with ONE hand-written Cramer expansion
+    * whose parenthesization is identical in the Spark and DuckDB
+    * expressions — the engine-replay discipline (both engines execute
+    * the same IEEE op chain on the same exact inputs, so coefficients
+    * match bit-for-bit; the d33 header search and the HITS
+    * renormalization use the same rule).
+    *
+    * Scale: train is a map + one hash aggregation (9 bigint sums per
+    * source — partial-aggregated map-side, bytes per source constant);
+    * apply is a broadcast of the 1-row global model + a codegen'd
+    * projection. No windows, no joins on doc keys, no driver math that
+    * the plan depends on. Products are ≤ 10⁶ per row (both features
+    * capped at 10³), so the sums hold to ~10¹² docs in a BIGINT.
+    */
+  private def probeFeatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        wsTokenCount(col("text")).as("n_tokens"),
+        patternCount(col("text"), "[^A-Za-z0-9\\s]").as("punct_count"),
+        patternCount(lower(col("text")), langMarkers.head._2).as("stopword_count"))
+      .filter(col("n_chars") > 0 && col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"),
+        // x2 is STOPWORD permille, not punctuation: synthetic and
+        // heavily-templated corpora (incl. the driver fixture) carry
+        // zero punctuation, which would make the column constant and
+        // X'X singular; stopword mass varies in any tokenized text.
+        // Both features are hard-capped at 1000 so every pairwise
+        // product is ≤ 10⁶ and the bigint sums hold to ~10¹² docs.
+        least(col("n_tokens"), lit(1000L)).as("x1"),
+        least(expr("(1000 * stopword_count) div n_tokens"), lit(1000L)).as("x2"),
+        // the weak keep-gate: long enough, not punctuation-soup, carries
+        // stopword mass — all-integer comparisons (ratio bars cleared by
+        // cross-multiplication, never a float division)
+        when(col("n_tokens") >= 50L &&
+          lit(1000L) * col("punct_count") <= lit(200L) * col("n_chars") &&
+          lit(20L) * col("stopword_count") >= col("n_tokens"), 1L)
+          .otherwise(0L).as("y"))
+
+  /** The nine sufficient statistics (exact bigint sums). */
+  private def probeStats(feat: DataFrame, keys: Seq[String]): DataFrame = {
+    val g = if (keys.isEmpty) feat.groupBy() else feat.groupBy(keys.map(col): _*)
+    g.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"),
+      sum(col("x2")).as("s2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+  }
+
+  /** Cramer solve + fit stats appended to a stats frame. The double
+    * expression trees below are mirrored token-for-token in the oracle
+    * SQL — edit BOTH or the replay breaks.
+    */
+  private def probeSolve(stats: DataFrame): DataFrame = {
+    def d(c: String): Column = col(c).cast("double")
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+      d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val safe = when(det === 0.0, lit(null)).otherwise(det)
+    val b0 = det0 / safe
+    val b1 = det1 / safe
+    val b2 = det2 / safe
+    // y is 0/1 so y'y = Σy; R² = 1 − SSE/SST with SSE = y'y − b'X'y
+    val sse = d("sy") - (b0 * d("sy") + b1 * d("s1y") + b2 * d("s2y"))
+    val sst = d("sy") - d("sy") * d("sy") / d("n")
+    stats.select(
+      stats.columns.map(col) :+
+        b0.as("b0") :+ b1.as("b1") :+ b2.as("b2") :+
+        (lit(1.0) - sse / when(sst === 0.0, lit(null)).otherwise(sst)).as("r2"): _*)
+  }
+
+  /** t26: per-source closed-form quality probe — coefficients of the
+    * linear-probability model per source (heterogeneous sources learn
+    * visibly different punctuation/length weights), plus the global fit
+    * under source = '__all__'.
+    */
+  def qualityRegression(spark: SparkSession, dir: String): DataFrame = {
+    val feat = probeFeatures(Tables.documents(spark, dir))
+    val per = probeSolve(probeStats(feat, Seq("source")))
+    val all = probeSolve(probeStats(feat, Seq.empty))
+      .select(lit("__all__").as("source") +: per.columns.tail.map(col): _*)
+    per.unionByName(all)
+  }
+
+  /** t27: score every doc with the GLOBAL t26 model (broadcast 1-row
+    * coefficient frame, codegen'd projection) and report the per-source
+    * confusion matrix of the linear probe against its own weak label —
+    * the calibration census a pipeline reads before trusting the probe
+    * as a sampler.
+    */
+  def qualityModelApply(spark: SparkSession, dir: String): DataFrame = {
+    val feat = probeFeatures(Tables.documents(spark, dir))
+    val model = probeSolve(probeStats(feat, Seq.empty))
+      .select(col("b0"), col("b1"), col("b2"))
+    val yhat = col("b0") + col("b1") * col("x1").cast("double") +
+      col("b2") * col("x2").cast("double")
+    feat.crossJoin(broadcast(model))
+      .select(col("source"), col("y"), (yhat >= 0.5).as("pred"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"))
+      .withColumn("accuracy",
+        (col("tp") + col("tn")).cast("double") / col("n_docs").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t23_shuffle_shard" -> shuffleShard,
     "t24_bpe_train" -> bpeTrain,
@@ -1426,6 +1563,8 @@ object TextAnalysis {
     "t12_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "t09_tfidf_keywords" -> tfidfKeywords,
     "t10_vocab_coverage" -> vocabCoverage,
+    "t26_quality_regression" -> qualityRegression,
+    "t27_quality_model_apply" -> qualityModelApply,
     "q33_corpus_stats" -> corpusStats)
 
   private val docQuality =
@@ -1497,7 +1636,110 @@ object TextAnalysis {
       |           // (2 * CAST(r_b + 1 AS HUGEINT) * (tt + 1024)) AS r6
       |  FROM census CROSS JOIN tot)""".stripMargin
 
+  // ─── t26/t27 oracle machinery ─────────────────────────────────────────
+  /** Shared t26/t27 oracle CTEs through the per-doc integer features. */
+  private val probeFeatureCtes =
+    """q AS (
+      |  SELECT doc_id, source,
+      |         CAST(length(text) AS BIGINT) AS n_chars,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct_count,
+      |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS BIGINT) AS stopword_count
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source,
+      |         least(n_tokens, 1000) AS x1,
+      |         least((1000 * stopword_count) // n_tokens, 1000) AS x2,
+      |         CASE WHEN n_tokens >= 50 AND 1000 * punct_count <= 200 * n_chars
+      |                   AND 20 * stopword_count >= n_tokens
+      |              THEN 1 ELSE 0 END AS y
+      |  FROM q WHERE n_chars > 0 AND n_tokens > 0)""".stripMargin
+
+  /** The nine sufficient statistics as a SELECT tail (no GROUP BY). */
+  private val probeSumsSql =
+    """CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+      |       CAST(sum(y) AS BIGINT) AS sy,
+      |       CAST(sum(x1 * x1) AS BIGINT) AS s11,
+      |       CAST(sum(x1 * x2) AS BIGINT) AS s12,
+      |       CAST(sum(x2 * x2) AS BIGINT) AS s22,
+      |       CAST(sum(x1 * y) AS BIGINT) AS s1y,
+      |       CAST(sum(x2 * y) AS BIGINT) AS s2y""".stripMargin
+
+  /** The Cramer expansions, generated so the SQL trees mirror
+    * [[probeSolve]]'s Column trees token-for-token (the engine-replay
+    * rule: same exact integer inputs + same IEEE op order = identical
+    * double coefficients).
+    */
+  private def probeCramer: (String, String, String, String) = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val det = s"${d("n")} * (${d("s11")} * ${d("s22")} - ${d("s12")} * ${d("s12")})" +
+      s" - ${d("s1")} * (${d("s1")} * ${d("s22")} - ${d("s12")} * ${d("s2")})" +
+      s" + ${d("s2")} * (${d("s1")} * ${d("s12")} - ${d("s11")} * ${d("s2")})"
+    val det0 = s"${d("sy")} * (${d("s11")} * ${d("s22")} - ${d("s12")} * ${d("s12")})" +
+      s" - ${d("s1")} * (${d("s1y")} * ${d("s22")} - ${d("s12")} * ${d("s2y")})" +
+      s" + ${d("s2")} * (${d("s1y")} * ${d("s12")} - ${d("s11")} * ${d("s2y")})"
+    val det1 = s"${d("n")} * (${d("s1y")} * ${d("s22")} - ${d("s12")} * ${d("s2y")})" +
+      s" - ${d("sy")} * (${d("s1")} * ${d("s22")} - ${d("s12")} * ${d("s2")})" +
+      s" + ${d("s2")} * (${d("s1")} * ${d("s2y")} - ${d("s1y")} * ${d("s2")})"
+    val det2 = s"${d("n")} * (${d("s11")} * ${d("s2y")} - ${d("s1y")} * ${d("s12")})" +
+      s" - ${d("s1")} * (${d("s1")} * ${d("s2y")} - ${d("s1y")} * ${d("s2")})" +
+      s" + ${d("sy")} * (${d("s1")} * ${d("s12")} - ${d("s11")} * ${d("s2")})"
+    (det, det0, det1, det2)
+  }
+
+  /** b0/b1/b2/r2 as a SELECT fragment over a stats relation. */
+  private def probeSolveSql: String = {
+    val (det, det0, det1, det2) = probeCramer
+    val safe = s"(CASE WHEN ($det) = 0.0 THEN NULL ELSE ($det) END)"
+    val b0 = s"(($det0) / $safe)"
+    val b1 = s"(($det1) / $safe)"
+    val b2 = s"(($det2) / $safe)"
+    val sse = s"(CAST(sy AS DOUBLE) - ($b0 * CAST(sy AS DOUBLE) + $b1 * CAST(s1y AS DOUBLE) + $b2 * CAST(s2y AS DOUBLE)))"
+    val sst = s"(CAST(sy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""$b0 AS b0, $b1 AS b1, $b2 AS b2,
+       |       1.0 - $sse / (CASE WHEN $sst = 0.0 THEN NULL ELSE $sst END) AS r2""".stripMargin
+  }
+
+  private def qualityRegressionSql: String =
+    s"""WITH $probeFeatureCtes,
+       |s AS (
+       |  SELECT source, $probeSumsSql
+       |  FROM f GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__all__' AS source, $probeSumsSql
+       |  FROM f)
+       |SELECT source, n, s1, s2, sy, s11, s12, s22, s1y, s2y,
+       |       $probeSolveSql
+       |FROM s""".stripMargin
+
+  private def qualityModelApplySql: String =
+    s"""WITH $probeFeatureCtes,
+       |g AS (
+       |  SELECT $probeSumsSql
+       |  FROM f),
+       |m AS (
+       |  SELECT $probeSolveSql
+       |  FROM g),
+       |p AS (
+       |  SELECT source, y,
+       |         (b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)) >= 0.5 AS pred
+       |  FROM f, m),
+       |c AS (
+       |  SELECT source,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM p GROUP BY 1)
+       |SELECT source, n_docs, tp, fp, fn, tn,
+       |       CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+       |FROM c""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t26_quality_regression" -> qualityRegressionSql,
+    "t27_quality_model_apply" -> qualityModelApplySql,
     "t23_shuffle_shard" -> shuffleShardSql,
     "t24_bpe_train" -> bpeTrainSql,
     "t25_bpe_apply" -> bpeApplySql,

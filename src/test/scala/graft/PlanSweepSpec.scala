@@ -108,7 +108,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "t11_mixture_resample" -> "1-row median-source-size frame",
     "t16_dsir_weights" -> "1-row census-totals frame",
     "t20_alpha_mixture" -> "1-row min-source-tokens frame",
-    "t17_dsir_select" -> "1-row token-budget frame")
+    "t17_dsir_select" -> "1-row token-budget frame",
+    "t27_quality_model_apply" -> ("1-row global-coefficient frame " +
+      "crossJoined into the scoring projection (the q39 rule)"))
 
   test("no query plans an unpartitioned window or all-pairs join without a written justification") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -899,4 +899,107 @@ class TextEventsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("boilerplate_frac") - 3.0 / 6.0) < 1e-12)
     }
   }
+
+  test("t26 quality regression: driver-side replay (features, sums, Cramer) matches") {
+    // independent replay: java regex on the collected corpus -> integer
+    // features -> exact sums -> the same Cramer chain in scalar doubles
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+    val stop = java.util.regex.Pattern.compile("\\b(the|and|of|to|in)\\b")
+    val punct = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+    val tok = java.util.regex.Pattern.compile("\\S+")
+    def countOf(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    case class F(x1: Long, x2: Long, y: Long)
+    val feats: Seq[(String, F)] = docs.toSeq.flatMap { r =>
+      val text = r.getAs[String]("text")
+      val nChars = text.length.toLong
+      val nTok = countOf(tok, text)
+      if (nChars == 0 || nTok == 0) None
+      else {
+        val pc = countOf(punct, text)
+        val sw = countOf(stop, text.toLowerCase)
+        val y = if (nTok >= 50 && 1000 * pc <= 200 * nChars && 20 * sw >= nTok) 1L else 0L
+        Some(r.getAs[String]("source") ->
+          F(math.min(nTok, 1000L), math.min(1000 * sw / nTok, 1000L), y))
+      }
+    }
+    def solve(fs: Seq[F]): (Long, Long, Long, Long, Double, Double, Double) = {
+      val n = fs.size.toLong
+      val (s1, s2, sy) = (fs.map(_.x1).sum, fs.map(_.x2).sum, fs.map(_.y).sum)
+      val s11 = fs.map(f => f.x1 * f.x1).sum
+      val s12 = fs.map(f => f.x1 * f.x2).sum
+      val s22 = fs.map(f => f.x2 * f.x2).sum
+      val s1y = fs.map(f => f.x1 * f.y).sum
+      val s2y = fs.map(f => f.x2 * f.y).sum
+      def d(x: Long) = x.toDouble
+      val det: Double = d(n) * (d(s11) * d(s22) - d(s12) * d(s12)) -
+        d(s1) * (d(s1) * d(s22) - d(s12) * d(s2)) +
+        d(s2) * (d(s1) * d(s12) - d(s11) * d(s2))
+      if (det == 0.0) return (n, s1, sy, s12, Double.NaN, Double.NaN, Double.NaN)
+      val det0 = d(sy) * (d(s11) * d(s22) - d(s12) * d(s12)) -
+        d(s1) * (d(s1y) * d(s22) - d(s12) * d(s2y)) +
+        d(s2) * (d(s1y) * d(s12) - d(s11) * d(s2y))
+      val det1 = d(n) * (d(s1y) * d(s22) - d(s12) * d(s2y)) -
+        d(sy) * (d(s1) * d(s22) - d(s12) * d(s2)) +
+        d(s2) * (d(s1) * d(s2y) - d(s1y) * d(s2))
+      val det2 = d(n) * (d(s11) * d(s2y) - d(s1y) * d(s12)) -
+        d(s1) * (d(s1) * d(s2y) - d(s1y) * d(s2)) +
+        d(sy) * (d(s1) * d(s12) - d(s11) * d(s2))
+      (n, s1, sy, s12, det0 / det, det1 / det, det2 / det)
+    }
+    val got = TextAnalysis.qualityRegression(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bySource = feats.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == bySource.keySet + "__all__")
+    (bySource + ("__all__" -> feats.map(_._2))).foreach { case (src, fs) =>
+      val (n, s1, sy, s12, b0, b1, b2) = solve(fs)
+      val r = got(src)
+      assert(r.getAs[Long]("n") == n, src)
+      assert(r.getAs[Long]("s1") == s1, src)
+      assert(r.getAs[Long]("sy") == sy, src)
+      assert(r.getAs[Long]("s12") == s12, src)
+      if (b0.isNaN) {
+        // singular per-source fit (constant feature in a tiny source):
+        // both sides must agree it is unsolvable
+        assert(r.isNullAt(r.fieldIndex("b0")), src)
+      } else {
+        // same IEEE chain on the same exact inputs -> tight agreement
+        assert(math.abs(r.getAs[Double]("b0") - b0) <= 1e-12 * math.max(1.0, math.abs(b0)), src)
+        assert(math.abs(r.getAs[Double]("b1") - b1) <= 1e-12 * math.max(1.0, math.abs(b1)), src)
+        assert(math.abs(r.getAs[Double]("b2") - b2) <= 1e-12 * math.max(1.0, math.abs(b2)), src)
+      }
+    }
+    // the GLOBAL fit must carry signal on the fixture: not degenerate
+    val g = got("__all__")
+    assert(!g.isNullAt(g.fieldIndex("r2")))
+    val r2 = g.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0, s"__all__ r2=$r2")
+  }
+
+  test("t27 model apply: confusion ties out against t26 stats") {
+    val t26 = TextAnalysis.qualityRegression(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val rows = TextAnalysis.qualityModelApply(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      val n = r.getAs[Long]("n_docs")
+      assert(tp + fp + fn + tn == n, src)
+      // actual positives per source = t26's per-source Σy
+      assert(tp + fn == t26(src).getAs[Long]("sy"), src)
+      assert(n == t26(src).getAs[Long]("n"), src)
+      assert(math.abs(r.getAs[Double]("accuracy") - (tp + tn).toDouble / n) < 1e-15, src)
+    }
+    // sanity: the probe is at least coin-flip on its own training corpus
+    // (least-squares optimizes MSE, not accuracy, so majority-beating is
+    // not guaranteed in general — but sub-0.5 would mean a sign bug)
+    val (hits, tot) = rows.foldLeft((0L, 0L)) { case ((h, t), r) =>
+      (h + r.getAs[Long]("tp") + r.getAs[Long]("tn"), t + r.getAs[Long]("n_docs"))
+    }
+    assert(hits.toDouble / tot > 0.5, s"probe accuracy ${hits.toDouble / tot}")
+  }
 }
