@@ -1908,15 +1908,33 @@ object Dedup {
   private[graft] def containmentDedupOf(sh0: DataFrame,
       force: Option[VerifyRegime]): DataFrame = {
     val t = 0.8
-    val sh = sh0
+    // 60-bit md5-prefix shingle KEYS (the d28 wordGrams discipline): the
+    // shingle frame is this family's dominant shuffle — the candidate
+    // equi-join, the counting self-join, and the array collects all key
+    // on it — and an 8-byte BIGINT beats a ~34-byte shingle string (or
+    // the old 32-char md5 hex sort column) 4-5× on every one of those
+    // exchanges. Measured on the round-11 wrapped-corpus probe: the
+    // array-regime verify's pair⋈sets sort-merge shipped ~40 B/element
+    // set arrays and went memory-bound at sf1 (149 s warm, local 8 GB
+    // heap); long-keyed arrays put it back under the envelope. Both
+    // engines derive the identical prefix, so the rare truncation
+    // collision (~2·10⁻¹⁸ per in-doc pair) is deterministic and
+    // IDENTICAL — the oracle replays it, exactly like d28's gram keys.
+    // (A within-doc collision would also make the counting and array
+    // regimes differ by one multiset count — the same 2⁻⁶⁰ event class;
+    // documented, not guarded.) Numeric order on the 60-bit prefix =
+    // lexicographic order on the full md5 except at prefix ties, where
+    // the tied keys are EQUAL — rank assignment among equal keys cannot
+    // change any downstream value.
+    val sh = sh0.select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("gh"))
     val ranked = sh
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(md5(col("shingle")).as("h"),
-        col("shingle").as("shingle")))).as("arr"))
+      .agg(sort_array(collect_list(col("gh"))).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
-        posexplode(col("arr")).as(Seq("pos", "s")))
+        posexplode(col("arr")).as(Seq("pos", "gh")))
       .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("rk"),
-        col("s.shingle").as("shingle"))
+        col("gh"))
     val prefix = ranked.filter(col("rk") <= floor(col("n") / 5).cast("long") + 1)
     // position filter (PPJoin-style), ALSO lossless: the pair's MINIMUM
     // shared shingle under the global md5 order has the minimal rank on
@@ -1932,9 +1950,9 @@ object Dedup {
     // document frequency — the 100 TB risk — and the rank it needs is
     // free in the array form.
     val cand = prefix
-      .select(col("doc_id").as("doc_a"), col("shingle"), col("n").as("na"), col("rk").as("ra"))
-      .join(ranked.select(col("doc_id").as("doc_b"), col("shingle"),
-        col("n").as("nb"), col("rk").as("rb")), Seq("shingle"))
+      .select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"), col("rk").as("ra"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("gh"),
+        col("n").as("nb"), col("rk").as("rb")), Seq("gh"))
       .filter(col("doc_a") =!= col("doc_b") &&
         (col("na") < col("nb") || (col("na") === col("nb") && col("doc_a") < col("doc_b"))) &&
         lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
@@ -1965,7 +1983,7 @@ object Dedup {
     // collapse to Σ occ (total candidate shingle rows) and Σ occ² (the
     // counting join's generated-row count, BEFORE map-side combine —
     // its true cost); |pairs| and |docs| complete the array-path proxy.
-    val cRow = shCand.groupBy(col("shingle")).agg(count(lit(1)).as("occ"))
+    val cRow = shCand.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
       .agg(sum(col("occ")).as("tot"), sum(col("occ") * col("occ")).as("occ2"))
       .collect()(0)
     val tot = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
@@ -1986,8 +2004,8 @@ object Dedup {
     val scored = regime match {
       case CountingJoin =>
         val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairCounts = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(shCand.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        val pairCounts = shCand.select(col("doc_id").as("doc_a"), col("gh"))
+          .join(shCand.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
           .filter(col("doc_a") =!= col("doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter"))
@@ -1997,7 +2015,7 @@ object Dedup {
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       case PairArrays =>
         val sets = shCand.groupBy(col("doc_id"))
-          .agg(collect_set(col("shingle")).as("sh_set"))
+          .agg(collect_set(col("gh")).as("sh_set"))
           .select(col("doc_id"), col("sh_set"),
             size(col("sh_set")).cast("long").as("n"))
         candP
@@ -2555,19 +2573,23 @@ object Dedup {
       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM $docsSrc),
       |pos AS (
       |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id,
       |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
       |  FROM pos),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS gh
+      |  FROM sh0),
       |ranked AS (
-      |  SELECT doc_id, shingle,
-      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle), shingle) AS BIGINT) AS rk,
+      |  SELECT doc_id, gh,
+      |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS BIGINT) AS rk,
       |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
       |  FROM sh),
       |pref AS (SELECT * FROM ranked WHERE rk <= n // 5 + 1),
       |cand AS (
       |  SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b
-      |  FROM pref p JOIN ranked r USING (shingle)
+      |  FROM pref p JOIN ranked r USING (gh)
       |  WHERE p.doc_id <> r.doc_id
       |    AND (p.n < r.n OR (p.n = r.n AND p.doc_id < r.doc_id))
       |    AND 1 + least(p.n - p.rk, r.n - r.rk) >= (4 * p.n + 4) // 5),
@@ -2576,7 +2598,7 @@ object Dedup {
       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
       |  FROM cand c
       |  JOIN sh a ON c.doc_a = a.doc_id
-      |  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+      |  JOIN sh b ON c.doc_b = b.doc_id AND a.gh = b.gh
       |  GROUP BY 1, 2)
       |SELECT c.doc_a AS contained_doc, c.doc_b AS container_doc,
       |       sa.n AS n_sh_contained, sb.n AS n_sh_container,
