@@ -53,6 +53,17 @@ object GraftSession {
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // Cached plans pin their output partitioning: without this flag a
+      // .persist() under a production-sized shuffle.partitions (~2-3x
+      // total cores, thousands on a real cluster) materializes thousands
+      // of tiny cache blocks and EVERY cache consumer schedules that many
+      // tasks — the round-11 partitions-proportional-to-data record
+      // measured d16's multi-consumer candidate cache at 4x its pinned
+      // time from exactly this. The flag lets AQE coalesce the cached
+      // plan's output to the advisory partition size like any other
+      // exchange, so cache granularity follows data volume, not the
+      // shuffle-partition knob.
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
       "spark.sql.session.timeZone" -> "UTC",
       "spark.ui.enabled" -> "false")
     val optional = Seq(
