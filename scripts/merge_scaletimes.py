@@ -24,6 +24,17 @@ import sys
 
 
 def sf_of(d):
+    """Scale factor from a directory name.
+
+    Convention (THIS repo's scale-data layout, not a general parser):
+    a zero-PREFIXED integer suffix is a decimal -- sf03 = 0.3, sf001 =
+    0.01 -- while unprefixed integers are whole scale factors (sf3 =
+    3.0) and explicit decimals pass through (sf0.1 = 0.1). Two traps
+    if this ever meets foreign logs: a dir that meant zero-padded
+    integers (sf01 as 1.0) is misread as 0.1, and trailing zeros
+    collapse (sf030 -> 0.3); the known names here (sf03/sf1/sf3/sf10
+    + /root/testdata/sf0.*) are unambiguous under the convention.
+    """
     m = re.search(r"sf([0-9.]+)$", d.rstrip("/"))
     s = m.group(1)
     # zero-prefixed integer dirs are decimal: sf03 = 0.3 (vs sf3 = 3.0)

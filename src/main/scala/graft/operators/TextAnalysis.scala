@@ -1030,8 +1030,8 @@ object TextAnalysis {
     * docs DOWN to it (the two halves of sequence shaping). The
     * overlap keeps spans that straddle a cut present in one piece.
     */
-  private val ChunkLen = 40
-  private val ChunkStride = 32
+  private[graft] val ChunkLen = 40
+  private[graft] val ChunkStride = 32
 
   /** t21: deterministic overlapping chunks per doc. Chunk k of an
     * n-token doc starts at token 1 + k·stride, k = 0..⌈max(0, n−len)
@@ -1496,13 +1496,20 @@ object TextAnalysis {
     stats.select(
       stats.columns.map(col) :+
         b0.as("b0") :+ b1.as("b1") :+ b2.as("b2") :+
-        (lit(1.0) - sse / when(sst === 0.0, lit(null)).otherwise(sst)).as("r2"): _*)
+        (lit(1.0) - sse / when(sst === 0.0, lit(null)).otherwise(sst)).as("r2") :+
+        // explicit unsolvable signal (round-11 advice): a singular X'X
+        // (e.g. a constant feature column corpus-wide) yields NULL
+        // coefficients; `solved` makes that state loud instead of
+        // letting downstream when()-chains silently count zero
+        (det =!= 0.0).as("solved"): _*)
   }
 
   /** t26: per-source closed-form quality probe — coefficients of the
     * linear-probability model per source (heterogeneous sources learn
-    * visibly different punctuation/length weights), plus the global fit
-    * under source = '__all__'.
+    * visibly different stopword/length weights), plus the global fit
+    * under source = '__all__'. A singular per-source X'X reports
+    * solved = false with NULL coefficients (the explicit signal, not a
+    * silent zero).
     */
   def qualityRegression(spark: SparkSession, dir: String): DataFrame = {
     val feat = probeFeatures(Tables.documents(spark, dir))
@@ -1534,10 +1541,210 @@ object TextAnalysis {
         sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
         sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"))
       .withColumn("accuracy",
-        (col("tp") + col("tn")).cast("double") / col("n_docs").cast("double"))
+        // NULL (not a silent 0.0) when the model was unsolvable: a NULL
+        // pred falls through every when() above, so the four cells
+        // summing short of n_docs is exactly the unsolved signature
+        when(col("tp") + col("fp") + col("fn") + col("tn") === col("n_docs"),
+          (col("tp") + col("tn")).cast("double") / col("n_docs").cast("double")))
+  }
+
+  // ─── t28/t29 hashed bag-of-ngrams ridge quality model ────────────────
+  /** Ridge model dimensions: intercept + the two probe features +
+    * punct permille + [[RidgeBuckets]] hashed-bigram count features —
+    * the fastText-ish rung of the train-a-cheap-classifier stage
+    * (t26's 2-feature probe is the rung below). Bucket counts cap at
+    * 100 and permilles at 1000, so every pairwise feature product is
+    * ≤ 10⁶ and the normal-equation sums stay exact BIGINTs to ~10¹²
+    * docs.
+    */
+  private[graft] val RidgeBuckets = 28
+  private[graft] val RidgeDims = 4 + RidgeBuckets
+  /** Ridge penalty λ (added to every diagonal, intercept included —
+    * a deliberate simplification, documented rather than special-cased:
+    * with feature scales ≥ 1 and corpus sums ≫ λ the intercept shrink
+    * is negligible, and λ > 0 makes X'X + λI strictly SPD, so the
+    * Cholesky below never needs pivoting in EITHER engine).
+    */
+  private[graft] val RidgeLambda = 100.0
+
+  private def ridgeFeatureName(i: Int): String = i match {
+    case 0 => "intercept"
+    case 1 => "tokens"
+    case 2 => "stopword_pm"
+    case 3 => "punct_pm"
+    case j => f"gram_${j - 4}%02d"
+  }
+
+  /** Per-doc ridge feature row: doc_id, source, f0..f{K-1} (BIGINT),
+    * y (the t26 weak keep-label — the ridge trains against the SAME
+    * target as the probe, which is what makes t29's accuracy
+    * comparison meaningful). One corpus pass + one bigram explosion
+    * with a 28-ary conditional-sum aggregation (hash agg on doc_id,
+    * map-side combining; no pivot machinery, no window).
+    */
+  private[graft] def ridgeFeatures(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        wsTokenCount(col("text")).as("n_tokens"),
+        patternCount(col("text"), "[^A-Za-z0-9\\s]").as("punct_count"),
+        patternCount(lower(col("text")), langMarkers.head._2).as("stopword_count"))
+      .filter(col("n_chars") > 0 && col("n_tokens") > 0)
+    val grams = base
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        // the dsirFeats md5-bucket discipline: both engines derive the
+        // identical 16-bit prefix, so the bucket split replays exactly
+        (conv(substring(md5(concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1))), 1, 4), 16, 10)
+          .cast("long") % RidgeBuckets).as("bucket"))
+    val bucketCols = (0 until RidgeBuckets).map(j =>
+      least(sum(when(col("bucket") === j, 1L).otherwise(0L)), lit(100L)).as(s"g$j"))
+    val counts = grams.groupBy(col("doc_id")).agg(bucketCols.head, bucketCols.tail: _*)
+    base.join(counts, Seq("doc_id"), "left")
+      .select(Seq(
+        col("doc_id"), col("source"),
+        lit(1L).as("f0"),
+        least(col("n_tokens"), lit(1000L)).as("f1"),
+        least(expr("(1000 * stopword_count) div n_tokens"), lit(1000L)).as("f2"),
+        least(expr("(1000 * punct_count) div n_chars"), lit(1000L)).as("f3"),
+        when(col("n_tokens") >= 50L &&
+          lit(1000L) * col("punct_count") <= lit(200L) * col("n_chars") &&
+          lit(20L) * col("stopword_count") >= col("n_tokens"), 1L)
+          .otherwise(0L).as("y")) ++
+        (0 until RidgeBuckets).map(j =>
+          coalesce(col(s"g$j"), lit(0L)).as(s"f${4 + j}")): _*)
+  }
+
+  /** Normal-equation sums (K(K+1)/2 upper-triangle X'X entries + K X'y
+    * entries, all exact BIGINTs — order-independent under any
+    * partitioning) collected in ONE aggregation pass, then
+    * (X'X + λI) b = X'y Cholesky-solved ON THE DRIVER — the MLlib
+    * normal-equation shape (WeightedLeastSquares does exactly this
+    * collect-and-solve), and the t24 discipline: data-derived scalars
+    * fold back into the plan as literals. The solve is a fixed IEEE
+    * op chain (left-to-right subtraction folds, correctly-rounded
+    * sqrt/div) that the oracle SQL replays token-for-token as an
+    * unrolled CTE chain over ITS OWN identical integer sums, so the
+    * coefficients match bit-for-bit — the probeSolve engine-replay
+    * rule, scaled from a 3×3 Cramer expansion to a K×K Cholesky.
+    */
+  private[graft] def ridgeSolve(feats: DataFrame): Array[Double] = {
+    val K = RidgeDims
+    val aggCols =
+      (for { i <- 0 until K; j <- i until K } yield
+        sum(col(s"f$i") * col(s"f$j")).as(s"a_${i}_$j")) ++
+        (0 until K).map(i => sum(col(s"f$i") * col("y")).as(s"c_$i"))
+    val row = feats.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    require(!row.isNullAt(0) && row.getLong(0) > 0, "ridge: empty corpus")
+    val nTri = K * (K + 1) / 2
+    val triIdx = Array.ofDim[Int](K, K)
+    var k = 0
+    for { i <- 0 until K; j <- i until K } {
+      triIdx(i)(j) = k; triIdx(j)(i) = k; k += 1
+    }
+    def a(i: Int, j: Int): Double = row.getLong(triIdx(i)(j)).toDouble
+    def cv(i: Int): Double = row.getLong(nTri + i).toDouble
+    val l = Array.ofDim[Double](K, K)
+    var j = 0
+    while (j < K) {
+      var s = a(j, j) + RidgeLambda
+      var t = 0
+      while (t < j) { s = s - l(j)(t) * l(j)(t); t += 1 }
+      l(j)(j) = math.sqrt(s)
+      var i = j + 1
+      while (i < K) {
+        var si = a(i, j)
+        var t2 = 0
+        while (t2 < j) { si = si - l(i)(t2) * l(j)(t2); t2 += 1 }
+        l(i)(j) = si / l(j)(j)
+        i += 1
+      }
+      j += 1
+    }
+    val z = new Array[Double](K)
+    j = 0
+    while (j < K) {
+      var s = cv(j)
+      var t = 0
+      while (t < j) { s = s - l(j)(t) * z(t); t += 1 }
+      z(j) = s / l(j)(j)
+      j += 1
+    }
+    val b = new Array[Double](K)
+    j = K - 1
+    while (j >= 0) {
+      var s = z(j)
+      var t = j + 1
+      while (t < K) { s = s - l(t)(j) * b(t); t += 1 }
+      b(j) = s / l(j)(j)
+      j -= 1
+    }
+    b
+  }
+
+  /** t28: the trained ridge model — one (feature_idx, feature, coef)
+    * row per dimension. Scale: one corpus feature pass + one 560-sum
+    * aggregation (map-side combining, constant bytes per partition);
+    * the K×K solve is O(K³) ≈ 11k flops on the driver — model-sized,
+    * like collecting MLlib's solved WLS coefficients.
+    */
+  def qualityRidge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = ridgeSolve(ridgeFeatures(Tables.documents(spark, dir)))
+    b.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, ridgeFeatureName(i), v) }
+      .toDF("feature_idx", "feature", "coef")
+  }
+
+  /** t29: score every doc with the t28 ridge AND the t26 2-feature
+    * probe against the shared weak label — the per-source confusion
+    * census with BOTH models' accuracy side by side (the calibration
+    * read a pipeline takes before promoting the bigger model; the
+    * ridge nests the probe's features plus the label's punctuation
+    * signal, so it should dominate — RidgeSpec asserts it does on the
+    * fixture). probe_accuracy is NULL when the probe was unsolvable
+    * (the t27 explicit-signal rule).
+    */
+  def ridgeApply(spark: SparkSession, dir: String): DataFrame = {
+    val feats = ridgeFeatures(Tables.documents(spark, dir))
+    val b = ridgeSolve(feats)
+    val yhat = (1 until RidgeDims).foldLeft(lit(b(0)): Column)((acc, j) =>
+      acc + lit(b(j)) * col(s"f$j").cast("double"))
+    val probeModel = probeSolve(probeStats(
+      feats.select(col("f1").as("x1"), col("f2").as("x2"), col("y")), Seq.empty))
+      .select(col("b0"), col("b1"), col("b2"))
+    feats.crossJoin(broadcast(probeModel))
+      .select(col("source"), col("y"),
+        (yhat >= 0.5).as("pred"),
+        ((col("b0") + col("b1") * col("f1").cast("double") +
+          col("b2") * col("f2").cast("double")) >= 0.5).as("probe_pred"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && col("y") === 0L, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("probe_pred").isNull, 1L).otherwise(0L)).as("n_probe_null"),
+        sum(when(col("probe_pred") === (col("y") === 1L), 1L).otherwise(0L))
+          .as("n_probe_correct"))
+      .select(col("source"), col("n_docs"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        ((col("tp") + col("tn")).cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"),
+        when(col("n_probe_null") === 0L,
+          col("n_probe_correct").cast("double") / col("n_docs").cast("double"))
+          .as("probe_accuracy"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_quality_ridge" -> qualityRidge,
+    "t29_ridge_apply" -> ridgeApply,
     "t23_shuffle_shard" -> shuffleShard,
     "t24_bpe_train" -> bpeTrain,
     "t25_bpe_apply" -> bpeApply,
@@ -1698,7 +1905,8 @@ object TextAnalysis {
     val sse = s"(CAST(sy AS DOUBLE) - ($b0 * CAST(sy AS DOUBLE) + $b1 * CAST(s1y AS DOUBLE) + $b2 * CAST(s2y AS DOUBLE)))"
     val sst = s"(CAST(sy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
     s"""$b0 AS b0, $b1 AS b1, $b2 AS b2,
-       |       1.0 - $sse / (CASE WHEN $sst = 0.0 THEN NULL ELSE $sst END) AS r2""".stripMargin
+       |       1.0 - $sse / (CASE WHEN $sst = 0.0 THEN NULL ELSE $sst END) AS r2,
+       |       ($det) <> 0.0 AS solved""".stripMargin
   }
 
   private def qualityRegressionSql: String =
@@ -1734,10 +1942,153 @@ object TextAnalysis {
        |         CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |  FROM p GROUP BY 1)
        |SELECT source, n_docs, tp, fp, fn, tn,
-       |       CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+       |       CASE WHEN tp + fp + fn + tn = n_docs
+       |            THEN CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |       END AS accuracy
        |FROM c""".stripMargin
 
+  // ─── t28/t29 oracle machinery ─────────────────────────────────────────
+  /** Ridge feature CTEs (through `f`): the Spark [[ridgeFeatures]]
+    * replayed — same tokenization, same md5 bucket split (the dsir
+    * parity), same caps, same weak label.
+    */
+  private def ridgeFeatureCtes: String = {
+    val bucketCols = (0 until RidgeBuckets).map(j =>
+      s"least(CAST(sum(CASE WHEN bucket = $j THEN 1 ELSE 0 END) AS BIGINT), 100) AS g$j")
+      .mkString(",\n         ")
+    val fCols = (0 until RidgeBuckets).map(j => s"coalesce(g$j, 0) AS f${4 + j}")
+      .mkString(", ")
+    s"""rq AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct_count,
+       |         CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS BIGINT) AS stopword_count
+       |  FROM documents),
+       |fb AS (
+       |  SELECT doc_id, source, n_chars, n_tokens, punct_count, stopword_count
+       |  FROM rq WHERE n_chars > 0 AND n_tokens > 0),
+       |bg AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]), 1, 4)) AS BIGINT) % $RidgeBuckets AS bucket
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t,
+       |               unnest(range(1, CAST(n_tokens AS INT))) AS i
+       |        FROM rq WHERE n_chars > 0 AND n_tokens >= 2)),
+       |bc AS (
+       |  SELECT doc_id,
+       |         $bucketCols
+       |  FROM bg GROUP BY 1),
+       |f AS (
+       |  SELECT fb.doc_id, fb.source,
+       |         CAST(1 AS BIGINT) AS f0,
+       |         least(n_tokens, 1000) AS f1,
+       |         least((1000 * stopword_count) // n_tokens, 1000) AS f2,
+       |         least((1000 * punct_count) // n_chars, 1000) AS f3,
+       |         $fCols,
+       |         CASE WHEN n_tokens >= 50 AND 1000 * punct_count <= 200 * n_chars
+       |                   AND 20 * stopword_count >= n_tokens
+       |              THEN 1 ELSE 0 END AS y
+       |  FROM fb LEFT JOIN bc USING (doc_id))""".stripMargin
+  }
+
+  /** The 560 normal-equation sums as a 1-row CTE. */
+  private def ridgeSumsSql: String = {
+    val K = RidgeDims
+    val as = (for { i <- 0 until K; j <- i until K } yield
+      s"CAST(sum(f$i * f$j) AS BIGINT) AS a_${i}_$j").mkString(",\n         ")
+    val cs = (0 until K).map(i => s"CAST(sum(f$i * y) AS BIGINT) AS c_$i")
+      .mkString(",\n         ")
+    s"s AS (\n  SELECT $as,\n         $cs\n  FROM f)"
+  }
+
+  /** Unrolled Cholesky + forward/back substitution as a chained-CTE
+    * pipeline over the 1-row sums frame — each CTE adds the columns
+    * one elimination level computes, and every subtraction fold is
+    * written LEFT-ASSOCIATIVE so the IEEE op order matches
+    * [[ridgeSolve]]'s while-loops exactly (the engine-replay rule;
+    * sqrt and division are correctly rounded in both engines by
+    * IEEE 754). Returns (ctes, finalCteName); the final CTE carries
+    * b_0..b_{K-1}.
+    */
+  private def ridgeCholSql: (String, String) = {
+    val K = RidgeDims
+    def a(i: Int, j: Int) =
+      if (i <= j) s"CAST(a_${i}_$j AS DOUBLE)" else s"CAST(a_${j}_$i AS DOUBLE)"
+    val sb = new StringBuilder
+    var prev = "s"
+    for (j <- 0 until K) {
+      val dsub = (0 until j).map(t => s" - l_${j}_$t * l_${j}_$t").mkString
+      sb.append(s"d$j AS (SELECT *, sqrt((${a(j, j)} + $RidgeLambda)$dsub) AS l_${j}_$j FROM $prev),\n")
+      prev = s"d$j"
+      if (j < K - 1) {
+        val cols = (j + 1 until K).map { i =>
+          val isub = (0 until j).map(t => s" - l_${i}_$t * l_${j}_$t").mkString
+          s"(${a(i, j)}$isub) / l_${j}_$j AS l_${i}_$j"
+        }.mkString(",\n       ")
+        sb.append(s"o$j AS (SELECT *,\n       $cols FROM $prev),\n")
+        prev = s"o$j"
+      }
+    }
+    for (j <- 0 until K) {
+      val zsub = (0 until j).map(t => s" - l_${j}_$t * z_$t").mkString
+      sb.append(s"w$j AS (SELECT *, (CAST(c_$j AS DOUBLE)$zsub) / l_${j}_$j AS z_$j FROM $prev),\n")
+      prev = s"w$j"
+    }
+    for (j <- K - 1 to 0 by -1) {
+      val bsub = (j + 1 until K).map(t => s" - l_${t}_$j * b_$t").mkString
+      sb.append(s"v$j AS (SELECT *, (z_$j$bsub) / l_${j}_$j AS b_$j FROM $prev),\n")
+      prev = s"v$j"
+    }
+    (sb.toString.stripSuffix(",\n"), prev)
+  }
+
+  private def qualityRidgeSql: String = {
+    val (chol, fin) = ridgeCholSql
+    val rows = (0 until RidgeDims).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS feature_idx, '${ridgeFeatureName(i)}' AS feature, b_$i AS coef FROM $fin")
+      .mkString("\nUNION ALL\n")
+    s"WITH $ridgeFeatureCtes,\n$ridgeSumsSql,\n$chol\n$rows"
+  }
+
+  private def ridgeApplySql: String = {
+    val (chol, fin) = ridgeCholSql
+    val yhat = (1 until RidgeDims).map(j => s" + b_$j * CAST(f$j AS DOUBLE)").mkString
+    s"""WITH $ridgeFeatureCtes,
+       |$ridgeSumsSql,
+       |$chol,
+       |px AS (SELECT f1 AS x1, f2 AS x2, y FROM f),
+       |ps AS (
+       |  SELECT $probeSumsSql
+       |  FROM px),
+       |pm AS (
+       |  SELECT $probeSolveSql
+       |  FROM ps),
+       |sc AS (
+       |  SELECT f.source, f.y,
+       |         (b_0$yhat) >= 0.5 AS pred,
+       |         (b0 + b1 * CAST(f1 AS DOUBLE) + b2 * CAST(f2 AS DOUBLE)) >= 0.5 AS probe_pred
+       |  FROM f, $fin, pm),
+       |c AS (
+       |  SELECT source,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(sum(CASE WHEN NOT pred AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |         CAST(sum(CASE WHEN probe_pred IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_null,
+       |         CAST(sum(CASE WHEN probe_pred = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_correct
+       |  FROM sc GROUP BY 1)
+       |SELECT source, n_docs, tp, fp, fn, tn,
+       |       CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy,
+       |       CASE WHEN n_probe_null = 0
+       |            THEN CAST(n_probe_correct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |       END AS probe_accuracy
+       |FROM c""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t28_quality_ridge" -> qualityRidgeSql,
+    "t29_ridge_apply" -> ridgeApplySql,
     "t26_quality_regression" -> qualityRegressionSql,
     "t27_quality_model_apply" -> qualityModelApplySql,
     "t23_shuffle_shard" -> shuffleShardSql,

@@ -226,7 +226,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("d16 verify-regime gate: boilerplate-heavy corpus forces the array path, " +
-      "identical output both regimes") {
+      "identical output across all three regimes") {
     import spark.implicits._
     def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
       (r.getAs[Long]("contained_doc"), r.getAs[Long]("container_doc"),
@@ -263,6 +263,10 @@ class DedupSpec extends AnyFunSuite {
       Dedup.containmentDedupOfDocs(boiler, Some(Dedup.CountingJoin)).collect()
     assert(key(auto) == key(forcedCounting) && auto.nonEmpty,
       "regimes must be output-identical on the boilerplate corpus")
+    val forcedPairBoiler =
+      Dedup.containmentDedupOfDocs(boiler, Some(Dedup.PairRestricted)).collect()
+    assert(key(auto) == key(forcedPairBoiler),
+      "the pair-restricted yardstick must match the array regime on the boilerplate corpus")
     // every truncated doc is contained in its extension
     val pairs = auto.map(r => (r.getAs[Long]("contained_doc"),
       r.getAs[Long]("container_doc"))).toSet
@@ -278,6 +282,10 @@ class DedupSpec extends AnyFunSuite {
     val forcedArrays =
       Dedup.containmentDedupOfDocs(docs, Some(Dedup.PairArrays)).collect()
     assert(key(autoReal) == key(forcedArrays) && autoReal.nonEmpty)
+    val forcedPairRestricted =
+      Dedup.containmentDedupOfDocs(docs, Some(Dedup.PairRestricted)).collect()
+    assert(key(autoReal) == key(forcedPairRestricted),
+      "pair-restricted must match the counting regime on the raw fixture")
     spark.catalog.clearCache()
   }
 
@@ -287,8 +295,8 @@ class DedupSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val d33 = Dedup.hotShingleDedup(spark, TestSpark.sf).collect()
     // the derived corpus is the regime the census gate exists for: the
-    // driver's oracle now exercises the per-pair-array branch (d16 keeps
-    // the counting branch on the raw fixture)
+    // driver's oracle exercises the census-sized array branch (d16
+    // keeps the counting branch on the raw fixture)
     assert(Dedup.lastContainmentRegime.get() == Dedup.PairArrays,
       "d33's census must choose the per-pair-array verify")
     val pairs = d33.map(r => (r.getAs[Long]("contained_doc"),

@@ -237,6 +237,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d2 == d)
   }
 
+  test("audio tier: spectral fingerprint catches gain-shift and requantize " +
+      "re-encodes the byte aHash misses; distinct content stays far") {
+    import spark.implicits._
+    // minimal RIFF/PCM-16 WAV around a sample array (the real container
+    // WavPcmCodec parses — fmt chunk walked, data chunk found)
+    def wavOf(samples: Array[Int]): Array[Byte] = {
+      val dataLen = 2 * samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // 8 windows × 512 samples; per window a distinct half of the 8
+    // probed bands carries a strong sine, the rest silence — bits are
+    // decisively separated, never borderline
+    def signal(active: (Int, Int) => Boolean): Array[Int] =
+      Array.tabulate(4096) { i =>
+        val w = i / 512
+        (0 until 8).filter(b => active(w, b))
+          .map(b => 3000.0 * math.sin(2 * math.Pi * (b + 1) / 32.0 * i))
+          .sum.round.toInt
+      }
+    val base = signal((w, b) => (w + b) % 2 == 0)
+    val gain = base.map(_ / 2)              // loudness shift: every byte moves
+    val requant = base.map(s => (s >> 8) << 8) // 8-bit re-encode: ~256-step noise
+    val other = signal((w, b) => (w + b) % 2 == 1) // complementary content
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", "audio/wav", wavOf(base), 0L),
+      Multimodal.MediaRow(2L, "audio", "audio/wav", wavOf(gain), 0L),
+      Multimodal.MediaRow(3L, "audio", "audio/wav", wavOf(requant), 0L),
+      Multimodal.MediaRow(4L, "audio", "audio/wav", wavOf(other), 0L)))
+    val f = Multimodal.audioFingerprint(media, () => Multimodal.WavPcmCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    def ham(m: Map[Long, Long], a: Long, b: Long) =
+      java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(f, 1L, 2L) <= 6,
+      s"spectral fingerprint must CATCH the gain shift (hamming ${ham(f, 1L, 2L)})")
+    assert(ham(f, 1L, 3L) <= 6,
+      s"spectral fingerprint must CATCH the requantize (hamming ${ham(f, 1L, 3L)})")
+    assert(ham(f, 1L, 4L) > 6,
+      s"distinct content must stay far (hamming ${ham(f, 1L, 4L)})")
+    // the byte-level aHash over the same payloads misses the gain shift
+    // (every PCM byte moves) — the separation that justifies the
+    // spectral tier, mirroring the gamma/pHash split for images
+    val a = Multimodal.perceptualHash(media, () => Multimodal.WavPcmCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    assert(ham(a, 1L, 2L) > 6,
+      s"byte aHash was expected to MISS the gain shift (hamming ${ham(a, 1L, 2L)})")
+    // …and through the same banded near-dup operator
+    val pairs = Multimodal.phashNearDup(
+      Multimodal.audioFingerprint(media, () => Multimodal.WavPcmCodec))
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"banding must pair the gain/requant variants: $pairs")
+    assert(!pairs.contains((1L, 4L)),
+      s"banding must not pair complementary content: $pairs")
+    // determinism: equal payloads, equal fingerprints
+    val f2 = Multimodal.audioFingerprint(media, () => Multimodal.WavPcmCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    assert(f2 == f)
+  }
+
   test("phash banding: hamming <= 3 is lossless by pigeonhole; all-bands-differ pairs are the documented miss") {
     import spark.implicits._
     val base = 0x0123456789abcdefL
