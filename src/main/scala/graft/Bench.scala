@@ -82,6 +82,9 @@ object Bench {
       // t26/t27: the regex feature scan dominates; the model math is a
       // 9-cell agg + a broadcast 1-row solve
       "t26_quality_regression", "t27_quality_model_apply",
+      // t28/t29: the same regex/bigram feature scan dominates; the 560
+      // sums are one map-side-combined agg and the Cholesky is driver
+      "t28_quality_ridge", "t29_ridge_apply",
       // the sketch family: md5-scan-dominated, fixed-size aggregation
       // state (the shuffles are ≤ sources×256 / 4096-cell constants)
       "s01_hll_distinct", "s02_cms_heavy_hitters", "s05_hll_union",
@@ -125,7 +128,8 @@ object Bench {
       "e04_funnel", "e05_cohort_retention", "e10_click_attribution",
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
-      "q32_ivf_search", "q34_api_catalog_ratings", "q35_ivf_recall",
+      "q32_ivf_search", "q67_chunk_retrieval", "q34_api_catalog_ratings",
+      "q35_ivf_recall",
       "q47_incremental_fact", "q49_ivf_pq", "q50_pq_recall", "q51_ivf_append",
       "q55_lead_time",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",

@@ -110,7 +110,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "t20_alpha_mixture" -> "1-row min-source-tokens frame",
     "t17_dsir_select" -> "1-row token-budget frame",
     "t27_quality_model_apply" -> ("1-row global-coefficient frame " +
-      "crossJoined into the scoring projection (the q39 rule)"))
+      "crossJoined into the scoring projection (the q39 rule)"),
+    "t29_ridge_apply" -> ("1-row probe-coefficient frame crossJoined " +
+      "into the scoring projection beside the ridge literals (the " +
+      "q39 rule, as in t27)"))
 
   test("no query plans an unpartitioned window or all-pairs join without a written justification") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
