@@ -10,9 +10,11 @@ import graft.sources.Tables
   * resize/frame-sample stages.
   *
   * Codec tiers: IMAGES are real ([[ImageIoCodec]], the JDK's built-in
-  * PNG/BMP/GIF/JPEG readers — no native libraries) and AUDIO is real
+  * PNG/BMP/GIF/JPEG readers — no native libraries), AUDIO is real
   * ([[WavPcmCodec]], a strict RIFF/PCM-16 container parse + the
-  * Goertzel spectral fingerprint); compressed-codec audio and VIDEO
+  * Goertzel spectral fingerprint), and UNCOMPRESSED video is real
+  * ([[Y4mCodec]], a strict YUV4MPEG2/Cmono frame walk + the
+  * frame-sampled temporal fingerprint); compressed audio/video codecs
   * remain stubbed behind the same seam ([[FakeCodec.decode]], a
   * deterministic byte-histogram stand-in — this container ships no
   * ffmpeg-class libraries). Everything AROUND the codecs is real and
@@ -61,6 +63,14 @@ object Multimodal {
       */
     def pcmSamples(payload: Array[Byte]): Array[Int] =
       payload.map(b => ((b & 0xff) - 128) << 8)
+
+    /** Per-FRAME n×n luma rasters — the video-tier decode seam.
+      * Default (single-image codecs): a one-frame video, the image
+      * raster; [[Y4mCodec]] overrides with a real YUV4MPEG2 frame
+      * walk. Same purity contract as [[decode]].
+      */
+    def frameRasters(payload: Array[Byte], n: Int): Array[Array[Int]] =
+      Array(grayRaster(payload, n))
 
     /** n×n grayscale raster (row-major, n² ints in [0, 255]) — the
       * generalized downsample: [[grayTile]] is n = 8 (aHash input),
@@ -239,6 +249,147 @@ object Multimodal {
         sum += a
       }
       (if (s.isEmpty) 0.0 else sum.toDouble / s.length, hist)
+    }
+  }
+
+  /** REAL pure-JVM video codec over the YUV4MPEG2 (y4m) container —
+    * the standard UNCOMPRESSED interchange format (mplayer/ffmpeg
+    * lineage): a text header (`YUV4MPEG2 W<w> H<h> ... Cmono\n`)
+    * followed by `FRAME\n`-delimited raw luma planes. The strict
+    * all-integer parse requires `Cmono` (pure-luma planes — the only
+    * colorspace whose decode needs no chroma math), making this the
+    * video sibling of [[WavPcmCodec]]: a genuine public container,
+    * bit-deterministic decode, no native libraries. Compressed video
+    * stays behind the [[FakeCodec]] stub.
+    */
+  object Y4mCodec extends MediaCodec {
+    private def parse(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      val hEnd = payload.indexOf('\n'.toByte)
+      require(hEnd > 0, "y4m payload has no header line")
+      val header = new String(payload, 0, hEnd, "US-ASCII")
+      require(header.startsWith("YUV4MPEG2"), s"not a y4m payload: $header")
+      val params = header.split(' ').drop(1)
+      def param(p: Char): Option[String] =
+        params.find(_.headOption.contains(p)).map(_.tail)
+      val w = param('W').map(_.toInt).getOrElse(
+        sys.error("y4m header lacks W"))
+      val h = param('H').map(_.toInt).getOrElse(
+        sys.error("y4m header lacks H"))
+      require(param('C').forall(_ == "mono"),
+        s"Y4mCodec decodes Cmono only (got C${param('C').get})")
+      require(w > 0 && h > 0, s"bad y4m dims ${w}x$h")
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var off = hEnd + 1
+      while (off < payload.length) {
+        val fEnd = payload.indexOf('\n'.toByte, off)
+        require(fEnd > off &&
+          new String(payload, off, 5.min(fEnd - off), "US-ASCII") == "FRAME",
+          s"expected FRAME marker at offset $off")
+        offs += fEnd + 1
+        off = fEnd + 1 + w * h
+      }
+      (w, h, offs.toArray)
+    }
+
+    /** Block-averaged n×n luma raster of one frame plane. */
+    private def tileOf(payload: Array[Byte], off: Int, w: Int, h: Int,
+        n: Int): Array[Int] = {
+      val tile = new Array[Int](n * n)
+      var ty = 0
+      while (ty < n) {
+        var tx = 0
+        while (tx < n) {
+          val (x0, x1) = (tx * w / n, math.max((tx + 1) * w / n, tx * w / n + 1))
+          val (y0, y1) = (ty * h / n, math.max((ty + 1) * h / n, ty * h / n + 1))
+          var s = 0L
+          var cnt = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              s += payload(off + y * w + x) & 0xff
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          tile(ty * n + tx) = if (cnt == 0) 0 else (s / cnt).toInt
+          tx += 1
+        }
+        ty += 1
+      }
+      tile
+    }
+
+    override def frameRasters(payload: Array[Byte], n: Int): Array[Array[Int]] = {
+      val (w, h, offs) = parse(payload)
+      offs.map(off => tileOf(payload, off, w, h, n))
+    }
+
+    def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      val (w, h, offs) = parse(payload)
+      val hist = new Array[Long](FakeCodec.HIST_BUCKETS)
+      var sum = 0L
+      var n = 0L
+      offs.foreach { off =>
+        var i = 0
+        while (i < w * h && off + i < payload.length) {
+          val l = payload(off + i) & 0xff
+          hist(l / FakeCodec.HIST_BUCKETS) += 1
+          sum += l
+          n += 1
+          i += 1
+        }
+      }
+      (if (n == 0) 0.0 else sum.toDouble / n, hist)
+    }
+  }
+
+  /** Frame-sampled temporal fingerprint per media row — the video
+    * tier's near-dup hash, via the same codec seam: 8 frames sampled
+    * EVENLY BY POSITION (index ⌊j·(F−1)/7⌋ — invariant to re-timing:
+    * a frame-doubled or frame-rate-resampled copy samples the same
+    * CONTENT frames), each reduced to an 8×8 luma tile whose 8
+    * row-mean-vs-frame-mean bits encode the frame's vertical
+    * brightness structure (relative bits ⇒ invariant to unclipped
+    * brightness shifts); bit (frame·8 + row). This sees what no
+    * byte-level or single-frame hash can: TEMPORAL structure — two
+    * clips sharing their first frame but diverging in motion get far
+    * hamming, while a re-timed copy of the same clip collides.
+    * Output rides the SAME [[phashNearDup]] banding as the image and
+    * audio tiers. Same per-partition codec-init shape; deterministic
+    * integer tile math.
+    */
+  def videoFingerprint(media: Dataset[MediaRow],
+                       codecFactory: () => MediaCodec = () => Y4mCodec): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = codecFactory()
+      rows.map { r =>
+        val rasters = codec.frameRasters(r.payload, 8)
+        var hsh = 0L
+        if (rasters.nonEmpty) {
+          val f = rasters.length
+          var j = 0
+          while (j < 8) {
+            val tile = rasters(if (f == 1) 0 else j * (f - 1) / 7)
+            var tot = 0L
+            var k = 0
+            while (k < 64) { tot += tile(k); k += 1 }
+            var row = 0
+            while (row < 8) {
+              var rs = 0L
+              var x = 0
+              while (x < 8) { rs += tile(row * 8 + x); x += 1 }
+              // row mean vs frame mean, integer cross-multiplied
+              if (rs * 8 > tot) hsh |= (1L << (j * 8 + row))
+              row += 1
+            }
+            j += 1
+          }
+        }
+        MediaHash(r.media_id, hsh)
+      }
     }
   }
 

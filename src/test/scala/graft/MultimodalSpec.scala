@@ -305,6 +305,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f2 == f)
   }
 
+  test("video tier: temporal fingerprint catches re-timed/brightness re-encodes and " +
+      "separates diverging motion a first-frame image hash cannot") {
+    import spark.implicits._
+    // real YUV4MPEG2 container, Cmono plane (the strict Y4mCodec parse)
+    def y4mOf(w: Int, h: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+      frames.foreach { f =>
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        f.foreach(bos.write)
+      }
+      bos.toByteArray
+    }
+    // 32×32, 8 frames: a 4-pixel-row bright band at band-row `pos(k)`
+    def clip(pos: Int => Int): Seq[Array[Int]] =
+      (0 until 8).map { k =>
+        Array.tabulate(32 * 32) { i =>
+          val y = i / 32
+          if (y / 4 == pos(k)) 180 else 60
+        }
+      }
+    val a = clip(k => k)                     // band sweeps DOWN
+    val b = clip(k => if (k == 0) 0 else 8 - k) // same FIRST frame, sweeps UP
+    val aBright = a.map(_.map(v => v + 20))  // unclipped brightness re-encode
+    val aRetimed = a.flatMap(f => Seq(f, f)) // frame-doubled (re-timing)
+    val aQuant = a.map(_.map(v => v & 0xfc)) // 6-bit requantize
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", "video/y4m", y4mOf(32, 32, a), 0L),
+      Multimodal.MediaRow(2L, "video", "video/y4m", y4mOf(32, 32, aBright), 0L),
+      Multimodal.MediaRow(3L, "video", "video/y4m", y4mOf(32, 32, aRetimed), 0L),
+      Multimodal.MediaRow(4L, "video", "video/y4m", y4mOf(32, 32, aQuant), 0L),
+      Multimodal.MediaRow(5L, "video", "video/y4m", y4mOf(32, 32, b), 0L)))
+    val f = Multimodal.videoFingerprint(media, () => Multimodal.Y4mCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(f(1L), f(2L)) <= 6, s"brightness shift must be caught (${ham(f(1L), f(2L))})")
+    assert(ham(f(1L), f(3L)) <= 6, s"re-timed copy must be caught (${ham(f(1L), f(3L))})")
+    assert(ham(f(1L), f(4L)) <= 6, s"requantize must be caught (${ham(f(1L), f(4L))})")
+    assert(ham(f(1L), f(5L)) > 6,
+      s"diverging motion must stay far (${ham(f(1L), f(5L))})")
+    // the single-frame miss: a first-frame image hash cannot tell a
+    // and b apart (their first frames are IDENTICAL) — the false
+    // positive class the temporal fingerprint exists to avoid
+    def firstFrameAHash(p: Array[Byte]): Long = {
+      val tile = Multimodal.Y4mCodec.frameRasters(p, 8).head
+      val mean = tile.map(_.toLong).sum / 64
+      (0 until 64).foldLeft(0L)((h, k) => if (tile(k) > mean) h | (1L << k) else h)
+    }
+    assert(firstFrameAHash(y4mOf(32, 32, a)) == firstFrameAHash(y4mOf(32, 32, b)),
+      "first frames are identical by construction — the image-hash miss")
+    // …and through the same banded near-dup operator
+    val pairs = Multimodal.phashNearDup(
+      Multimodal.videoFingerprint(media, () => Multimodal.Y4mCodec))
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((1L, 4L)), s"banding must pair the re-encodes: $pairs")
+    assert(!pairs.contains((1L, 5L)), s"banding must not pair diverging motion: $pairs")
+    // determinism
+    val f2 = Multimodal.videoFingerprint(media, () => Multimodal.Y4mCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    assert(f2 == f)
+  }
+
   test("phash banding: hamming <= 3 is lossless by pigeonhole; all-bands-differ pairs are the documented miss") {
     import spark.implicits._
     val base = 0x0123456789abcdefL
