@@ -128,8 +128,8 @@ object Bench {
       "e04_funnel", "e05_cohort_retention", "e10_click_attribution",
       "q04_segment_category_analysis", "q11_scd2_merge", "q12_fact_sales",
       "q13_mart_sales_performance", "q23_asof_join", "q30_order_reconciliation",
-      "q32_ivf_search", "q67_chunk_retrieval", "q34_api_catalog_ratings",
-      "q35_ivf_recall",
+      "q32_ivf_search", "q67_chunk_retrieval", "q68_pq_rerank",
+      "q34_api_catalog_ratings", "q35_ivf_recall",
       "q47_incremental_fact", "q49_ivf_pq", "q50_pq_recall", "q51_ivf_append",
       "q55_lead_time",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",

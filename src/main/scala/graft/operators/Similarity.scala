@@ -590,6 +590,51 @@ object Similarity {
       .filter(col("rank") <= 5)
   }
 
+  // ─── q68 two-stage PQ re-rank serving (q49 ∘ exact) ──────────────────
+  /** The production ANN serving shape: the PQ-COMPRESSED index
+    * proposes, exact vectors verify. Stage 1 widens q49's in-cell
+    * approximate scoring (codebook-reconstructed vectors, ~40× fewer
+    * bytes than raw) to the top-20 candidates per query; stage 2
+    * re-scores ONLY those candidates against their true embeddings —
+    * the bounded candidate list (queries × 20 rows) broadcast-joins
+    * the corpus scan, never a corpus-wide exact cosine — and serves
+    * the exact top-5 with both scores and both ranks. This closes the
+    * raw-PQ recall gap q50 measures, at the cost of 20 true-vector
+    * fetches per query: exactly the quantizer-proposes /
+    * full-precision-verifies split every large ANN deployment runs.
+    *
+    * Scale: stage 1 inherits q49's plan (broadcast bounded query set
+    * ⋈ centroid_id over the PQ artifact); stage 2's only corpus-sized
+    * term is one broadcast-hash probe of the embeddings scan by the
+    * candidate id set. Windows partition by the bounded q_id set.
+    */
+  def pqRerank(spark: SparkSession, dir: String): DataFrame = {
+    ensurePq(spark, dir)
+    val e = corpusEmb(spark, dir)
+    val qs = e.join(
+        spark.read.parquet(indexPath(spark, dir))
+          .select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("centroid_id"), col("emb").as("q_emb"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_cos").desc, col("c_id"))
+    val cand = pqRecon(spark, dir)
+      .join(broadcast(qs), Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("c_id"),
+        cosR(col("q_emb"), col("recon")).as("approx_cos"))
+      .withColumn("approx_rank", row_number().over(wA).cast("long"))
+      .filter(col("approx_rank") <= 20)
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("exact_cos").desc, col("c_id"))
+    e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      .join(broadcast(cand), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), col("approx_cos"), col("approx_rank"),
+        cosR(col("q_emb"), col("c_emb")).as("exact_cos"))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
   // ─── q67 chunk-grain retrieval serving (t21 ∘ q32) ───────────────────
   /** The RAG serving shape: queries probe the doc-level IVF index
     * (q32's nprobe=1 cell-restricted search, top-5 docs), and the
@@ -1447,6 +1492,7 @@ object Similarity {
     "q24_ivf_ann" -> ivfBuild,
     "q32_ivf_search" -> ivfSearch,
     "q67_chunk_retrieval" -> chunkRetrieval,
+    "q68_pq_rerank" -> pqRerank,
     "q35_ivf_recall" -> ivfSearchRecall,
     "q45_ivf_cell_stats" -> ivfCellStats,
     "q48_ivf_adaptive" -> ivfAssignAdaptive,
@@ -1910,6 +1956,25 @@ object Similarity {
         |SELECT q_id, c_id, approx_cos,
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin),
+    "q68_pq_rerank" -> pqOracle(
+      """q AS (SELECT vec_id AS q_id, centroid_id, emb AS q_emb FROM fin WHERE vec_id < 20),
+        |sc AS (
+        |  SELECT q.q_id, q.q_emb, r.vec_id AS c_id,
+        |         round(list_dot_product(q.q_emb, r.recon)
+        |               / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(r.recon, r.recon))), 4) AS approx_cos
+        |  FROM recon r JOIN q USING (centroid_id) WHERE r.vec_id <> q.q_id),
+        |cand AS (
+        |  SELECT q_id, q_emb, c_id, approx_cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, c_id) AS BIGINT) AS approx_rank
+        |  FROM sc QUALIFY approx_rank <= 20),
+        |ex AS (
+        |  SELECT cand.q_id, cand.c_id, cand.approx_cos, cand.approx_rank,
+        |         round(list_dot_product(cand.q_emb, c.emb)
+        |               / (sqrt(list_dot_product(cand.q_emb, cand.q_emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) AS exact_cos
+        |  FROM cand JOIN e c ON c.vec_id = cand.c_id)
+        |SELECT q_id, c_id, approx_cos, approx_rank, exact_cos,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY exact_cos DESC, c_id) AS BIGINT) AS rank
+        |FROM ex QUALIFY rank <= 5""".stripMargin),
     "q50_pq_recall" -> pqOracle(
       """q AS (SELECT vec_id AS q_id, emb AS q_emb FROM fin WHERE vec_id < 20),
         |cr AS (
