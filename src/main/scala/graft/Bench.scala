@@ -84,7 +84,7 @@ object Bench {
       "t26_quality_regression", "t27_quality_model_apply",
       // t28/t29: the same regex/bigram feature scan dominates; the 560
       // sums are one map-side-combined agg and the Cholesky is driver
-      "t28_quality_ridge", "t29_ridge_apply",
+      "t28_quality_ridge", "t29_ridge_apply", "t30_ridge_thresholds",
       // the sketch family: md5-scan-dominated, fixed-size aggregation
       // state (the shuffles are ≤ sources×256 / 4096-cell constants)
       "s01_hll_distinct", "s02_cms_heavy_hitters", "s05_hll_union",

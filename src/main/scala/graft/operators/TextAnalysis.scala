@@ -1742,9 +1742,59 @@ object TextAnalysis {
           .as("probe_accuracy"))
   }
 
+  /** t30: the ridge's OPERATING-POINT sweep — per decision threshold
+    * τ ∈ {0.1 … 0.9}, the corpus-wide confusion census plus
+    * precision / recall / accuracy of "keep doc iff ŷ ≥ τ" against
+    * the weak label. This is the curve a pipeline reads to pick its
+    * keep-rate / purity trade before wiring the model into t07-style
+    * pruning — the same close-the-tuning-loop rung d24/d26/d27 give
+    * the LSH banding. Thresholds derive as k/10 in DOUBLE arithmetic
+    * (identical IEEE divide both engines); precision/recall go NULL
+    * (not 0) on empty denominators, the t26/t27 explicit-signal rule.
+    *
+    * Scale: ONE feature pass — the scored frame cross-joins the
+    * 9-row broadcast threshold frame and aggregates by threshold
+    * (map-side combining, 9 groups); the ridge solve is the t28
+    * driver literal. No windows, no doc-key joins.
+    */
+  def ridgeThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val feats = ridgeFeatures(Tables.documents(spark, dir))
+    val b = ridgeSolve(feats)
+    val yhat = (1 until RidgeDims).foldLeft(lit(b(0)): Column)((acc, j) =>
+      acc + lit(b(j)) * col(s"f$j").cast("double"))
+    val spark2 = feats.sparkSession
+    import spark2.implicits._
+    val thresholds = (1 to 9).toDF("k")
+      .select((col("k").cast("double") / lit(10.0)).as("threshold"))
+    feats.select(col("y"), yhat.as("yhat"))
+      .crossJoin(broadcast(thresholds))
+      .groupBy(col("threshold"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("yhat") >= col("threshold") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("yhat") >= col("threshold") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("yhat") < col("threshold") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("yhat") < col("threshold") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("n_docs"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        ((col("tp") + col("tn")).cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t28_quality_ridge" -> qualityRidge,
     "t29_ridge_apply" -> ridgeApply,
+    "t30_ridge_thresholds" -> ridgeThresholds,
     "t23_shuffle_shard" -> shuffleShard,
     "t24_bpe_train" -> bpeTrain,
     "t25_bpe_apply" -> bpeApply,
@@ -2086,9 +2136,36 @@ object TextAnalysis {
        |FROM c""".stripMargin
   }
 
+  private def ridgeThresholdsSql: String = {
+    val (chol, fin) = ridgeCholSql
+    val yhat = (1 until RidgeDims).map(j => s" + b_$j * CAST(f$j AS DOUBLE)").mkString
+    s"""WITH $ridgeFeatureCtes,
+       |$ridgeSumsSql,
+       |$chol,
+       |th AS (SELECT CAST(k AS DOUBLE) / 10.0 AS threshold
+       |       FROM (SELECT unnest(range(1, 10)) AS k)),
+       |sc AS (SELECT f.y, (b_0$yhat) AS yhat FROM f, $fin),
+       |c AS (
+       |  SELECT threshold,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN yhat >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN yhat >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(sum(CASE WHEN yhat < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(sum(CASE WHEN yhat < threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM sc CROSS JOIN th GROUP BY 1)
+       |SELECT threshold, n_docs, tp, fp, fn, tn,
+       |       CASE WHEN tp + fp > 0
+       |            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |       CASE WHEN tp + fn > 0
+       |            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       |       CAST(tp + tn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+       |FROM c""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t28_quality_ridge" -> qualityRidgeSql,
     "t29_ridge_apply" -> ridgeApplySql,
+    "t30_ridge_thresholds" -> ridgeThresholdsSql,
     "t26_quality_regression" -> qualityRegressionSql,
     "t27_quality_model_apply" -> qualityModelApplySql,
     "t23_shuffle_shard" -> shuffleShardSql,
