@@ -113,7 +113,10 @@ class PlanSweepSpec extends AnyFunSuite {
       "crossJoined into the scoring projection (the q39 rule)"),
     "t29_ridge_apply" -> ("1-row probe-coefficient frame crossJoined " +
       "into the scoring projection beside the ridge literals (the " +
-      "q39 rule, as in t27)"))
+      "q39 rule, as in t27)"),
+    "t30_ridge_thresholds" -> ("9-row broadcast threshold frame " +
+      "crossJoined into the scored projection — a bounded literal " +
+      "grid, the q39 rule"))
 
   test("no query plans an unpartitioned window or all-pairs join without a written justification") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
