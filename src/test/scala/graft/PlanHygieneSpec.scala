@@ -332,8 +332,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     // and falls back to a nested loop over the user-day frame per day
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"e06 must stay equi-join + explode:\n$p")
-    // the three distinct counts partial-aggregate through one Expand
-    assert(p.contains("Expand"), s"expected distinct-agg expand:\n$p")
+    // round-12 form: the three window memberships are conditional
+    // counts over a per-(day, user) min-offset pre-aggregation — the
+    // old 3× countDistinct Expand (which tripled the shuffled contrib
+    // rows) must be GONE, and the min-off hash aggregation present
+    assert(!p.contains("Expand"), s"the countDistinct expand is retired:\n$p")
+    assert(p.contains("min(off") || p.contains("min_off"),
+      s"expected the per-(day, user) min-offset pre-aggregation:\n$p")
   }
 
   test("t09 keyword window partitions by doc_id; t10 windows consume post-agg rows") {
