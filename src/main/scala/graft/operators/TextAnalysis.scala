@@ -1578,9 +1578,15 @@ object TextAnalysis {
   /** Per-doc ridge feature row: doc_id, source, f0..f{K-1} (BIGINT),
     * y (the t26 weak keep-label — the ridge trains against the SAME
     * target as the probe, which is what makes t29's accuracy
-    * comparison meaningful). One corpus pass + one bigram explosion
-    * with a 28-ary conditional-sum aggregation (hash agg on doc_id,
-    * map-side combining; no pivot machinery, no window).
+    * comparison meaningful). ENTIRELY PER-ROW (round-12 rework): the
+    * bigram bucket counts compute inside the row with higher-order
+    * array functions (transform → filter-count per bucket) instead of
+    * the first cut's explode + groupBy + join-back, which cost two
+    * exchanges AND made the scorer stateful — per-row features are
+    * what lets the SAME scoring expression serve a streaming
+    * micro-batch unchanged (QualityStream, the deploy-the-model
+    * stage). Bucket values are identical to the grouped form (same
+    * md5-prefix split, the dsirFeats discipline both engines replay).
     */
   private[graft] def ridgeFeatures(docs: DataFrame): DataFrame = {
     val base = docs
@@ -1590,34 +1596,42 @@ object TextAnalysis {
         patternCount(col("text"), "[^A-Za-z0-9\\s]").as("punct_count"),
         patternCount(lower(col("text")), langMarkers.head._2).as("stopword_count"))
       .filter(col("n_chars") > 0 && col("n_tokens") > 0)
-    val grams = base
-      .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
-      .select(col("doc_id"),
-        // the dsirFeats md5-bucket discipline: both engines derive the
-        // identical 16-bit prefix, so the bucket split replays exactly
-        (conv(substring(md5(concat_ws(" ", element_at(col("t"), col("i")),
-          element_at(col("t"), col("i") + 1))), 1, 4), 16, 10)
-          .cast("long") % RidgeBuckets).as("bucket"))
-    val bucketCols = (0 until RidgeBuckets).map(j =>
-      least(sum(when(col("bucket") === j, 1L).otherwise(0L)), lit(100L)).as(s"g$j"))
-    val counts = grams.groupBy(col("doc_id")).agg(bucketCols.head, bucketCols.tail: _*)
-    base.join(counts, Seq("doc_id"), "left")
-      .select(Seq(
-        col("doc_id"), col("source"),
-        lit(1L).as("f0"),
-        least(col("n_tokens"), lit(1000L)).as("f1"),
-        least(expr("(1000 * stopword_count) div n_tokens"), lit(1000L)).as("f2"),
-        least(expr("(1000 * punct_count) div n_chars"), lit(1000L)).as("f3"),
-        when(col("n_tokens") >= 50L &&
-          lit(1000L) * col("punct_count") <= lit(200L) * col("n_chars") &&
-          lit(20L) * col("stopword_count") >= col("n_tokens"), 1L)
-          .otherwise(0L).as("y")) ++
-        (0 until RidgeBuckets).map(j =>
-          coalesce(col(s"g$j"), lit(0L)).as(s"f${4 + j}")): _*)
+    val withBuckets = base
+      .withColumn("tk", regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0)))
+      .withColumn("bk",
+        when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => conv(substring(md5(concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1))), 1, 4), 16, 10)
+              .cast("long") % RidgeBuckets))
+          .otherwise(array().cast("array<bigint>")))
+    withBuckets.select(Seq(
+      col("doc_id"), col("source"),
+      lit(1L).as("f0"),
+      least(col("n_tokens"), lit(1000L)).as("f1"),
+      least(expr("(1000 * stopword_count) div n_tokens"), lit(1000L)).as("f2"),
+      least(expr("(1000 * punct_count) div n_chars"), lit(1000L)).as("f3"),
+      when(col("n_tokens") >= 50L &&
+        lit(1000L) * col("punct_count") <= lit(200L) * col("n_chars") &&
+        lit(20L) * col("stopword_count") >= col("n_tokens"), 1L)
+        .otherwise(0L).as("y")) ++
+      (0 until RidgeBuckets).map(j =>
+        least(size(filter(col("bk"), x => x === j)).cast("long"), lit(100L))
+          .as(s"f${4 + j}")): _*)
+  }
+
+  /** Score an arbitrary docs frame with a FROZEN ridge model (t28's
+    * driver-solved coefficients folded in as literals) — per-row and
+    * stateless end to end, so the identical expression serves a
+    * streaming micro-batch (QualityStream) and the batch corpus alike.
+    */
+  private[graft] def ridgeScore(docs: DataFrame, b: Array[Double]): DataFrame = {
+    require(b.length == RidgeDims, s"ridge model must have $RidgeDims dims")
+    val yhat = (1 until RidgeDims).foldLeft(lit(b(0)): Column)((acc, j) =>
+      acc + lit(b(j)) * col(s"f$j").cast("double"))
+    ridgeFeatures(docs)
+      .select(col("doc_id"), col("source"), col("y").as("weak_label"),
+        yhat.as("score"), (yhat >= 0.5).as("keep"))
   }
 
   /** Normal-equation sums (K(K+1)/2 upper-triangle X'X entries + K X'y
