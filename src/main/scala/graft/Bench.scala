@@ -89,6 +89,10 @@ object Bench {
       // state (the shuffles are ≤ sources×256 / 4096-cell constants)
       "s01_hll_distinct", "s02_cms_heavy_hitters", "s05_hll_union",
       "e13_rolling_active_hll",
+      // stream wrappers whose per-batch work is a per-row scan (ridge
+      // feature regexes / gate regexes / token md5s); the harness's
+      // staging writes are per-row too
+      "stream_quality", "stream_dedup", "stream_sketch",
       "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
       "d34_boilerplate_spans",
@@ -132,6 +136,9 @@ object Bench {
       "q34_api_catalog_ratings", "q35_ivf_recall",
       "q47_incremental_fact", "q49_ivf_pq", "q50_pq_recall", "q51_ivf_append",
       "q55_lead_time",
+      // stream wrappers dominated by joins: the fact grain join /
+      // the per-batch band-bucket probe against the standing index
+      "stream_facts", "stream_curation",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "e12_burst_census",
@@ -157,6 +164,28 @@ object Bench {
   private[graft] val extraNames: Set[String] = Set(
     "x01_skew_plain_join", "x02_skew_salted_join",
     "x03_shuffle_smj", "x04_bucketed_smj", "x05_ivf_compute")
+
+  /** Compact-line display keys: the id prefix before the first '_'
+    * ("q01", "d03") where unique; a colliding family (the stream_*
+    * rows all share "stream") extends to prefix + 2 chars of the next
+    * token ("stream_qu"); a residual collision falls back to the full
+    * name rather than merging two queries. BenchTimingSpec pins the
+    * mapping injective so the ~2 KB stdout tail window stays safe.
+    */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    val byPrefix = names.groupBy(_.takeWhile(_ != '_'))
+    def two(k: String): String = {
+      val parts = k.split("_", 3)
+      if (parts.length < 2) k else parts(0) + "_" + parts(1).take(2)
+    }
+    val byTwo = names.groupBy(two)
+    names.map { k =>
+      val p = k.takeWhile(_ != '_')
+      k -> (if (byPrefix(p).size == 1) p
+            else if (byTwo(two(k)).size == 1) two(k)
+            else k)
+    }.toMap
+  }
 
   private def probeBody(spark: SparkSession, name: String): Unit = name match {
     case "p_cpu_sha" =>
@@ -435,13 +464,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"total_min":${fmt(totalMin)},"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmap(all.map { case (k, t) => k -> t.median })},"query_min":${jmap(all.map { case (k, t) => k -> t.min })},"queries_class_calibrated":$classCalibrated,"query_class":$queryClassJson,"query_max":${jmap(all.map { case (k, t) => k -> t.max })},"calibration":$calDetail,"errors":$errs,"reps":$reps,"load_before":$load0,"load_after":$load1,"sf":"$sfDir"}"""
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
-    // id-prefix display keys; a (theoretical) prefix collision falls
-    // back to the full name rather than merging two queries
-    val prefixCount = all.map(_._1.takeWhile(_ != '_')).groupBy(identity)
-    def shortKey(k: String): String = {
-      val p = k.takeWhile(_ != '_')
-      if (prefixCount(p).size == 1) p else k
-    }
+    val shortOf = shortKeys(all.map(_._1))
+    def shortKey(k: String): String = shortOf(k)
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jmapMin(entries: Seq[(String, Timing)]): String =

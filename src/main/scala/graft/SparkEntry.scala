@@ -17,7 +17,8 @@ object SparkEntry {
     Analytics.queries ++ Dimensions.queries ++ Facts.queries ++
       Marts.queries ++ Cleaning.queries ++ TextAnalysis.queries ++
       Events.queries ++ Dedup.queries ++ Similarity.queries ++ AsOf.queries ++
-      Analytics2.queries ++ Graph.queries ++ Sketches.queries
+      Analytics2.queries ++ Graph.queries ++ Sketches.queries ++
+      graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Analytics.oracle ++ Dimensions.oracle ++ Facts.oracle ++
       Marts.oracle ++ Cleaning.oracle ++ TextAnalysis.oracle ++
       Events.oracle ++ Dedup.oracle ++ Similarity.oracle ++ AsOf.oracle ++
-      Analytics2.oracle ++ Graph.oracle ++ Sketches.oracle
+      Analytics2.oracle ++ Graph.oracle ++ Sketches.oracle ++
+      graft.streaming.StreamQueries.oracle
 }

@@ -205,6 +205,13 @@ object Facts {
     "q47_incremental_fact" -> factOracleSql,
     "q12_fact_sales" -> factOracleSql)
 
+  /** stream_facts oracle: q12's fact rows plus the month partition key
+    * FactStream lands the warehouse under — hash equality proves the
+    * streamed warehouse equals the batch rebuild, month keys included.
+    */
+  private[graft] lazy val factStreamOracleSql: String =
+    s"SELECT *, date_key // 100 AS month_key FROM (\n$factOracleSql\n)"
+
   private lazy val factOracleSql: String =
       """WITH cat AS (
         |  SELECT category_name,

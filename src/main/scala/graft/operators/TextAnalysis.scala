@@ -2114,6 +2114,22 @@ object TextAnalysis {
     s"WITH $ridgeFeatureCtes,\n$ridgeSumsSql,\n$chol\n$rows"
   }
 
+  /** Per-doc train+score replay for the stream_quality driver row: the
+    * identical generated Cholesky chain, final select = one scored row
+    * per document (the rows QualityStream's serving sink holds) — same
+    * left-associative score fold as [[ridgeScore]], bit-identical.
+    */
+  private[graft] def ridgeScoreSql: String = {
+    val (chol, fin) = ridgeCholSql
+    val yhat = (1 until RidgeDims).map(j => s" + b_$j * CAST(f$j AS DOUBLE)").mkString
+    s"""WITH $ridgeFeatureCtes,
+       |$ridgeSumsSql,
+       |$chol
+       |SELECT f.doc_id, f.source, CAST(f.y AS BIGINT) AS weak_label,
+       |       (b_0$yhat) AS score, (b_0$yhat) >= 0.5 AS keep
+       |FROM f, $fin""".stripMargin
+  }
+
   private def ridgeApplySql: String = {
     val (chol, fin) = ridgeCholSql
     val yhat = (1 until RidgeDims).map(j => s" + b_$j * CAST(f$j AS DOUBLE)").mkString

@@ -1,0 +1,319 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Tables
+
+/** Driver-oracle surface for the streaming components (round-13
+  * verdict item 1): each stream_* row wires its streaming operator
+  * end-to-end — deterministic parquet chunks staged as a FILE SOURCE
+  * (one micro-batch per file, modification-time ordered), the real
+  * watermark/state machinery, the real sink — and returns the sink
+  * read back as a batch frame whose DuckDB oracle is the operator's
+  * batch twin. The stream==batch specs (QualityStreamSpec,
+  * DocStreamSpec, …) pin chopping-invariance; these entries put the
+  * same equality under the driver's CORRECTNESS gate.
+  *
+  * Determinism contract per entry: the published frame contains only
+  * columns whose values are invariant to HOW the feed is chopped into
+  * micro-batches and to intra-batch row races (e.g. the dedup entry
+  * publishes the survivor set at FINGERPRINT grain — the surviving
+  * doc_id within one micro-batch is a state-store race, the survivor
+  * set is not).
+  *
+  * Scale: the harness is test-scale by design (it stages the corpus as
+  * files), but every streaming operator underneath carries its own
+  * 100 TB argument (bounded state via watermarks / constant-size
+  * sketch keys / published artifacts) — see each operator's scaladoc.
+  */
+object StreamQueries {
+
+  private val nameSeq = new AtomicLong(0L)
+
+  /** Fresh scratch dir for one wrapper run — deleted and recreated so
+    * repeated Bench/Verify invocations never replay a stale checkpoint
+    * against new input (and never grow /tmp without bound).
+    */
+  private def scratch(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_$name")
+    deleteRec(p)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  /** Stage each chunk as ONE parquet file under `dir` with strictly
+    * increasing modification times — the file stream source processes
+    * oldest-first, so chunk order IS micro-batch order (with
+    * maxFilesPerTrigger=1 each file is exactly one batch).
+    */
+  private def stageChunks(chunks: Seq[DataFrame], dir: String): StructType = {
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Paths.get(dir, s"_stage_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = Files.list(tmp)
+        try s.filter(f => f.getFileName.toString.startsWith("part-") &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally s.close()
+      }
+      val target = Paths.get(dir, f"chunk$i%03d.parquet")
+      Files.move(part, target)
+      // 10 s spacing: far above any filesystem mtime granularity
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+      deleteRec(tmp)
+    }
+    chunks.head.schema
+  }
+
+  /** Open the staged dir as a one-file-per-trigger streaming source. */
+  private def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+
+  /** Run `df` into a parquet file sink (the transactional exactly-once
+    * sink the production operators use), block until the staged source
+    * drains — processAllAvailable also runs the engine's no-data
+    * batches, so watermark-gated state flushes before the read-back —
+    * and return the sink as a batch frame.
+    */
+  private def drainToParquet(df: DataFrame, out: String,
+                             partitionCols: Seq[String] = Nil): DataFrame = {
+    val w0 = df.writeStream
+      .format("parquet")
+      .option("path", s"$out/sink")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+    val q = (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.read.parquet(s"$out/sink")
+  }
+
+  /** Run an AGGREGATING stream in Complete mode into the memory sink
+    * (the only complete-mode sink) and return the final state — used by
+    * the constant-state sketch queries, whose result is ≤ keys×m rows
+    * by construction (driver-bounded like every memory-sink use here).
+    */
+  private def drainToMemory(df: DataFrame): DataFrame = {
+    val name = s"graft_stream_mem_${nameSeq.incrementAndGet()}"
+    val q = df.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Documents with a synthetic monotone `ingest_ts` (arrival clock for
+    * the dedup watermark) split into 3 deterministic chunks.
+    */
+  private def docChunks(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ingest_ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    (0 until 3).map(i => d.filter(col("doc_id") % 3 === i))
+  }
+
+  // ─── stream_quality: frozen-ridge model serving ──────────────────────
+  /** Train the t28 ridge OFFLINE on the standing corpus, then serve its
+    * frozen coefficients on the document stream (QualityStream) —
+    * scored per-doc rows land in the exactly-once file sink. Stateless
+    * projection end to end, so any chopping yields the identical rows;
+    * the oracle replays the full train+score chain (generated Cholesky
+    * CTEs + the per-doc score expression) in DuckDB.
+    */
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("quality")
+    val model = QualityStream.trainModel(spark, dir)
+    val schema = stageChunks(docChunks(spark, dir).map(_.drop("ingest_ts")), s"$out/src")
+    val scored = QualityStream.scored(fileStream(spark, s"$out/src", schema), model)
+    drainToParquet(scored, out)
+  }
+
+  // ─── stream_facts: continuous fact ingest ────────────────────────────
+  /** Lineitem-grain stream joined to the static order/part dims through
+    * the SAME builder as the batch fact (q12), landing month-partitioned
+    * in the transactional file sink. Oracle = q12's SQL + the month key:
+    * hash equality proves the streamed warehouse == the batch rebuild.
+    */
+  def streamFacts(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("facts")
+    val li = Tables.lineitem(spark, dir)
+    val chunks = (0 until 3).map(i => li.filter(col("l_orderkey") % 3 === i))
+    val schema = stageChunks(chunks, s"$out/src")
+    val fact = FactStream.factStream(
+      fileStream(spark, s"$out/src", schema),
+      Tables.orders(spark, dir), Tables.part(spark, dir))
+    // the partition column reads back as INT (directory-name inference);
+    // restore the builder's LONG so the oracle schema matches
+    drainToParquet(fact, out, partitionCols = Seq("month_key"))
+      .withColumn("month_key", col("month_key").cast("long"))
+  }
+
+  // ─── stream_dedup: gated exact-dedup ingest ──────────────────────────
+  /** DocStream.gatedIngest end to end: the quality gate screens junk
+    * BEFORE dedup state, `dropDuplicatesWithinWatermark` keeps one
+    * survivor per content fingerprint. Published at FINGERPRINT grain
+    * (fingerprint + text-derived stats): WHICH duplicate row survives an
+    * intra-batch race is nondeterministic, the survivor SET is exact —
+    * and it is the set the batch twin (gate + DISTINCT md5) replays.
+    * The horizon is effectively unbounded here so the survivor set is
+    * chopping-invariant (production bounds it; d01 is the batch
+    * backstop — see DocStream.dedupIngest's scaladoc).
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("dedup")
+    val schema = stageChunks(docChunks(spark, dir), s"$out/src")
+    val survivors = DocStream.gatedIngest(
+      fileStream(spark, s"$out/src", schema), horizon = "36500 days")
+    drainToParquet(survivors, out)
+      .select(col("fingerprint"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+  }
+
+  // ─── stream_sketch: the continuous mergeable sketch feed ─────────────
+  /** s01's HLL registers maintained over the document stream — an
+    * unwatermarked stateful aggregation that is state-safe because the
+    * key space is (source × 256 buckets) BY CONSTRUCTION. Complete-mode
+    * final state == a batch register build over everything that arrived;
+    * the oracle replays the register construction (the s01 chain's reg
+    * tier) in DuckDB.
+    */
+  def streamSketch(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("sketch")
+    val schema = stageChunks(
+      docChunks(spark, dir).map(_.select(col("doc_id"), col("source"), col("text"))),
+      s"$out/src")
+    val regs = SketchStream.hllRegisters(fileStream(spark, s"$out/src", schema))
+    drainToMemory(regs)
+      .select(col("source"), col("bucket").cast("long").as("bucket"),
+        col("reg").cast("long").as("reg"))
+  }
+
+  // ─── stream_curation: continuous near-dup curation ingest ────────────
+  /** CurationStream end to end: each micro-batch is one arriving shard
+    * probed against the growing standing index (batch-keyed band /
+    * shingle-array / removal tiers), and the standing removal rollup
+    * after the feed drains must equal the FULL-REBUILD removal set
+    * however the stream was chopped (the keep-min discipline — pairs
+    * are discovered at the later shard of each pair). Oracle = the
+    * d07 full-rebuild chain's keep-min removal list.
+    */
+  def streamCuration(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("curation")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val chunks = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    val schema = stageChunks(chunks, s"$out/src")
+    val q = CurationStream.ingest(
+      fileStream(spark, s"$out/src", schema), s"$out/index", s"$out/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    CurationStream.standingRemovals(spark, s"$out/index")
+  }
+
+  // ─── registry ────────────────────────────────────────────────────────
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quality" -> streamQuality,
+    "stream_facts" -> streamFacts,
+    "stream_dedup" -> streamDedup,
+    "stream_sketch" -> streamSketch,
+    "stream_curation" -> streamCuration)
+
+  /** The full-rebuild LSH+verify removal list (the d07 chain without
+    * its n_dup_pairs column — a replayed tick may legally re-record a
+    * pair, so the streaming rollup publishes only the replay-stable
+    * keep-min columns).
+    */
+  private val curationOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
+      |  FROM pos),
+      |ks AS (SELECT unnest(range(0, 18)) AS k),
+      |hs AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |         CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, CAST(k AS INT) AS k, min(h1 + k * h2) AS sig
+      |  FROM hs CROSS JOIN ks GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, k // 3 AS band_j,
+      |         md5(concat_ws('', CAST(min(CASE WHEN k % 3 = 0 THEN sig END) AS VARCHAR),
+      |                           CAST(min(CASE WHEN k % 3 = 1 THEN sig END) AS VARCHAR),
+      |                           CAST(min(CASE WHEN k % 3 = 2 THEN sig END) AS VARCHAR))) AS band_hash
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band_j = b.band_j AND a.band_hash = b.band_hash
+      |       AND a.doc_id < b.doc_id),
+      |cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+      |csh AS (SELECT sh.* FROM sh JOIN cdocs USING (doc_id)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+      |inter AS (
+      |  SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+      |  FROM cand
+      |  JOIN csh a ON cand.doc_a = a.doc_id
+      |  JOIN csh b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT cand.doc_a, cand.doc_b,
+      |         CAST(coalesce(inter.inter, 0) AS DOUBLE)
+      |           / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) AS jaccard
+      |  FROM cand
+      |  LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+      |  JOIN sizes sa ON cand.doc_a = sa.doc_id
+      |  JOIN sizes sb ON cand.doc_b = sb.doc_id
+      |  WHERE CAST(coalesce(inter.inter, 0) AS DOUBLE)
+      |          / CAST(sa.n + sb.n - coalesce(inter.inter, 0) AS DOUBLE) >= 0.5)
+      |SELECT doc_b AS removed_doc_id,
+      |       min(doc_a) AS kept_partner,
+      |       max(jaccard) AS max_jaccard
+      |FROM verified GROUP BY 1""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "stream_quality" -> graft.operators.TextAnalysis.ridgeScoreSql,
+    "stream_facts" -> graft.operators.Facts.factStreamOracleSql,
+    "stream_dedup" ->
+      // the gate (length / alpha-ratio / dup-word-frac floors at
+      // DocStream.gatedIngest's defaults) then DISTINCT at fingerprint
+      // grain — the batch twin of gate-then-keep-first
+      """WITH g AS (
+        |  SELECT text FROM documents
+        |  WHERE length(text) >= 20
+        |    AND CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |          / length(text) >= 0.5
+        |    AND 1.0 - CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS DOUBLE)
+        |          / len(regexp_extract_all(text, '\S+')) <= 0.85)
+        |SELECT DISTINCT md5(text) AS fingerprint,
+        |       CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |FROM g""".stripMargin,
+    "stream_sketch" ->
+      """WITH tok AS (
+        |  SELECT source, CAST(('0x' || substr(md5(t.token), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+        |        FROM documents) t)
+        |SELECT source, h % 256 AS bucket,
+        |       max(CASE WHEN h // 256 = 0 THEN 53
+        |                ELSE 53 - length(bin(h // 256)) END) AS reg
+        |FROM tok GROUP BY 1, 2""".stripMargin,
+    "stream_curation" -> curationOracleSql)
+}

@@ -53,11 +53,15 @@ class BenchTimingSpec extends AnyFunSuite {
 
   test("compact-line id prefixes are unique across the bench surface") {
     // the stdout line keys queries by the prefix before the first '_'
-    // ("q01", "d03") to fit the harness's ~2 KB tail capture; two
-    // entries sharing a prefix would fall back to full names and could
-    // push the line back over the window — keep prefixes unique
-    val benchNames = SparkEntry.queries.keySet ++ Bench.extraNames
-    val dups = benchNames.groupBy(_.takeWhile(_ != '_')).filter(_._2.size > 1)
-    assert(dups.isEmpty, s"colliding bench id prefixes: $dups")
+    // ("q01", "d03", "stream_qu") to fit the harness's ~2 KB tail
+    // capture; the mapping must stay injective (no two queries merge)
+    // and short (a family falling back to many full names could push
+    // the line back over the window)
+    val benchNames = (SparkEntry.queries.keySet ++ Bench.extraNames).toSeq
+    val short = Bench.shortKeys(benchNames)
+    assert(short.values.toSet.size == benchNames.size,
+      s"shortKeys not injective: ${short.groupBy(_._2).filter(_._2.size > 1)}")
+    val long = short.values.filter(_.length > 10)
+    assert(long.isEmpty, s"short keys over 10 chars: $long")
   }
 }

@@ -42,10 +42,21 @@ class ContractSpec extends AnyFunSuite {
   test("SURVEY §2 inventory and the query surface stay in sync") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")))
-    val surveyIds = "\\[x\\] ([qdtes]\\d\\d_\\w+)".r
+    val classicIds = "\\[x\\] ([qdtes]\\d\\d_\\w+)".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val componentIds = "\\[x\\] ((?:stream|multimodal)\\w*)".r
       .findAllMatchIn(survey).map(_.group(1)).toSet
     val codeIds = SparkEntry.queries.keySet
-    assert(surveyIds == codeIds,
-      s"survey-only: ${surveyIds -- codeIds}; code-only: ${codeIds -- surveyIds}")
+    val codeClassic = codeIds.filterNot(id =>
+      id.startsWith("stream") || id.startsWith("multimodal"))
+    assert(classicIds == codeClassic,
+      s"survey-only: ${classicIds -- codeClassic}; code-only: ${codeClassic -- classicIds}")
+    // the streaming/multimodal component rows: every driver-checked
+    // wrapper must be a §2 row (the reverse direction — every §2
+    // component row carrying a CORRECTNESS entry — is the round-13
+    // conversion this registry implements)
+    val codeComponents = codeIds -- codeClassic
+    assert(codeComponents.subsetOf(componentIds),
+      s"component queries missing from SURVEY §2: ${codeComponents -- componentIds}")
   }
 }
