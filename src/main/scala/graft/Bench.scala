@@ -100,6 +100,8 @@ object Bench {
       "d10_effective_mixture", "d14_curation_funnel", "d18_bloom_contamination",
       "d32_snapshot_drift",
       "d20_simhash_dedup", "d21_route_union",
+      // stream wrappers dominated by stateful-shuffle window/dedup aggs
+      "stream_events", "stream_actives",
       "e02_event_tumbling", "q01_monthly_sales_trend", "q02_category_performance",
       "q03_customer_segmentation", "q05_weekend_weekday", "q06_top_customers",
       "q07_product_catalog", "q14_mart_category_analysis", "q16_day_month_heatmap",
@@ -142,6 +144,9 @@ object Bench {
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "e12_burst_census",
+      // per-key ordered state walk (the fMGWS ring) resembles the
+      // window probe's per-key ordered scan most closely
+      "stream_anomalies",
       "t12_pack_sequences",
       "t23_shuffle_shard",
       "e06_rolling_active_users", "e07_event_anomalies", "e08_session_transitions",

@@ -32,7 +32,11 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"),
+        // DECIMAL-exact sum (the e02 batch-twin discipline): a double
+        // sum's rounding depends on partitioning/arrival order, which
+        // would make the windowed totals chopping-dependent
+        round(sum(col("value").cast("decimal(12,2)")), 2)
+          .cast("double").as("total_value"),
         approx_count_distinct(col("user_id")).as("approx_users"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"), col("approx_users"))

@@ -223,13 +223,112 @@ object StreamQueries {
     CurationStream.standingRemovals(spark, s"$out/index")
   }
 
+  // ─── the watermark-gated event rows ──────────────────────────────────
+  /** Events split into 3 TIME-ORDERED chunks (range boundaries at
+    * thirds of the span) so event time is monotone across micro-batches
+    * — no row ever arrives behind the watermark — plus a trailing
+    * sentinel chunk (`zz_sentinel`, its own final batch) that advances
+    * the watermark past every real window so Append-mode state flushes
+    * before the read-back. Returns (chunks incl. sentinel, max real ts).
+    */
+  private def eventChunks(spark: SparkSession, dir: String,
+                          sentinelLagMs: Long): (Seq[DataFrame], java.sql.Timestamp) = {
+    // normalize ts to the LTZ timestamp family (session tz is UTC, so
+    // NTZ wall-clock == instant): the probe/sentinel arithmetic and the
+    // AnomalyStream encoder all speak java.sql.Timestamp
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // 1-row span probe — harness-sized driver action (the q39 rule)
+    val mm = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1")).collect()(0)
+    val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+    val (c1, c2) = (t0 + (t1 - t0) / 3, t0 + 2 * (t1 - t0) / 3)
+    def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
+    val chunks = Seq(
+      ev.filter(ms(col("ts")) < c1),
+      ev.filter(ms(col("ts")) >= c1 && ms(col("ts")) < c2),
+      ev.filter(ms(col("ts")) >= c2))
+    val sentinel = ev.limit(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_millis(lit(t1 + sentinelLagMs)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("zz_sentinel").as("event_type"),
+      lit(0.0).as("value"))
+    (chunks :+ sentinel, mm.getTimestamp(1))
+  }
+
+  /** stream_events: EventsStream.windowedCounts (watermarked hourly
+    * tumbling windows) through the Append-mode file sink. The sentinel
+    * (4 h past the last event vs the 2 h watermark) closes every real
+    * window; its own window stays behind the watermark and is filtered
+    * out besides. Oracle = the e02 batch-twin aggregation.
+    */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("events")
+    val (chunks, _) = eventChunks(spark, dir, sentinelLagMs = 4L * 3600 * 1000)
+    val schema = stageChunks(chunks, s"$out/src")
+    val wc = EventsStream.windowedCounts(fileStream(spark, s"$out/src", schema))
+    drainToParquet(wc, out)
+      .filter(col("event_type") =!= "zz_sentinel")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** stream_actives: EventsStream.dailyActiveUsers — the CHAINED
+    * stateful pair (bounded (user, day) dedup feeding a watermarked
+    * daily window count) through the Append-mode file sink. The
+    * sentinel (3 d past the last event vs the 1 d watermark) closes
+    * every real day; its own day never emits. Oracle = exact per-day
+    * distinct users.
+    */
+  def streamActives(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("actives")
+    val (chunks, maxTs) = eventChunks(spark, dir, sentinelLagMs = 3L * 86400 * 1000)
+    val schema = stageChunks(chunks, s"$out/src")
+    val dau = EventsStream.dailyActiveUsers(fileStream(spark, s"$out/src", schema))
+    val maxDayUtc = maxTs.toInstant.atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+    drainToParquet(dau, out)
+      .filter(col("activity_date") <= lit(maxDayUtc).cast("date"))
+  }
+
+  /** stream_anomalies: AnomalyStream.anomalies — the live e07 feed
+    * (flatMapGroupsWithState, event-time timeouts, calendar zero-fill)
+    * drained through the file sink. The sentinel sits at EXACTLY
+    * last-day + 2 d 00:00: the resulting watermark (last-day + 1 d)
+    * finalizes the last real day while pinning the trailing zero-fill
+    * frontier AT the last real day, so the emitted grid matches the
+    * batch operator's calendar densification to the global max date —
+    * and the oracle is e07's SQL verbatim.
+    */
+  def streamAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("anomalies")
+    val ev = Tables.events(spark, dir)
+    val maxDay = ev.agg(max(to_date(col("ts")))).collect()(0).getDate(0)
+    val sentinelMs = maxDay.toLocalDate.plusDays(2)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val (chunks, _) = eventChunks(spark, dir, sentinelLagMs = 0L)
+    // replace the generic sentinel with the frontier-pinned one
+    val sentinel = chunks.head.limit(1).select(
+      lit(-1L).as("event_id"), timestamp_millis(lit(sentinelMs)).as("ts"),
+      lit(-1L).as("user_id"), lit("zz_sentinel").as("event_type"),
+      lit(0.0).as("value"))
+    val schema = stageChunks(chunks.dropRight(1) :+ sentinel, s"$out/src")
+    val feed = AnomalyStream.anomalies(fileStream(spark, s"$out/src", schema))
+    drainToParquet(feed.toDF(), out)
+      .filter(col("event_type") =!= "zz_sentinel")
+  }
+
   // ─── registry ────────────────────────────────────────────────────────
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_quality" -> streamQuality,
     "stream_facts" -> streamFacts,
     "stream_dedup" -> streamDedup,
     "stream_sketch" -> streamSketch,
-    "stream_curation" -> streamCuration)
+    "stream_curation" -> streamCuration,
+    "stream_events" -> streamEvents,
+    "stream_actives" -> streamActives,
+    "stream_anomalies" -> streamAnomalies)
 
   /** The full-rebuild LSH+verify removal list (the d07 chain without
     * its n_dup_pairs column — a replayed tick may legally re-record a
@@ -315,5 +414,17 @@ object StreamQueries {
         |       max(CASE WHEN h // 256 = 0 THEN 53
         |                ELSE 53 - length(bin(h // 256)) END) AS reg
         |FROM tok GROUP BY 1, 2""".stripMargin,
-    "stream_curation" -> curationOracleSql)
+    "stream_curation" -> curationOracleSql,
+    "stream_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_actives" ->
+      """SELECT CAST(ts AS DATE) AS activity_date,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM events GROUP BY 1""".stripMargin,
+    // the live feed must equal the batch operator bit-for-bit — e07's
+    // oracle IS the stream's oracle
+    "stream_anomalies" -> graft.operators.Events.oracle("e07_event_anomalies"))
 }
