@@ -138,9 +138,11 @@ object Bench {
       "q34_api_catalog_ratings", "q35_ivf_recall",
       "q47_incremental_fact", "q49_ivf_pq", "q50_pq_recall", "q51_ivf_append",
       "q55_lead_time",
-      // stream wrappers dominated by joins: the fact grain join /
-      // the per-batch band-bucket probe against the standing index
-      "stream_facts", "stream_curation",
+      // stream wrappers dominated by joins: the fact grain join / the
+      // per-batch band-bucket probe / the SCD2 full-outer merge; the
+      // multimodal row's banded self-join likewise
+      "stream_facts", "stream_curation", "stream_scd2",
+      "multimodal_neardup",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "e12_burst_census",

@@ -18,7 +18,7 @@ object SparkEntry {
       Marts.queries ++ Cleaning.queries ++ TextAnalysis.queries ++
       Events.queries ++ Dedup.queries ++ Similarity.queries ++ AsOf.queries ++
       Analytics2.queries ++ Graph.queries ++ Sketches.queries ++
-      graft.streaming.StreamQueries.queries
+      Multimodal.queries ++ graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       Marts.oracle ++ Cleaning.oracle ++ TextAnalysis.oracle ++
       Events.oracle ++ Dedup.oracle ++ Similarity.oracle ++ AsOf.oracle ++
       Analytics2.oracle ++ Graph.oracle ++ Sketches.oracle ++
-      graft.streaming.StreamQueries.oracle
+      Multimodal.oracle ++ graft.streaming.StreamQueries.oracle
 }

@@ -1829,17 +1829,48 @@ object Dedup {
   private[graft] case object CountingJoin extends VerifyRegime
   private[graft] case object PairArrays extends VerifyRegime
   private[graft] case object PairRestricted extends VerifyRegime
+  /** The array verify in `slices` sequential sub-jobs (round-13 verdict
+    * item 3): chosen when the census-estimated array-shuffle volume
+    * exceeds the local scratch budget — the documented sf10 death was
+    * DISK, not memory (the pair-array exchange's total shuffle files
+    * outgrew scratch), and no partitioning knob shrinks a TOTAL. Each
+    * slice materializes its scored pairs and releases its shuffle
+    * files before the next starts, bounding in-flight scratch at
+    * ~volume/slices. On the 1000-executor target this gate never
+    * fires (230 MB/executor at the recorded sf10 volume); it is the
+    * single-box degradation path.
+    */
+  private[graft] case class SlicedArrays(slices: Int) extends VerifyRegime
+
+  /** Local shuffle-scratch budget the verify may occupy at once.
+    * Deliberately below this container's 53 GB free scratch (head-room
+    * for the session's other live shuffles); production overrides via
+    * `spark.graft.scratch.budget.bytes`.
+    */
+  private[graft] val DefaultScratchBudgetBytes: Long = 32L * 1024 * 1024 * 1024
 
   /** The census gate, split out pure so the decision itself is
     * spec-pinned: counting-join generated rows (Σ occ²) vs array-path
     * shipped shingle copies (|pairs| · 2 · avg set size) — same unit,
     * direct comparison, ties to counting (the measured-default regime).
+    * When the array path wins but its estimated shuffle volume
+    * (copies × ~16 B) exceeds `scratchBudgetBytes`, the choice degrades
+    * to [[SlicedArrays]] sized so each slice stays under HALF the
+    * budget (the other half is head-room for the slice's own sort
+    * spill and the not-yet-cleaned previous slice).
     */
   private[graft] def chooseVerifyRegime(sumOcc2: Long, nPairs: Long,
-      sumOcc: Long, nDocs: Long): VerifyRegime = {
+      sumOcc: Long, nDocs: Long,
+      scratchBudgetBytes: Long = DefaultScratchBudgetBytes): VerifyRegime = {
     val arrayCopies = 2.0 * nPairs.toDouble *
       (sumOcc.toDouble / math.max(nDocs, 1L).toDouble)
-    if (sumOcc2.toDouble <= arrayCopies) CountingJoin else PairArrays
+    if (sumOcc2.toDouble <= arrayCopies) CountingJoin
+    else {
+      val volBytes = arrayCopies * 16.0
+      if (volBytes <= scratchBudgetBytes.toDouble) PairArrays
+      else SlicedArrays(math.max(2,
+        math.ceil(volBytes / (scratchBudgetBytes.toDouble / 2.0)).toInt))
+    }
   }
 
   /** Census-derived exchange width for the array verify — the round-11
@@ -2053,7 +2084,11 @@ object Dedup {
       .collect()(0)
     val tot = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
     val occ2 = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
-    val regime = force.getOrElse(chooseVerifyRegime(occ2, nPairs, tot, nDocs))
+    val scratchBudget = sh0.sparkSession.conf
+      .getOption("spark.graft.scratch.budget.bytes").map(_.toLong)
+      .getOrElse(DefaultScratchBudgetBytes)
+    val regime = force.getOrElse(
+      chooseVerifyRegime(occ2, nPairs, tot, nDocs, scratchBudget))
     lastContainmentRegime.set(regime)
     lastContainmentCensus.set((nPairs, nDocs, tot, occ2))
     // All three regimes compute the IDENTICAL (doc_a, doc_b, inter,
@@ -2103,6 +2138,46 @@ object Dedup {
           .withColumn("inter",
             size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
           .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"))
+      case SlicedArrays(s) =>
+        // EAGER sliced materialization — the scratch-bound degradation
+        // (see [[SlicedArrays]]): the pair set splits by a deterministic
+        // pair hash into `s` sub-jobs, each the PairArrays plan at
+        // per-slice exchange width; a finished slice's scored rows land
+        // in a scratch parquet and its shuffle files are released (refs
+        // dropped + an explicit GC nudge so the ContextCleaner's
+        // reference queue fires between slices, not at some later GC)
+        // before the next slice shuffles. Values are identical to
+        // PairArrays — slicing partitions the pair set, and per-pair
+        // arithmetic never crosses pairs (DedupSpec hash-compares).
+        val spark2 = shCand.sparkSession
+        val base = spark2.conf.get("spark.sql.shuffle.partitions").toInt
+        val parts = arrayVerifyPartitions(base, nPairs / s, tot, nDocs)
+        val sets = shCand.groupBy(col("doc_id"))
+          .agg(collect_set(col("gh")).as("sh_set"))
+          .select(col("doc_id"), col("sh_set"),
+            size(col("sh_set")).cast("long").as("n"))
+          .persist()
+        val scratch = new org.apache.hadoop.fs.Path(
+          System.getProperty("java.io.tmpdir"), "graft_containment_slices")
+        val fs = scratch.getFileSystem(spark2.sessionState.newHadoopConf())
+        if (fs.exists(scratch)) fs.delete(scratch, true)
+        (0 until s).foreach { i =>
+          candP
+            .filter(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(s.toLong)) === i)
+            .repartition(parts, col("doc_a"))
+            .join(sets.select(col("doc_id").as("doc_a"),
+              col("sh_set").as("set_a"), col("n").as("n_a")), Seq("doc_a"))
+            .repartition(parts, col("doc_b"))
+            .join(sets.select(col("doc_id").as("doc_b"),
+              col("sh_set").as("set_b"), col("n").as("n_b")), Seq("doc_b"))
+            .withColumn("inter",
+              size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+            .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"))
+            .write.mode("overwrite").parquet(s"$scratch/slice=$i")
+          System.gc()
+        }
+        sets.unpersist()
+        spark2.read.parquet((0 until s).map(i => s"$scratch/slice=$i"): _*)
       case PairRestricted =>
         // Start EVERY gram from the candidate pair set: pair ⋈
         // grams-of-doc_a replicates each pair by its contained doc's

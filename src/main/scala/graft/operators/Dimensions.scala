@@ -87,7 +87,7 @@ object Dimensions {
         out2(coalesce(sum(m3(col("o_totalprice"))), lit(0).cast("decimal(14,3)"))).as("total_spend"))
   }
 
-  private def segmentOf(cnt: Column): Column =
+  private[graft] def segmentOf(cnt: Column): Column =
     when(cnt <= 1, "New").when(cnt <= 3, "Occasional")
       .when(cnt <= 5, "Regular").otherwise("Loyal")
 

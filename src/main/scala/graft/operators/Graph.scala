@@ -283,8 +283,13 @@ object Graph {
     // crossJoin — the q39/d26 bounded-frame rule — and the stat-less
     // checkpoint leaves are re-planned at runtime by AQE (broadcast vs
     // shuffled hash for each edge join), replacing the cache-stats
-    // benefit the collects used to provide. Checkpointed RDDs release
-    // with the session's post-query cache clear.
+    // benefit the collects used to provide. Checkpointed RDD blocks
+    // (8 per run, MEMORY_AND_DISK) are NOT CacheManager-tracked, so
+    // spark.catalog.clearCache() does not free them — they release
+    // when the ContextCleaner garbage-collects the RDD references
+    // after this method's frames go unreachable (round-13 advice);
+    // bounded either way: each run's blocks are a few score-table
+    // copies, reclaimed before memory pressure matters.
     ed.persist()
     var hub = custs
       .crossJoin(broadcast(custs.agg(count(lit(1)).as("n"))))

@@ -224,6 +224,11 @@ object Multimodal {
       while (off + 8 <= payload.length && dataOff < 0) {
         val id = new String(payload, off, 4, "US-ASCII")
         val len = le32(off + 4)
+        // a corrupt/adversarial negative or overlong length must fail
+        // loudly, not walk backwards (infinite executor loop) or size
+        // a negative array (round-13 advice)
+        require(len >= 0 && off + 8 + len.toLong <= payload.length,
+          s"WAV chunk '$id' at $off has invalid length $len (${payload.length}-byte payload)")
         if (id == "data") { dataOff = off + 8; dataLen = len }
         else off += 8 + len + (len & 1) // RIFF chunks are word-aligned
       }
@@ -285,6 +290,12 @@ object Multimodal {
         require(fEnd > off &&
           new String(payload, off, 5.min(fEnd - off), "US-ASCII") == "FRAME",
           s"expected FRAME marker at offset $off")
+        // a FRAME marker must be followed by its FULL w×h plane — a
+        // truncated payload fails the parse here instead of indexing
+        // out of bounds inside tileOf (round-13 advice)
+        require(fEnd + 1 + w.toLong * h <= payload.length,
+          s"truncated y4m frame at offset ${fEnd + 1}: " +
+            s"needs ${w.toLong * h} luma bytes, ${payload.length - fEnd - 1} remain")
         offs += fEnd + 1
         off = fEnd + 1 + w * h
       }
@@ -709,6 +720,82 @@ object Multimodal {
     media.toDF()
       .withColumn("payload", expr(s"substring(payload, 1, $maxBytes)"))
       .withColumn("resized", length(col("payload")) <= maxBytes)
+
+  // ─── multimodal_neardup: the driver-oracle row (round 13) ───────────
+  /** The perceptual-hash near-dup pipeline under the driver's
+    * CORRECTNESS gate: media payloads are SYNTHESIZED IN-QUERY from
+    * doc_ids (the d33 boilerplateWrapped discipline — deterministic
+    * bytes both engines can derive), flow through the REAL binary
+    * plumbing (MediaRow → mapPartitions codec decode → aHash → the
+    * banded [[phashNearDup]] join), and the DuckDB oracle replays the
+    * post-decode integer arithmetic exactly: 64-byte gray payloads make
+    * the slice-average tile the identity, so tile/mean/bits/bands/
+    * hamming are pure integer SQL. Every 100th doc carries a one-pixel
+    * perturbation of its neighbor's image, planting known near-dup
+    * pairs; everything else hashes ~uniformly, so band candidates stay
+    * ~|pairs|·4/2¹⁶ — the same candidate-bounded story as d04.
+    * MultimodalSpec's real-codec invariance cases stay the semantic
+    * spec; this row pins the operator chain end to end per round.
+    */
+  def syntheticNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { d =>
+          val base = if (d % 100 == 0) d + 1 else d
+          val payload = Array.tabulate(64) { k =>
+            // md5-mixed pixel (uniform per (doc, k) — a LINEAR pixel
+            // function makes every image a shifted twin of every other
+            // and the pair set quadratic); twins perturb pixel 0 only
+            md.reset()
+            val h = md.digest(s"${base}_$k".getBytes("UTF-8"))
+            (((h(0) & 0xff) + (if (d % 100 == 0 && k == 0) 40 else 0)) % 256).toByte
+          }
+          MediaRow(d, "image", "gray64", payload, 64L)
+        }
+      }
+    phashNearDup(perceptualHash(media), maxHamming = 6)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_neardup" -> syntheticNearDup)
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_neardup" ->
+      // replay: pixel → tile (identity at 64 bytes) → floor-mean →
+      // above-mean bits → 16-bit bands from bit sums (no signed-shift
+      // semantics to match) → band equi-join → per-bit hamming
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 100 = 0 THEN doc_id + 1 ELSE doc_id END AS base_id
+        |  FROM documents),
+        |ks AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS k),
+        |px AS (
+        |  SELECT doc_id, k,
+        |         (CAST(('0x' || substr(md5(base_id || '_' || k), 1, 2)) AS BIGINT)
+        |           + CASE WHEN doc_id % 100 = 0 AND k = 0 THEN 40 ELSE 0 END) % 256 AS p
+        |  FROM ids CROSS JOIN ks),
+        |m AS (SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY 1),
+        |bit AS (
+        |  SELECT px.doc_id, k, CASE WHEN p > mean THEN 1 ELSE 0 END AS bit
+        |  FROM px JOIN m USING (doc_id)),
+        |bands AS (
+        |  SELECT doc_id, k // 16 AS b,
+        |         sum(bit * (CAST(1 AS BIGINT) << CAST(k % 16 AS INT))) AS band_val
+        |  FROM bit GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT media_a, media_b,
+        |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand
+        |  JOIN bit x ON x.doc_id = media_a
+        |  JOIN bit y ON y.doc_id = media_b AND y.k = x.k
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 6""".stripMargin)
 
   /** Frame-sampling stub: pick every `stride`-th byte — stands in for
     * video frame sampling keeping the 1:N row explosion shape.

@@ -223,6 +223,56 @@ object StreamQueries {
     CurationStream.standingRemovals(spark, s"$out/index")
   }
 
+  // ─── stream_scd2: CDC-style streaming dimension maintenance ──────────
+  /** DimStream end to end: a persisted customer dimension (the 1997
+    * activity snapshot at v1) receives TWO update micro-batches — the
+    * 1999 snapshot, then the full snapshot — each merged by the SAME
+    * Scd2.mergeInto the batch pipeline uses, with the merge timestamp a
+    * pure function of the batch id (replay-stable). The oracle replays
+    * both sequential merges as CASE logic over the three snapshot
+    * hashes: per customer the version chain (history / expired /
+    * changed / unchanged rows with their effective intervals) is fully
+    * determined by which of the three activity segments differ.
+    */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("scd2")
+    def snap(cutoff: Option[String]): DataFrame = {
+      val c = Tables.customer(spark, dir).select(col("c_custkey"))
+      val o0 = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val o = cutoff.map(ts => o0.filter(
+        col("o_orderdate") < lit(ts).cast("timestamp_ntz"))).getOrElse(o0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("cnt"))
+        .select(col("c_custkey").as("customer_id"),
+          graft.operators.Dimensions.segmentOf(col("cnt")).as("segment"))
+        .withColumn("row_hash",
+          md5(concat_ws("_", col("customer_id"), col("segment"))))
+    }
+    val dimPath = s"$out/dim"
+    // NTZ throughout (the q11 INT96 lesson — see Dimensions.scd2MergeDemo)
+    snap(Some("1997-01-01 00:00:00"))
+      .withColumn("version", lit(1L))
+      .withColumn("is_current", lit(true))
+      .withColumn("effective_start_date",
+        lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+      .withColumn("effective_end_date",
+        lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+      .write.parquet(dimPath)
+    val schema = stageChunks(Seq(
+      snap(Some("1999-01-01 00:00:00")).withColumn("seq", lit(0L)),
+      snap(None).withColumn("seq", lit(1L))), s"$out/src")
+    val q = DimStream.scd2Sink(
+        fileStream(spark, s"$out/src", schema), dimPath,
+        key = "customer_id", orderCol = "seq",
+        mergeTsOf = id => lit(s"2000-01-0${id + 1} 00:00:00").cast("timestamp_ntz"))
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(dimPath)
+  }
+
   // ─── the watermark-gated event rows ──────────────────────────────────
   /** Events split into 3 TIME-ORDERED chunks (range boundaries at
     * thirds of the span) so event time is monotone across micro-batches
@@ -328,7 +378,8 @@ object StreamQueries {
     "stream_curation" -> streamCuration,
     "stream_events" -> streamEvents,
     "stream_actives" -> streamActives,
-    "stream_anomalies" -> streamAnomalies)
+    "stream_anomalies" -> streamAnomalies,
+    "stream_scd2" -> streamScd2)
 
   /** The full-rebuild LSH+verify removal list (the d07 chain without
     * its n_dup_pairs column — a replayed tick may legally re-record a
@@ -426,5 +477,61 @@ object StreamQueries {
         |FROM events GROUP BY 1""".stripMargin,
     // the live feed must equal the batch operator bit-for-bit — e07's
     // oracle IS the stream's oracle
-    "stream_anomalies" -> graft.operators.Events.oracle("e07_event_anomalies"))
+    "stream_anomalies" -> graft.operators.Events.oracle("e07_event_anomalies"),
+    // two sequential SCD2 merges replayed as CASE logic over the three
+    // snapshot hashes (h0=1997, h1=1999, h2=full): the version chain
+    // per customer is fully determined by which segments differ
+    "stream_scd2" ->
+      """WITH seg AS (
+        |  SELECT c_custkey AS customer_id,
+        |         CASE WHEN count(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_orderkey END) <= 1 THEN 'New'
+        |              WHEN count(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_orderkey END) <= 3 THEN 'Occasional'
+        |              WHEN count(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_orderkey END) <= 5 THEN 'Regular'
+        |              ELSE 'Loyal' END AS seg0,
+        |         CASE WHEN count(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN o_orderkey END) <= 1 THEN 'New'
+        |              WHEN count(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN o_orderkey END) <= 3 THEN 'Occasional'
+        |              WHEN count(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN o_orderkey END) <= 5 THEN 'Regular'
+        |              ELSE 'Loyal' END AS seg1,
+        |         CASE WHEN count(o_orderkey) <= 1 THEN 'New'
+        |              WHEN count(o_orderkey) <= 3 THEN 'Occasional'
+        |              WHEN count(o_orderkey) <= 5 THEN 'Regular'
+        |              ELSE 'Loyal' END AS seg2
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |h AS (
+        |  SELECT customer_id, seg0, seg1, seg2,
+        |         md5(concat_ws('_', customer_id, seg0)) AS h0,
+        |         md5(concat_ws('_', customer_id, seg1)) AS h1,
+        |         md5(concat_ws('_', customer_id, seg2)) AS h2
+        |  FROM seg)
+        |SELECT customer_id, seg2 AS segment, CAST(1 AS BIGINT) AS version,
+        |       TRUE AS is_current,
+        |       TIMESTAMP '1997-01-01' AS effective_start_date,
+        |       TIMESTAMP '9999-12-31' AS effective_end_date,
+        |       'unchanged' AS change_type, h2 AS row_hash
+        |FROM h WHERE h0 = h1 AND h1 = h2
+        |UNION ALL
+        |SELECT customer_id, seg0, CAST(1 AS BIGINT), FALSE,
+        |       TIMESTAMP '1997-01-01', TIMESTAMP '2000-01-02', 'expired', h0
+        |FROM h WHERE h0 = h1 AND h1 <> h2
+        |UNION ALL
+        |SELECT customer_id, seg2, CAST(2 AS BIGINT), TRUE,
+        |       TIMESTAMP '2000-01-02', TIMESTAMP '9999-12-31', 'changed', h2
+        |FROM h WHERE h0 = h1 AND h1 <> h2
+        |UNION ALL
+        |SELECT customer_id, seg0, CAST(1 AS BIGINT), FALSE,
+        |       TIMESTAMP '1997-01-01', TIMESTAMP '2000-01-01', 'history', h0
+        |FROM h WHERE h0 <> h1
+        |UNION ALL
+        |SELECT customer_id, seg2, CAST(2 AS BIGINT), TRUE,
+        |       TIMESTAMP '2000-01-01', TIMESTAMP '9999-12-31', 'unchanged', h2
+        |FROM h WHERE h0 <> h1 AND h1 = h2
+        |UNION ALL
+        |SELECT customer_id, seg1, CAST(2 AS BIGINT), FALSE,
+        |       TIMESTAMP '2000-01-01', TIMESTAMP '2000-01-02', 'expired', h1
+        |FROM h WHERE h0 <> h1 AND h1 <> h2
+        |UNION ALL
+        |SELECT customer_id, seg2, CAST(3 AS BIGINT), TRUE,
+        |       TIMESTAMP '2000-01-02', TIMESTAMP '9999-12-31', 'changed', h2
+        |FROM h WHERE h0 <> h1 AND h1 <> h2""".stripMargin)
 }

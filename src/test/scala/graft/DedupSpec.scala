@@ -286,7 +286,34 @@ class DedupSpec extends AnyFunSuite {
       Dedup.containmentDedupOfDocs(docs, Some(Dedup.PairRestricted)).collect()
     assert(key(autoReal) == key(forcedPairRestricted),
       "pair-restricted must match the counting regime on the raw fixture")
+
+    // Scratch-budget degradation (round-13 verdict item 3): the sliced
+    // array verify is output-identical to the one-shot array verify
+    val forcedSliced =
+      Dedup.containmentDedupOfDocs(boiler, Some(Dedup.SlicedArrays(3))).collect()
+    assert(key(auto) == key(forcedSliced),
+      "the sliced array verify must match the one-shot array regime")
     spark.catalog.clearCache()
+  }
+
+  test("verify-regime gate degrades to SlicedArrays when the estimated " +
+      "array-shuffle volume exceeds the scratch budget") {
+    // counting wins whenever Σocc² <= 2·|pairs|·avgSet, budget ignored
+    assert(Dedup.chooseVerifyRegime(100L, 1000L, 1000L, 10L) == Dedup.CountingJoin)
+    // hot-shingle inversion, volume under budget: one-shot arrays
+    // (2·1000·100 copies × 16 B = 3.2 MB)
+    assert(Dedup.chooseVerifyRegime(10000000L, 1000L, 1000L, 10L) == Dedup.PairArrays)
+    // same shape with a 1 MB budget: volume 3.2 MB → ceil(3.2/0.5) = 7
+    // slices (each slice under HALF the budget — spill head-room)
+    assert(Dedup.chooseVerifyRegime(10000000L, 1000L, 1000L, 10L,
+      scratchBudgetBytes = 1L << 20) == Dedup.SlicedArrays(7))
+    // the d33 sf10 census shape (~230 GB of pair arrays) against the
+    // default 32 GB budget degrades instead of dying on scratch
+    val sf10 = Dedup.chooseVerifyRegime(
+      sumOcc2 = Long.MaxValue / 4, nPairs = 70000000L,
+      sumOcc = 600000000L, nDocs = 6000000L)
+    assert(sf10.isInstanceOf[Dedup.SlicedArrays],
+      s"sf10-shaped census must slice, got $sf10")
   }
 
   test("d33/d34: the wrapped hot-shingle corpus forces the array verify in the " +

@@ -396,4 +396,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fs.count() > 0)
     assert(fs.columns.toSet == Set("media_id", "frame_idx", "frame"))
   }
+
+  test("corrupt containers fail the parse loudly: negative/overlong WAV " +
+      "chunk lengths and truncated y4m frames never walk out of bounds") {
+    // RIFF walk: a negative chunk length used to move the offset
+    // BACKWARDS (infinite executor loop); an overlong one read past the
+    // payload; a negative data length sized a negative array
+    def wavWithChunkLen(len: Int, id: String = "junk"): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44) // ≥ the 44-byte RIFF floor
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put(id.getBytes("US-ASCII")); bb.putInt(len)
+      bb.put(Array.fill[Byte](24)(0))
+      bb.array()
+    }
+    for (bad <- Seq(wavWithChunkLen(-12), wavWithChunkLen(1 << 20),
+                    wavWithChunkLen(-4, id = "data"))) {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.WavPcmCodec.pcmSamples(bad))
+      assert(e.getMessage.contains("invalid length"))
+    }
+    // y4m: a FRAME marker not followed by its full w×h plane used to
+    // throw ArrayIndexOutOfBounds inside the tile walk
+    val truncated = ("YUV4MPEG2 W32 H32 Cmono\nFRAME\n".getBytes("US-ASCII")
+      ++ Array.fill[Byte](100)(7))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.Y4mCodec.frameRasters(truncated, 8))
+    assert(e.getMessage.contains("truncated y4m frame"))
+  }
 }
