@@ -1849,6 +1849,22 @@ object Dedup {
     */
   private[graft] val DefaultScratchBudgetBytes: Long = 32L * 1024 * 1024 * 1024
 
+  /** Uncompressed-estimate → on-disk conversion for the scratch gate:
+    * shuffle and spill files are LZ4-compressed
+    * (`spark.shuffle.compress` / `spark.shuffle.spill.compress`
+    * defaults), and the verify's pair-array payload — sorted runs of
+    * 8-byte shingle keys repeated across co-candidate docs — compresses
+    * well. Measured on the first sf10 sliced run (round 13): the gate's
+    * raw copies×16 B estimate read ~1.1 TB while in-flight scratch
+    * growth per slice tracked ~8× below it (disk never rose more than
+    * ~20 GB with cleanup lag included), and the 105+ slices that the
+    * uncalibrated gate produced each paid a full job's fixed overhead.
+    * Factor 8 keeps the estimate CONSERVATIVE (real ratios measured
+    * closer to 10×) — overestimating volume only costs extra slices,
+    * never scratch death.
+    */
+  private[graft] val ShuffleCompressionFactor = 8.0
+
   /** The census gate, split out pure so the decision itself is
     * spec-pinned: counting-join generated rows (Σ occ²) vs array-path
     * shipped shingle copies (|pairs| · 2 · avg set size) — same unit,
@@ -1866,10 +1882,13 @@ object Dedup {
       (sumOcc.toDouble / math.max(nDocs, 1L).toDouble)
     if (sumOcc2.toDouble <= arrayCopies) CountingJoin
     else {
-      val volBytes = arrayCopies * 16.0
-      if (volBytes <= scratchBudgetBytes.toDouble) PairArrays
+      // on-disk estimate: copies × 16 B, divided by the measured LZ4
+      // ratio (the budget is a DISK number; arrayVerifyPartitions keeps
+      // the uncompressed estimate because task memory sees raw arrays)
+      val diskBytes = arrayCopies * 16.0 / ShuffleCompressionFactor
+      if (diskBytes <= scratchBudgetBytes.toDouble) PairArrays
       else SlicedArrays(math.max(2,
-        math.ceil(volBytes / (scratchBudgetBytes.toDouble / 2.0)).toInt))
+        math.ceil(diskBytes / (scratchBudgetBytes.toDouble / 2.0)).toInt))
     }
   }
 

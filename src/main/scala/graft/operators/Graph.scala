@@ -220,7 +220,7 @@ object Graph {
     * there because PageRank never multiplies two mass-scaled terms.)
     * Precision is 1 part per 10⁹ of total mass per side.
     */
-  private val HitsScale = 1000000000L
+  private[graft] val HitsScale = 1000000000L
   /** HITS power-iteration rounds — mutual-reinforcement converges fast
     * on the dense bipartite purchase graph; 4 keeps the oracle's
     * double-length (two half-steps/round) CTE chain readable. The

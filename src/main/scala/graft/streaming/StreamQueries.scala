@@ -81,6 +81,34 @@ object StreamQueries {
     chunks.head.schema
   }
 
+  /** Stage an UNORDERED feed as `n` hash-split files in ONE write
+    * (one scan of the source instead of one per chunk): repartition by
+    * the split key writes one part file per partition; files are then
+    * renamed into mtime order. Only for feeds whose operator output is
+    * invariant to batch assignment (the dedup/score/sketch/fact
+    * entries); time-ordered feeds (events) stage per range chunk.
+    */
+  private def stageHashed(df: DataFrame, key: org.apache.spark.sql.Column,
+                          n: Int, dir: String): StructType = {
+    val tmp = Paths.get(dir, "_stage")
+    df.repartition(n, key).write.mode("overwrite").parquet(tmp.toString)
+    val parts = {
+      val s = Files.list(tmp)
+      try s.filter(f => f.getFileName.toString.startsWith("part-") &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .sorted().toArray.toSeq.map(_.asInstanceOf[Path])
+      finally s.close()
+    }
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val target = Paths.get(dir, f"chunk$i%03d.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    deleteRec(tmp)
+    df.schema
+  }
+
   /** Open the staged dir as a one-file-per-trigger streaming source. */
   private def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
@@ -117,13 +145,13 @@ object StreamQueries {
   }
 
   /** Documents with a synthetic monotone `ingest_ts` (arrival clock for
-    * the dedup watermark) split into 3 deterministic chunks.
+    * the dedup watermark), staged as 3 hash-split chunk files.
     */
-  private def docChunks(spark: SparkSession, dir: String): Seq[DataFrame] = {
-    val d = Tables.documents(spark, dir)
-      .withColumn("ingest_ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
-    (0 until 3).map(i => d.filter(col("doc_id") % 3 === i))
-  }
+  private def stageDocs(spark: SparkSession, dir: String, out: String): StructType =
+    stageHashed(
+      Tables.documents(spark, dir)
+        .withColumn("ingest_ts", timestamp_seconds(lit(1704067200L) + col("doc_id"))),
+      col("doc_id"), 3, out)
 
   // ─── stream_quality: frozen-ridge model serving ──────────────────────
   /** Train the t28 ridge OFFLINE on the standing corpus, then serve its
@@ -136,7 +164,7 @@ object StreamQueries {
   def streamQuality(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("quality")
     val model = QualityStream.trainModel(spark, dir)
-    val schema = stageChunks(docChunks(spark, dir).map(_.drop("ingest_ts")), s"$out/src")
+    val schema = stageHashed(Tables.documents(spark, dir), col("doc_id"), 3, s"$out/src")
     val scored = QualityStream.scored(fileStream(spark, s"$out/src", schema), model)
     drainToParquet(scored, out)
   }
@@ -149,9 +177,8 @@ object StreamQueries {
     */
   def streamFacts(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("facts")
-    val li = Tables.lineitem(spark, dir)
-    val chunks = (0 until 3).map(i => li.filter(col("l_orderkey") % 3 === i))
-    val schema = stageChunks(chunks, s"$out/src")
+    val schema = stageHashed(Tables.lineitem(spark, dir),
+      col("l_orderkey"), 3, s"$out/src")
     val fact = FactStream.factStream(
       fileStream(spark, s"$out/src", schema),
       Tables.orders(spark, dir), Tables.part(spark, dir))
@@ -174,7 +201,7 @@ object StreamQueries {
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("dedup")
-    val schema = stageChunks(docChunks(spark, dir), s"$out/src")
+    val schema = stageDocs(spark, dir, s"$out/src")
     val survivors = DocStream.gatedIngest(
       fileStream(spark, s"$out/src", schema), horizon = "36500 days")
     drainToParquet(survivors, out)
@@ -194,9 +221,9 @@ object StreamQueries {
     */
   def streamSketch(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("sketch")
-    val schema = stageChunks(
-      docChunks(spark, dir).map(_.select(col("doc_id"), col("source"), col("text"))),
-      s"$out/src")
+    val schema = stageHashed(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+      col("doc_id"), 3, s"$out/src")
     val regs = SketchStream.hllRegisters(fileStream(spark, s"$out/src", schema))
     drainToMemory(regs)
       .select(col("source"), col("bucket").cast("long").as("bucket"),
@@ -214,9 +241,9 @@ object StreamQueries {
     */
   def streamCuration(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("curation")
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val chunks = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
-    val schema = stageChunks(chunks, s"$out/src")
+    val schema = stageHashed(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id"), 3, s"$out/src")
     val q = CurationStream.ingest(
       fileStream(spark, s"$out/src", schema), s"$out/index", s"$out/ckpt")
     try q.processAllAvailable() finally q.stop()

@@ -301,19 +301,20 @@ class DedupSpec extends AnyFunSuite {
     // counting wins whenever Σocc² <= 2·|pairs|·avgSet, budget ignored
     assert(Dedup.chooseVerifyRegime(100L, 1000L, 1000L, 10L) == Dedup.CountingJoin)
     // hot-shingle inversion, volume under budget: one-shot arrays
-    // (2·1000·100 copies × 16 B = 3.2 MB)
+    // (2·1000·100 copies × 16 B / the LZ4 factor 8 = 0.4 MB on disk)
     assert(Dedup.chooseVerifyRegime(10000000L, 1000L, 1000L, 10L) == Dedup.PairArrays)
-    // same shape with a 1 MB budget: volume 3.2 MB → ceil(3.2/0.5) = 7
-    // slices (each slice under HALF the budget — spill head-room)
+    // same shape with a 256 KB budget: 0.4 MB on disk → ceil(0.4/0.125)
+    // = 4 slices (each slice under HALF the budget — spill head-room)
     assert(Dedup.chooseVerifyRegime(10000000L, 1000L, 1000L, 10L,
-      scratchBudgetBytes = 1L << 20) == Dedup.SlicedArrays(7))
-    // the d33 sf10 census shape (~230 GB of pair arrays) against the
-    // default 32 GB budget degrades instead of dying on scratch
+      scratchBudgetBytes = 1L << 18) == Dedup.SlicedArrays(4))
+    // the d33 sf10 census shape (~1M wrapped docs × ~232 partners,
+    // ~300-shingle sets → ~139 GB on disk) against the default 32 GB
+    // budget degrades to ~9 slices instead of dying on scratch
     val sf10 = Dedup.chooseVerifyRegime(
-      sumOcc2 = Long.MaxValue / 4, nPairs = 70000000L,
-      sumOcc = 600000000L, nDocs = 6000000L)
-    assert(sf10.isInstanceOf[Dedup.SlicedArrays],
-      s"sf10-shaped census must slice, got $sf10")
+      sumOcc2 = Long.MaxValue / 4, nPairs = 116000000L,
+      sumOcc = 300000000L, nDocs = 1000000L)
+    assert(sf10 == Dedup.SlicedArrays(9),
+      s"sf10-shaped census must slice ~9 ways, got $sf10")
   }
 
   test("d33/d34: the wrapped hot-shingle corpus forces the array verify in the " +

