@@ -98,7 +98,7 @@ object Dedup {
     * re-exploding the whole corpus and semi-joining after; at 100 TB
     * the post-explode filter would re-pay the full corpus scan).
     */
-  private def wordShinglesOf(d: DataFrame,
+  private[graft] def wordShinglesOf(d: DataFrame,
                              withLang: Boolean = false,
                              dedup: Boolean = true): DataFrame = {
     val keep = if (withLang) Seq(col("doc_id"), col("lang")) else Seq(col("doc_id"))
@@ -1914,11 +1914,22 @@ object Dedup {
       math.ceil(volBytes / (64.0 * 1024 * 1024)).toInt))
   }
 
+  /** Salt fan-out for hot-key candidate joins — sized to the local
+    * core count; a cluster deployment raises it with parallelism.
+    */
+  private[graft] val HotSalts = 32
+
   /** Test-only instrumentation: the regime the last [[containmentDedup]]
     * census chose (the spec pins the gate fires on the right corpora).
     */
   private[graft] val lastContainmentRegime =
     new java.util.concurrent.atomic.AtomicReference[VerifyRegime](null)
+
+  /** Test-only instrumentation: how many hot keys the last candidate
+    * join salted (0 = the plain join ran).
+    */
+  private[graft] val lastContainmentHotKeys =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Test/probe instrumentation: the last census readings
     * (nPairs, nDocs, Σocc, Σocc²) behind the regime choice.
@@ -2034,13 +2045,42 @@ object Dedup {
     // change any downstream value.
     val sh = sh0.select(col("doc_id"),
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("gh"))
-    val ranked = sh
+    // Hot-key census gate (round 13): the census that decides whether
+    // the candidate join needs salting is itself an extra action, and
+    // on a SMALL corpus it costs more than any straggler it could
+    // prevent (measured +2.3 s on d33's 5.72 s sf0.1 row). It runs
+    // only when the planner's input-size estimate says the corpus is
+    // big enough for a hot key to matter (stats off the optimized
+    // plan — no action), or when spark.graft.hot.df is explicitly set
+    // (the spec's forced-floor path). Value-neutral either way:
+    // salting never changes the pair set, only who computes it.
+    // 12 MB of estimated shingle input (planner stats, probed per sf
+    // with tools.StatsProbe: sf1 wrapped = 4.9 MB, sf3 = 14.4 MB,
+    // sf10 = 47.6 MB) — the hot task's work grows ~n² (occurrences ×
+    // prefix hits), so the census turns on from sf3 up while
+    // sf0.1/sf1 keep the censusless round-12 plan (the census costs
+    // more than any straggler it could prevent there — measured
+    // +2.3 s on d33's 5.72 s row)
+    val hotDfConf = sh0.sparkSession.conf.getOption("spark.graft.hot.df")
+    val censusOn = hotDfConf.isDefined ||
+      sh0.queryExecution.optimizedPlan.stats.sizeInBytes > (12L << 20)
+    // PERSISTED when the census runs (it adds a third consumer of the
+    // collect_list/posexplode chain); otherwise the round-12 shape —
+    // two inline codegen derivations — is kept for the small-corpus
+    // rows. Corpus-sized but narrow (4 longs/row); MEMORY_AND_DISK so
+    // an sf10 corpus degrades to local disk instead of evicting.
+    // Released by the caller's per-query clearCache, like candP.
+    val ranked0 = sh
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("gh"))).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
         posexplode(col("arr")).as(Seq("pos", "gh")))
       .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("rk"),
         col("gh"))
+    val ranked =
+      if (censusOn)
+        ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ranked0
     val prefix = ranked.filter(col("rk") <= floor(col("n") / 5).cast("long") + 1)
     // position filter (PPJoin-style), ALSO lossless: the pair's MINIMUM
     // shared shingle under the global md5 order has the minimal rank on
@@ -2055,10 +2095,47 @@ object Dedup {
     // prunes is the term that grows quadratically with hot-shingle
     // document frequency — the 100 TB risk — and the rank it needs is
     // free in the array form.
-    val cand = prefix
+    // ── hot-key-salted candidate join (round 13) ──
+    // The candidate equi-join keys on gh, and a corpus-hot shingle (a
+    // boilerplate header at document frequency D) puts ALL D of its
+    // full-side rows in ONE join task — a straggler NO amount of
+    // parallelism splits (thread dumps of both sf10 runs showed the
+    // same single map task burning ~17 min; AQE cannot split a map
+    // task mid-stage, and the skew exists identically on a
+    // 1000-executor cluster). Bounded census: keys at df ≥ the
+    // spark.graft.hot.df floor (default 2^14; top-256 by occurrence —
+    // driver-bounded by construction) take a SALTED join — the prefix
+    // side replicates ×HotSalts, the full side salts by hash(doc_b),
+    // so each (a, b) pair appears exactly once and the hot key's work
+    // spreads across HotSalts tasks (the x02 discipline, applied only
+    // where the census says skew lives). Natural corpora census zero
+    // hot keys and take the plain join unchanged.
+    val pa = prefix
       .select(col("doc_id").as("doc_a"), col("gh"), col("n").as("na"), col("rk").as("ra"))
-      .join(ranked.select(col("doc_id").as("doc_b"), col("gh"),
-        col("n").as("nb"), col("rk").as("rb")), Seq("gh"))
+    val rb = ranked.select(col("doc_id").as("doc_b"), col("gh"),
+      col("n").as("nb"), col("rk").as("rb"))
+    val hotDf = hotDfConf.map(_.toLong).getOrElse(1L << 14)
+    val hotKeys =
+      if (!censusOn) Array.empty[Long]
+      else ranked.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= hotDf)
+        .orderBy(col("occ").desc).limit(256)
+        .collect().map(_.getLong(0))
+    lastContainmentHotKeys.set(hotKeys.length)
+    val joined =
+      if (hotKeys.isEmpty) pa.join(rb, Seq("gh"))
+      else {
+        val cold = pa.filter(!col("gh").isin(hotKeys: _*))
+          .join(rb.filter(!col("gh").isin(hotKeys: _*)), Seq("gh"))
+        val hot = pa.filter(col("gh").isin(hotKeys: _*))
+          .withColumn("salt", explode(lit((0 until HotSalts).toArray)))
+          .join(rb.filter(col("gh").isin(hotKeys: _*))
+            .withColumn("salt", pmod(xxhash64(col("doc_b")), lit(HotSalts.toLong)).cast("int")),
+            Seq("gh", "salt"))
+          .drop("salt")
+        cold.unionByName(hot)
+      }
+    val cand = joined
       .filter(col("doc_a") =!= col("doc_b") &&
         (col("na") < col("nb") || (col("na") === col("nb") && col("doc_a") < col("doc_b"))) &&
         lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=

@@ -293,6 +293,21 @@ class DedupSpec extends AnyFunSuite {
       Dedup.containmentDedupOfDocs(boiler, Some(Dedup.SlicedArrays(3))).collect()
     assert(key(auto) == key(forcedSliced),
       "the sliced array verify must match the one-shot array regime")
+
+    // Hot-key-salted candidate join (round 13): on the boilerplate
+    // corpus the default df floor leaves the plain join (hot occ ~300
+    // here); forcing the floor down makes the census salt the header
+    // keys — and the candidate/pair output must be hash-identical
+    assert(Dedup.lastContainmentHotKeys.get() == 0,
+      "the small fixture must not trip the default hot-df floor")
+    spark.conf.set("spark.graft.hot.df", "10")
+    try {
+      val salted = Dedup.containmentDedupOfDocs(boiler).collect()
+      assert(Dedup.lastContainmentHotKeys.get() > 0,
+        "forced floor must salt the header keys")
+      assert(key(auto) == key(salted),
+        "the salted candidate join must be output-identical")
+    } finally spark.conf.unset("spark.graft.hot.df")
     spark.catalog.clearCache()
   }
 
