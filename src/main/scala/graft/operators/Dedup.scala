@@ -2151,12 +2151,19 @@ object Dedup {
     // frame (round-11 watch item: the gate ran |pairs| and |docs| as
     // separate jobs): explode both id columns, count rows (= 2·|pairs|)
     // and distinct docs in the same aggregate.
+    // nDocs feeds ONLY the regime cost model (avgSet, exchange widths)
+    // — approx_count_distinct's ±2% replaces an exact countDistinct
+    // whose Expand doubled the 2·|pairs| exploded frame and paid a
+    // second full aggregation pass (at sf10 that is a ~460 M-row
+    // Expand for a number a cost model rounds anyway). Deterministic:
+    // the HLL++ sketch is a pure function of the value set.
     val pairRow = candP
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .agg(count(lit(1)).as("two_np"), countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("two_np"),
+        approx_count_distinct(col("doc_id")).as("nd"))
       .collect()(0)
     val nPairs = pairRow.getLong(0) / 2
-    val nDocs = pairRow.getLong(1)
+    val nDocs = math.max(1L, pairRow.getLong(1))
     val candDocs = candP.select(col("doc_a").as("doc_id"))
       .union(candP.select(col("doc_b").as("doc_id"))).distinct()
     // The candidate shingle slice feeds the census AND the verify (the
