@@ -295,10 +295,16 @@ object Bench {
         }
         names.map { name =>
           val r = timed(SparkEntry.queries(name)(spark, sfDir).count())
-          // operators may persist() intermediates; unpersist before the
+          // operators may persist() intermediates; release before the
           // next timed query so no entry benefits from or pays for
-          // another's cache
-          spark.catalog.clearCache()
+          // another's cache. Full release, not just clearCache: the
+          // iterative rows (q61/q63) leave localCheckpoint RDD blocks
+          // the CacheManager never tracks, and letting those ride until
+          // some later GC made block-heavy predecessors inflate their
+          // alphabetical successors — the d34/q63/t28/e13
+          // interleaved-flag pattern three rounds running (round-13
+          // verdict item 3).
+          GraftSession.releaseQueryCaches(spark)
           name -> r
         }
       }
@@ -406,7 +412,7 @@ object Bench {
     val ivfCompute: Seq[(String, Timing)] = if (skewOnly) Seq.empty else {
       val runs = (1 to reps).map { _ =>
         val r = timed(graft.operators.Similarity.ivfAssign(spark, sfDir).count())
-        spark.catalog.clearCache()
+        GraftSession.releaseQueryCaches(spark)
         "x05_ivf_compute" -> r
       }
       toTimings(runs).toSeq

@@ -35,7 +35,7 @@ object DevBench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
-        spark.catalog.clearCache()
+        GraftSession.releaseQueryCaches(spark)
         (System.nanoTime() - t0) / 1e9
       }
       val warm = if (times.size > 1) times.tail.min else times.head

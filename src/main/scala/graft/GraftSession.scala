@@ -86,4 +86,37 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Release every query-scoped cached frame in the session — the
+    * hygiene the Bench/Verify harness applies per query
+    * (`clearCache()` between rows), packaged for a long-lived USER
+    * session (round-13 verdict item 4: the d16/q53/q61/q63
+    * persist/localCheckpoint contracts all documented "released by the
+    * caller's per-query clearCache", which a notebook session never
+    * calls). Two layers, because they are tracked separately:
+    *
+    *  1. `catalog.clearCache()` empties the CacheManager — every
+    *     `Dataset.persist()` the operators took (d16's candidate pair
+    *     frame, q53's basket slice, d07's pipeline intermediates);
+    *  2. `getPersistentRDDs` then sweeps what the CacheManager never
+    *     sees: `localCheckpoint` RDDs (q61/q63's lineage-truncation
+    *     leaves persist at MEMORY_AND_DISK outside any query cache)
+    *     and any raw RDD-level persists. Unpersist is blocking so the
+    *     executors' block managers have actually dropped the blocks
+    *     when this returns — a caller about to start a memory-heavy
+    *     query can rely on the space being back.
+    *
+    * After this returns, re-running a released query simply recomputes
+    * and re-persists — release is always safe, never corrupting
+    * (Spark recomputes unpersisted frames from lineage; the
+    * localCheckpoint leaves are only referenced by already-returned
+    * DataFrames, which a caller releasing caches has finished with).
+    * Artifact-table state (the IVF index, verified-pair parquet) is
+    * on disk and unaffected.
+    */
+  def releaseQueryCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
 }

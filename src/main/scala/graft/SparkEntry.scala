@@ -18,7 +18,8 @@ object SparkEntry {
       Marts.queries ++ Cleaning.queries ++ TextAnalysis.queries ++
       Events.queries ++ Dedup.queries ++ Similarity.queries ++ AsOf.queries ++
       Analytics2.queries ++ Graph.queries ++ Sketches.queries ++
-      Multimodal.queries ++ graft.streaming.StreamQueries.queries
+      Multimodal.queries ++ ReferenceQueries.queries ++
+      graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       Marts.oracle ++ Cleaning.oracle ++ TextAnalysis.oracle ++
       Events.oracle ++ Dedup.oracle ++ Similarity.oracle ++ AsOf.oracle ++
       Analytics2.oracle ++ Graph.oracle ++ Sketches.oracle ++
-      Multimodal.oracle ++ graft.streaming.StreamQueries.oracle
+      Multimodal.oracle ++ ReferenceQueries.oracle ++
+      graft.streaming.StreamQueries.oracle
 }

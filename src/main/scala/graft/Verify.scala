@@ -31,9 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators may persist() intermediates (d07); don't leak them
-      // across the other ~45 queries sharing this session
-      spark.catalog.clearCache()
+      // operators may persist() intermediates (d07) and the iterative
+      // rows leave localCheckpoint blocks; don't leak either across the
+      // other queries sharing this session
+      GraftSession.releaseQueryCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -758,10 +758,66 @@ object Multimodal {
     phashNearDup(perceptualHash(media), maxHamming = 6)
   }
 
+  // ─── multimodal: the plumbing row's driver oracle (round 14) ────────
+  /** The batched-extraction plumbing itself under the driver's
+    * CORRECTNESS gate — the round-13 verdict's one uncovered §2 row.
+    * Payloads are synthesized in-query (md5-mixed 64-byte gray images,
+    * the [[syntheticNearDup]] discipline) but SHARED across groups of
+    * ten doc_ids, so the chain exercises exactly what
+    * [[extractFeaturesByCell]] exists for: the cell join (centroid =
+    * group, so identical payloads co-locate), the (cell, payload-salt)
+    * repartition, and the per-partition digest-keyed memo actually
+    * HITTING (each distinct payload decodes once per partition, not
+    * once per row). The DuckDB oracle replays the [[FakeCodec]] decode
+    * as pure integer SQL: mean_byte = Σp/64 (exact — /2⁶ is lossless
+    * in binary doubles) and the 16-bucket histogram as conditional
+    * counts. Output is deliberately partition-independent (the memo
+    * purity contract), so the oracle needs no knowledge of the
+    * physical grouping — which is the property being asserted.
+    */
+  def featuresByCellChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val media = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        ids.map { d =>
+          val grp = d / 10 // ten docs share one payload → memo hits
+          val payload = Array.tabulate(64) { k =>
+            md.reset()
+            md.digest(s"g${grp}_$k".getBytes("UTF-8"))(0)
+          }
+          MediaRow(d, "image", "gray64", payload, 64L)
+        }
+      }
+    val cells = docs.select(col("doc_id").as("vec_id"),
+      (col("doc_id") / 10 % 16).cast("long").as("centroid_id"))
+    extractFeaturesByCell(media, cells).toDF()
+      .select(col("media_id") +: col("n_bytes") +: col("mean_byte") +:
+        (0 until 16).map(i => col("histogram")(i).as(f"h$i%02d")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal" -> featuresByCellChain,
     "multimodal_neardup" -> syntheticNearDup)
 
   val oracle: Map[String, String] = Map(
+    "multimodal" ->
+      // replay the FakeCodec decode: pixel p = first md5 byte of
+      // "g<grp>_<k>" (unsigned), mean = Σp/64 exactly, histogram
+      // bucket = p/16 as 16 conditional counts
+      ("""WITH ks AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS k),
+        |px AS (
+        |  SELECT doc_id, k,
+        |         CAST(('0x' || substr(md5('g' || (doc_id // 10) || '_' || k), 1, 2)) AS BIGINT) AS p
+        |  FROM documents CROSS JOIN ks)
+        |SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS n_bytes,
+        |       CAST(sum(p) AS DOUBLE) / 64 AS mean_byte,
+        |""".stripMargin
+        + (0 until 16).map(i =>
+            s"       CAST(sum(CASE WHEN p // 16 = $i THEN 1 ELSE 0 END) AS BIGINT) AS h${"%02d".format(i)}")
+          .mkString(",\n") +
+        "\nFROM px GROUP BY doc_id"),
     "multimodal_neardup" ->
       // replay: pixel → tile (identity at 64 bytes) → floor-mean →
       // above-mean bits → 16-bit bands from bit sums (no signed-shift

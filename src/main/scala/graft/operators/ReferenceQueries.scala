@@ -33,6 +33,9 @@ package graft.operators
   *    against an independently-expressed DataFrame twin).
   */
 object ReferenceQueries {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
 
   /** Queries in the reference file's order, keyed r1..r8. */
   val names: Seq[String] = Seq(
@@ -166,4 +169,220 @@ object ReferenceQueries {
         |       CAST(ROUND((rev_dec - prev_dec) / nullif(prev_dec, 0) * 100, 2) AS DOUBLE) AS yoy_growth_pct
         |FROM w
         |ORDER BY year, quarter""".stripMargin)
+
+  // ─── r_sql_parity: the r1–r8 surface under the driver's gate ────────
+
+  private def dec(c: String) = col(c).cast("decimal(18,6)")
+  private def r2d(c: Column) = round(c, 2).cast("double")
+  private def nullifZero(c: Column) = when(c === 0, lit(null)).otherwise(c)
+
+  /** Independently-expressed DataFrame twin of each reference query —
+    * the same semantics written as DataFrame ops over the BUILDER
+    * frames (never through the SQL text under test). WarehouseSqlSpec
+    * pins SQL-over-published-parquet against these; [[rSqlParity]]
+    * pins SQL-over-in-memory-views against them per round under the
+    * driver's CORRECTNESS gate (round-13 verdict item 6: the r SQL
+    * strings never ran under the DuckDB loop).
+    */
+  private[graft] def twin(name: String, spark: SparkSession, dir: String): DataFrame = {
+    val fact = Facts.factSales(spark, dir)
+    lazy val dimDate = Dimensions.dimDate(spark, dir)
+    lazy val dimCust = Dimensions.dimCustomerHashed(spark, dir)
+    name match {
+      case "r1_monthly_sales_trend" =>
+        val m = fact.join(dimDate, Seq("date_key"))
+          .groupBy(col("year"), col("month"), col("month_name"))
+          .agg(sum(dec("net_amount")).as("rev_dec"),
+            countDistinct(col("transaction_id")).as("total_transactions"),
+            sum(col("quantity")).as("total_units_sold"),
+            countDistinct(col("customer_id")).as("unique_customers"))
+        val w = Window.orderBy(col("year"), col("month"))
+        m.withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+          .select(col("year"), col("month"), col("month_name"),
+            r2d(col("rev_dec")).as("total_revenue"),
+            col("total_transactions"), col("total_units_sold"),
+            r2d(col("rev_dec") / col("total_transactions")).as("avg_order_value"),
+            col("unique_customers"),
+            r2d(col("prev_dec")).as("prev_month_revenue"),
+            r2d((col("rev_dec") - col("prev_dec")) / nullifZero(col("prev_dec")) * 100)
+              .as("mom_growth_pct"))
+      case "r2_category_performance" =>
+        val m = fact.groupBy(col("product_category"))
+          .agg(sum(dec("net_amount")).as("rev_dec"),
+            countDistinct(col("transaction_id")).as("total_transactions"),
+            sum(col("quantity")).as("total_quantity"),
+            sum(dec("price")).as("price_dec"),
+            count(lit(1)).as("n_lines"),
+            countDistinct(col("customer_id")).as("unique_customers"))
+        val cat = Facts.dimCategory(spark, dir)
+        m.join(cat, m("product_category") === cat("category_name"), "left")
+          .select(col("product_category"), col("category_group"),
+            r2d(col("rev_dec")).as("total_revenue"),
+            r2d(col("rev_dec") / sum(col("rev_dec")).over(Window.partitionBy()) * 100)
+              .as("revenue_share_pct"),
+            col("total_transactions"), col("total_quantity"),
+            r2d(col("price_dec") / col("n_lines")).as("avg_unit_price"),
+            col("unique_customers"))
+      case "r3_customer_segmentation" =>
+        val dc = dimCust.where(col("is_current"))
+        // customer_id exists on BOTH sides of the join (fact carries the
+        // degenerate o_custkey); count the dim's — same values, but the
+        // unqualified name would fail resolution
+        fact.join(dc, Seq("customer_key"))
+          .groupBy(col("customer_segment"), col("balance_band"))
+          .agg(countDistinct(dc("customer_id")).as("customer_count"),
+            r2d(sum(dec("net_amount"))).as("total_revenue"),
+            r2d(avg(dec("net_amount"))).as("avg_line_amount"),
+            sum(col("quantity")).as("total_quantity"),
+            round(avg(col("total_transactions")), 1).cast("double")
+              .as("avg_purchases_per_customer"))
+      case "r4_segment_sales" =>
+        fact.join(dimCust.where(col("is_current")), Seq("customer_key"))
+          .groupBy(col("customer_segment"), col("product_category"))
+          .agg(r2d(sum(dec("net_amount"))).as("total_revenue"),
+            countDistinct(col("transaction_id")).as("total_transactions"),
+            r2d(sum(dec("net_amount")) / countDistinct(col("transaction_id")))
+              .as("avg_order_value"),
+            round(avg(col("acctbal").cast("decimal(12,2)")), 1).cast("double")
+              .as("avg_acctbal"))
+      case "r5_weekend_weekday" =>
+        fact.join(dimDate, Seq("date_key"))
+          .groupBy(
+            when(col("is_weekend"), "Weekend").otherwise("Weekday").as("day_type"),
+            col("day_name"), col("day_of_week"))
+          .agg(r2d(sum(dec("net_amount"))).as("total_revenue"),
+            countDistinct(col("transaction_id")).as("total_transactions"),
+            r2d(sum(dec("net_amount")) / countDistinct(col("transaction_id")))
+              .as("avg_order_value"))
+      case "r6_top_customers" =>
+        val dc = dimCust.where(col("is_current"))
+        fact.join(dc, Seq("customer_key"))
+          .groupBy(dc("customer_id"), col("customer_name"),
+            col("segment_attr"), col("balance_band"),
+            col("customer_segment"), col("total_transactions"))
+          .agg(r2d(sum(dec("net_amount"))).as("total_revenue"),
+            sum(col("quantity")).as("total_quantity"),
+            r2d(sum(dec("net_amount")) / countDistinct(col("transaction_id")))
+              .as("avg_order_value"))
+          .orderBy(col("total_revenue").desc, dc("customer_id"))
+          .limit(20)
+      case "r7_product_catalog" =>
+        Dimensions.dimProduct(spark, dir)
+          .where(col("is_current"))
+          .groupBy(col("product_category"))
+          .agg(count(lit(1)).as("product_count"),
+            round(avg(col("price").cast("decimal(12,2)")), 2).cast("double")
+              .as("avg_price"),
+            r2d(min(col("price"))).as("min_price"),
+            r2d(max(col("price"))).as("max_price"))
+      case "r8_quarterly_yoy" =>
+        val q = fact.join(dimDate, Seq("date_key"))
+          .groupBy(col("year"), col("quarter"))
+          .agg(sum(dec("net_amount")).as("rev_dec"),
+            countDistinct(col("transaction_id")).as("quarterly_transactions"),
+            countDistinct(col("customer_id")).as("quarterly_customers"))
+        val w = Window.orderBy(col("year"), col("quarter"))
+        q.withColumn("prev_dec", lag(col("rev_dec"), 4).over(w))
+          .select(col("year"), col("quarter"),
+            r2d(col("rev_dec")).as("quarterly_revenue"),
+            col("quarterly_transactions"), col("quarterly_customers"),
+            r2d(col("prev_dec")).as("same_quarter_prev_year"),
+            r2d((col("rev_dec") - col("prev_dec")) / nullifZero(col("prev_dec")) * 100)
+              .as("yoy_growth_pct"))
+      case other => sys.error(s"no twin for $other")
+    }
+  }
+
+  /** Register the warehouse frames as session temp views (in-memory,
+    * pre-publish — the registration seam itself is WarehouseSqlSpec /
+    * WarehouseCatalogSpec territory) so the reference SQL's unqualified
+    * table names resolve.
+    */
+  private def registerViews(spark: SparkSession, dir: String): Unit = {
+    Facts.factSales(spark, dir).createOrReplaceTempView("fact_sales")
+    Dimensions.dimDate(spark, dir).createOrReplaceTempView("dim_date")
+    Dimensions.dimCustomerHashed(spark, dir).createOrReplaceTempView("dim_customer")
+    Dimensions.dimProduct(spark, dir).createOrReplaceTempView("dim_product")
+    Facts.dimCategory(spark, dir).createOrReplaceTempView("dim_category")
+  }
+
+  /** Canonical small-frame image: column-name-sorted, values
+    * stringified, rows sorted — the driver's own compare discipline.
+    * Bounded: every reference query returns ≤ a few hundred rows
+    * (grouped aggregates / LIMIT 20).
+    */
+  private def canon(df: DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().toSeq
+      .map(_.toSeq.map(v => if (v == null) "∅" else v.toString))
+      .sortBy(_.mkString("|"))
+  }
+
+  /** Driver row `r_sql_parity`: run every reference SQL query through
+    * `spark.sql` over the registered warehouse views and exact-compare
+    * against its independent DataFrame twin; emit one row per query
+    * with the SQL result's row count and the match flag. The DuckDB
+    * oracle independently derives each query's expected GROUP
+    * cardinality from the raw tables and pins `matches` TRUE — so a
+    * drift in either the SQL dialect surface or the twin semantics
+    * turns the row red in the round's CORRECTNESS file. Driver-side
+    * loop over 8 bounded frames — not a distributed operator, a
+    * conformance harness (the q39 bounded-collect rule).
+    */
+  def rSqlParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    registerViews(spark, dir)
+    names.map { name =>
+      val viaSql = canon(spark.sql(sql(name)))
+      val viaTwin = canon(twin(name, spark, dir))
+      (name, viaSql.size.toLong, viaSql == viaTwin)
+    }.toDF("query", "n_rows", "matches")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_sql_parity" -> ((s, dir) => rSqlParity(s, dir)))
+
+  val oracle: Map[String, String] = Map(
+    "r_sql_parity" ->
+      // expected row counts derived straight from the raw tables (the
+      // warehouse construction preserves these grains: fact = lineitem ⋈
+      // orders ⋈ part, dims are 1:1 on their natural keys, every dim row
+      // is current in the initial load); matches is pinned TRUE
+      """WITH fgrain AS (
+        |  SELECT o_orderdate, o_custkey, p_type
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |seg AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN count(o_orderkey) <= 1 THEN 'New'
+        |              WHEN count(o_orderkey) <= 3 THEN 'Occasional'
+        |              WHEN count(o_orderkey) <= 5 THEN 'Regular'
+        |              ELSE 'Loyal' END AS customer_segment,
+        |         CASE WHEN any_value(c_acctbal) < 0 THEN 'Debt'
+        |              WHEN any_value(c_acctbal) < 2500 THEN 'Low'
+        |              WHEN any_value(c_acctbal) < 5000 THEN 'Mid'
+        |              WHEN any_value(c_acctbal) < 7500 THEN 'High'
+        |              ELSE 'Premium' END AS balance_band
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT 'r1_monthly_sales_trend' AS query,
+        |       (SELECT count(*) FROM (SELECT DISTINCT year(o_orderdate), month(o_orderdate) FROM fgrain)) AS n_rows,
+        |       TRUE AS matches
+        |UNION ALL SELECT 'r2_category_performance',
+        |       (SELECT count(DISTINCT p_type) FROM fgrain), TRUE
+        |UNION ALL SELECT 'r3_customer_segmentation',
+        |       (SELECT count(*) FROM (SELECT DISTINCT customer_segment, balance_band
+        |                              FROM seg JOIN fgrain ON c_custkey = o_custkey)), TRUE
+        |UNION ALL SELECT 'r4_segment_sales',
+        |       (SELECT count(*) FROM (SELECT DISTINCT customer_segment, p_type
+        |                              FROM seg JOIN fgrain ON c_custkey = o_custkey)), TRUE
+        |UNION ALL SELECT 'r5_weekend_weekday',
+        |       (SELECT count(DISTINCT isodow(o_orderdate)) FROM fgrain), TRUE
+        |UNION ALL SELECT 'r6_top_customers',
+        |       (SELECT least(20, count(DISTINCT o_custkey)) FROM fgrain), TRUE
+        |UNION ALL SELECT 'r7_product_catalog',
+        |       (SELECT count(DISTINCT p_type) FROM part), TRUE
+        |UNION ALL SELECT 'r8_quarterly_yoy',
+        |       (SELECT count(*) FROM (SELECT DISTINCT year(o_orderdate), quarter(o_orderdate) FROM fgrain)), TRUE""".stripMargin)
 }

@@ -34,8 +34,14 @@ object EventsStream {
         count(lit(1)).as("n_events"),
         // DECIMAL-exact sum (the e02 batch-twin discipline): a double
         // sum's rounding depends on partitioning/arrival order, which
-        // would make the windowed totals chopping-dependent
-        round(sum(col("value").cast("decimal(12,2)")), 2)
+        // would make the windowed totals chopping-dependent. Input
+        // precision (20,2), not the warehouse m2 (12,2): this operator
+        // is generic over event values, and under non-ANSI mode a
+        // value ≥ 10^10 would silently null through a (12,2) cast —
+        // nulling the whole hourly total instead of failing (round-13
+        // advice). The sum result (30,2) still has precision-38
+        // headroom, and the rounded-double output type is unchanged.
+        round(sum(col("value").cast("decimal(20,2)")), 2)
           .cast("double").as("total_value"),
         approx_count_distinct(col("user_id")).as("approx_users"))
       .select(col("w.start").as("window_start"), col("event_type"),

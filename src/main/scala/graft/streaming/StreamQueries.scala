@@ -36,12 +36,26 @@ object StreamQueries {
 
   private val nameSeq = new AtomicLong(0L)
 
-  /** Fresh scratch dir for one wrapper run — deleted and recreated so
-    * repeated Bench/Verify invocations never replay a stale checkpoint
-    * against new input (and never grow /tmp without bound).
+  /** Fresh scratch dir for one wrapper run. The path carries the JVM's
+    * pid (a per-PROCESS unique component — round-13 advice: a fixed
+    * per-query-name path let two Bench/Verify processes on one host
+    * clobber each other's staged source, checkpoint, and sink
+    * mid-stream) plus a per-run sequence; the per-process ROOT is
+    * deleted and recreated per run, so repeated invocations in one
+    * process never replay a stale checkpoint against new input and
+    * /tmp never grows without bound within a process. A killed JVM can
+    * orphan its root; the next same-pid process (pids recycle) removes
+    * it, and the dirs are test-scale (the wrappers stage sf0.01-class
+    * chunks).
     */
+  private val procTag: String = {
+    val pid = ProcessHandle.current().pid()
+    s"graft_stream_$pid"
+  }
+
   private def scratch(name: String): String = {
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_stream_$name")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), procTag,
+      s"${name}_${nameSeq.incrementAndGet()}")
     deleteRec(p)
     Files.createDirectories(p)
     p.toString

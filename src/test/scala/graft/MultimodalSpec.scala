@@ -67,6 +67,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(occupied > 17, s"decode ran in only $occupied partitions — parallelism capped by cell count")
   }
 
+  test("multimodal driver row: chain output replays the FakeCodec decode exactly and the group design shares payloads") {
+    import org.apache.spark.sql.functions._
+    val got = Multimodal.featuresByCellChain(spark, TestSpark.sf)
+    // independent replay of one doc's features straight from the synth
+    // rule + FakeCodec (no Spark plumbing): doc 7 → group 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val payload = Array.tabulate(64)(k => md.digest(s"g0_$k".getBytes("UTF-8"))(0))
+    val (mean, hist) = Multimodal.FakeCodec.decode(payload)
+    val row = got.where(col("media_id") === 7).collect().head
+    assert(row.getAs[Double]("mean_byte") == mean)
+    (0 until 16).foreach(i => assert(row.getAs[Long](f"h$i%02d") == hist(i)))
+    // groups of ten share a payload → feature vector identical within a
+    // group (the memo-hit design the row exists to exercise)
+    val distinctPerGroup = got
+      .groupBy((col("media_id") / 10).cast("long").as("grp"))
+      .agg(countDistinct(col("mean_byte"), col("h00"), col("h15")).as("n"))
+      .where(col("n") > 1).count()
+    assert(distinctPerGroup == 0, "a payload group produced divergent features")
+  }
+
   test("codec seam: a second codec rides the same cell-batched plumbing unchanged") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.mediaTable(spark, TestSpark.sf)
