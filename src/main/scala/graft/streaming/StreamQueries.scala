@@ -40,17 +40,21 @@ object StreamQueries {
     * pid (a per-PROCESS unique component — round-13 advice: a fixed
     * per-query-name path let two Bench/Verify processes on one host
     * clobber each other's staged source, checkpoint, and sink
-    * mid-stream) plus a per-run sequence; the per-process ROOT is
-    * deleted and recreated per run, so repeated invocations in one
-    * process never replay a stale checkpoint against new input and
-    * /tmp never grows without bound within a process. A killed JVM can
-    * orphan its root; the next same-pid process (pids recycle) removes
-    * it, and the dirs are test-scale (the wrappers stage sf0.01-class
-    * chunks).
+    * mid-stream) plus a per-run sequence, so a run never replays a
+    * stale checkpoint against another run's input. Run dirs accumulate
+    * WITHIN a process (a previous wrapper's returned DataFrame reads
+    * its sink lazily — deleting eagerly would corrupt a
+    * not-yet-consumed result, the same hazard as the containment
+    * slices) and the per-process root is removed on JVM exit by a
+    * shutdown hook; the dirs are test-scale (the wrappers stage
+    * sf0.01-class chunks).
     */
   private val procTag: String = {
     val pid = ProcessHandle.current().pid()
-    s"graft_stream_$pid"
+    val tag = s"graft_stream_$pid"
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), tag)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    tag
   }
 
   private def scratch(name: String): String = {

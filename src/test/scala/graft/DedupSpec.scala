@@ -330,6 +330,34 @@ class DedupSpec extends AnyFunSuite {
       sumOcc = 300000000L, nDocs = 1000000L)
     assert(sf10 == Dedup.SlicedArrays(9),
       s"sf10-shaped census must slice ~9 ways, got $sf10")
+    // a pathological budget (1 byte) clamps at MaxSlices instead of
+    // scheduling millions of sequential sub-jobs (round-13 advice)
+    assert(Dedup.chooseVerifyRegime(10000000L, 1000L, 1000L, 10L,
+      scratchBudgetBytes = 1L) == Dedup.SlicedArrays(Dedup.MaxSlices))
+  }
+
+  test("graft configs parse loudly and the salt fan-out tracks parallelism") {
+    // malformed long config names the key and raw value (round-13
+    // advice: a bare NumberFormatException from deep inside query
+    // construction named neither)
+    spark.conf.set("spark.graft.hot.df", "not-a-number")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Dedup.confLong(spark, "spark.graft.hot.df", 1L))
+      assert(e.getMessage.contains("spark.graft.hot.df") &&
+        e.getMessage.contains("not-a-number"))
+    } finally spark.conf.unset("spark.graft.hot.df")
+    assert(Dedup.confLong(spark, "spark.graft.hot.df", 42L) == 42L)
+    // hot-salt fan-out: parallelism-driven with a 32 floor, config
+    // override wins, bounded above
+    assert(Dedup.hotSalts(spark) ==
+      math.min(4096, math.max(32, spark.sparkContext.defaultParallelism)))
+    spark.conf.set("spark.graft.hot.salts", "128")
+    try assert(Dedup.hotSalts(spark) == 128)
+    finally spark.conf.unset("spark.graft.hot.salts")
+    spark.conf.set("spark.graft.hot.salts", "1000000")
+    try assert(Dedup.hotSalts(spark) == 4096)
+    finally spark.conf.unset("spark.graft.hot.salts")
   }
 
   test("d33/d34: the wrapped hot-shingle corpus forces the array verify in the " +
