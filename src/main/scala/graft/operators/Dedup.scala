@@ -2007,6 +2007,20 @@ object Dedup {
   def containmentDedup(spark: SparkSession, dir: String): DataFrame =
     containmentDedupOf(wordShingles(spark, dir), force = None)
 
+  /** d35: the SLICED verify regime under the driver's oracle (round
+    * 14) — same containment semantics and oracle SQL as d16, forced
+    * through [[SlicedArrays]] at a fixed 3 slices so the
+    * scratch-degradation path (per-slice pair hashing, eager parquet
+    * materialization, read-back union) produces its VALUES under the
+    * DuckDB gate every round, at every sf the driver runs, not only in
+    * DedupSpec's forced-budget hash-compare. A fixed slice count (not
+    * a tiny conf budget) keeps the row's cost flat across scale
+    * factors: 3 sub-jobs always, instead of a slice count that grows
+    * with the census estimate.
+    */
+  def slicedDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentDedupOf(wordShingles(spark, dir), force = Some(SlicedArrays(3)))
+
   /** Documents-frame entry (spec seam: generated corpora, forced or
     * census-chosen regime).
     */
@@ -2769,6 +2783,7 @@ object Dedup {
     "d14_curation_funnel" -> curationFunnel,
     "d15_quality_dedup" -> qualityDedup,
     "d16_containment_dedup" -> containmentDedup,
+    "d35_sliced_dedup" -> slicedDedup,
     "d33_hot_shingle_dedup" -> hotShingleDedup,
     "d34_boilerplate_spans" -> boilerplateSpans)
 
@@ -3190,6 +3205,10 @@ object Dedup {
         |             CAST(sum(CASE WHEN hit_c THEN 1 ELSE 0 END) AS BIGINT) AS caught_chosen
         |      FROM calc GROUP BY 1) x CROSS JOIN ch""".stripMargin),
     "d16_containment_dedup" -> containmentOracleSql("documents"),
+    // d35 is d16 through the forced sliced verify: slicing partitions
+    // the pair set, per-pair arithmetic never crosses pairs, so the
+    // oracle is IDENTICAL — which is the point (values under the gate)
+    "d35_sliced_dedup" -> containmentOracleSql("documents"),
     "d33_hot_shingle_dedup" -> containmentOracleSql(boilerplateWrappedSql),
     "d34_boilerplate_spans" -> spanCensusOracleSql(boilerplateWrappedSql),
     "d15_quality_dedup" ->
