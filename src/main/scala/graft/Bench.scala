@@ -93,6 +93,9 @@ object Bench {
       // feature regexes / gate regexes / token md5s); the harness's
       // staging writes are per-row too
       "stream_quality", "stream_dedup", "stream_sketch",
+      // the multimodal plumbing row: per-row md5 synthesis + decode
+      // dominates; the banded join underneath is candidate-bounded
+      "multimodal",
       "x05_ivf_compute")
     val shuffle = Seq("d04_simhash", "d09_source_overlap", "d28_substring_dedup",
       "d34_boilerplate_spans",
@@ -143,6 +146,9 @@ object Bench {
       // multimodal row's banded self-join likewise
       "stream_facts", "stream_curation", "stream_scd2",
       "multimodal_neardup",
+      // d35 is d16's plan through the sliced writer; r_sql_parity runs
+      // the eight warehouse joins twice (SQL + twin)
+      "d35_sliced_dedup", "r_sql_parity",
       "x01_skew_plain_join", "x02_skew_salted_join", "x03_shuffle_smj",
       "x04_bucketed_smj")
     val window = Seq("d15_quality_dedup", "e01_sessionize", "e12_burst_census",
@@ -444,10 +450,12 @@ object Bench {
     // name per-query maps are ≥2.4 KB at 93 entries no matter the
     // precision, so the complete record (medians, mins, per-rep max,
     // classes, errors, calibration detail, full names) lives in
-    // BENCH_FULL.json at the repo root, and stdout carries a line that
-    // PROVABLY fits: queries keyed by their unique id prefix ("q01",
-    // "d03" — BenchTimingSpec pins uniqueness), values = MIN-of-reps at
-    // 2 decimals (the gate statistic — see Timing.min), ~1.5 KB total.
+    // BENCH_FULL.json at the repo root, and stdout carries a compact
+    // line: queries keyed by their unique id prefix ("q01", "d03" —
+    // BenchTimingSpec pins uniqueness), values = MIN-of-reps at 2
+    // decimals (the gate statistic — see Timing.min). At the full
+    // surface even THIS line outgrows the 2 KB window, so its field
+    // order puts the summary in the guaranteed tail (see the println).
     val calDetail = probeRefs.map { case (n, ref) =>
       val m = probeTimings.get(n).map(_.median).getOrElse(-1.0)
       s"\"$n\":{\"median\":${fmt(m)},\"ref\":$ref,\"ratio\":${fmt(if (m > 0) m / ref else -1.0)}}"
@@ -489,7 +497,15 @@ object Bench {
       .map { case (k, t) => shortKey(k) -> t.errors.head }.sortBy(_._1)
       .map { case (k, e) => s"\"" + k + "\":\"" + jesc(e.take(80)) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"value_calibrated":${fmt(totalCal)},"calib":${fmt(calib)},"calib_by_class":$calibByClass,"unit":"sec","queries":${jmapMin(all)},"errors":$errsShort,"reps":$reps,"load_before":$load0,"load_after":$load1,"keys":"queries = min-of-reps sec keyed by id prefix; medians, maxes, classes, full names in BENCH_FULL.json","sf":"$sfDir"}""")
+    // Field ORDER is load-bearing: the harness captures only the LAST
+    // ~2000 stdout chars, and at 168 rows the line exceeds that no
+    // matter how keys compress — so the queries map goes FIRST (its
+    // head entries are what truncation eats; every one also lives in
+    // BENCH_FULL.json) and the summary fields (errors, calibration,
+    // totals) come LAST, inside the guaranteed-captured tail. The r13
+    // record measured the old order losing exactly those summary
+    // fields. calib_by_class lives in BENCH_FULL only.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","keys":"min-of-reps by id prefix; full detail in BENCH_FULL.json","queries":${jmapMin(all)},"errors":$errsShort,"reps":$reps,"load_before":$load0,"load_after":$load1,"calib":${fmt(calib)},"value_calibrated":${fmt(totalCal)},"total_min":${fmt(totalMin)},"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -42,7 +42,7 @@ class ContractSpec extends AnyFunSuite {
   test("SURVEY §2 inventory and the query surface stay in sync") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")))
-    val classicIds = "\\[x\\] ([qdtes]\\d\\d_\\w+)".r
+    val classicIds = "\\[x\\] ([qdtes]\\d\\d_\\w+|r_sql_parity)".r
       .findAllMatchIn(survey).map(_.group(1)).toSet
     val componentIds = "\\[x\\] ((?:stream|multimodal)\\w*)".r
       .findAllMatchIn(survey).map(_.group(1)).toSet
