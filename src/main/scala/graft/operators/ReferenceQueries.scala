@@ -184,10 +184,12 @@ object ReferenceQueries {
     * driver's CORRECTNESS gate (round-13 verdict item 6: the r SQL
     * strings never ran under the DuckDB loop).
     */
-  private[graft] def twin(name: String, spark: SparkSession, dir: String): DataFrame = {
-    val fact = Facts.factSales(spark, dir)
-    lazy val dimDate = Dimensions.dimDate(spark, dir)
-    lazy val dimCust = Dimensions.dimCustomerHashed(spark, dir)
+  private[graft] def twin(name: String, spark: SparkSession, dir: String): DataFrame =
+    twinOf(name, Facts.factSales(spark, dir), Dimensions.dimDate(spark, dir),
+      Dimensions.dimCustomerHashed(spark, dir), spark, dir)
+
+  private def twinOf(name: String, fact: DataFrame, dimDate: DataFrame,
+      dimCust: DataFrame, spark: SparkSession, dir: String): DataFrame = {
     name match {
       case "r1_monthly_sales_trend" =>
         val m = fact.join(dimDate, Seq("date_key"))
@@ -293,19 +295,6 @@ object ReferenceQueries {
     }
   }
 
-  /** Register the warehouse frames as session temp views (in-memory,
-    * pre-publish — the registration seam itself is WarehouseSqlSpec /
-    * WarehouseCatalogSpec territory) so the reference SQL's unqualified
-    * table names resolve.
-    */
-  private def registerViews(spark: SparkSession, dir: String): Unit = {
-    Facts.factSales(spark, dir).createOrReplaceTempView("fact_sales")
-    Dimensions.dimDate(spark, dir).createOrReplaceTempView("dim_date")
-    Dimensions.dimCustomerHashed(spark, dir).createOrReplaceTempView("dim_customer")
-    Dimensions.dimProduct(spark, dir).createOrReplaceTempView("dim_product")
-    Facts.dimCategory(spark, dir).createOrReplaceTempView("dim_category")
-  }
-
   /** Canonical small-frame image: column-name-sorted, values
     * stringified, rows sorted — the driver's own compare discipline.
     * Bounded: every reference query returns ≤ a few hundred rows
@@ -331,12 +320,43 @@ object ReferenceQueries {
     */
   def rSqlParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    registerViews(spark, dir)
-    names.map { name =>
-      val viaSql = canon(spark.sql(sql(name)))
-      val viaTwin = canon(twin(name, spark, dir))
-      (name, viaSql.size.toLong, viaSql == viaTwin)
-    }.toDF("query", "n_rows", "matches")
+    // build each warehouse frame ONCE and persist the multiply-consumed
+    // ones: the fact feeds 7 SQL queries AND 7 twins (14 consumers —
+    // unpersisted, the first cut rebuilt it per consumer and the row
+    // cost 43 s at sf0.1; cached it is ~6 s). The temp views register
+    // over the SAME cached frames, so the SQL side reads the cache too
+    // (in-memory, pre-publish — the publish/registration seam itself is
+    // WarehouseSqlSpec / WarehouseCatalogSpec territory).
+    // the explicit keyed repartition before persist is load-bearing:
+    // AQE coalesces the cache-building plan's output to the 64 MB
+    // advisory, so an sf0.1 fact caches as ~1 block and every
+    // aggregate over it runs single-threaded (measured 1.5-2.1 s per
+    // cached-scan aggregate vs 0.3 s at explicit width — the inverse
+    // of the round-11 partitions-proportional-to-data lesson: a
+    // CPU-heavy consumer set needs the cache wide even when the bytes
+    // are small). Width = the session's shuffle parallelism.
+    val w = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val fact = Facts.factSales(spark, dir)
+      .repartition(w, col("transaction_id")).persist()
+    val dimDate = Dimensions.dimDate(spark, dir).persist()
+    val dimCust = Dimensions.dimCustomerHashed(spark, dir).persist()
+    fact.createOrReplaceTempView("fact_sales")
+    dimDate.createOrReplaceTempView("dim_date")
+    dimCust.createOrReplaceTempView("dim_customer")
+    Dimensions.dimProduct(spark, dir).createOrReplaceTempView("dim_product")
+    Facts.dimCategory(spark, dir).createOrReplaceTempView("dim_category")
+    try {
+      names.map { name =>
+        val viaSql = canon(spark.sql(sql(name)))
+        val viaTwin = canon(twinOf(name, fact, dimDate, dimCust, spark, dir))
+        (name, viaSql.size.toLong, viaSql == viaTwin)
+      }.toDF("query", "n_rows", "matches")
+      // safe to release before returning: both sides are COLLECTED
+      // above — the returned frame is driver-local rows, not a lazy
+      // plan over the caches
+    } finally {
+      fact.unpersist(); dimDate.unpersist(); dimCust.unpersist(): Unit
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
