@@ -15,11 +15,15 @@ import graft.sources.Tables
   * format ([[WavPcmCodec]]: strict RIFF container parse dispatching on
   * the fmt tag — PCM-16, or IMA/DVI ADPCM at 4 bits/sample decoded
   * through the published step/index tables — + the Goertzel spectral
-  * fingerprint), and UNCOMPRESSED video is real ([[Y4mCodec]], a
-  * strict YUV4MPEG2/Cmono frame walk + the frame-sampled temporal
-  * fingerprint); compressed VIDEO codecs remain stubbed behind the
-  * same seam ([[FakeCodec.decode]], a deterministic byte-histogram
-  * stand-in — this container ships no ffmpeg-class libraries). Everything AROUND the codecs is real and
+  * fingerprint), and VIDEO is real for both an uncompressed and a
+  * COMPRESSED format ([[Y4mCodec]], a strict YUV4MPEG2/Cmono frame
+  * walk, and [[AviMjpegCodec]], MJPEG-in-AVI — RIFF chunk walk +
+  * genuinely lossy per-frame JPEG decode through the JDK — both
+  * feeding the frame-sampled temporal fingerprint). Every medium now
+  * decodes at least one real compressed format; [[FakeCodec]] remains
+  * only as the spec's seam-isolation stand-in (inter-frame-predictive
+  * codecs like H.264 would need native libraries this container
+  * doesn't ship — they drop in through the same factory seam). Everything AROUND the codecs is real and
   * scale-shaped: binary columns travel in parquet row groups, feature
   * extraction is `mapPartitions` (one codec init per partition, the
   * same batch shape a JNI/FFI decoder needs), and the output schema is
@@ -440,6 +444,87 @@ object Multimodal {
         }
       }
       (if (n == 0) 0.0 else sum.toDouble / n, hist)
+    }
+  }
+
+  /** REAL pure-JVM COMPRESSED video codec over MJPEG-in-AVI — the
+    * classic motion-JPEG interchange form (an AVI/RIFF container whose
+    * video chunks are standalone JPEG images): a strict little-endian
+    * RIFF chunk walk (the [[WavPcmCodec]] discipline — AVI and WAV
+    * share the container format) collects the `..dc`/`..db` video
+    * chunks inside `LIST` groups, and each frame decodes through the
+    * SAME JDK ImageIO path the image tier uses ([[ImageIoCodec]] —
+    * genuinely lossy JPEG entropy decode, no native libraries). This
+    * closes the last codec-seam stub: images, audio (PCM + IMA ADPCM),
+    * uncompressed video (Y4M), and now compressed video all decode for
+    * real; [[FakeCodec]] remains only as the spec's seam-isolation
+    * stand-in. Frame rasters ride [[videoFingerprint]]'s temporal hash
+    * unchanged — MultimodalSpec pins the cross-CONTAINER collision (the
+    * same clip as raw Y4M and as MJPEG/AVI fingerprints to small
+    * hamming) plus loud failures on truncated chunks and non-JPEG
+    * frames.
+    */
+  object AviMjpegCodec extends MediaCodec {
+    /** Walk the container, returning each video frame's JPEG bytes in
+      * stream order. Strict: chunk lengths are bounds-checked before
+      * any advance (negative/overlong lengths fail loudly, the WAV
+      * round-13 discipline), and a video chunk that is not a JPEG
+      * (SOI marker FF D8) fails rather than feeding garbage to the
+      * image decoder.
+      */
+    private[operators] def frames(payload: Array[Byte]): Array[Array[Byte]] = {
+      require(payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+        payload(10) == 'I' && payload(11) == ' ',
+        s"not a RIFF/AVI payload (${payload.length} bytes)")
+      def le32(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = new String(payload, off, 4, "US-ASCII")
+          val len = le32(off + 4)
+          require(len >= 0 && off + 8 + len.toLong <= until,
+            s"AVI chunk '$id' at $off has invalid length $len (${payload.length}-byte payload)")
+          if (id == "LIST") {
+            require(len >= 4, s"AVI LIST at $off too short ($len)")
+            walk(off + 12, off + 8 + len) // skip the 4-byte list type
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.substring(2) == "dc" || id.substring(2) == "db")) {
+            require(len >= 2 && payload(off + 8) == 0xff.toByte &&
+              payload(off + 9) == 0xd8.toByte,
+              s"AVI video chunk '$id' at $off is not a JPEG frame")
+            out += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + len)
+          }
+          off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      require(out.nonEmpty, "AVI payload has no video frames")
+      out.toArray
+    }
+
+    override def frameRasters(payload: Array[Byte], n: Int): Array[Array[Int]] =
+      frames(payload).map(f => ImageIoCodec.grayRaster(f, n))
+
+    def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      // luma census across all frames (the Y4M decode shape): merge the
+      // per-frame ImageIO censuses, weighting the mean by pixel count
+      val hist = new Array[Long](FakeCodec.HIST_BUCKETS)
+      var sum = 0.0
+      var n = 0L
+      frames(payload).foreach { f =>
+        val (mean, h) = ImageIoCodec.decode(f)
+        var i = 0
+        var cnt = 0L
+        while (i < h.length) { hist(i) += h(i); cnt += h(i); i += 1 }
+        sum += mean * cnt
+        n += cnt
+      }
+      (if (n == 0) 0.0 else sum / n, hist)
     }
   }
 

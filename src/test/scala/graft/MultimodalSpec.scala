@@ -448,6 +448,103 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f2 == f)
   }
 
+  test("compressed video for real: MJPEG-in-AVI decodes through the seam; the " +
+      "temporal fingerprint is container-independent and catches the lossy re-encode") {
+    import spark.implicits._
+    def clip(pos: Int => Int): Seq[Array[Int]] =
+      (0 until 8).map { k =>
+        Array.tabulate(32 * 32) { i =>
+          val y = i / 32
+          if (y / 4 == pos(k)) 180 else 60
+        }
+      }
+    def y4mOf(frames: Seq[Array[Int]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("YUV4MPEG2 W32 H32 F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+      frames.foreach { f =>
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        f.foreach(bos.write)
+      }
+      bos.toByteArray
+    }
+    def jpegFrame(px: Array[Int], quality: Float): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      px.indices.foreach(i => img.getRaster.setSample(i % 32, i / 32, 0, px(i)))
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+    // minimal RIFF/AVI: movi LIST of 00dc chunks, word-aligned (the
+    // header LISTs real muxers emit are skippable chunks to the walk)
+    def aviOf(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      val movi = {
+        val m = new java.io.ByteArrayOutputStream()
+        m.write("movi".getBytes("US-ASCII"))
+        frames.foreach { f =>
+          m.write("00dc".getBytes("US-ASCII"))
+          (0 until 4).foreach(i => m.write((f.length >> (8 * i)) & 0xff))
+          m.write(f)
+          if (f.length % 2 == 1) m.write(0)
+        }
+        m.toByteArray
+      }
+      bos.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + movi.length)
+      bos.write("AVI ".getBytes("US-ASCII"))
+      bos.write("LIST".getBytes("US-ASCII")); le32(movi.length)
+      bos.write(movi)
+      bos.toByteArray
+    }
+    val a = clip(k => k)
+    val b = clip(k => if (k == 0) 0 else 8 - k)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", "video/avi", aviOf(a.map(jpegFrame(_, 0.9f))), 0L),
+      Multimodal.MediaRow(2L, "video", "video/avi", aviOf(a.map(jpegFrame(_, 0.5f))), 0L),
+      Multimodal.MediaRow(3L, "video", "video/avi", aviOf(b.map(jpegFrame(_, 0.9f))), 0L)))
+    val f = Multimodal.videoFingerprint(media, () => Multimodal.AviMjpegCodec)
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(f(1L), f(2L)) <= 6,
+      s"quality-0.5 MJPEG re-encode must be caught (${ham(f(1L), f(2L))})")
+    assert(ham(f(1L), f(3L)) > 6,
+      s"diverging motion must stay far (${ham(f(1L), f(3L))})")
+    // container independence: the SAME clip as raw Y4M fingerprints to
+    // (near-)identical bits — the temporal hash reads content, not
+    // container (the whole point of the codec seam)
+    val y4m = spark.createDataset(Seq(
+      Multimodal.MediaRow(9L, "video", "video/y4m", y4mOf(a), 0L)))
+    val fy = Multimodal.videoFingerprint(y4m, () => Multimodal.Y4mCodec)
+      .collect().head.phash
+    assert(ham(f(1L), fy) <= 6,
+      s"Y4M and MJPEG of the same clip must collide (${ham(f(1L), fy)})")
+    // and through the banded near-dup operator on the compressed rows
+    val pairs = Multimodal.phashNearDup(
+      Multimodal.videoFingerprint(media, () => Multimodal.AviMjpegCodec))
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)), s"pairs: $pairs")
+    // guard rails: truncated chunk lengths and non-JPEG video chunks
+    // fail loudly instead of walking out of bounds / feeding ImageIO
+    val avi = aviOf(a.map(jpegFrame(_, 0.9f)))
+    val truncated = java.util.Arrays.copyOfRange(avi, 0, avi.length - 10)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.AviMjpegCodec.frameRasters(truncated, 8)).getMessage
+      .contains("invalid length"))
+    val notJpeg = aviOf(Seq(Array.fill[Byte](64)(7)))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.AviMjpegCodec.frameRasters(notJpeg, 8)).getMessage
+      .contains("not a JPEG frame"))
+  }
+
   test("phash banding: hamming <= 3 is lossless by pigeonhole; all-bands-differ pairs are the documented miss") {
     import spark.implicits._
     val base = 0x0123456789abcdefL
