@@ -188,7 +188,7 @@ object ReferenceQueries {
     twinOf(name, Facts.factSales(spark, dir), Dimensions.dimDate(spark, dir),
       Dimensions.dimCustomerHashed(spark, dir), spark, dir)
 
-  private def twinOf(name: String, fact: DataFrame, dimDate: DataFrame,
+  private[graft] def twinOf(name: String, fact: DataFrame, dimDate: DataFrame,
       dimCust: DataFrame, spark: SparkSession, dir: String): DataFrame = {
     name match {
       case "r1_monthly_sales_trend" =>
@@ -340,22 +340,70 @@ object ReferenceQueries {
       .repartition(w, col("transaction_id")).persist()
     val dimDate = Dimensions.dimDate(spark, dir).persist()
     val dimCust = Dimensions.dimCustomerHashed(spark, dir).persist()
+    // dim_product is consumed twice (the r7 view + the r7 twin) and its
+    // SCD2 build is the most expensive dim (~1 s at sf0.1 — the q31
+    // row); persisted like the fact. dim_category is a ~150-row frame
+    // consumed twice as well — persisting it costs nothing and saves a
+    // part-table rebuild.
+    val dimProd = Dimensions.dimProduct(spark, dir).persist()
+    val dimCat = Facts.dimCategory(spark, dir).persist()
     fact.createOrReplaceTempView("fact_sales")
     dimDate.createOrReplaceTempView("dim_date")
     dimCust.createOrReplaceTempView("dim_customer")
-    Dimensions.dimProduct(spark, dir).createOrReplaceTempView("dim_product")
-    Facts.dimCategory(spark, dir).createOrReplaceTempView("dim_category")
+    dimProd.createOrReplaceTempView("dim_product")
+    dimCat.createOrReplaceTempView("dim_category")
     try {
-      names.map { name =>
-        val viaSql = canon(spark.sql(sql(name)))
-        val viaTwin = canon(twinOf(name, fact, dimDate, dimCust, spark, dir))
-        (name, viaSql.size.toLong, viaSql == viaTwin)
-      }.toDF("query", "n_rows", "matches")
+      // All driver-side orchestration below runs on a small thread pool
+      // (guide §2.6: overlap independent jobs). Two waves:
+      //   wave 1 — build every cache with ONE action each, the five
+      //   builds overlapped (they are independent source scans); doing
+      //   this BEFORE the fan-out means concurrent consumers never race
+      //   to materialize the same cache partition (racing tasks would
+      //   each recompute the block).
+      //   wave 2 — the 16 jobs (8 SQL + 8 twins), each an INDEPENDENT
+      //   bounded-result aggregate over the shared caches. Sequential,
+      //   this row paid 16 × (driver planning + job latency + straggler
+      //   tail) ≈ 21 s solo-warm at sf0.1; overlapped it pays roughly
+      //   the longest chain — planning is per-thread driver work and
+      //   the small jobs back-fill each other's tails. Results are
+      //   per-name and order-preserved; the comparison itself is
+      //   driver-local string canonicalization.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      def awaitAll[T](fs: Seq[scala.concurrent.Future[T]]): Seq[T] =
+        fs.map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      try {
+        awaitAll(Seq(fact, dimDate, dimCust, dimProd, dimCat).map(f =>
+          scala.concurrent.Future {
+            f.write.format("noop").mode("overwrite").save()
+          }))
+        val futs = names.map { name =>
+          val fSql = scala.concurrent.Future {
+            spark.sparkContext.setJobDescription(s"r_sql_parity: $name sql")
+            canon(spark.sql(sql(name)))
+          }
+          val fTwin = scala.concurrent.Future {
+            spark.sparkContext.setJobDescription(s"r_sql_parity: $name twin")
+            canon(twinOf(name, fact, dimDate, dimCust, spark, dir))
+          }
+          (name, fSql, fTwin)
+        }
+        futs.map { case (name, fSql, fTwin) =>
+          val viaSql = scala.concurrent.Await.result(fSql,
+            scala.concurrent.duration.Duration.Inf)
+          val viaTwin = scala.concurrent.Await.result(fTwin,
+            scala.concurrent.duration.Duration.Inf)
+          (name, viaSql.size.toLong, viaSql == viaTwin)
+        }.toDF("query", "n_rows", "matches")
+      } finally pool.shutdown()
       // safe to release before returning: both sides are COLLECTED
       // above — the returned frame is driver-local rows, not a lazy
       // plan over the caches
     } finally {
-      fact.unpersist(); dimDate.unpersist(); dimCust.unpersist(): Unit
+      fact.unpersist(); dimDate.unpersist(); dimCust.unpersist()
+      dimProd.unpersist(); dimCat.unpersist(): Unit
     }
   }
 
