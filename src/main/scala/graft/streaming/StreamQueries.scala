@@ -131,6 +131,44 @@ object StreamQueries {
   private def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
 
+  /** Run `body` (which builds, starts and drains one streaming query
+    * over the staged feed under `srcDir`) with the session's shuffle
+    * parallelism sized to the FEED, not the host (round-14 optimization,
+    * guide §2 "make partitioning scale-adaptive"): a stateful streaming
+    * operator keys its state store by shuffle partition, and every
+    * micro-batch commits one delta file per state partition per
+    * stateful operator — so a KB-scale staged chunk processed at the
+    * session default (= local core count) pays 32 store commits per
+    * batch for data that fits in one. Partitions derive from staged
+    * bytes at ~16 MB each (clamped to [4, session default] so a big
+    * feed keeps the session width and the driver's lower-cpu bench
+    * modes are never widened); `spark.graft.stream.shuffle.partitions`
+    * overrides for production feeds, where the right width tracks
+    * per-trigger volume, not total corpus size. Results are invariant:
+    * every wrapper publishes chopping-invariant columns (aggregates,
+    * survivor sets, per-key state walks), none of which depend on state
+    * partition count. Conf is restored even on failure; the sink
+    * read-back happens OUTSIDE `body`, at the restored width.
+    */
+  private def withFeedShuffle[T](spark: SparkSession, srcDir: String)(body: => T): T = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = spark.conf.getOption("spark.graft.stream.shuffle.partitions")
+      .map(_.toInt).getOrElse {
+        val p = Paths.get(srcDir)
+        val bytes =
+          if (!Files.exists(p)) 0L
+          else {
+            val s = Files.walk(p)
+            try s.filter(Files.isRegularFile(_))
+              .mapToLong(f => Files.size(f)).sum()
+            finally s.close()
+          }
+        math.max(4L, math.min(saved.toLong, bytes / (16L << 20) + 1)).toInt
+      }
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Run `df` into a parquet file sink (the transactional exactly-once
     * sink the production operators use), block until the staged source
     * drains — processAllAvailable also runs the engine's no-data
@@ -183,8 +221,10 @@ object StreamQueries {
     val out = scratch("quality")
     val model = QualityStream.trainModel(spark, dir)
     val schema = stageHashed(Tables.documents(spark, dir), col("doc_id"), 3, s"$out/src")
-    val scored = QualityStream.scored(fileStream(spark, s"$out/src", schema), model)
-    drainToParquet(scored, out)
+    withFeedShuffle(spark, s"$out/src") {
+      val scored = QualityStream.scored(fileStream(spark, s"$out/src", schema), model)
+      drainToParquet(scored, out)
+    }
   }
 
   // ─── stream_facts: continuous fact ingest ────────────────────────────
@@ -197,13 +237,35 @@ object StreamQueries {
     val out = scratch("facts")
     val schema = stageHashed(Tables.lineitem(spark, dir),
       col("l_orderkey"), 3, s"$out/src")
-    val fact = FactStream.factStream(
-      fileStream(spark, s"$out/src", schema),
-      Tables.orders(spark, dir), Tables.part(spark, dir))
-    // the partition column reads back as INT (directory-name inference);
-    // restore the builder's LONG so the oracle schema matches
-    drainToParquet(fact, out, partitionCols = Seq("month_key"))
-      .withColumn("month_key", col("month_key").cast("long"))
+    // persist the STATIC join sides once: every micro-batch re-executes
+    // the stream-static join's static subtree (scan + broadcast build),
+    // so an N-batch drain paid N orders scans + N part scans; cached,
+    // batch 1 materializes them and batches 2..N read memory (round-14
+    // optimization; released before returning — the returned frame
+    // reads the sink, not the dims)
+    val orders = Tables.orders(spark, dir).persist()
+    val part = Tables.part(spark, dir).persist()
+    try {
+      // the partition column reads back as INT (directory-name inference);
+      // restore the builder's LONG so the oracle schema matches
+      withFeedShuffle(spark, s"$out/src") {
+        val w = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        // A staged chunk is ONE file → one scan task, so the whole
+        // batch (join + fact derivation + an 84-month partitionBy
+        // write) ran single-threaded — measured 11.2 s for the
+        // 3-batch drain at sf0.1. Spread the arriving rows across the
+        // feed width first (derivation parallelizes), then co-locate
+        // by month_key before the sink — the batch loader's
+        // bound-the-file-count discipline (Facts.loadFactIncrement):
+        // without it each of the w tasks writes every month it holds
+        // (w × months files/batch — measured 24-52 s). Both shuffles
+        // move only the micro-batch's own rows. Drain: 11.2 → 7.0 s.
+        val fact = FactStream.factStream(
+          fileStream(spark, s"$out/src", schema).repartition(w), orders, part)
+          .repartition(col("month_key"))
+        drainToParquet(fact, out, partitionCols = Seq("month_key"))
+      }.withColumn("month_key", col("month_key").cast("long"))
+    } finally { orders.unpersist(); part.unpersist(): Unit }
   }
 
   // ─── stream_dedup: gated exact-dedup ingest ──────────────────────────
@@ -220,9 +282,11 @@ object StreamQueries {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("dedup")
     val schema = stageDocs(spark, dir, s"$out/src")
-    val survivors = DocStream.gatedIngest(
-      fileStream(spark, s"$out/src", schema), horizon = "36500 days")
-    drainToParquet(survivors, out)
+    withFeedShuffle(spark, s"$out/src") {
+      val survivors = DocStream.gatedIngest(
+        fileStream(spark, s"$out/src", schema), horizon = "36500 days")
+      drainToParquet(survivors, out)
+    }
       .select(col("fingerprint"),
         length(col("text")).cast("long").as("n_chars"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
@@ -242,8 +306,10 @@ object StreamQueries {
     val schema = stageHashed(
       Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
       col("doc_id"), 3, s"$out/src")
-    val regs = SketchStream.hllRegisters(fileStream(spark, s"$out/src", schema))
-    drainToMemory(regs)
+    withFeedShuffle(spark, s"$out/src") {
+      val regs = SketchStream.hllRegisters(fileStream(spark, s"$out/src", schema))
+      drainToMemory(regs)
+    }
       .select(col("source"), col("bucket").cast("long").as("bucket"),
         col("reg").cast("long").as("reg"))
   }
@@ -262,9 +328,11 @@ object StreamQueries {
     val schema = stageHashed(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       col("doc_id"), 3, s"$out/src")
-    val q = CurationStream.ingest(
-      fileStream(spark, s"$out/src", schema), s"$out/index", s"$out/ckpt")
-    try q.processAllAvailable() finally q.stop()
+    withFeedShuffle(spark, s"$out/src") {
+      val q = CurationStream.ingest(
+        fileStream(spark, s"$out/src", schema), s"$out/index", s"$out/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
     CurationStream.standingRemovals(spark, s"$out/index")
   }
 
@@ -308,48 +376,88 @@ object StreamQueries {
     val schema = stageChunks(Seq(
       snap(Some("1999-01-01 00:00:00")).withColumn("seq", lit(0L)),
       snap(None).withColumn("seq", lit(1L))), s"$out/src")
-    val q = DimStream.scd2Sink(
-        fileStream(spark, s"$out/src", schema), dimPath,
-        key = "customer_id", orderCol = "seq",
-        mergeTsOf = id => lit(s"2000-01-0${id + 1} 00:00:00").cast("timestamp_ntz"))
-      .option("checkpointLocation", s"$out/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withFeedShuffle(spark, s"$out/src") {
+      val q = DimStream.scd2Sink(
+          fileStream(spark, s"$out/src", schema), dimPath,
+          key = "customer_id", orderCol = "seq",
+          mergeTsOf = id => lit(s"2000-01-0${id + 1} 00:00:00").cast("timestamp_ntz"))
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(dimPath)
   }
 
   // ─── the watermark-gated event rows ──────────────────────────────────
-  /** Events split into 3 TIME-ORDERED chunks (range boundaries at
-    * thirds of the span) so event time is monotone across micro-batches
-    * — no row ever arrives behind the watermark — plus a trailing
-    * sentinel chunk (`zz_sentinel`, its own final batch) that advances
-    * the watermark past every real window so Append-mode state flushes
-    * before the read-back. Returns (chunks incl. sentinel, max real ts).
+  /** Stage the event feed as 3 TIME-ORDERED chunk files (range
+    * boundaries at thirds of the span) so event time is monotone across
+    * micro-batches — no row ever arrives behind the watermark — plus a
+    * trailing sentinel chunk (`zz_sentinel`, its own final batch) that
+    * advances the watermark past every real window so Append-mode state
+    * flushes before the read-back. ONE events pass end to end
+    * (round-14 optimization): the old shape ran one filtered
+    * scan + coalesce(1) write PER chunk (4 jobs, 4 scans); this derives
+    * a chunk id per row and writes all chunks in a single
+    * partitionBy("__chunk") job (each chunk lands in one task after the
+    * keyed repartition → exactly one file per chunk dir), then renames
+    * the part files into mtime order. Intra-chunk row order changes
+    * under the shuffle; every consumer's published columns are
+    * invariant to intra-batch order by the wrappers' determinism
+    * contract (aggregates / per-day count maps). An empty chunk writes
+    * no dir and yields one fewer micro-batch — equally
+    * chopping-invariant. The span probe stays a 1-row driver action
+    * (the q39 rule) and now also feeds the sentinel timestamp, so the
+    * anomalies row's separate max-date scan is gone too.
+    * Returns (staged schema, max real ts).
     */
-  private def eventChunks(spark: SparkSession, dir: String,
-                          sentinelLagMs: Long): (Seq[DataFrame], java.sql.Timestamp) = {
+  private def stageEventFeed(spark: SparkSession, dir: String, out: String,
+                             sentinelMsOf: (Long, Long) => Long): (StructType, java.sql.Timestamp) = {
     // normalize ts to the LTZ timestamp family (session tz is UTC, so
     // NTZ wall-clock == instant): the probe/sentinel arithmetic and the
     // AnomalyStream encoder all speak java.sql.Timestamp
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
-    // 1-row span probe — harness-sized driver action (the q39 rule)
     val mm = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1")).collect()(0)
     val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
     val (c1, c2) = (t0 + (t1 - t0) / 3, t0 + 2 * (t1 - t0) / 3)
-    def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
-    val chunks = Seq(
-      ev.filter(ms(col("ts")) < c1),
-      ev.filter(ms(col("ts")) >= c1 && ms(col("ts")) < c2),
-      ev.filter(ms(col("ts")) >= c2))
-    val sentinel = ev.limit(1).select(
+    val sentinel = spark.range(1).select(
       lit(-1L).as("event_id"),
-      timestamp_millis(lit(t1 + sentinelLagMs)).as("ts"),
+      timestamp_millis(lit(sentinelMsOf(t0, t1))).as("ts"),
       lit(-1L).as("user_id"),
       lit("zz_sentinel").as("event_type"),
       lit(0.0).as("value"))
-    (chunks :+ sentinel, mm.getTimestamp(1))
+    def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
+    val chunked = ev
+      .withColumn("__chunk",
+        when(ms(col("ts")) < c1, 0).when(ms(col("ts")) < c2, 1).otherwise(2))
+      .unionByName(sentinel.withColumn("__chunk", lit(3)))
+    val tmp = Paths.get(out, "_stage")
+    chunked.repartition(col("__chunk"))
+      .write.mode("overwrite").partitionBy("__chunk").parquet(tmp.toString)
+    val chunkDirs = {
+      val s = Files.list(tmp)
+      try s.filter(f => f.getFileName.toString.startsWith("__chunk="))
+        .sorted(java.util.Comparator.comparingInt[Path](f =>
+          f.getFileName.toString.stripPrefix("__chunk=").toInt))
+        .toArray.toSeq.map(_.asInstanceOf[Path])
+      finally s.close()
+    }
+    chunkDirs.zipWithIndex.foreach { case (cd, i) =>
+      val part = {
+        val s = Files.list(cd)
+        try s.filter(f => f.getFileName.toString.startsWith("part-") &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally s.close()
+      }
+      val target = Paths.get(out, f"chunk$i%03d.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    deleteRec(tmp)
+    (ev.schema, mm.getTimestamp(1))
   }
 
   /** stream_events: EventsStream.windowedCounts (watermarked hourly
@@ -360,10 +468,13 @@ object StreamQueries {
     */
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("events")
-    val (chunks, _) = eventChunks(spark, dir, sentinelLagMs = 4L * 3600 * 1000)
-    val schema = stageChunks(chunks, s"$out/src")
-    val wc = EventsStream.windowedCounts(fileStream(spark, s"$out/src", schema))
-    drainToParquet(wc, out)
+    val (schema, _) = stageEventFeed(spark, dir, s"$out/src",
+      (_, t1) => t1 + 4L * 3600 * 1000)
+    val drained = withFeedShuffle(spark, s"$out/src") {
+      val wc = EventsStream.windowedCounts(fileStream(spark, s"$out/src", schema))
+      drainToParquet(wc, out)
+    }
+    drained
       .filter(col("event_type") =!= "zz_sentinel")
       .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour_bucket"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -378,13 +489,15 @@ object StreamQueries {
     */
   def streamActives(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("actives")
-    val (chunks, maxTs) = eventChunks(spark, dir, sentinelLagMs = 3L * 86400 * 1000)
-    val schema = stageChunks(chunks, s"$out/src")
-    val dau = EventsStream.dailyActiveUsers(fileStream(spark, s"$out/src", schema))
+    val (schema, maxTs) = stageEventFeed(spark, dir, s"$out/src",
+      (_, t1) => t1 + 3L * 86400 * 1000)
+    val drained = withFeedShuffle(spark, s"$out/src") {
+      val dau = EventsStream.dailyActiveUsers(fileStream(spark, s"$out/src", schema))
+      drainToParquet(dau, out)
+    }
     val maxDayUtc = maxTs.toInstant.atZone(java.time.ZoneOffset.UTC)
       .toLocalDate.toString
-    drainToParquet(dau, out)
-      .filter(col("activity_date") <= lit(maxDayUtc).cast("date"))
+    drained.filter(col("activity_date") <= lit(maxDayUtc).cast("date"))
   }
 
   /** stream_anomalies: AnomalyStream.anomalies — the live e07 feed
@@ -398,20 +511,17 @@ object StreamQueries {
     */
   def streamAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val out = scratch("anomalies")
-    val ev = Tables.events(spark, dir)
-    val maxDay = ev.agg(max(to_date(col("ts")))).collect()(0).getDate(0)
-    val sentinelMs = maxDay.toLocalDate.plusDays(2)
-      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-    val (chunks, _) = eventChunks(spark, dir, sentinelLagMs = 0L)
-    // replace the generic sentinel with the frontier-pinned one
-    val sentinel = chunks.head.limit(1).select(
-      lit(-1L).as("event_id"), timestamp_millis(lit(sentinelMs)).as("ts"),
-      lit(-1L).as("user_id"), lit("zz_sentinel").as("event_type"),
-      lit(0.0).as("value"))
-    val schema = stageChunks(chunks.dropRight(1) :+ sentinel, s"$out/src")
-    val feed = AnomalyStream.anomalies(fileStream(spark, s"$out/src", schema))
-    drainToParquet(feed.toDF(), out)
-      .filter(col("event_type") =!= "zz_sentinel")
+    // frontier-pinned sentinel: EXACTLY last-day + 2 d 00:00, derived
+    // from the same 1-row span probe that cuts the chunks (t1 is the
+    // max ts in UTC millis, so its calendar day is t1 div 86 400 000 —
+    // the separate max(to_date(ts)) scan the old shape paid is gone)
+    val (schema, _) = stageEventFeed(spark, dir, s"$out/src",
+      (_, t1) => (t1 / 86400000L + 2L) * 86400000L)
+    val drained = withFeedShuffle(spark, s"$out/src") {
+      val feed = AnomalyStream.anomalies(fileStream(spark, s"$out/src", schema))
+      drainToParquet(feed.toDF(), out)
+    }
+    drained.filter(col("event_type") =!= "zz_sentinel")
   }
 
   // ─── registry ────────────────────────────────────────────────────────
