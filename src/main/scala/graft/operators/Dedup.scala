@@ -2158,6 +2158,11 @@ object Dedup {
         posexplode(col("arr")).as(Seq("pos", "gh")))
       .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("rk"),
         col("gh"))
+    // NOT persisted below the census gate, on round-14 re-measurement:
+    // forcing the cache on the small-corpus rows read d16 3.6 → 10.6 s
+    // and d33 4.7 → 8.4 s solo-warm at sf0.1 — materializing the
+    // collect_list/posexplode chain costs more than the two fused
+    // codegen derivations it saves (the round-12 decision, re-confirmed)
     val ranked =
       if (censusOn)
         ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2495,7 +2500,16 @@ object Dedup {
     substringDedupOf(Tables.documents(spark, dir))
 
   private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
+    // The gram frame feeds BOTH the duplicate census (groupBy gh) and
+    // the probe side of the join-back — unpersisted, the tokenize +
+    // per-position 8-gram md5 (this family's dominant CPU) ran twice
+    // per query (round-14 measurement: d28 2.9 → 1.5-2.0 s, d34 4.9 →
+    // 2.3-2.6 s solo-warm at sf0.1 with the persist). Narrow (3 longs/row)
+    // but position-count-sized; MEMORY_AND_DISK so a big corpus
+    // degrades to local disk instead of evicting. Released by the
+    // caller's per-query clearCache (the candP contract).
     val g = wordGrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGh = g.groupBy(col("gh")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("gh"))
     val spans = mergeSpans(g.join(dupGh, Seq("gh")).select(col("doc_id"), col("pos")))
@@ -2533,7 +2547,10 @@ object Dedup {
     substringScrubOf(Tables.documents(spark, dir))
 
   private[graft] def substringScrubOf(docs: DataFrame): DataFrame = {
+    // same two-consumer shape as substringDedupOf (census + join-back
+    // probe) — persist for the same measured reason
     val g = wordGrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = g.groupBy(col("gh"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("c"))
       .filter(col("c") >= 2)
