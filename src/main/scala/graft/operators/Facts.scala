@@ -186,12 +186,30 @@ object Facts {
     */
   def incrementalFact(spark: SparkSession, dir: String): DataFrame = {
     val out = factIncPath(spark, dir)
-    Seq((0L, 19981231L), (19990101L, 99999999L),
-        // idempotent re-run of a SUB-slice of an already-loaded range —
-        // the backfill case: the date filter prunes the rebuild to the
-        // year's rows and dynamic overwrite rewrites only its months
-        (20010101L, 99999999L)
-    ).foreach { case (a, b) => loadFactIncrement(spark, dir, out, a, b) }
+    // The first two slices touch DISJOINT month partitions, so they run
+    // as concurrent jobs (guide §2.6's independent-date-partitions
+    // case — a backfill runs exactly like this): each load's dynamic
+    // overwrite stages under its own job-unique .spark-staging dir and
+    // commits only its own months, so the writes never touch the same
+    // partition. The third load stays SEQUENTIAL by design — it is the
+    // idempotent RE-RUN of a sub-slice of load 2, which only
+    // demonstrates anything after load 2 committed.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      Seq((0L, 19981231L), (19990101L, 99999999L))
+        .map { case (a, b) => scala.concurrent.Future {
+          spark.sparkContext.setJobDescription(s"q47 load [$a,$b]")
+          loadFactIncrement(spark, dir, out, a, b)
+        }}
+        .foreach(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+    // idempotent re-run of a SUB-slice of an already-loaded range —
+    // the backfill case: the date filter prunes the rebuild to the
+    // year's rows and dynamic overwrite rewrites only its months
+    loadFactIncrement(spark, dir, out, 20010101L, 99999999L)
     spark.read.parquet(out).drop("month_key")
   }
 

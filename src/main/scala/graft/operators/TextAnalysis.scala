@@ -1725,7 +1725,18 @@ object TextAnalysis {
     * (the t27 explicit-signal rule).
     */
   def ridgeApply(spark: SparkSession, dir: String): DataFrame = {
+    // the feature frame has THREE consumers (the ridge solve's 560-sum
+    // collect, the probe solve's 9-sum collect, and the final confusion
+    // scan) — unpersisted, the regex/bigram feature derivation (the
+    // family's dominant CPU) ran three times per query. Narrow
+    // (34 ints/doc); MEMORY_AND_DISK; released by the harness's
+    // per-query clearCache. Round-14 A/B at sf0.1 read 3.6 → 2.7 s
+    // solo-warm, inside the window's ±40% host noise — kept on the
+    // structural argument (strictly fewer feature passes; at corpus
+    // scale three text scans → one is the dominant term and the
+    // 34-int cache row spills gracefully).
     val feats = ridgeFeatures(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = ridgeSolve(feats)
     val yhat = (1 until RidgeDims).foldLeft(lit(b(0)): Column)((acc, j) =>
       acc + lit(b(j)) * col(s"f$j").cast("double"))
@@ -1772,7 +1783,10 @@ object TextAnalysis {
     * driver literal. No windows, no doc-key joins.
     */
   def ridgeThresholds(spark: SparkSession, dir: String): DataFrame = {
+    // two consumers (solve collect + the threshold sweep scan) — same
+    // persist rationale as ridgeApply
     val feats = ridgeFeatures(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = ridgeSolve(feats)
     val yhat = (1 until RidgeDims).foldLeft(lit(b(0)): Column)((acc, j) =>
       acc + lit(b(j)) * col(s"f$j").cast("double"))
