@@ -73,6 +73,12 @@ object Graph {
     var ranks = deg.crossJoin(broadcast(teleF))
       .select(col("src").as("node"), col("deg"), col("r_init").as("r"))
     for (_ <- 1 to Iters) {
+      // NO join hint here, on round-14 A/B: forcing shuffled-hash (the
+      // q63 move) read 2.0 → 3.0 s — this chain's rank-side estimates
+      // let AQE convert the per-round SMJ to broadcast at runtime, and
+      // a hint would pin the slower exchange in place. q63's hint wins
+      // because its label side derives through wider aggregations that
+      // stay above the broadcast threshold.
       val s = ed
         .join(ranks.select(col("node").as("src"), expr("r div deg").as("contrib")),
           Seq("src"))
@@ -431,8 +437,18 @@ object Graph {
     // trades fused scans for cache-read overhead.
     var lab = nodes.withColumn("l", col("node"))
     for (i <- 1 to CcIters) {
+      // SHUFFLED HASH, not sort-merge (guide §3): the label side is
+      // node-sized (≪ edges) and the planner's default SMJ re-sorted
+      // the 2|E|-row edge side EVERY round — six edge sorts whose only
+      // purpose was merging against a frame that fits a per-partition
+      // hash table. The hint builds on the label side and streams the
+      // edges unsorted; round-14 back-to-back A/B at sf0.1: 5.2 →
+      // 3.9 s solo-warm.
+      // (Broadcast is NOT the answer: labels are node-sized and grow
+      // with the catalog, so the hint keeps the scale-safe exchange.)
       val joined = edS
-        .join(lab.select(col("node").as("src"), col("l")), Seq("src"))
+        .join(lab.select(col("node").as("src"), col("l")).hint("shuffle_hash"),
+          Seq("src"))
       lab =
         if (i < CcIters)
           joined.groupBy(col("dst")).agg(min(col("l")).as("l"))
