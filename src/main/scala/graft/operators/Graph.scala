@@ -302,11 +302,20 @@ object Graph {
       .select(col("c"), expr(s"$HitsScale div n").as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      val aRaw = ed.join(hub, Seq("c")).groupBy(col("p")).agg(sum(col("h")).as("a"))
+      // SHUFFLED HASH on the score side of each half-step (guide §3,
+      // the q63 rationale): the stat-less checkpoint leaves made the
+      // planner default both half-step joins to SMJ, re-sorting the
+      // cached edge list every half-step. The score frames are
+      // node-sized — a per-partition hash build — and grow with the
+      // graph, so the hint (not broadcast) is the scale-safe form.
+      // Round-14 back-to-back A/B at sf0.1: 4.8 → 4.1 s solo-warm.
+      val aRaw = ed.join(hub.hint("shuffle_hash"), Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("a"))
         .localCheckpoint(false)
       auth = aRaw.crossJoin(broadcast(aRaw.agg(sum(col("a")).as("ta"))))
         .select(col("p"), expr(s"(a * $HitsScale) div ta").as("a"))
-      val hRaw = ed.join(auth, Seq("p")).groupBy(col("c")).agg(sum(col("a")).as("h"))
+      val hRaw = ed.join(auth.hint("shuffle_hash"), Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h"))
         .localCheckpoint(false)
       hub = hRaw.crossJoin(broadcast(hRaw.agg(sum(col("h")).as("th"))))
         .select(col("c"), expr(s"(h * $HitsScale) div th").as("h"))
