@@ -861,8 +861,15 @@ object Dedup {
     * stops re-exploding corpus text).
     */
   private def shingleSetsOf(docs: DataFrame): DataFrame =
-    wordShinglesOf(docs, dedup = false)
-      .groupBy(col("doc_id"))
+    shingleSetsFrom(wordShinglesOf(docs, dedup = false))
+
+  /** Set-array aggregation over an existing (doc_id, shingle) frame —
+    * the seam that lets a caller holding a persisted shingle frame
+    * (ingestShardCore's two tier writes) derive the arrays without a
+    * second text explosion.
+    */
+  private def shingleSetsFrom(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh_set"))
       .select(col("doc_id"), col("sh_set"), size(col("sh_set")).cast("long").as("n"))
 
@@ -1274,9 +1281,14 @@ object Dedup {
     // shard's retried report would also hold.
     val bandsP = s"$indexDir/bands/shard=$shardKey"
     val setsP = s"$indexDir/sets/shard=$shardKey"
-    graft.sources.Sinks.stagePublish(
-      minhashBandsOf(wordShinglesOf(shard, dedup = false), nb, nr), bandsP)
-    graft.sources.Sinks.stagePublish(shingleSetsOf(shard), setsP)
+    // ONE text explosion per tick, shared by both tier writes (the
+    // band and array tiers each derived their own shingle frame —
+    // round-14): persisted only across the two eager publishes, then
+    // released before the probe.
+    val shardSh = wordShinglesOf(shard, dedup = false).persist()
+    graft.sources.Sinks.stagePublish(minhashBandsOf(shardSh, nb, nr), bandsP)
+    graft.sources.Sinks.stagePublish(shingleSetsFrom(shardSh), setsP)
+    shardSh.unpersist(false)
     val report = shardProbe(emptyDocs, shard, standingBands, standingSets,
       shardPrebuilt = Some((spark.read.parquet(bandsP), spark.read.parquet(setsP))),
       banding = (nb, nr))
