@@ -861,9 +861,16 @@ object TextAnalysis {
         .cast("long").as("n_tokens"))
     // round(weight·10⁶) recovers t16's exact fixed-point integer: the
     // double is within 1e-10 of it, far inside the .5 rounding margin
+    // d feeds THREE consumers (the bucket-meta census, the clear branch,
+    // the boundary branch) — unpersisted, each re-ran the scoring
+    // explosion (bigram explode + md5 per bigram) upstream of `w`.
+    // Doc-sized (5 flat cols); released by the harness's per-query
+    // clearCache. Round-14 A/B at sf0.1: 2.06 → 1.65 s solo-warm
+    // (t19's same-shape persist read 1.71 → 1.42 s).
     val d = w.join(toks, "doc_id")
       .withColumn("wfp", round(col("weight") * 1000000).cast("long"))
       .withColumn("vb", expr("wfp div 8192"))
+      .persist()
     val wcum = Window.orderBy(col("vb").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val meta = d.groupBy(col("vb")).agg(sum(col("n_tokens")).as("btok"))
@@ -995,9 +1002,11 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
         .cast("long").as("n_tokens"))
+    // three consumers, same persist rationale as t17
     val d = w.join(toks, "doc_id")
       .withColumn("wfp", round(col("weight") * 1000000).cast("long"))
       .withColumn("vb", expr("wfp div 8192"))
+      .persist()
     val wcum = Window.partitionBy(col("source")).orderBy(col("vb").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val meta = d.groupBy(col("source"), col("vb")).agg(sum(col("n_tokens")).as("btok"))
@@ -1126,6 +1135,12 @@ object TextAnalysis {
           .cast("long").as("h12"))
       .groupBy(col("doc_id"), col("h1"), col("h12"))
       .agg(count(lit(1)).as("m"))
+      // THREE consumers (both count frames + the join-back) — without
+      // the persist each re-ran the explode + two-md5-per-bigram chain
+      // upstream of the aggregate. Narrow (4 longs); released by the
+      // harness's per-query clearCache. Round-14 A/B at sf0.1:
+      // 1.67 → 1.06 s solo-warm.
+      .persist()
     val c12 = occ.groupBy(col("h12")).agg(sum(col("m")).as("c12"))
     val c1 = occ.groupBy(col("h1")).agg(sum(col("m")).as("c1"))
     occ.join(c12, Seq("h12")).join(c1, Seq("h1"))
