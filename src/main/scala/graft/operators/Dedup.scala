@@ -61,12 +61,32 @@ object Dedup {
     * filtered corpus through the identical pair plan.
     */
   private[graft] def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    // 60-bit md5-prefix key over (lang, shingle) — the d16 gh
+    // discipline (guide §2.3, shuffle fewer bytes): the pair
+    // self-join — the exchange that goes QUADRATIC on a hot shingle,
+    // so the one whose bytes matter at scale — ships one BIGINT
+    // instead of a ~34-byte shingle string + lang on both sides.
+    // (Hashing BELOW the set-semantics distinct was measured and
+    // REJECTED: narrowing the linear distinct exchange too read
+    // 1.77 -> 1.96 s solo-warm at sf0.1, because md5 then runs per
+    // duplicate OCCURRENCE instead of per distinct shingle and this
+    // host is CPU-bound; hash-above keeps the local cost at zero —
+    // 1.52 vs 1.53 s — while the quadratic exchange still narrows
+    // 4-5x.) lang folds
+    // into the digest (US separator byte — cannot occur inside \S+
+    // tokens), so equal keys ⇔ same (lang, shingle) up to the same
+    // deterministic 2⁻⁶⁰ truncation collision class d16/d28 document;
+    // the oracle derives the identical prefix in the identical
+    // hash-then-distinct order (null lang nulls the concat in both
+    // engines, preserving the old a.lang = b.lang null-drop).
     val sh = wordShinglesOf(docs, withLang = true, dedup = true)
+      .select(col("doc_id"),
+        conv(substring(md5(concat(col("lang"), lit("\u001f"), col("shingle"))),
+          1, 15), 16, 10).cast("long").as("gh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shN = sh.join(sizes, Seq("doc_id"))
     shN.as("a").join(shN.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.lang") === col("b.lang") &&
+        col("a.gh") === col("b.gh") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") <= col("b.n") * 5 && col("b.n") <= col("a.n") * 5)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -2136,6 +2156,16 @@ object Dedup {
     // lexicographic order on the full md5 except at prefix ties, where
     // the tied keys are EQUAL — rank assignment among equal keys cannot
     // change any downstream value.
+    // NOT persisted (round-14 A/B): caching this corpus-sized frame to
+    // spare the ~2 explosion re-runs read d16 3.3-3.5 → 3.6-4.3 s and
+    // left d33/d35 inside noise at sf0.1 — the cache write+read of
+    // |shingle-occurrence| rows costs what the fused re-derivations
+    // cost, and a corpus-sized cache is exactly the round-9 page-cache
+    // cliff. (Deriving shCand from `ranked` instead — riding the
+    // reused groupBy exchange — was also measured and REJECTED: d16
+    // 3.5 → 4.7, d33 4.8 → 5.9 s; the collect_list/posexplode
+    // recompute above the exchange costs more than the explosion it
+    // saves, the same arithmetic that keeps ranked0 unpersisted below.)
     val sh = sh0.select(col("doc_id"),
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("gh"))
     // Hot-key census gate (round 13): the census that decides whether
@@ -2898,10 +2928,14 @@ object Dedup {
       |    FROM shA GROUP BY 1)
       |  ORDER BY cal_h, doc_id LIMIT $CalibDocBudget),
       |sh AS (SELECT s.doc_id, s.lang, s.shingle FROM shA s JOIN samp USING (doc_id)),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shg AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(lang || chr(31) || shingle), 1, 15)) AS BIGINT) AS gh
+      |  FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+      |  FROM shg a JOIN shg b ON a.gh = b.gh
       |       AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |exact AS (
@@ -3835,14 +3869,18 @@ object Dedup {
         |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents),
         |pos AS (
         |  SELECT doc_id, lang, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, lang,
         |         t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS shingle
         |  FROM pos),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(lang || chr(31) || shingle), 1, 15)) AS BIGINT) AS gh
+        |  FROM sh0),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+        |  FROM sh a JOIN sh b ON a.gh = b.gh
         |       AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, inter,

@@ -172,6 +172,14 @@ object Graph {
           col("u")).otherwise(col("v")).as("src"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+      // NOT persisted (round-14 A/B): the three wedge consumers shuffle
+      // oe on different keys, but the identical INNER exchanges (li
+      // distinct, ed distinct, both deg joins) are AQE-reused at
+      // runtime, so a persist only traded fused post-exchange recompute
+      // for cache materialization — 2.45 vs 2.35 s solo-warm at sf0.1,
+      // inside noise, with edge-sized cache pressure on top. Exchange
+      // reuse is scale-independent; the static plan's 188 scans
+      // overstate what actually runs.
     // wedge a→b→c closed by a→c: exactly one enumeration per triangle
     val tri = oe.as("e1")
       .join(oe.as("e2"), col("e1.dst") === col("e2.src"))
