@@ -4,8 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** A/B harness for in-flight design measurements (not part of any
   * contract; contents change per experiment). Current experiment:
-  * is the persisted fact cache actually served to the parity row's
-  * consumers, and what does one aggregate over it cost?
+  * stream_quality phase split — ridge train vs staging vs drain.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -24,17 +23,26 @@ object Scratch {
       println(f"SCRATCH $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
     }
     val dir = args(0)
-    val fact = graft.operators.Facts.factSales(spark, dir)
-      .repartition(32, org.apache.spark.sql.functions.col("transaction_id")).persist()
-    timed("count1")(fact.count())
-    timed("count2")(fact.count())
-    fact.createOrReplaceTempView("fact_sales")
-    timed("sql_count")(spark.sql("SELECT count(*) FROM fact_sales").collect())
-    timed("sql_agg1")(spark.sql(
-      "SELECT product_category, sum(CAST(net_amount AS DECIMAL(18,6))), count(DISTINCT transaction_id) FROM fact_sales GROUP BY 1").collect())
-    timed("sql_agg2")(spark.sql(
-      "SELECT product_category, sum(CAST(net_amount AS DECIMAL(18,6))), count(DISTINCT transaction_id) FROM fact_sales GROUP BY 1").collect())
-    println("SCRATCH inmem_used " + spark.sparkContext.getPersistentRDDs.size)
+    graft.sources.Tables.names.foreach { t =>
+      val df = if (t == "events") graft.sources.Tables.events(spark, dir)
+               else spark.read.parquet(s"$dir/$t.parquet")
+      df.write.mode("overwrite").format("noop").save()
+    }
+    (1 to 2).foreach { rep =>
+      println(s"--- rep $rep ---")
+      val model = timed("ridge trainModel") {
+        graft.streaming.QualityStream.trainModel(spark, dir)
+      }
+      timed("score batch (noop)") {
+        graft.streaming.QualityStream
+          .scored(graft.sources.Tables.documents(spark, dir), model)
+          .write.mode("overwrite").format("noop").save()
+      }
+      timed("full stream_quality row") {
+        graft.streaming.StreamQueries.streamQuality(spark, dir).count()
+      }
+      graft.GraftSession.releaseQueryCaches(spark)
+    }
     spark.stop()
   }
 }
