@@ -27,6 +27,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d02 gh-keyed pair join preserves the string-join semantics") {
+    import spark.implicits._
+    // Same shingle text in DIFFERENT langs must NOT pair (lang folds
+    // into the 60-bit key, round-14); same lang must pair exactly as
+    // the string join did; a NULL lang nulls the digest in both
+    // engines, so its doc pairs with nothing (the old a.lang = b.lang
+    // null-drop). Docs 1/2: identical en text -> J = 1.0 pair.
+    // Doc 3: identical text, lang fr -> no pair. Doc 4: null lang,
+    // identical text -> no pair.
+    val txt = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, "en", txt), (2L, "en", txt), (3L, "fr", txt)
+    ).toDF("doc_id", "lang", "text")
+      .unionByName(Seq((4L, txt)).toDF("doc_id", "text")
+        .withColumn("lang", lit(null).cast("string"))
+        .select(col("doc_id"), col("lang"), col("text")))
+    val pairs = Dedup.ngramJaccardOf(docs)
+      .select("doc_a", "doc_b", "jaccard").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
   test("minhash candidates contain the high-jaccard pairs (LSH recall)") {
     val exact = Dedup.ngramJaccard(spark, TestSpark.sf)
       .filter(col("jaccard") >= 0.8)
