@@ -2124,6 +2124,15 @@ object Dedup {
     */
   def hotShingleDedup(spark: SparkSession, dir: String): DataFrame =
     containmentDedupOfDocs(boilerplateWrapped(Tables.documents(spark, dir)))
+    // NOT derived from the base shingles (round-14 A/B): the wrapped
+    // twin's window set decomposes exactly as base-shingles ∪ 58 fixed
+    // header windows ∪ 2 boundary windows, and a union-derive form
+    // (one text explosion instead of two) was built, oracle-PASSed at
+    // two SFs, and REJECTED on measurement — 6.2 → 9.7-10.1 s
+    // solo-warm at sf0.1: the twins' half needs its own distinct
+    // exchange (windows can collide across the three parts), the
+    // union frame's stats inflate the census gate, and the fused
+    // explode+distinct codegen it replaces was cheaper than both.
 
   /** d34: substring (span) dedup over the boilerplate-wrapped corpus —
     * d28's hot-gram regime, oracle-checked: the periodic header
