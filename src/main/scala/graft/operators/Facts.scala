@@ -130,38 +130,81 @@ object Facts {
       if (grain == "month")
         base.withColumn("month_key", floor(col("date_key") / 100).cast("long"))
       else base
+    // Staged write + serialized partition swap (round 15, the r14
+    // ADVICE medium item — and the PlanSweepSpec intermittent failure
+    // it predicted): Spark does not support two concurrent writes into
+    // ONE output root. Even with dynamic partition overwrite, both
+    // jobs' underlying FileOutputCommitters run setupJob/commitJob
+    // against the real root's shared `_temporary`, so the first
+    // commit's cleanup can delete the second job's attempt dirs
+    // mid-flight; and one load's read-back LISTING races the other
+    // load's commit renames (observed: FileNotFoundException on a
+    // month dir that vanished between the root enumeration and the
+    // child listing). Each load therefore writes its slice to a
+    // PRIVATE staging root — its own committer, its own _temporary,
+    // full overlap for the expensive fact-join compute — and only the
+    // cheap driver-side partition-dir swap plus the read-back validate
+    // run under a per-target lock. Values are identical:
+    // delete-then-rename per partition dir IS dynamic overwrite's
+    // commit, performed serially.
+    //
     // repartition on the partition column before the write: without it
     // every one of the write's tasks holds rows of every month and the
     // load emits (#months × #tasks) small files — measured 13s warm at
     // sf0.1 against ~3s with the exchange. Same reasoning as
     // Sinks.repartitionTo: a 1000-executor write must bound its file
     // count, and co-locating each partition's rows is how.
-    slice.repartition(col(partCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(outPath)
-    // read-back count (validate_load per increment). An EMPTY slice is
-    // legal daily-DAG input (a day with no orders): dynamic overwrite
-    // writes no partitions for it, so the target may not exist yet —
-    // and the explicit schema keeps the read well-defined over a dir
-    // holding only a _SUCCESS marker. The month-range predicate is the
-    // PARTITION filter: without it the date_key filter reads the whole
-    // standing table per load (a full-warehouse scan per day at
-    // production scale); with it the read prunes to the slice's own
-    // partitions and the date filter refines within them.
     val target = new org.apache.hadoop.fs.Path(outPath)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(
+      s"${outPath}_load_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     val partitionPred =
       if (grain == "month")
         col("month_key").between(fromKey / 100, toKey / 100) &&
           col("date_key").between(fromKey, toKey)
       else // at day grain the date filter IS the partition filter
         col("date_key").between(fromKey, toKey)
-    if (!fs.exists(target)) 0L
-    else spark.read.schema(slice.schema).parquet(outPath)
-      .filter(partitionPred).count()
+    try {
+      slice.repartition(col(partCol))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(partCol)
+        .parquet(staging.toString)
+      commitLocks.computeIfAbsent(outPath, _ => new Object).synchronized {
+        val parts = fs.listStatus(staging)
+          .filter(_.getPath.getName.startsWith(s"$partCol="))
+        fs.mkdirs(target)
+        parts.foreach { st =>
+          val tgt = new org.apache.hadoop.fs.Path(target, st.getPath.getName)
+          if (fs.exists(tgt)) fs.delete(tgt, true)
+          require(fs.rename(st.getPath, tgt),
+            s"incremental-load commit: rename to $tgt failed")
+        }
+        // _SUCCESS parity with the former direct write: an EMPTY slice
+        // is legal daily-DAG input (a day with no orders — it swaps no
+        // partitions), and the explicit schema keeps the read-back
+        // well-defined over a dir holding only the marker.
+        fs.create(new org.apache.hadoop.fs.Path(target, "_SUCCESS"), true)
+          .close()
+        // read-back count (validate_load per increment), INSIDE the
+        // lock so its listing can never observe another load's
+        // half-swapped months. The month-range predicate is the
+        // PARTITION filter: without it the date_key filter reads the
+        // whole standing table per load (a full-warehouse scan per day
+        // at production scale); with it the read prunes to the slice's
+        // own partitions and the date filter refines within them.
+        spark.read.schema(slice.schema).parquet(outPath)
+          .filter(partitionPred).count()
+      }
+    } finally { fs.delete(staging, true): Unit }
   }
+
+  /** Per-target commit lock for [[loadFactIncrement]]: concurrent
+    * disjoint-slice loads overlap their staged writes freely and
+    * serialize only the partition swap + validate (see the staged-write
+    * comment in the method).
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Warehouse path for the incrementally-loaded fact — fingerprint-
     * keyed to the orders source (like the LSH/IVF artifacts) so
@@ -188,12 +231,14 @@ object Facts {
     val out = factIncPath(spark, dir)
     // The first two slices touch DISJOINT month partitions, so they run
     // as concurrent jobs (guide §2.6's independent-date-partitions
-    // case — a backfill runs exactly like this): each load's dynamic
-    // overwrite stages under its own job-unique .spark-staging dir and
-    // commits only its own months, so the writes never touch the same
-    // partition. The third load stays SEQUENTIAL by design — it is the
-    // idempotent RE-RUN of a sub-slice of load 2, which only
-    // demonstrates anything after load 2 committed.
+    // case — a backfill runs exactly like this): each load writes to a
+    // PRIVATE staging root and only the partition swap + validate
+    // serialize on the per-target lock (see loadFactIncrement — the
+    // earlier shared-root concurrent dynamic overwrite raced on
+    // `_temporary` and on the read-back listing). The third load stays
+    // SEQUENTIAL by design — it is the idempotent RE-RUN of a
+    // sub-slice of load 2, which only demonstrates anything after
+    // load 2 committed.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
