@@ -2218,7 +2218,33 @@ object Dedup {
       if (censusOn)
         ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else ranked0
-    val prefix = ranked.filter(col("rk") <= floor(col("n") / 5).cast("long") + 1)
+    // ── prefix EXTENSION (round 15, the verdict's top item): cut
+    // candidates BEFORE the verify by demanding more evidence per
+    // pair. With the minimal prefix (first ⌊n/5⌋+1 shingles) a pair
+    // qualifies on ONE shared low-hash shingle, and on natural text a
+    // single corpus-common shingle that hashes low opens a pair with
+    // EVERY doc containing it — measured at sf0.1 on the wrapped
+    // corpus: 1.45M candidate pairs for ~9.5k docs, of which <1%
+    // survive the verify. Extending the prefix to ⌊n/5⌋+k keeps the
+    // prune LOSSLESS at a count threshold of k: a true pair misses at
+    // most n−⌈0.8n⌉ = ⌊n/5⌋ of the contained doc's shingles, so at
+    // least (⌊n/5⌋+k) − ⌊n/5⌋ = k of its first ⌊n/5⌋+k shingles appear
+    // in the container (min(k, n−⌊n/5⌋) when the prefix covers the
+    // whole doc). Join INPUT grows ~(⌊n/5⌋+k)/(⌊n/5⌋+1) ≈ +5(k−1)/n —
+    // linear, small; the candidate-pair frame every downstream
+    // exchange and both verify joins carry shrinks by the measured
+    // sf0.1 factors (k=8 vs the old k=1): d33 1,449,884 → 8,229 pairs
+    // (176×, true-pair floor 6,025), d16 259,415 → 256 (= exactly the
+    // true pair count), output hashes identical at every k swept
+    // (1,2,4,6,8,12). k=8 chosen because d33's pair count keeps
+    // falling to there while d16/d35 sit at their floor from k=4 with
+    // no join-input penalty; k=1 is exactly the round-12
+    // single-witness shape; `spark.graft.prefix.ext` overrides for
+    // re-profiles.
+    val prefExt = math.max(1L, confLong(sh0.sparkSession,
+      "spark.graft.prefix.ext", 8L))
+    val prefix = ranked.filter(
+      col("rk") <= floor(col("n") / 5).cast("long") + prefExt)
     // position filter (PPJoin-style), ALSO lossless: the pair's MINIMUM
     // shared shingle under the global md5 order has the minimal rank on
     // BOTH sides simultaneously (same order), and every other shared
@@ -2274,12 +2300,29 @@ object Dedup {
           .drop("salt")
         cold.unionByName(hot)
       }
+    // Per-pair aggregation replaces the old per-match filter + distinct
+    // (same exchange — the groupBy partial-aggregates map-side exactly
+    // like distinct did, carrying three extra longs):
+    //  - `mc` (matched prefix shingles) must reach min(prefExt,
+    //    n_a−⌊n_a/5⌋) — the prefix-extension count bound above;
+    //  - the POSITION bound now evaluates on (min ra, min rb), which by
+    //    the global-order monotonicity of shared shingles is the
+    //    MINIMAL shared generated match's rank pair — the one match
+    //    whose bound is valid AND maximal, so the kept set is
+    //    IDENTICAL to the round-12 any-match form (the old test passed
+    //    iff the minimal match passed); the count bound is the only
+    //    new prune, and it is lossless by the argument at `prefExt`.
     val cand = joined
       .filter(col("doc_a") =!= col("doc_b") &&
-        (col("na") < col("nb") || (col("na") === col("nb") && col("doc_a") < col("doc_b"))) &&
-        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+        (col("na") < col("nb") || (col("na") === col("nb") && col("doc_a") < col("doc_b"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("mc"),
+        min(col("ra")).as("ra0"), min(col("rb")).as("rb0"))
+      .filter(col("mc") >= least(lit(prefExt),
+          col("na") - floor(col("na") / 5).cast("long")) &&
+        lit(1) + least(col("na") - col("ra0"), col("nb") - col("rb0")) >=
           floor((lit(4) * col("na") + lit(4)) / 5).cast("long"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"))
     // cand feeds the census count, candDocs, AND the final join —
     // persisted (pair-id-sized: 2 longs/row; before this the prefix-join
     // chain re-ran per consumer). Cache lifetime: the returned plan

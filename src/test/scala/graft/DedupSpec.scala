@@ -300,8 +300,17 @@ class DedupSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
       .select(col("doc_id"), col("text"))
     val autoReal = Dedup.containmentDedupOfDocs(docs).collect()
-    assert(Dedup.lastContainmentRegime.get() == Dedup.CountingJoin,
-      "sparse-DF census must choose the counting join")
+    // The chosen regime must be the gate's own decision for the census
+    // it read (gate-consistency, not a hardcoded branch: the round-15
+    // prefix extension shrank the candidate slice so far that the
+    // array path's cost proxy undercuts Σocc² on this fixture too —
+    // before it, the sparse fixture censused CountingJoin; both
+    // branches stay value-pinned by the forced-regime comparisons in
+    // this test).
+    val (np, nd, tt, o2) = Dedup.lastContainmentCensus.get()
+    assert(Dedup.lastContainmentRegime.get() ==
+      Dedup.chooseVerifyRegime(o2, np, tt, nd),
+      "census regime must match the gate's decision for the measured census")
     val forcedArrays =
       Dedup.containmentDedupOfDocs(docs, Some(Dedup.PairArrays)).collect()
     assert(key(autoReal) == key(forcedArrays) && autoReal.nonEmpty)
@@ -790,5 +799,38 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getLong(10) == math.abs(oM - nM), s"$s mean delta")
       assert(r.getLong(11) == tv, s"$s tv")
     }
+  }
+
+  test("prefix extension is lossless: k=1 and k=8 candidate generation " +
+      "yield identical containment output, including docs shorter than k") {
+    import spark.implicits._
+    // Corpus exercising the extension's edges: tiny docs whose shingle
+    // count n is BELOW the extension (the count bound must fall back to
+    // min(k, n−⌊n/5⌋)), exact subsets, truncations, and unrelated text.
+    val docs = ((1L to 40L).map { k =>
+      val tail = (1 to (3 + (k % 9)).toInt).map(j => s"w${k}_$j").mkString(" ")
+      (k, s"base$k $tail")
+    } ++ (1L to 40L).map { k =>
+      val tail = (1 to (3 + (k % 9)).toInt).map(j => s"w${k}_$j").mkString(" ")
+      (k + 1000L, s"base$k $tail extra${k}_a extra${k}_b extra${k}_c")
+    } ++ Seq((5000L, "tiny doc here"), (5001L, "tiny doc here and more"),
+      (5002L, "a b c d"), (5003L, "a b c d e f g h i j k l m n o p")))
+      .toDF("doc_id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("contained_doc"), r.getAs[Long]("container_doc"),
+        r.getAs[Long]("inter"), r.getAs[Double]("containment"))).toSet
+    def runAt(k: Long) = {
+      spark.conf.set("spark.graft.prefix.ext", k.toString)
+      try Dedup.containmentDedupOfDocs(docs).collect()
+      finally spark.conf.unset("spark.graft.prefix.ext")
+    }
+    val k1 = runAt(1L)
+    val k8 = runAt(8L)
+    assert(k1.nonEmpty, "fixture must produce containment pairs")
+    assert(key(k1) == key(k8),
+      "prefix-extension pruning must not change the verified pair set")
+    // the tiny exact-prefix pair must be present under both
+    assert(key(k8).exists(t => t._1 == 5000L && t._2 == 5001L))
+    spark.catalog.clearCache()
   }
 }
