@@ -1945,26 +1945,6 @@ object Dedup {
     */
   private[graft] val MaxSlices = 512
 
-  private val sliceRunSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** App-scoped root for sliced-verify scratch, cleaned on JVM exit. */
-  private lazy val sliceScratchRootMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private[graft] def sliceScratchRoot(spark: org.apache.spark.sql.SparkSession): String =
-    sliceScratchRootMemo.computeIfAbsent(spark.sparkContext.applicationId, { appId =>
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_containment_slices_$appId")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(root)
-      }))
-      root.getAbsolutePath
-    })
-
   /** Census-derived exchange width for the array verify — the round-11
     * "memory cliff" dissected: the per-pair set-array join was never
     * semantically quadratic, but under a PINNED shuffle-partition count
@@ -2042,8 +2022,9 @@ object Dedup {
   /** d35: the SLICED verify regime under the driver's oracle (round
     * 14) — same containment semantics and oracle SQL as d16, forced
     * through [[SlicedArrays]] at a fixed 3 slices so the
-    * scratch-degradation path (per-slice pair hashing, eager parquet
-    * materialization, read-back union) produces its VALUES under the
+    * scratch-degradation path (per-slice pair hashing, eager
+    * localCheckpoint materialization, checkpoint union) produces its
+    * VALUES under the
     * DuckDB gate every round, at every sf the driver runs, not only in
     * DedupSpec's forced-budget hash-compare. A fixed slice count (not
     * a tiny conf budget) keeps the row's cost flat across scale
@@ -2427,8 +2408,8 @@ object Dedup {
         // EAGER sliced materialization — the scratch-bound degradation
         // (see [[SlicedArrays]]): the pair set splits by a deterministic
         // pair hash into `s` sub-jobs, each the PairArrays plan at
-        // per-slice exchange width; a finished slice's scored rows land
-        // in a scratch parquet and its shuffle files are released (refs
+        // per-slice exchange width; a finished slice's scored rows are
+        // localCheckpointed and its shuffle files are released (refs
         // dropped + an explicit GC nudge so the ContextCleaner's
         // reference queue fires between slices, not at some later GC)
         // before the next slice shuffles. Values are identical to
@@ -2442,20 +2423,23 @@ object Dedup {
           .select(col("doc_id"), col("sh_set"),
             size(col("sh_set")).cast("long").as("n"))
           .persist()
-        // per-run unique scratch (round-13 advice: a fixed shared path
-        // let a second containment run on the same host delete/overwrite
-        // slices a not-yet-consumed lazy result still reads): applicationId
-        // isolates processes, the sequence isolates runs within one. The
-        // app-scoped parent is removed on JVM exit (shutdown hook, once);
-        // within a run, prior runs' slices from THIS app stay on disk
-        // until exit because their DataFrames may still be live — the
-        // bounded cost the uniqueness buys correctness with.
-        val scratch = new org.apache.hadoop.fs.Path(sliceScratchRoot(spark2),
-          s"run_${sliceRunSeq.incrementAndGet()}")
-        val fs = scratch.getFileSystem(spark2.sessionState.newHadoopConf())
-        if (fs.exists(scratch)) fs.delete(scratch, true)
-        (0 until s).foreach { i =>
-          candP
+        // Slice handoff is localCheckpoint, not a scratch parquet
+        // (round 15, verdict item 4: the eager per-slice parquet
+        // writes fought the page cache under interleaved load — d35
+        // 5.2 → 3.4 s solo-warm, and the round-14 in-run inflation
+        // track record was 5.4 → 6.0-6.8). The regime's contract is
+        // bounding in-flight SHUFFLE scratch, and the checkpoint keeps
+        // that: each slice's plan is truncated at materialization, its
+        // shuffle refs drop, and the GC nudge lets the ContextCleaner
+        // release the files before the next slice shuffles. Slice
+        // RESULTS ride block storage (MEMORY_AND_DISK — spills, never
+        // OOMs) instead of an external file; same JVM, consumed once,
+        // swept by the harness's releaseQueryCaches like every cache
+        // here. (This also retires the round-13 per-run scratch-path
+        // machinery — no external path, no two-process clobber
+        // surface at all.)
+        val slices = (0 until s).map { i =>
+          val ck = candP
             .filter(pmod(xxhash64(col("doc_a"), col("doc_b")), lit(s.toLong)) === i)
             .repartition(parts, col("doc_a"))
             .join(sets.select(col("doc_id").as("doc_a"),
@@ -2466,11 +2450,12 @@ object Dedup {
             .withColumn("inter",
               size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
             .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"))
-            .write.mode("overwrite").parquet(s"$scratch/slice=$i")
+            .localCheckpoint()
           System.gc()
+          ck
         }
         sets.unpersist()
-        spark2.read.parquet((0 until s).map(i => s"$scratch/slice=$i"): _*)
+        slices.reduce(_.unionByName(_))
       case PairRestricted =>
         // Start EVERY gram from the candidate pair set: pair ⋈
         // grams-of-doc_a replicates each pair by its contained doc's

@@ -867,6 +867,13 @@ object TextAnalysis {
     // Doc-sized (5 flat cols); released by the harness's per-query
     // clearCache. Round-14 A/B at sf0.1: 2.06 → 1.65 s solo-warm
     // (t19's same-shape persist read 1.71 → 1.42 s).
+    // Round-15 adjudication (the r14 verdict's watch item): calm-window
+    // interleaved A/B, 5-6 reps/side ×2 rounds — persist 1.61/1.46,
+    // no-persist 1.38/1.71 (t17 warm s; t19 1.48/1.47 vs 1.32/1.63) —
+    // run ORDER dominates, the delta is inside ±10% both directions,
+    // and the persisted rows read at-or-under their r13 driver
+    // baselines (1.59/1.81). KEPT: locally a wash, and at corpus scale
+    // three scoring explosions → one is the dominant term.
     val d = w.join(toks, "doc_id")
       .withColumn("wfp", round(col("weight") * 1000000).cast("long"))
       .withColumn("vb", expr("wfp div 8192"))
@@ -1750,6 +1757,11 @@ object TextAnalysis {
     // structural argument (strictly fewer feature passes; at corpus
     // scale three text scans → one is the dominant term and the
     // 34-int cache row spills gracefully).
+    // Round-15 adjudication (the r14 verdict's watch item): calm-window
+    // interleaved A/B, 5-6 reps/side ×2 rounds — t29 persist 2.57/2.35
+    // vs no-persist 2.41/3.16 warm s (t30 2.26/2.25 vs 2.18/2.63): run
+    // order dominates, the persisted rows sit at-or-under their r13
+    // driver baselines (2.57/2.28). KEPT on the same scale argument.
     val feats = ridgeFeatures(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = ridgeSolve(feats)
