@@ -5,9 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** A/B harness for in-flight design measurements (not part of any
   * contract; contents change per experiment). Current experiment:
-  * prefix-extension sweep for the containment family — candidate-pair
-  * counts, full-row times, and output-hash equality across
-  * spark.graft.prefix.ext values.
+  * stream_curation decomposition — full row vs 3 manual
+  * ingestShardCore ticks vs per-tick publish/probe phases.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -26,40 +25,38 @@ object Scratch {
       println(f"SCRATCH $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
     }
     val dir = args(0)
-    val ks = if (args.length > 1) args.drop(1).map(_.toLong).toSeq
-             else Seq(1L, 2L, 4L, 6L)
     graft.sources.Tables.names.foreach { t =>
       val df = if (t == "events") graft.sources.Tables.events(spark, dir)
                else spark.read.parquet(s"$dir/$t.parquet")
       df.write.mode("overwrite").format("noop").save()
     }
     import graft.operators.Dedup
-    def outHash(dfn: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = dfn.select(
-        count(lit(1)),
-        sum(pmod(xxhash64(col("contained_doc"), col("container_doc"),
-          col("inter")), lit(1000000007L))))
-        .collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
     (1 to 2).foreach { rep =>
       println(s"--- rep $rep ---")
-      ks.foreach { k =>
-        spark.conf.set("spark.graft.prefix.ext", k.toString)
-        timed(s"d33 k=$k") {
-          val h = outHash(Dedup.hotShingleDedup(spark, dir))
-          println(s"  d33 k=$k census=${Dedup.lastContainmentCensus.get()} out=$h")
+      timed("full stream_curation") {
+        println("  rows=" + graft.streaming.StreamQueries
+          .streamCuration(spark, dir).count())
+      }
+      graft.GraftSession.releaseQueryCaches(spark)
+      // manual 3-tick replay at the feed width the wrapper would use
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      val idx = java.nio.file.Files.createTempDirectory("scratch_cur").toString
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      try {
+        (0 until 3).foreach { i =>
+          timed(s"tick $i") {
+            Dedup.ingestShardCore(
+              docs.filter(pmod(xxhash64(col("doc_id")), lit(3L)) === i),
+              s"$idx/index", s"b$i").count()
+          }
         }
-        graft.GraftSession.releaseQueryCaches(spark)
-        timed(s"d16 k=$k") {
-          val h = outHash(Dedup.containmentDedup(spark, dir))
-          println(s"  d16 k=$k census=${Dedup.lastContainmentCensus.get()} out=$h")
+        timed("standing rollup") {
+          println("  rows=" + Dedup.standingRemovals(spark, s"$idx/index").count())
         }
-        graft.GraftSession.releaseQueryCaches(spark)
-        timed(s"d35 k=$k") {
-          val h = outHash(Dedup.slicedDedup(spark, dir))
-          println(s"  d35 k=$k out=$h")
-        }
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
         graft.GraftSession.releaseQueryCaches(spark)
       }
     }
