@@ -2155,6 +2155,10 @@ object Dedup {
   def boilerplateSpans(spark: SparkSession, dir: String): DataFrame =
     substringDedupOf(boilerplateWrapped(Tables.documents(spark, dir)))
 
+  /** CACHE CONTRACT: the returned plan references persisted candidate/
+    * slice frames the caller must release after its one consuming
+    * action (releaseQueryCaches/clearCache — see [[substringDedupOf]]).
+    */
   private[graft] def containmentDedupOf(sh0: DataFrame,
       force: Option[VerifyRegime]): DataFrame = {
     val t = 0.8
@@ -2608,6 +2612,15 @@ object Dedup {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedupOf(Tables.documents(spark, dir))
 
+  /** CACHE CONTRACT (r14 advice): the returned plan references a
+    * persisted gram frame whose lifetime the RETURNED FRAME owns — the
+    * caller must release it after its one consuming action, via
+    * `GraftSession.releaseQueryCaches` (what Bench/Verify do per query)
+    * or `spark.catalog.clearCache()`. A caller composing several of
+    * these operators without releasing between them accumulates cache
+    * entries. Same contract on [[substringScrubOf]] and
+    * [[containmentDedupOf]].
+    */
   private[graft] def substringDedupOf(docs: DataFrame): DataFrame = {
     // The gram frame feeds BOTH the duplicate census (groupBy gh) and
     // the probe side of the join-back — unpersisted, the tokenize +
@@ -2655,6 +2668,9 @@ object Dedup {
   def substringScrub(spark: SparkSession, dir: String): DataFrame =
     substringScrubOf(Tables.documents(spark, dir))
 
+  /** CACHE CONTRACT: see [[substringDedupOf]] — release via
+    * releaseQueryCaches/clearCache after the consuming action.
+    */
   private[graft] def substringScrubOf(docs: DataFrame): DataFrame = {
     // same two-consumer shape as substringDedupOf (census + join-back
     // probe) — persist for the same measured reason

@@ -397,7 +397,15 @@ object ReferenceQueries {
             scala.concurrent.duration.Duration.Inf)
           (name, viaSql.size.toLong, viaSql == viaTwin)
         }.toDF("query", "n_rows", "matches")
-      } finally pool.shutdown()
+      } finally {
+        // quiesce before the outer finally unpersists (r14 advice): on
+        // a failure path Await rethrows while sibling collects still
+        // run against the caches — shutdownNow interrupts them and the
+        // bounded wait lets them exit before cache release, so the
+        // real failure isn't interleaved with recompute noise
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
       // safe to release before returning: both sides are COLLECTED
       // above — the returned frame is driver-local rows, not a lazy
       // plan over the caches

@@ -163,7 +163,10 @@ object StreamQueries {
               .mapToLong(f => Files.size(f)).sum()
             finally s.close()
           }
-        math.max(4L, math.min(saved.toLong, bytes / (16L << 20) + 1)).toInt
+        // session width is a TRUE upper bound (r14 advice: the old
+        // max-outside form widened a sub-4-partition session to 4,
+        // contradicting the clamp contract above)
+        math.min(saved.toLong, math.max(4L, bytes / (16L << 20) + 1)).toInt
       }
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
