@@ -2245,19 +2245,26 @@ object Dedup {
     // most n−⌈0.8n⌉ = ⌊n/5⌋ of the contained doc's shingles, so at
     // least (⌊n/5⌋+k) − ⌊n/5⌋ = k of its first ⌊n/5⌋+k shingles appear
     // in the container (min(k, n−⌊n/5⌋) when the prefix covers the
-    // whole doc). Join INPUT grows ~(⌊n/5⌋+k)/(⌊n/5⌋+1) ≈ +5(k−1)/n —
-    // linear, small; the candidate-pair frame every downstream
-    // exchange and both verify joins carry shrinks by the measured
-    // sf0.1 factors (k=8 vs the old k=1): d33 1,449,884 → 8,229 pairs
-    // (176×, true-pair floor 6,025), d16 259,415 → 256 (= exactly the
-    // true pair count), output hashes identical at every k swept
-    // (1,2,4,6,8,12). k=8 chosen because d33's pair count keeps
-    // falling to there while d16/d35 sit at their floor from k=4 with
-    // no join-input penalty; k=1 is exactly the round-12
+    // whole doc). The knob TRADES candidate-pair count against
+    // join-output volume: each extension slot adds prefix rows whose
+    // join fan-out is that shingle's document frequency, so a large k
+    // re-inflates the join on hot-tailed corpora while the pair
+    // reduction saturates. Measured both scales (candidate pairs →
+    // warm seconds):
+    //   sf0.1 d33: k=1 1,449,884 / ~7.6 s · k=3 ~5.4 s · k=8 8,229
+    //     pairs but 6.8-8.2 s; d16: k=1 259,415 / 4.7 s → k=3 2.2 s
+    //     (floor 256 pairs from k=4);
+    //   sf1  d33: k=1 23.2M / 48 s · k=2 9.4M / 30 s · k=3 7.2M /
+    //     33 s · k=4 4.5M / 46 s · k=8 0.80M / 66 s — join-output
+    //     growth overtakes pair savings past k≈3; d16: k=1 13.5 s →
+    //     k=3 5.3 s; d35: k=1 14.5 s → k=3 6.6 s.
+    // k=3 is the scale-robust optimum (the sf1 curve is the one that
+    // transfers); output hashes identical at every k swept
+    // (1,2,3,4,6,8,12 across both SFs). k=1 is exactly the round-12
     // single-witness shape; `spark.graft.prefix.ext` overrides for
     // re-profiles.
     val prefExt = math.max(1L, confLong(sh0.sparkSession,
-      "spark.graft.prefix.ext", 8L))
+      "spark.graft.prefix.ext", 3L))
     val prefix = ranked.filter(
       col("rk") <= floor(col("n") / 5).cast("long") + prefExt)
     // position filter (PPJoin-style), ALSO lossless: the pair's MINIMUM

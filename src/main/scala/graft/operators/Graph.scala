@@ -72,15 +72,26 @@ object Graph {
       expr(s"$Scale div n").as("r_init"))
     var ranks = deg.crossJoin(broadcast(teleF))
       .select(col("src").as("node"), col("deg"), col("r_init").as("r"))
+    // SIZE-GATED shuffle-hash hint on the per-round contrib join
+    // (round 15, closing the r14 verdict's q59-at-sf1 question). At
+    // sf0.1 AQE runtime-broadcasts the rank side and the hint pinned a
+    // slower exchange (r14 A/B: 2.0 → 3.0 s — the rejection stands
+    // THERE); at sf1 the rank side outgrows the broadcast threshold,
+    // the per-round join defaults to SMJ re-sorting the edge side, and
+    // the hinted replay read 19.2-21.9 s vs 23.3-30.3 s as-is (3
+    // interleaved reps) — the q63 logic applies from sf1 up. Gate on
+    // the planner's estimate of the distinct (orderkey, partkey)
+    // projection (StatsProbe: sf0.1 = 2.2 MB, sf1 = 25.7 MB; threshold
+    // 12 MB, the containment census gate's scale), overridable via
+    // spark.graft.q59.hint.bytes. Value-neutral: join strategy only.
+    val hintGate = graft.operators.Dedup.confLong(lineitem.sparkSession,
+      "spark.graft.q59.hint.bytes", 12L << 20)
+    val hintOn = li.queryExecution.optimizedPlan.stats.sizeInBytes > hintGate
     for (_ <- 1 to Iters) {
-      // NO join hint here, on round-14 A/B: forcing shuffled-hash (the
-      // q63 move) read 2.0 → 3.0 s — this chain's rank-side estimates
-      // let AQE convert the per-round SMJ to broadcast at runtime, and
-      // a hint would pin the slower exchange in place. q63's hint wins
-      // because its label side derives through wider aggregations that
-      // stay above the broadcast threshold.
+      val contribs = ranks.select(col("node").as("src"),
+        expr("r div deg").as("contrib"))
       val s = ed
-        .join(ranks.select(col("node").as("src"), expr("r div deg").as("contrib")),
+        .join(if (hintOn) contribs.hint("shuffle_hash") else contribs,
           Seq("src"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
       ranks = deg.join(s.select(col("dst").as("src"), col("s")), Seq("src"), "left")

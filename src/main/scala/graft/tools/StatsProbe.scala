@@ -24,6 +24,11 @@ object StatsProbe {
     val wrapped = graft.operators.Dedup.boilerplateWrapped(docs)
     stat("wrapped", wrapped)
     stat("shingles", graft.operators.Dedup.wordShinglesOf(wrapped))
+    // q59's per-round join gate input (round 15): the distinct
+    // (orderkey, partkey) projection the co-purchase edge build reads
+    stat("q59_li", graft.sources.Tables.lineitem(spark, args(0))
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey")).distinct())
     spark.stop()
   }
 }
